@@ -1,0 +1,224 @@
+"""Deduplication operators (LLM-data-pipeline extensions, BASELINE.json
+north star — beyond the reference surface).
+
+All variants are built from shuffle-aware DataFrame primitives and a
+portable md5-derived hash (functions.hashing) so every stage is
+oracle-checkable in DuckDB. Scale design:
+
+  - exact dedup: single hash-aggregate on the normalized text (at 100 TB,
+    group on a 64-bit fingerprint instead of the raw text to shrink shuffle
+    width; collision check optional).
+  - shingle/MinHash/LSH: explode→aggregate pipelines; candidate generation
+    joins on *band signature* buckets, never all-pairs. The only quadratic
+    step (verification) runs per-bucket after LSH pruning.
+  - SimHash: bit-level fold of token hashes; candidates via half-signature
+    banding (pigeonhole: hamming ≤ k ⇒ some half matches for k ≤ 1 per half).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash64
+from ..functions.tokenize import whitespace_tokens
+
+
+def normalize_text(col: Column) -> Column:
+    return F.lower(F.trim(col))
+
+
+def fingerprint(col: Column) -> Column:
+    """md5 fingerprint of normalized text — exact-dup grouping key."""
+    return F.md5(normalize_text(col))
+
+
+def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: canonical (min) id + member count per distinct
+    normalized text. One hash aggregate; map-side partial agg applies."""
+    return (
+        docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """(doc_id, shingle) rows — k-word shingles via a sliding window.
+
+    Uses posexplode + lead() over (doc, pos): identical semantics are
+    expressible in DuckDB, making downstream MinHash oracle-checkable.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(whitespace_tokens(normalize_text(F.col(text_col)))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    for i in range(1, k):
+        toks = toks.withColumn(f"_t{i}", F.lead("tok", i).over(w))
+    lead_cols = [F.col("tok")] + [F.col(f"_t{i}") for i in range(1, k)]
+    return (
+        toks.filter(F.col(f"_t{k - 1}").isNotNull())
+        .select(F.col(id_col), F.concat_ws(" ", *lead_cols).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(shingle_df: DataFrame, id_col: str = "doc_id", num_hashes: int = 16) -> DataFrame:
+    """(doc_id, seed, minhash) — MinHash via min over seeded md5 strings.
+
+    min over md5 hex strings is an order-preserving uniform hash, so the
+    classic MinHash Jaccard estimate holds; md5 keeps it portable to the
+    DuckDB oracle. Explode-by-seed costs num_hashes× rows but keeps the
+    whole computation one hash aggregate (no UDF).
+    """
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    return (
+        shingle_df.select(id_col, "shingle", seeds)
+        .withColumn("h", F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))))
+        .groupBy(id_col, "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: docs sharing any band signature become candidate pairs.
+
+    Band signature = ordered concat of the band's minhashes. The join is on
+    (band, signature) — bucket-local, never all-pairs. Returns distinct
+    (doc_a < doc_b) pairs.
+    """
+    banded = (
+        sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                    lambda s: s["minhash"],
+                ),
+                ",",
+            ).alias("band_sig")
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingle_df: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.2,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """n-gram Jaccard similarity pairs (doc_a < doc_b, jac ≥ threshold).
+
+    Intersection via shingle equi-join (shuffle on shingle — high-frequency
+    shingles are the skew risk; at scale, drop top-percentile shingles as
+    stop-shingles). Union via |A|+|B|−∩. If ``candidates`` (e.g. from LSH)
+    is given, verification is restricted to those pairs.
+    """
+    sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = shingle_df.alias("a")
+    b = shingle_df.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
+    """(doc_id, simhash) — n-bit SimHash over whitespace tokens.
+
+    Classic bit-vote: for each bit b, sum ±1 over token hashes' bit b; the
+    sign packs into the signature. Pure expression pipeline (explode →
+    bit-extract → two hash aggregates), portable to the oracle.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(whitespace_tokens(normalize_text(F.col(text_col)))).alias("tok"),
+    ).withColumn("h", portable_hash64(F.col("tok")))
+    bits_df = toks.select(
+        id_col,
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+    ).withColumn("vote", F.expr("cast((shiftright(h, b) & 1) * 2 - 1 as int)"))
+    return (
+        bits_df.groupBy(id_col, "b")
+        .agg(F.sum("vote").alias("v"))
+        .withColumn(
+            "bit",
+            F.expr(
+                "case when v > 0 then shiftleft(cast(1 as bigint), b) else cast(0 as bigint) end"
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("bit").cast("bigint").alias("simhash"))
+    )
+
+
+def simhash_near_pairs(
+    sig: DataFrame, id_col: str = "doc_id", bits: int = 16, max_hamming: int = 2
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Candidate generation by half-signature banding (pigeonhole guarantees
+    recall for hamming ≤ 1 per half; with max_hamming=2 this is the standard
+    probabilistic trade — documented, and verification is exact)."""
+    half = bits // 2
+    mask = (1 << half) - 1
+    banded = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("part"), F.col("simhash").bitwiseAND(F.lit(mask)).alias("key")),
+                F.struct(F.lit(1).alias("part"), F.shiftright(F.col("simhash"), half).alias("key")),
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.part", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.part") == F.col("b.part")) & (F.col("a.key") == F.col("b.key"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (LLM-pipeline extension).
+
+``embeddings`` table: vec_id bigint, embedding array<float>, label int.
+
+Scale design: the brute-force path broadcasts the *query* vector (never the
+corpus) and evaluates the dot product JVM-side with higher-order array
+functions — no Python, no collect; top-k via rank-limit which Spark executes
+as per-partition partial top-k + final merge. The bucketed path (sign-LSH)
+prunes candidates by a leading-dims sign signature before scoring — the
+bucket id is a cheap deterministic expression, so at 100 TB the scoring join
+touches only the query's bucket (partition-prunable if the corpus is written
+bucketed/partitioned by ``bucket``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as double, sequential fold — deterministic and portable."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Baseline ANN: exact cosine top-k via broadcast of the query vector(s).
+
+    Output: (query_id, vec_id, cos_sim) — cos rounded to 4 dp with vec_id
+    tiebreak so ranking is exactly reproducible in the oracle.
+    """
+    q = query.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    scored = corpus.join(F.broadcast(q), F.col(id_col) != F.col("query_id")).select(
+        "query_id",
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("qvec")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def sign_bucket(vec: Column, dims: int = 8) -> Column:
+    """Deterministic sign-LSH bucket from the leading ``dims`` components:
+    bit d set iff vec[d] > 0. Cheap, portable, and a valid random-hyperplane
+    LSH when components are ~centered (true for normalized embeddings)."""
+    bit_terms = [
+        F.when(F.element_at(vec, d + 1) > 0, F.lit(1 << d)).otherwise(F.lit(0))
+        for d in range(dims)
+    ]
+    out = bit_terms[0]
+    for t in bit_terms[1:]:
+        out = out + t
+    return out.cast("bigint")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    dims: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed ANN: score only corpus vectors in the query's sign bucket.
+
+    Approximate (recall < 1) by construction; the scale win is that bucket
+    assignment is computable at write time, so the scoring join becomes a
+    partition-pruned scan on a 100 TB corpus.
+    """
+    c = corpus.withColumn("bucket", sign_bucket(F.col(vec_col), dims))
+    q = query.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        sign_bucket(F.col(vec_col), dims).alias("bucket"),
+    )
+    scored = c.join(F.broadcast(q), "bucket").filter(
+        F.col(id_col) != F.col("query_id")
+    ).select(
+        "query_id",
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("qvec")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    dims: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, bucket-pruned.
+
+    Pairs must share a sign bucket (near-identical vectors almost surely do),
+    then are exact-verified by cosine ≥ threshold. Self-join is per-bucket,
+    not all-pairs."""
+    c = corpus.withColumn("bucket", sign_bucket(F.col(vec_col), dims))
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

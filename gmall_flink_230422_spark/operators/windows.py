@@ -1,0 +1,71 @@
+"""Windowed aggregation operators (SURVEY §2.4).
+
+Reference: 10 s tumbling event-time windows everywhere — keyed SQL TUMBLE
+(DwsTrafficSourceKeywordPageViewWindow.java:145-154), keyed DataStream
+reduce+window (DwsTrafficVcChArIsNewPageViewWindow.java:97-144), and a
+global windowAll (DwsTrafficPageViewWindow.java:117-137). The reference's
+incremental-reduce + window-function pattern is exactly Spark's partial/final
+hash aggregate, so ``groupBy(window(...))`` is the whole story; stt/edt come
+from the window struct (we emit them as epoch seconds for oracle
+determinism — the reference's wall-clock ``ts`` field is nondeterministic,
+SURVEY §2.8.3, and excluded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tumble(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    keys: list[str],
+    aggs: list[Column],
+    watermark: str | None = None,
+) -> DataFrame:
+    """A1-A3: tumbling event-time window aggregate.
+
+    keys=[] gives the global windowAll analog. In streaming mode pass
+    ``watermark`` (e.g. "2 seconds") for the reference's bounded
+    out-of-orderness contract; late rows beyond it are dropped, same as
+    Flink's default late-data handling.
+    """
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    win = F.window(F.col(ts_col), duration)
+    out = df.groupBy(win.alias("w"), *[F.col(k) for k in keys]).agg(*aggs)
+    agg_cols = [c for c in out.columns if c not in ("w", *keys)]
+    return out.select(
+        F.col("w.start").cast("long").alias("stt"),
+        F.col("w.end").cast("long").alias("edt"),
+        *keys,
+        *agg_cols,
+    )
+
+
+def one_hot_branches(
+    branches: list[tuple[DataFrame, dict[str, Column]]], common: list[str]
+) -> DataFrame:
+    """A4+T8: per-branch 1-hot metric encoding then union
+    (DwsTrafficVcChArIsNewPageViewWindow.java:43-86). Each branch supplies
+    its metric columns; missing metrics are zero-filled so the union is
+    column-aligned (``unionByName``)."""
+    all_metrics: list[str] = []
+    for _, metrics in branches:
+        for name in metrics:
+            if name not in all_metrics:
+                all_metrics.append(name)
+    parts = []
+    for df, metrics in branches:
+        cols = [F.col(c) for c in common]
+        cols += [
+            (metrics[m] if m in metrics else F.lit(0)).cast("long").alias(m)
+            for m in all_metrics
+        ]
+        parts.append(df.select(*cols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

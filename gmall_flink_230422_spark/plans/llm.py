@@ -1,0 +1,380 @@
+"""LLM-data-pipeline extension queries (BASELINE.json north star): dedup,
+similarity search, text analysis, multimodal plumbing — on the `documents`
+and `embeddings` tables. Each Spark pipeline has a semantically identical
+DuckDB oracle built on the same portable md5-derived hash
+(functions.hashing), so even MinHash/SimHash signatures hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators import dedup, similarity, text
+from . import QuerySpec
+
+# shared SQL fragments --------------------------------------------------------
+_TOKS = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')"
+_RAW_TOKS = r"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
+_PHASH = "(('0x' || substr(md5({x}), 1, 15)))::BIGINT"
+
+_SHINGLES_CTE = rf"""
+toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok, generate_subscripts({_TOKS}, 1) AS pos
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         tok || ' ' || lead(tok) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+)
+"""
+
+
+# ---------------------------------------------------------------- exact dedup
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: duplicate groups on normalized-text fingerprint —
+    one hash aggregate (group on the 128-bit digest, not the raw text)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(d)
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS canonical_id, count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------- fingerprint
+def q_fingerprint(spark, sf_dir):
+    """Document fingerprinting: per-doc digest of normalized content."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", text.rolling_fingerprint(F.col("text")).alias("fp"))
+
+
+ORACLE_FINGERPRINT = "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents"
+
+
+# ---------------------------------------------------------------- token stats
+def q_token_stats(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish (chars/4-per-token) estimate."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        text.approx_bpe_token_count(F.col("text")).alias("bpe_est"),
+    )
+
+
+ORACLE_TOKEN_STATS = rf"""
+SELECT doc_id,
+       len({_RAW_TOKS})::BIGINT AS n_tokens,
+       coalesce(list_sum(list_transform({_RAW_TOKS}, t -> ceil(length(t) / 4.0)::BIGINT)), 0)::BIGINT AS bpe_est
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------- quality score
+def q_quality(spark, sf_dir):
+    """Quality scoring: length/stopword/alnum features + composite score."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.quality_features(d)
+
+
+_EN_STOP_SQL = "['the', 'and', 'of', 'to', 'in', 'is', 'a', 'that']"
+ORACLE_QUALITY = rf"""
+WITH f AS (
+  SELECT doc_id,
+         {_RAW_TOKS} AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS alnum_chars
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN coalesce(list_sum(list_transform(toks, t -> length(t))), 0) * 1.0 / len(toks)
+              ELSE 0.0 END AS mean_tok_len,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, t -> list_contains({_EN_STOP_SQL}, t))) * 1.0 / len(toks)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_chars > 0 THEN alnum_chars * 1.0 / n_chars ELSE 0.0 END AS alnum_ratio
+  FROM f
+)
+SELECT doc_id,
+       n_tokens::BIGINT AS n_tokens,
+       round(mean_tok_len, 4) AS mean_tok_len,
+       round(stop_ratio, 4) AS stopword_ratio,
+       round(alnum_ratio, 4) AS alnum_ratio,
+       round(least(n_tokens / 100.0, 1.0) * 0.25
+             + least(mean_tok_len / 8.0, 1.0) * 0.25
+             + least(stop_ratio * 4, 1.0) * 0.25
+             + alnum_ratio * 0.25, 4) AS quality_score
+FROM m
+"""
+
+
+# ---------------------------------------------------------------- language ID
+def q_lang_id(spark, sf_dir):
+    """Language ID: stopword-vote heuristic; deterministic argmax."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang", text.detect_language(F.col("text")).alias("pred_lang")
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in text.LANG_STOPWORDS[lang])
+    return f"len(list_filter({_TOKS}, t -> list_contains([{words}], t)))"
+
+
+_LANGS = sorted(text.LANG_STOPWORDS)  # de, en, es, fr, zh — the Spark loop order
+ORACLE_LANG_ID = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         {', '.join(f'{_lang_score_sql(lg)} AS s_{lg}' for lg in _LANGS)}
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN greatest({', '.join('s_' + lg for lg in _LANGS)}) <= 0 THEN 'und'
+            {' '.join(f"WHEN s_{lg} = greatest({', '.join('s_' + l2 for l2 in _LANGS)}) THEN '{lg}'" for lg in _LANGS)}
+       END AS pred_lang
+FROM s
+"""
+
+
+# ---------------------------------------------------------------- n-gram Jaccard dedup
+def q_ngram_jaccard(spark, sf_dir):
+    """Near-dup pairs by exact 3-gram-shingle Jaccard ≥ 0.8 (shingle
+    equi-join intersection — the all-candidates baseline the LSH variant
+    prunes)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(d)
+    return dedup.jaccard_pairs(sh, threshold=0.8)
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH {_SHINGLES_CTE},
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(i * 1.0 / (x.sz + y.sz - i), 4) AS jaccard
+FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+WHERE round(i * 1.0 / (x.sz + y.sz - i), 4) >= 0.8
+"""
+
+
+# ---------------------------------------------------------------- MinHash + LSH dedup
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash(16) + LSH(4 bands × 4 rows) candidate pairs, exact-verified at
+    Jaccard ≥ 0.5. Candidate generation joins band-signature buckets only —
+    the scale path for 100 TB dedup."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(d)
+    sigs = dedup.minhash_signatures(sh, num_hashes=16)
+    cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    return dedup.jaccard_pairs(sh, threshold=0.5, candidates=cands)
+
+
+ORACLE_MINHASH_LSH = f"""
+WITH {_SHINGLES_CTE},
+seeded AS (
+  SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+  GROUP BY doc_id, seed
+),
+banded AS (
+  SELECT doc_id, (seed // 4)::INT AS band,
+         string_agg(minhash, ',' ORDER BY seed) AS band_sig
+  FROM seeded GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT i.doc_a, i.doc_b, round(i.i * 1.0 / (x.sz + y.sz - i.i), 4) AS jaccard
+  FROM inter i
+  JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5
+"""
+
+
+# ---------------------------------------------------------------- SimHash
+def q_simhash(spark, sf_dir):
+    """SimHash(16-bit) signatures per document (bit-vote over token hashes)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(d, bits=16)
+
+
+_SIMHASH_CTE = rf"""
+toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+h AS (SELECT doc_id, {_PHASH.format(x='tok')} AS h FROM toks),
+votes AS (
+  SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS v
+  FROM h CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bits
+  GROUP BY doc_id, b
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+  FROM votes GROUP BY doc_id
+)
+"""
+
+ORACLE_SIMHASH = f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sig"
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs, hamming ≤ 1 via half-signature banding
+    (pigeonhole-exhaustive at this distance, so the all-pairs oracle agrees)."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = dedup.simhash(d, bits=16)
+    pairs = dedup.simhash_near_pairs(sig, bits=16, max_hamming=1)
+    return pairs.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+ORACLE_SIMHASH_PAIRS = f"""
+WITH {_SIMHASH_CTE}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+"""
+
+
+# ---------------------------------------------------------------- cosine top-k
+_QUERY_IDS = (0, 1, 2)
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-10 for 3 query vectors (broadcast the
+    queries, JVM-side fold for the dot product, partial top-k per partition)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id").isin(*_QUERY_IDS))
+    return similarity.brute_force_topk(e, q, k=10)
+
+
+ORACLE_COSINE_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id IN {_QUERY_IDS}
+),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         round(list_cosine_similarity(c.embedding::DOUBLE[], q.qv), 4) AS cos_sim
+  FROM embeddings c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim FROM ranked WHERE rk <= 10
+"""
+
+
+# ---------------------------------------------------------------- sign-LSH ANN
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{d + 1}] > 0 THEN {1 << d} ELSE 0 END)" for d in range(8)
+)
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Bucketed ANN: sign-LSH (8 leading dims) prunes candidates, cosine
+    ranks within the query's bucket — the partition-prunable scale path."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id").isin(*_QUERY_IDS))
+    return similarity.lsh_topk(e, q, k=10, dims=8)
+
+
+ORACLE_ANN_LSH = f"""
+WITH b AS (
+  SELECT vec_id, embedding, ({_BUCKET_SQL})::BIGINT AS bucket FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, bucket
+  FROM b WHERE vec_id IN {_QUERY_IDS}
+),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         round(list_cosine_similarity(c.embedding::DOUBLE[], q.qv), 4) AS cos_sim
+  FROM b c JOIN q ON c.bucket = q.bucket
+  WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim FROM ranked WHERE rk <= 10
+"""
+
+
+# ---------------------------------------------------------------- embedding near-dup
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (≥ 0.35 on this corpus), sign-bucket
+    pruned then exact-verified."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(e, threshold=0.35, dims=8)
+
+
+ORACLE_EMB_NEAR_DUP = f"""
+WITH b AS (
+  SELECT vec_id, embedding, ({_BUCKET_SQL})::BIGINT AS bucket FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b2.embedding::DOUBLE[]), 4) AS cos_sim
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b2.embedding::DOUBLE[]), 4) >= 0.35
+"""
+
+
+# ---------------------------------------------------------------- multimodal decode stub
+def q_multimodal_decode(spark, sf_dir):
+    """Multimodal plumbing: opaque binary column + Arrow-batched mapInPandas
+    decode (deterministic stub kernel — see operators.multimodal)."""
+    from ..operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.to_media_table(d)
+    return multimodal.decode_media(media).select("doc_id", "n_bytes", "width", "height")
+
+
+ORACLE_MULTIMODAL = """
+SELECT doc_id,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       (octet_length(encode(text)) % 64 + 1)::BIGINT AS width,
+       ((octet_length(encode(text)) // 64) % 64 + 1)::BIGINT AS height
+FROM documents
+"""
+
+
+SPECS = [
+    QuerySpec("x_dedup_exact", q_dedup_exact, ORACLE_DEDUP_EXACT, tags=("llm", "dedup")),
+    QuerySpec("x_fingerprint", q_fingerprint, ORACLE_FINGERPRINT, tags=("llm", "text")),
+    QuerySpec("x_token_stats", q_token_stats, ORACLE_TOKEN_STATS, tags=("llm", "text")),
+    QuerySpec("x_quality_score", q_quality, ORACLE_QUALITY, tags=("llm", "text")),
+    QuerySpec("x_lang_id", q_lang_id, ORACLE_LANG_ID, tags=("llm", "text")),
+    QuerySpec("x_ngram_jaccard", q_ngram_jaccard, ORACLE_NGRAM_JACCARD, tags=("llm", "dedup")),
+    QuerySpec("x_minhash_lsh", q_minhash_lsh, ORACLE_MINHASH_LSH, tags=("llm", "dedup")),
+    QuerySpec("x_simhash", q_simhash, ORACLE_SIMHASH, tags=("llm", "dedup")),
+    QuerySpec("x_simhash_pairs", q_simhash_pairs, ORACLE_SIMHASH_PAIRS, tags=("llm", "dedup")),
+    QuerySpec("x_cosine_topk", q_cosine_topk, ORACLE_COSINE_TOPK, tags=("llm", "similarity")),
+    QuerySpec("x_ann_lsh", q_ann_lsh, ORACLE_ANN_LSH, tags=("llm", "similarity")),
+    QuerySpec("x_embedding_near_dup", q_embedding_near_dup, ORACLE_EMB_NEAR_DUP, tags=("llm", "similarity")),
+    QuerySpec("x_multimodal_decode", q_multimodal_decode, ORACLE_MULTIMODAL, tags=("llm", "multimodal")),
+]

@@ -1,0 +1,62 @@
+"""Sink helpers (SURVEY §2.1 S8, S10, S11, S12).
+
+  - column-order contract writer: the reference's ClickHouse sink binds JDBC
+    placeholders by reflecting declared bean-field order and skipping
+    @TransientSink fields (MyClickHouseUtil.java:97-118). Here the contract
+    is an explicit ordered column list — same guarantee, no reflection.
+  - upsert writer: per-key latest-row MERGE semantics (Phoenix upsert,
+    DimSinkFunction.java:13-34 / upsert-kafka, MyKafkaUtil.java:91-100)
+    over parquet: foreachBatch → union with existing → latest_by_key →
+    overwrite. (On a real lakehouse this is a Delta MERGE; parquet
+    overwrite keeps the container dependency-free.)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.stateful import latest_by_key
+
+
+def select_contract(df: DataFrame, columns: list[str], transient: set[str] = frozenset()) -> DataFrame:
+    """S10: enforce the ordered sink-column contract; ``transient`` columns
+    are excluded (the @TransientSink analog, e.g. KeywordBean.source)."""
+    return df.select(*[c for c in columns if c not in transient])
+
+
+def write_topic(df: DataFrame, path: str, mode: str = "append") -> None:
+    """S6-analog batch sink: a parquet directory acts as a named topic."""
+    df.write.mode(mode).parquet(path)
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    keys: list[str],
+    seq_cols: list[str],
+) -> None:
+    """S8/S11: MERGE-by-key into a parquet table: new batch wins over
+    existing rows with the same key when its sequence columns are newer."""
+    if os.path.exists(path):
+        existing = spark.read.parquet(path)
+        merged = existing.unionByName(batch, allowMissingColumns=True)
+    else:
+        merged = batch
+    latest = latest_by_key(merged, keys, [F.col(c) for c in seq_cols])
+    # write via temp dir to avoid reading+overwriting the same files
+    tmp = path.rstrip("/") + "._tmp"
+    latest.write.mode("overwrite").parquet(tmp)
+    final = spark.read.parquet(tmp)
+    final.write.mode("overwrite").parquet(path)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def console_sink(df: DataFrame, n: int = 20) -> None:
+    """S12: the reference's ``.print()`` debug sink."""
+    df.show(n, truncate=False)

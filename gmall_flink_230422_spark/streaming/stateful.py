@@ -1,0 +1,130 @@
+"""Structured-Streaming stateful operators — the true streaming forms of
+SURVEY §2.5 T2/T3/T5, sharing semantics with operators.stateful (whose batch
+forms are the DuckDB-checked oracles).
+
+  - daily_first_stream  (T3): watermarked dropDuplicates on (key, day) —
+    Spark keeps one state entry per (key, day); the watermark bounds state
+    exactly where the reference used a 1-day StateTtlConfig
+    (DwdTrafficUniqueVisitorDetail.java:62-65).
+  - repair_is_new_stream (T2): applyInPandasWithState with a per-visitor
+    first-seen-date state — the GroupState analog of the reference's
+    ValueState<lastVisitDate> (BaseLogApp.java:56-91).
+  - bounce_stream (T5): applyInPandasWithState with event-time timeout —
+    the CEP match ∪ timeout union (DwdTrafficUserJumpDetail.java:48-82):
+    an entry whose successor doesn't arrive within the horizon is emitted on
+    timeout; an entry followed by another entry is emitted immediately.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def daily_first_stream(df: DataFrame, key_cols: list[str], ts_col: str, watermark: str = "1 day") -> DataFrame:
+    """T3 streaming: first event per (key, day); state evicted by watermark."""
+    return (
+        df.withColumn("cur_date", F.to_date(F.col(ts_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicates([*key_cols, "cur_date"])
+    )
+
+
+_IS_NEW_STATE = T.StructType([T.StructField("first_date", T.StringType())])
+
+
+def repair_is_new_stream(df: DataFrame, key: str, ts_col: str) -> DataFrame:
+    """T2 streaming: rewrite is_new using per-visitor first-seen-date state.
+
+    Output schema: (key, ts, is_new). Matches operators.stateful.repair_is_new
+    on in-order data (state sees history, batch sees min-over-partition).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(key, T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("is_new", T.IntegerType()),
+        ]
+    )
+
+    def fn(
+        key_tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (kv,) = key_tuple
+        first_date = state.get[0] if state.exists else None
+        for pdf in batches:
+            pdf = pdf.sort_values(ts_col)
+            dates = pdf[ts_col].dt.strftime("%Y-%m-%d")
+            if first_date is None:
+                first_date = dates.iloc[0]
+            is_new = (dates == first_date).astype("int32")
+            yield pd.DataFrame({key: kv, "ts": pdf[ts_col], "is_new": is_new})
+        state.update((first_date,))
+
+    return df.groupBy(key).applyInPandasWithState(
+        fn, out_schema, _IS_NEW_STATE, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+_BOUNCE_STATE = T.StructType(
+    [T.StructField("pending_ts", T.DoubleType()), T.StructField("last_ts", T.DoubleType())]
+)
+
+
+def bounce_stream(
+    df: DataFrame, key: str, ts_col: str, gap_seconds: int, watermark: str = "10 seconds"
+) -> DataFrame:
+    """T5 streaming: emit bounce events (entries with no successor within the
+    gap, or whose successor is itself an entry), using event-time timeouts.
+
+    Semantics identical to operators.stateful.detect_bounces' is_bounce=true
+    rows. State: the pending candidate entry + last event time per key.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(key, T.LongType()),
+            T.StructField("bounce_ts", T.DoubleType()),
+        ]
+    )
+
+    def fn(
+        key_tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (kv,) = key_tuple
+        pending, last = (state.get if state.exists else (None, None))
+        bounces: list[float] = []
+        if state.hasTimedOut:
+            if pending is not None:
+                bounces.append(pending)
+            state.remove()
+            yield pd.DataFrame({key: kv, "bounce_ts": bounces})
+            return
+        rows = pd.concat(list(batches)).sort_values(ts_col)
+        for t in rows[ts_col]:
+            tsec = t.timestamp()
+            is_entry = last is None or (tsec - last) > gap_seconds
+            if pending is not None:
+                # successor arrived: bounce iff successor is itself an entry
+                if is_entry:
+                    bounces.append(pending)
+                pending = None
+            if is_entry:
+                pending = tsec
+            last = tsec
+        state.update((pending, last))
+        if last is not None:
+            state.setTimeoutTimestamp(int((last + gap_seconds) * 1000) + 1)
+        yield pd.DataFrame({key: kv, "bounce_ts": bounces})
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn, out_schema, _BOUNCE_STATE, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
