@@ -39,7 +39,9 @@ def parse_cdc(df: DataFrame, json_col: str = "value") -> DataFrame:
     """S3: raw JSON strings → typed CDC envelope (+ proc_time ≙ PROCTIME())."""
     return (
         df.withColumn("_e", F.from_json(F.col(json_col), CDC_SCHEMA))
-        .filter(F.col("_e").isNotNull())
+        # malformed JSON parses to an all-NULL struct: a usable CDC record
+        # needs at least the routing key and the row image
+        .filter(F.col("_e.table").isNotNull() & F.col("_e.data").isNotNull())
         .select("_e.*")
         .withColumn("proc_time", F.current_timestamp())
     )

@@ -82,10 +82,17 @@ def parse_with_dirty_split(
     here corrupt rows parse to null and the split is two cheap filters.
     """
     parsed = df.withColumn("_parsed", F.from_json(F.col(json_col), schema))
-    clean = parsed.filter(F.col("_parsed").isNotNull()).select(
+    # from_json yields NULL for empty input but an all-NULL struct for
+    # malformed JSON — a row is clean only if some envelope field parsed
+    any_field = None
+    for f in schema.fields:
+        cond = F.col(f"_parsed.{f.name}").isNotNull()
+        any_field = cond if any_field is None else (any_field | cond)
+    valid = F.col("_parsed").isNotNull() & any_field
+    clean = parsed.filter(valid).select(
         *[c for c in df.columns if c != json_col], "_parsed.*"
     )
-    dirty = parsed.filter(F.col("_parsed").isNull()).drop("_parsed")
+    dirty = parsed.filter(~valid | valid.isNull()).drop("_parsed")
     return clean, dirty
 
 

@@ -1,0 +1,89 @@
+"""Dedup + similarity operator unit tests on handcrafted corpora."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from gmall_flink_230422_spark.operators import dedup, similarity
+
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+    (2, "completely different words entirely here now"),
+    (3, "The Quick Brown Fox Jumps Over The Lazy Dog"),  # exact dup of 0 (case)
+]
+
+
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark):
+    out = dedup.exact_dedup_groups(docs_df(spark))
+    groups = {r["canonical_id"]: r["n_docs"] for r in out.collect()}
+    assert groups[0] == 2  # doc 3 collapses into doc 0
+    assert groups[1] == 1 and groups[2] == 1
+
+
+def test_shingles(spark):
+    sh = dedup.shingles(docs_df(spark).filter(F.col("doc_id") == 2))
+    got = {r["shingle"] for r in sh.collect()}
+    assert got == {
+        "completely different words",
+        "different words entirely",
+        "words entirely here",
+        "entirely here now",
+    }
+
+
+def test_jaccard_pairs(spark):
+    sh = dedup.shingles(docs_df(spark))
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in dedup.jaccard_pairs(sh, threshold=0.1).collect()}
+    assert pairs[(0, 3)] == 1.0  # exact dup
+    assert 0.4 < pairs[(0, 1)] < 1.0  # near dup (6 of 7 shingles shared? ~0.5-0.8)
+    assert (0, 2) not in pairs
+
+
+def test_minhash_lsh_finds_exact_dup(spark):
+    sh = dedup.shingles(docs_df(spark))
+    sigs = dedup.minhash_signatures(sh, num_hashes=16)
+    assert sigs.count() == 4 * 16
+    cands = {(r["doc_a"], r["doc_b"])
+             for r in dedup.lsh_candidate_pairs(sigs).collect()}
+    assert (0, 3) in cands  # identical shingle sets always collide
+    assert (0, 2) not in cands
+
+
+def test_simhash_similar_docs_close(spark):
+    sig = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs_df(spark)).collect()}
+    assert sig[0] == sig[3]  # same normalized tokens
+    ham01 = bin(sig[0] ^ sig[1]).count("1")
+    ham02 = bin(sig[0] ^ sig[2]).count("1")
+    assert ham01 < ham02  # near-dup closer than unrelated
+    assert all(0 <= s < 2**16 for s in sig.values())
+
+
+def test_cosine_known_vectors(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0]), (3, [2.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    q = df.filter(F.col("vec_id") == 0)
+    out = {r["vec_id"]: r["cos_sim"]
+           for r in similarity.brute_force_topk(df, q, k=3).collect()}
+    assert out[3] == 1.0  # parallel
+    assert out[1] == 0.0  # orthogonal
+    assert math.isclose(out[2], round(1 / math.sqrt(2), 4))
+
+
+def test_sign_bucket(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, -1.0, 1.0]), (1, [1.0, -1.0, 2.0]), (2, [-1.0, 1.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    out = df.select("vec_id", similarity.sign_bucket(F.col("embedding"), 3).alias("b"))
+    b = {r["vec_id"]: r["b"] for r in out.collect()}
+    assert b[0] == b[1] == 0b101
+    assert b[2] == 0b110

@@ -1,0 +1,77 @@
+"""Sink contracts, text analysis, multimodal plumbing."""
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from gmall_flink_230422_spark import sinks
+from gmall_flink_230422_spark.operators import multimodal, text
+
+
+def test_select_contract_order_and_transient(spark):
+    """S10: declared-column-order contract with @TransientSink exclusion
+    (KeywordBean: stt, edt, [source→transient], keyword, keyword_count, ts)."""
+    df = spark.createDataFrame(
+        [("s", "e", "src", "k", 1, 2)],
+        ["stt", "edt", "source", "keyword", "keyword_count", "ts"],
+    )
+    out = sinks.select_contract(
+        df, ["stt", "edt", "source", "keyword", "keyword_count", "ts"],
+        transient={"source"},
+    )
+    assert out.columns == ["stt", "edt", "keyword", "keyword_count", "ts"]
+
+
+def test_upsert_parquet_merge(spark):
+    """S8/S11: per-key latest-row MERGE across two batches."""
+    d = tempfile.mkdtemp(prefix="gmall_upsert_")
+    path = f"{d}/dim"
+    try:
+        b1 = spark.createDataFrame([(1, 1, "a"), (2, 1, "b")], ["id", "seq", "v"])
+        sinks.upsert_parquet(spark, b1, path, ["id"], ["seq"])
+        b2 = spark.createDataFrame([(1, 2, "a2"), (3, 1, "c")], ["id", "seq", "v"])
+        sinks.upsert_parquet(spark, b2, path, ["id"], ["seq"])
+        got = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+        assert got == {1: "a2", 2: "b", 3: "c"}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_detect_language(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog sat in the house"),
+            (1, "el perro y la casa de los amigos"),
+            (2, "xyzzy qwerty plugh"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["pred"] for r in
+           df.select("doc_id", text.detect_language(F.col("text")).alias("pred")).collect()}
+    assert out == {0: "en", 1: "es", 2: "und"}
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame([(0, "the cat sat"), (1, "")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in text.quality_features(df).collect()}
+    assert out[0]["n_tokens"] == 3
+    assert out[0]["stopword_ratio"] == round(1 / 3, 4)
+    assert out[1]["n_tokens"] == 0 and out[1]["quality_score"] == 0.0
+
+
+def test_multimodal_decode_stub(spark):
+    docs = spark.createDataFrame([(0, "abc"), (1, "x" * 100)], ["doc_id", "text"])
+    media = multimodal.to_media_table(docs)
+    assert dict(media.dtypes)["media"] == "binary"
+    out = {r["doc_id"]: r for r in multimodal.decode_media(media).collect()}
+    assert out[0]["n_bytes"] == 3
+    assert out[0]["width"] == 3 % 64 + 1 and out[0]["height"] == 1
+    assert out[1]["n_bytes"] == 100
+    assert out[1]["width"] == 100 % 64 + 1 and out[1]["height"] == (100 // 64) % 64 + 1
+
+
+def test_frame_sample(spark):
+    docs = spark.createDataFrame([(i, "t") for i in range(20)], ["doc_id", "text"])
+    decoded = multimodal.decode_media(multimodal.to_media_table(docs))
+    assert multimodal.frame_sample(decoded, every_n=10).count() == 2

@@ -1,0 +1,140 @@
+"""Structured Streaming parity tests: the streaming stateful operators must
+agree with their batch/oracle forms on the same (in-order) data — SURVEY §5's
+batch-as-oracle strategy.
+
+Data is replayed through a multi-file parquet stream source (one file per
+micro-batch) so state actually carries across batches.
+"""
+
+import datetime as dt
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gmall_flink_230422_spark.operators.stateful import (
+    detect_bounces,
+    first_per_key_day,
+    repair_is_new,
+)
+from gmall_flink_230422_spark.sources.files import stream_parquet
+from gmall_flink_230422_spark.streaming.stateful import (
+    bounce_stream,
+    daily_first_stream,
+    repair_is_new_stream,
+)
+
+T0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_id", T.LongType()),
+    ]
+)
+
+ROWS = [
+    # user 1: two events same day (5s apart), one next day
+    (1, T0, 1), (1, T0 + dt.timedelta(seconds=5), 2),
+    (1, T0 + dt.timedelta(days=1), 3),
+    # user 2: lone event (bounce by timeout), then long-gap entry (bounce)
+    (2, T0, 4), (2, T0 + dt.timedelta(seconds=120), 5),
+    # user 3: entry with quick successor (no bounce)
+    (3, T0, 6), (3, T0 + dt.timedelta(seconds=3), 7),
+]
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark):
+    d = tempfile.mkdtemp(prefix="gmall_stream_")
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    # 3 files → 3 micro-batches, split on event time so state carries over
+    df.filter(F.col("event_id") <= 2).coalesce(1).write.parquet(f"{d}/in/f1")
+    df.filter(F.col("event_id").isin(4, 6, 7)).coalesce(1).write.parquet(f"{d}/in/f2")
+    df.filter(F.col("event_id").isin(3, 5)).coalesce(1).write.parquet(f"{d}/in/f3")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def run_stream(spark, out_df, name):
+    q = (
+        out_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}")
+
+
+def batch_df(spark):
+    return spark.createDataFrame(ROWS, SCHEMA)
+
+
+def test_daily_first_stream_matches_batch(spark, stream_dir):
+    src = stream_parquet(spark, f"{stream_dir}/in/*", SCHEMA)
+    got = run_stream(
+        spark, daily_first_stream(src, ["user_id"], "ts"), "t_daily_first"
+    )
+    batch = first_per_key_day(batch_df(spark), ["user_id"], "ts", ["event_id"])
+    assert {r["event_id"] for r in got.collect()} == {
+        r["event_id"] for r in batch.collect()
+    }
+
+
+def test_repair_is_new_stream_matches_batch(spark, stream_dir):
+    src = stream_parquet(spark, f"{stream_dir}/in/*", SCHEMA)
+    got = run_stream(spark, repair_is_new_stream(src, "user_id", "ts"), "t_is_new")
+    batch = repair_is_new(batch_df(spark), "user_id", "ts")
+    got_m = {(r["user_id"], r["ts"]): r["is_new"] for r in got.collect()}
+    batch_m = {(r["user_id"], r["ts"]): r["is_new"] for r in batch.collect()}
+    assert got_m == batch_m
+
+
+def test_bounce_stream_matches_batch(spark, stream_dir):
+    gap = 10
+    src = stream_parquet(spark, f"{stream_dir}/in/*", SCHEMA)
+    got = run_stream(spark, bounce_stream(src, "user_id", "ts", gap), "t_bounce")
+    batch = detect_bounces(batch_df(spark), "user_id", "ts", gap, ["event_id"])
+    want = {
+        (r["user_id"], r["ts"].timestamp())
+        for r in batch.filter(F.col("is_bounce")).collect()
+    }
+    have = {(r["user_id"], r["bounce_ts"]) for r in got.collect()}
+    # the final pending entry per user can only flush on timeout, which needs
+    # the watermark to advance past it — availableNow replay ends before
+    # that, so streaming output = batch bounce set minus each user's last
+    # still-pending entry
+    assert have <= want
+    last_event = {u: max(t for uu, t, _ in ROWS if uu == u) for u in {1, 2, 3}}
+    decidable = {
+        (r["user_id"], r["ts"].timestamp())
+        for r in batch.filter(F.col("is_bounce")).collect()
+        if r["ts"] != last_event[r["user_id"]]
+    }
+    assert decidable <= have
+
+
+def test_tumble_window_stream(spark, stream_dir):
+    """A1 streaming: windowed count with watermark through the same source."""
+    from gmall_flink_230422_spark.operators.windows import tumble
+
+    src = stream_parquet(spark, f"{stream_dir}/in/*", SCHEMA)
+    win = tumble(
+        src, "ts", "1 minute", ["user_id"],
+        [F.count(F.lit(1)).alias("ct")], watermark="10 seconds",
+    )
+    got = run_stream(spark, win, "t_tumble")
+    batch = tumble(
+        batch_df(spark), "ts", "1 minute", ["user_id"],
+        [F.count(F.lit(1)).alias("ct")],
+    )
+    got_m = {(r["stt"], r["user_id"]): r["ct"] for r in got.collect()}
+    batch_m = {(r["stt"], r["user_id"]): r["ct"] for r in batch.collect()}
+    # append-mode only emits windows closed by the watermark; all emitted
+    # windows must match the batch result exactly
+    assert got_m == {k: v for k, v in batch_m.items() if k in got_m}
+    assert len(got_m) >= 1
