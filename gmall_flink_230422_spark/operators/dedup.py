@@ -47,25 +47,27 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
 
 
 def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
-    """(doc_id, shingle) rows — k-word shingles via a sliding window.
+    """(doc_id, shingle) rows — distinct k-word shingles.
 
-    Uses posexplode + lead() over (doc, pos): identical semantics are
-    expressible in DuckDB, making downstream MinHash oracle-checkable.
+    Built as a pure array expression (tokenize → sliding concat → explode):
+    zero shuffles until the distinct, fully inside whole-stage codegen. The
+    equivalent DuckDB formulation (lead() over token positions) produces the
+    same sets, keeping downstream MinHash oracle-checkable.
     """
-    from pyspark.sql import Window
-
-    toks = docs.select(
-        F.col(id_col),
-        F.posexplode(whitespace_tokens(normalize_text(F.col(text_col)))).alias("pos", "tok"),
+    toks = whitespace_tokens(normalize_text(F.col(text_col)))
+    parts = ", ".join(f"element_at(_toks, i + {j})" for j in range(k))
+    shingle_arr = F.expr(
+        f"CASE WHEN size(_toks) >= {k} THEN "
+        f"transform(sequence(1, size(_toks) - {k - 1}), i -> concat_ws(' ', {parts})) "
+        "ELSE array() END"
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    for i in range(1, k):
-        toks = toks.withColumn(f"_t{i}", F.lead("tok", i).over(w))
-    lead_cols = [F.col("tok")] + [F.col(f"_t{i}") for i in range(1, k)]
     return (
-        toks.filter(F.col(f"_t{k - 1}").isNotNull())
-        .select(F.col(id_col), F.concat_ws(" ", *lead_cols).alias("shingle"))
-        .distinct()
+        # spread docs across the cluster before the CPU-heavy tokenize/hash
+        # chain — a small corpus read from one file would otherwise pin the
+        # whole pipeline to a single task
+        docs.repartition(F.col(id_col))
+        .select(F.col(id_col), toks.alias("_toks"))
+        .select(F.col(id_col), F.explode(F.array_distinct(shingle_arr)).alias("shingle"))
     )
 
 
@@ -74,26 +76,41 @@ def minhash_signatures(shingle_df: DataFrame, id_col: str = "doc_id", num_hashes
 
     min over md5 hex strings is an order-preserving uniform hash, so the
     classic MinHash Jaccard estimate holds; md5 keeps it portable to the
-    DuckDB oracle. Explode-by-seed costs num_hashes× rows but keeps the
-    whole computation one hash aggregate (no UDF).
+    DuckDB oracle. One shuffle total: shingle sets are collected per doc
+    (bounded by document length), then all ``num_hashes`` minima are
+    evaluated as a single array expression in the projection — the naive
+    explode-by-seed alternative would shuffle num_hashes× the shingle rows.
     """
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    sig_arr = F.expr(
+        f"transform(sequence(0, {num_hashes - 1}), "
+        "s -> array_min(transform(_shs, x -> md5(concat(s, ':', x)))))"
+    )
     return (
-        shingle_df.select(id_col, "shingle", seeds)
-        .withColumn("h", F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))))
-        .groupBy(id_col, "seed")
-        .agg(F.min("h").alias("minhash"))
+        shingle_df.groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("_shs"))
+        .select(F.col(id_col), F.posexplode(sig_arr).alias("seed", "minhash"))
     )
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", bands: int = 4, rows_per_band: int = 4
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band signature become candidate pairs.
 
-    Band signature = ordered concat of the band's minhashes. The join is on
-    (band, signature) — bucket-local, never all-pairs. Returns distinct
+    Band signature = ordered concat of the band's minhashes. Pairs are
+    generated per bucket by a single hash aggregation (collect ids, emit
+    i<j combinations with a higher-order expression) — one pass over the
+    signatures, no self-join, no lineage recompute. Returns distinct
     (doc_a < doc_b) pairs.
+
+    ``max_bucket_size`` caps degenerate buckets (e.g. boilerplate-heavy
+    corpora where thousands of docs share a band): buckets above the cap
+    are dropped, trading recall for bounded quadratic blowup — leave None
+    for exact LSH semantics.
     """
     banded = (
         sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
@@ -108,18 +125,23 @@ def lsh_candidate_pairs(
             ).alias("band_sig")
         )
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .distinct()
+    buckets = (
+        banded.groupBy("band", "band_sig")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), y -> "
+                "struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 def jaccard_pairs(
@@ -136,8 +158,19 @@ def jaccard_pairs(
     is given, verification is restricted to those pairs.
     """
     sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = shingle_df.alias("a")
-    b = shingle_df.alias("b")
+    if candidates is not None:
+        # candidate-first: restrict BOTH shingle sides to docs that appear in
+        # a candidate pair before the intersection join — at scale the
+        # candidate set is tiny relative to the corpus, so the quadratic
+        # co-shingle join only ever sees LSH-surviving docs
+        docs_a = candidates.select(F.col("doc_a").alias(id_col)).distinct()
+        docs_b = candidates.select(F.col("doc_b").alias(id_col)).distinct()
+        side_a = shingle_df.join(docs_a, id_col, "left_semi")
+        side_b = shingle_df.join(docs_b, id_col, "left_semi")
+    else:
+        side_a = side_b = shingle_df
+    a = side_a.alias("a")
+    b = side_b.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -167,7 +200,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     sign packs into the signature. Pure expression pipeline (explode →
     bit-extract → two hash aggregates), portable to the oracle.
     """
-    toks = docs.select(
+    toks = docs.repartition(F.col(id_col)).select(
         F.col(id_col),
         F.explode(whitespace_tokens(normalize_text(F.col(text_col)))).alias("tok"),
     ).withColumn("h", portable_hash64(F.col("tok")))

@@ -175,9 +175,12 @@ def q_minhash_lsh(spark, sf_dir):
     Jaccard ≥ 0.5. Candidate generation joins band-signature buckets only —
     the scale path for 100 TB dedup."""
     d = load_table(spark, sf_dir, "documents")
-    sh = dedup.shingles(d)
+    # shingles feed both the signature and the verify stage; candidates feed
+    # three consumers in the verify join — cache both (tiny vs the corpus:
+    # one row per distinct shingle / per surviving pair)
+    sh = dedup.shingles(d).cache()
     sigs = dedup.minhash_signatures(sh, num_hashes=16)
-    cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4).cache()
     return dedup.jaccard_pairs(sh, threshold=0.5, candidates=cands)
 
 
