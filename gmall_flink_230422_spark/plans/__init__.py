@@ -22,10 +22,10 @@ class QuerySpec:
 
 
 def registry() -> dict[str, QuerySpec]:
-    from . import gmall, llm, tpch
+    from . import analytics, gmall, llm, tpch
 
     out: dict[str, QuerySpec] = {}
-    for mod in (gmall, llm, tpch):
+    for mod in (gmall, llm, tpch, analytics):
         for spec in mod.SPECS:
             assert spec.name not in out, f"duplicate query name {spec.name}"
             out[spec.name] = spec

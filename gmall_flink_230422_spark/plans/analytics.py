@@ -1,0 +1,207 @@
+"""Analytics extensions beyond the reference surface (SURVEY §2.3 note:
+semi/anti come free on Spark and are exposed deliberately; likewise
+rollup/distinct-agg/top-n/session windows — the pieces the reference left to
+downstream ClickHouse)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from . import QuerySpec
+
+SESSION_GAP_S = 1800
+
+
+def q_semi_join(spark, sf_dir):
+    """left_semi: customers having ≥1 open-status order, counted by nation."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+
+
+ORACLE_SEMI = """
+SELECT c_nationkey, count(*) AS n_cust FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+GROUP BY c_nationkey
+"""
+
+
+def q_anti_join(spark, sf_dir):
+    """left_anti: customers who never placed a high-value (>350k) order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350000)
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+
+
+ORACLE_ANTI = """
+SELECT c_custkey, c_name, c_nationkey FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 350000
+)
+"""
+
+
+def q_rollup(spark, sf_dir):
+    """ROLLUP over (region, nation): subtotal + grand-total rows."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).alias("acctbal_sum"),
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS acctbal_sum
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q_distinct_agg(spark, sf_dir):
+    """Multiple count(DISTINCT) in one aggregate (expand-based plan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+ORACLE_DISTINCT = """
+SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_lines
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_topn_per_group(spark, sf_dir):
+    """Top-3 orders by totalprice per priority (rank-limit per group —
+    Spark's WindowGroupLimit does partial top-k before the shuffle)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+ORACLE_TOPN = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
+def q_session_window(spark, sf_dir):
+    """Session windows (gap 1800 s) per user via Spark's native
+    ``session_window`` — the streaming-capable sessionizer; emitted as
+    epoch-second bounds (end = last event + gap)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_S} seconds").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.col("user_id"),
+            F.col("w.start").cast("long").alias("session_start"),
+            F.col("w.end").cast("long").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+ORACLE_SESSION = f"""
+WITH seq AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > {SESSION_GAP_S}
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), grp AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM seq
+)
+SELECT user_id,
+       floor(epoch(min(ts)))::BIGINT AS session_start,
+       floor(epoch(max(ts)))::BIGINT + {SESSION_GAP_S} AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS value_sum
+FROM grp GROUP BY user_id, session_no
+"""
+
+
+def q_pivot(spark, sf_dir):
+    """Pivot: daily event counts, one column per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("dt")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+ORACLE_PIVOT = """
+SELECT strftime(ts, '%Y-%m-%d') AS dt,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
+FROM events GROUP BY 1
+"""
+
+
+def q_value_histogram(spark, sf_dir):
+    """Fixed-width histogram of event values (bucket = floor(value/50))."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bucket", F.floor(F.col("value") / 50).cast("bigint"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+
+
+ORACLE_HISTOGRAM = """
+SELECT floor(value / 50)::BIGINT AS bucket, count(*) AS ct
+FROM events GROUP BY 1
+"""
+
+
+SPECS = [
+    QuerySpec("e_semi_join", q_semi_join, ORACLE_SEMI, tags=("ext", "join")),
+    QuerySpec("e_anti_join", q_anti_join, ORACLE_ANTI, tags=("ext", "join")),
+    QuerySpec("e_rollup", q_rollup, ORACLE_ROLLUP, tags=("ext", "agg")),
+    QuerySpec("e_distinct_agg", q_distinct_agg, ORACLE_DISTINCT, tags=("ext", "agg")),
+    QuerySpec("e_topn_per_group", q_topn_per_group, ORACLE_TOPN, tags=("ext", "window")),
+    QuerySpec("e_session_window", q_session_window, ORACLE_SESSION, tags=("ext", "window", "streaming")),
+    QuerySpec("e_pivot", q_pivot, ORACLE_PIVOT, tags=("ext", "agg")),
+    QuerySpec("e_value_histogram", q_value_histogram, ORACLE_HISTOGRAM, tags=("ext", "agg")),
+]
