@@ -5,7 +5,6 @@ aggregation/join coverage beyond the reference's operator surface.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -73,10 +72,11 @@ def q_top_orders(spark, sf_dir):
     rev = joined.groupBy("o_orderkey", "o_orderpriority").agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+    # orderBy+limit → TakeOrderedAndProject: per-partition top-k, no
+    # single-partition global Window
     return (
-        rev.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= 10)
+        rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
         .select("o_orderkey", "o_orderpriority", "revenue")
     )
 
