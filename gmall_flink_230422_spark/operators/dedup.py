@@ -71,23 +71,55 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k:
     )
 
 
-def minhash_signatures(shingle_df: DataFrame, id_col: str = "doc_id", num_hashes: int = 16) -> DataFrame:
-    """(doc_id, seed, minhash) — MinHash via min over seeded md5 strings.
+# Universal-hash family for MinHash: h_s(x) = (a_s·x + b_s) mod p over a
+# single 60-bit md5-derived base hash. p = 2^31−1 (Mersenne prime); a_s, b_s
+# are seed-indexed affine constants. One md5 per shingle total — the md5-per-
+# (seed, shingle) alternative costs num_hashes× the hashing and shuffles
+# strings instead of ints. Both engines evaluate the identical formula.
+MINHASH_P = 2_147_483_647
+MINHASH_A_STEP = 104_729
+MINHASH_B_STEP = 7_919
 
-    min over md5 hex strings is an order-preserving uniform hash, so the
-    classic MinHash Jaccard estimate holds; md5 keeps it portable to the
-    DuckDB oracle. One shuffle total: shingle sets are collected per doc
-    (bounded by document length), then all ``num_hashes`` minima are
-    evaluated as a single array expression in the projection — the naive
+
+def minhash_base(col: Column) -> Column:
+    """Per-shingle base hash: portable md5-int reduced mod p (Spark side)."""
+    return F.pmod(portable_hash64(col), F.lit(MINHASH_P))
+
+
+def minhash_base_sql(expr: str) -> str:
+    """Same base hash as a DuckDB SQL expression."""
+    from ..functions.hashing import portable_hash64_sql
+
+    return f"({portable_hash64_sql(expr)} % {MINHASH_P})"
+
+
+def minhash_value_sql(seed: str, base: str) -> str:
+    """h_seed(base) as SQL — identical text works in DuckDB and Spark SQL."""
+    return (
+        f"((1 + {seed} * {MINHASH_A_STEP}) * {base} + 7 + {seed} * {MINHASH_B_STEP})"
+        f" % {MINHASH_P}"
+    )
+
+
+def minhash_signatures(shingle_df: DataFrame, id_col: str = "doc_id", num_hashes: int = 16) -> DataFrame:
+    """(doc_id, seed, minhash) — MinHash via a universal hash family over one
+    portable md5-derived int per shingle.
+
+    One shuffle total, and a narrow one: the base hashes (bigints, not
+    shingle strings) are collected per doc, then all ``num_hashes`` minima
+    are evaluated as a single array expression in the projection — the
     explode-by-seed alternative would shuffle num_hashes× the shingle rows.
+    Base-hash collisions mod p merge identically on both engines (min over
+    the merged set), so oracle parity holds even in the 2^-31 corner.
     """
     sig_arr = F.expr(
         f"transform(sequence(0, {num_hashes - 1}), "
-        "s -> array_min(transform(_shs, x -> md5(concat(s, ':', x)))))"
+        f"s -> array_min(transform(_shs, x -> {minhash_value_sql('s', 'x')})))"
     )
     return (
-        shingle_df.groupBy(id_col)
-        .agg(F.collect_set("shingle").alias("_shs"))
+        shingle_df.select(F.col(id_col), minhash_base(F.col("shingle")).alias("_h"))
+        .groupBy(id_col)
+        .agg(F.collect_set("_h").alias("_shs"))
         .select(F.col(id_col), F.posexplode(sig_arr).alias("seed", "minhash"))
     )
 
@@ -119,7 +151,7 @@ def lsh_candidate_pairs(
             F.array_join(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                    lambda s: s["minhash"],
+                    lambda s: s["minhash"].cast("string"),
                 ),
                 ",",
             ).alias("band_sig")

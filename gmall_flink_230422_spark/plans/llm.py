@@ -186,14 +186,17 @@ def q_minhash_lsh(spark, sf_dir):
 
 ORACLE_MINHASH_LSH = f"""
 WITH {_SHINGLES_CTE},
+hashed AS (
+  SELECT doc_id, {dedup.minhash_base_sql('shingle')} AS hp FROM sh
+),
 seeded AS (
-  SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
-  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+  SELECT doc_id, seed, min({dedup.minhash_value_sql('seed', 'hp')}) AS minhash
+  FROM hashed CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
   GROUP BY doc_id, seed
 ),
 banded AS (
   SELECT doc_id, (seed // 4)::INT AS band,
-         string_agg(minhash, ',' ORDER BY seed) AS band_sig
+         string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_sig
   FROM seeded GROUP BY doc_id, band
 ),
 cand AS (
