@@ -114,6 +114,90 @@ def lsh_topk(
     )
 
 
+def ivf_centroids(
+    corpus: DataFrame, n_centroids: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic IVF "training": the ``n_centroids`` lowest-id vectors
+    seed the centroid set (data-derived, reproducible, oracle-expressible —
+    the Lloyd-refined variant is a drop-in replacement at the cost of oracle
+    checkability). Output: (cid, cvec)."""
+    return (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame, centroids: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Inverted-list assignment: each vector → its max-cosine centroid
+    (rounded to 6 dp, cid tiebreak — bit-stable across engines).
+
+    At 100 TB this is the write-time step: the corpus is materialized
+    partitioned by ``list_id``, so probes become partition-pruned scans.
+    The broadcast×argmax costs n_centroids score evaluations per row with
+    zero shuffle (the rank window is partitioned by the vector id, which
+    the corpus is already distributed by).
+    """
+    scored = corpus.join(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        "cid",
+        F.round(cosine(F.col(vec_col), F.col("cvec")), 6).alias("_cs"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_cs").desc(), F.col("cid"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, vec_col, F.col("cid").alias("list_id"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: probe the ``n_probe`` nearest inverted lists per query, score
+    only vectors assigned there. Recall < 1 by construction; the scale win is
+    that scoring touches n_probe/n_centroids of the corpus, and the list join
+    partition-prunes when the corpus is stored partitioned by list.
+    """
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    q = query.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    q_scored = q.join(F.broadcast(cents)).select(
+        "query_id",
+        "qvec",
+        "cid",
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("_cs"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_cs").desc(), F.col("cid"))
+    probes = (
+        q_scored.withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= n_probe)
+        .select("query_id", "qvec", F.col("cid").alias("list_id"))
+    )
+    scored = assigned.join(F.broadcast(probes), "list_id").filter(
+        F.col(id_col) != F.col("query_id")
+    ).select(
+        "query_id",
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("qvec")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -308,6 +308,56 @@ def q_ann_lsh(spark, sf_dir):
     return similarity.lsh_topk(e, q, k=10, dims=8)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN: 16 deterministic seed centroids (lowest vec_ids), max-cosine
+    inverted-list assignment, probe the 4 nearest lists per query — the
+    write-time-partitionable scale path (corpus stored by list_id ⇒ probes
+    partition-prune)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id").isin(*_QUERY_IDS))
+    return similarity.ivf_topk(e, q, k=10, n_centroids=16, n_probe=4)
+
+
+ORACLE_ANN_IVF = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+assigned AS (
+  SELECT vec_id, embedding, cid AS list_id FROM (
+    SELECT c.vec_id, c.embedding, cents.cid,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[], cents.cvec), 6) DESC,
+                      cents.cid) AS rk
+    FROM embeddings c CROSS JOIN cents
+  ) WHERE rk = 1
+),
+probes AS (
+  SELECT query_id, qv, cid AS list_id FROM (
+    SELECT q.vec_id AS query_id, q.embedding::DOUBLE[] AS qv, cents.cid,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], cents.cvec), 6) DESC,
+                      cents.cid) AS rk
+    FROM embeddings q CROSS JOIN cents
+    WHERE q.vec_id IN {_QUERY_IDS}
+  ) WHERE rk <= 4
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], p.qv), 4) AS cos_sim
+  FROM assigned a JOIN probes p ON a.list_id = p.list_id
+  WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim FROM ranked WHERE rk <= 10
+"""
+
+
 ORACLE_ANN_LSH = f"""
 WITH b AS (
   SELECT vec_id, embedding, ({_BUCKET_SQL})::BIGINT AS bucket FROM embeddings
@@ -380,6 +430,7 @@ SPECS = [
     QuerySpec("x_simhash", q_simhash, ORACLE_SIMHASH, tags=("llm", "dedup")),
     QuerySpec("x_simhash_pairs", q_simhash_pairs, ORACLE_SIMHASH_PAIRS, tags=("llm", "dedup")),
     QuerySpec("x_cosine_topk", q_cosine_topk, ORACLE_COSINE_TOPK, tags=("llm", "similarity")),
+    QuerySpec("x_ann_ivf", q_ann_ivf, ORACLE_ANN_IVF, tags=("llm", "similarity")),
     QuerySpec("x_ann_lsh", q_ann_lsh, ORACLE_ANN_LSH, tags=("llm", "similarity")),
     QuerySpec("x_embedding_near_dup", q_embedding_near_dup, ORACLE_EMB_NEAR_DUP, tags=("llm", "similarity")),
     QuerySpec("x_multimodal_decode", q_multimodal_decode, ORACLE_MULTIMODAL, tags=("llm", "multimodal")),

@@ -87,3 +87,37 @@ def test_sign_bucket(spark):
     b = {r["vec_id"]: r["b"] for r in out.collect()}
     assert b[0] == b[1] == 0b101
     assert b[2] == 0b110
+
+
+def test_ivf_topk_recall(spark):
+    """IVF with 4/16 probes must return k results per query and recover most
+    of the exact top-k on the real embeddings table (recall sanity, not a
+    strict bound — seed centroids, nprobe=4)."""
+    from gmall_flink_230422_spark.io import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id").isin(0, 1, 2))
+    exact = similarity.brute_force_topk(e, q, k=10)
+    ivf = similarity.ivf_topk(e, q, k=10, n_centroids=16, n_probe=4)
+    exact_s = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    ivf_s = {(r["query_id"], r["vec_id"]) for r in ivf.collect()}
+    per_q = {}
+    for qid, vid in ivf_s:
+        per_q.setdefault(qid, set()).add(vid)
+    assert set(per_q) == {0, 1, 2}
+    assert all(len(v) == 10 for v in per_q.values())
+    recall = len(ivf_s & exact_s) / len(exact_s)
+    assert recall >= 0.3, f"suspiciously low IVF recall {recall}"
+
+
+def test_ivf_assignment_total(spark):
+    """Every vector lands in exactly one inverted list."""
+    from gmall_flink_230422_spark.io import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = similarity.ivf_centroids(e, n_centroids=8)
+    assigned = similarity.ivf_assign(e, cents)
+    assert assigned.count() == e.count()
+    assert assigned.select("vec_id").distinct().count() == e.count()
+    lists = {r["list_id"] for r in assigned.select("list_id").distinct().collect()}
+    assert lists <= set(range(8))
