@@ -45,6 +45,34 @@ def tumble(
     )
 
 
+def slide(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide_duration: str,
+    keys: list[str],
+    aggs: list[Column],
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding (hopping) event-time window aggregate — extension; the
+    reference has no sliding windows (SURVEY §2.4). Each event lands in
+    duration/slide windows; Spark expands via the window generator before
+    the hash aggregate, so the shuffle carries duration/slide× the rows —
+    keep the ratio small at scale or pre-aggregate per slide then roll up.
+    """
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    win = F.window(F.col(ts_col), duration, slide_duration)
+    out = df.groupBy(win.alias("w"), *[F.col(k) for k in keys]).agg(*aggs)
+    agg_cols = [c for c in out.columns if c not in ("w", *keys)]
+    return out.select(
+        F.col("w.start").cast("long").alias("stt"),
+        F.col("w.end").cast("long").alias("edt"),
+        *keys,
+        *agg_cols,
+    )
+
+
 def one_hot_branches(
     branches: list[tuple[DataFrame, dict[str, Column]]], common: list[str]
 ) -> DataFrame:

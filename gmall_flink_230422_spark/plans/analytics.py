@@ -195,8 +195,38 @@ FROM events GROUP BY 1
 """
 
 
+def q_sliding_window(spark, sf_dir):
+    """Sliding window (2 h width, 1 h hop) keyed count+sum — extension; each
+    event lands in exactly 2 windows, expanded JVM-side pre-aggregate."""
+    from ..operators import windows
+
+    ev = load_table(spark, sf_dir, "events")
+    return windows.slide(
+        ev,
+        "ts",
+        "2 hours",
+        "1 hour",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("ct"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        ],
+    )
+
+
+# each event belongs to the hop-aligned window it starts and the one before
+ORACLE_SLIDING = """
+SELECT (floor(epoch(ts) / 3600) * 3600 - j * 3600)::BIGINT AS stt,
+       (floor(epoch(ts) / 3600) * 3600 - j * 3600 + 7200)::BIGINT AS edt,
+       event_type, count(*) AS ct, round(sum(value), 2) AS value_sum
+FROM events CROSS JOIN (SELECT unnest([0, 1]) AS j)
+GROUP BY 1, 2, 3
+"""
+
+
 SPECS = [
     QuerySpec("e_semi_join", q_semi_join, ORACLE_SEMI, tags=("ext", "join")),
+    QuerySpec("e_sliding_window", q_sliding_window, ORACLE_SLIDING, tags=("ext", "window", "streaming")),
     QuerySpec("e_anti_join", q_anti_join, ORACLE_ANTI, tags=("ext", "join")),
     QuerySpec("e_rollup", q_rollup, ORACLE_ROLLUP, tags=("ext", "agg")),
     QuerySpec("e_distinct_agg", q_distinct_agg, ORACLE_DISTINCT, tags=("ext", "agg")),

@@ -138,3 +138,18 @@ def test_tumble_window_stream(spark, stream_dir):
     # windows must match the batch result exactly
     assert got_m == {k: v for k, v in batch_m.items() if k in got_m}
     assert len(got_m) >= 1
+
+
+def test_slide_window_stream(spark, stream_dir):
+    """Sliding-window extension in streaming mode: emitted (closed) windows
+    must match the batch evaluation exactly."""
+    from gmall_flink_230422_spark.operators.windows import slide
+
+    src = stream_parquet(spark, f"{stream_dir}/in/*", SCHEMA)
+    args = ("ts", "2 minutes", "1 minute", ["user_id"], [F.count(F.lit(1)).alias("ct")])
+    got = run_stream(spark, slide(src, *args, watermark="10 seconds"), "t_slide")
+    batch = slide(batch_df(spark), *args)
+    got_m = {(r["stt"], r["user_id"]): r["ct"] for r in got.collect()}
+    batch_m = {(r["stt"], r["user_id"]): r["ct"] for r in batch.collect()}
+    assert got_m == {k: v for k, v in batch_m.items() if k in got_m}
+    assert len(got_m) >= 1
