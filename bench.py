@@ -22,6 +22,12 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q13_cust_distribution",
+    "q18_large_volume",
+    "e_sliding_window",
+    "x_ann_ivf",
     "j4_double_alias_join",
     "a1_tumble_keyed",
     "t3_daily_uv",
