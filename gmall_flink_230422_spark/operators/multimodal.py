@@ -85,6 +85,59 @@ def decode_media(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
     return media.mapInPandas(decode_batches, DECODED_SCHEMA)
 
 
+def resize_media(media: DataFrame, max_bytes: int = 128) -> DataFrame:
+    """Resize analog: cap each payload at ``max_bytes`` (stands in for
+    image downscale; a real kernel swaps the byte-truncation for a PIL/ffmpeg
+    call inside the same batch loop). Binary in → binary out, no shuffle;
+    the metadata column is recomputed so downstream operators never trust
+    stale sizes."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            clipped = pdf["media"].map(lambda b: bytes(b)[:max_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": clipped,
+                    "media_type": pdf["media_type"],
+                    "n_bytes": clipped.map(len).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(resize_batches, MEDIA_SCHEMA)
+
+
+def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Feature-extraction analog: fixed-width float vector per payload.
+
+    STUB kernel (no vision/audio models in this container), but a *portable*
+    one: feature i = (md5(payload ∥ ':' ∥ i) as int60) mod 1000 / 1000 —
+    the same construction as functions/hashing.py, so the whole path is
+    DuckDB-oracle-checkable end to end. Emitted as one column per dim
+    (f0..f{dim-1}) for cross-engine value comparison; a real model swaps
+    the hash for an ONNX/torch call over the same Arrow batches.
+    """
+    import hashlib
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType())]
+        + [T.StructField(f"f{i}", T.DoubleType()) for i in range(dim)]
+    )
+
+    def feat(blob: bytes, i: int) -> float:
+        h = hashlib.md5(bytes(blob) + f":{i}".encode()).hexdigest()
+        return (int(h[:15], 16) % 1000) / 1000.0
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"]}
+            for i in range(dim):
+                out[f"f{i}"] = pdf["media"].map(lambda b, i=i: feat(b, i))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(feature_batches, schema)
+
+
 def frame_sample(decoded: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling analog: deterministic 1-in-N selection by id (stands in
     for video frame sampling; selection logic is the real, scalable part)."""

@@ -419,6 +419,39 @@ FROM documents
 """
 
 
+def q_multimodal_pipeline(spark, sf_dir):
+    """Full multimodal chain: wrap → resize (byte-cap 128) → decode dims +
+    feature-extract (4 dims, portable-hash stub kernel) → join on doc_id.
+    Every stage is Arrow-batched mapInPandas over the binary column; the
+    join is id-to-id (co-partitioned after the same source scan)."""
+    from ..operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.resize_media(multimodal.to_media_table(d), max_bytes=128)
+    dims = multimodal.decode_media(media).select("doc_id", "n_bytes", "width", "height")
+    feats = multimodal.extract_features(media, dim=4)
+    return dims.join(feats, "doc_id")
+
+
+# the stub kernels are portable constructions: byte-cap = substring on the
+# utf-8 blob; feature i = md5(payload || ':' || i) int60 mod 1000 / 1000
+ORACLE_MULTIMODAL_PIPELINE = """
+WITH clipped AS (
+  -- document text is pure ASCII in this corpus, so char ops == byte ops;
+  -- a binary-capable engine would slice the BLOB directly
+  SELECT doc_id, substr(text, 1, 128) AS blob FROM documents
+)
+SELECT doc_id, length(blob)::BIGINT AS n_bytes,
+       (length(blob) % 64 + 1)::BIGINT AS width,
+       ((length(blob) // 64) % 64 + 1)::BIGINT AS height,
+       (('0x' || substr(md5(blob || ':0'), 1, 15))::BIGINT % 1000) / 1000.0 AS f0,
+       (('0x' || substr(md5(blob || ':1'), 1, 15))::BIGINT % 1000) / 1000.0 AS f1,
+       (('0x' || substr(md5(blob || ':2'), 1, 15))::BIGINT % 1000) / 1000.0 AS f2,
+       (('0x' || substr(md5(blob || ':3'), 1, 15))::BIGINT % 1000) / 1000.0 AS f3
+FROM clipped
+"""
+
+
 SPECS = [
     QuerySpec("x_dedup_exact", q_dedup_exact, ORACLE_DEDUP_EXACT, tags=("llm", "dedup")),
     QuerySpec("x_fingerprint", q_fingerprint, ORACLE_FINGERPRINT, tags=("llm", "text")),
@@ -434,4 +467,5 @@ SPECS = [
     QuerySpec("x_ann_lsh", q_ann_lsh, ORACLE_ANN_LSH, tags=("llm", "similarity")),
     QuerySpec("x_embedding_near_dup", q_embedding_near_dup, ORACLE_EMB_NEAR_DUP, tags=("llm", "similarity")),
     QuerySpec("x_multimodal_decode", q_multimodal_decode, ORACLE_MULTIMODAL, tags=("llm", "multimodal")),
+    QuerySpec("x_multimodal_pipeline", q_multimodal_pipeline, ORACLE_MULTIMODAL_PIPELINE, tags=("llm", "multimodal")),
 ]

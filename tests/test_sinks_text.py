@@ -75,3 +75,29 @@ def test_frame_sample(spark):
     docs = spark.createDataFrame([(i, "t") for i in range(20)], ["doc_id", "text"])
     decoded = multimodal.decode_media(multimodal.to_media_table(docs))
     assert multimodal.frame_sample(decoded, every_n=10).count() == 2
+
+
+def test_resize_media_caps_bytes(spark):
+    docs = spark.createDataFrame(
+        [(1, "x" * 300), (2, "short")], ["doc_id", "text"]
+    )
+    media = multimodal.resize_media(multimodal.to_media_table(docs), max_bytes=128)
+    out = {r["doc_id"]: r for r in media.collect()}
+    assert out[1]["n_bytes"] == 128 and len(out[1]["media"]) == 128
+    assert out[2]["n_bytes"] == 5 and bytes(out[2]["media"]) == b"short"
+    # schema contract preserved for downstream decode
+    assert media.schema == multimodal.MEDIA_SCHEMA
+
+
+def test_extract_features_deterministic_portable(spark):
+    import hashlib
+
+    docs = spark.createDataFrame([(7, "hello world")], ["doc_id", "text"])
+    media = multimodal.to_media_table(docs)
+    row = multimodal.extract_features(media, dim=2).collect()[0]
+
+    def expect(i):
+        h = hashlib.md5(b"hello world" + f":{i}".encode()).hexdigest()
+        return (int(h[:15], 16) % 1000) / 1000.0
+
+    assert row["f0"] == expect(0) and row["f1"] == expect(1)
