@@ -45,6 +45,27 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
+def write_bucketed(
+    df: DataFrame, table: str, keys: list[str], n_buckets: int = 32
+) -> None:
+    """Materialize a DataFrame hash-bucketed (and sorted) by join keys.
+
+    Bucketing is the 100 TB co-location strategy: two tables bucketed by the
+    same keys into the same bucket count join with ZERO shuffle on either
+    side (Spark matches bucket specs and plans a shuffle-free sort-merge
+    join). The write itself shuffles once — paid one time, amortized over
+    every subsequent join/aggregate on the keys. Uses the session catalog
+    (parquet source table under spark.sql.warehouse.dir).
+    """
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, *keys)
+        .sortBy(*keys)
+        .saveAsTable(table)
+    )
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all tables as temp views (bare names, like the DuckDB oracle)."""
     for name in TABLES:

@@ -61,6 +61,37 @@ def stream_stream_join(
     return left.join(right, on, how)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: pre-planned salting for hot keys.
+
+    The left (big, skewed) side derives a deterministic salt from a hash of
+    the whole row's key + a spread column (xxhash64 of the key alone would
+    put the hot key in one salt again, so we spread on
+    ``spark_partition_id``-free content: monotonically increasing ids are
+    nondeterministic under retries, so we hash the key with a per-row random
+    seed — ``rand`` seeded for reproducibility within a plan). The right
+    side is exploded ``n_salts``× so every (key, salt) bucket can match.
+
+    Result rows are identical to a plain equi-join; only the shuffle
+    distribution changes. Use when AQE skew-join can't apply (streaming
+    micro-batches, or a first-stage shuffle you must pre-plan); in plain
+    batch, prefer AQE.
+    """
+    salt = F.floor(F.rand(seed=42) * n_salts).cast("int")
+    l_salted = left.withColumn("_salt", salt)
+    r_salted = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = l_salted.join(r_salted, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
 def config_broadcast_join(
     main: DataFrame,
     config: DataFrame,
