@@ -60,3 +60,40 @@ def upsert_parquet(
 def console_sink(df: DataFrame, n: int = 20) -> None:
     """S12: the reference's ``.print()`` debug sink."""
     df.show(n, truncate=False)
+
+
+def fan_out_sink(
+    raw_stream: DataFrame,
+    split_fn,
+    out_dir: str,
+    checkpoint: str,
+    query_name: str = "fan_out",
+):
+    """T6/S12: one streaming query, N outputs — the side-output pattern.
+
+    The reference fans BaseLogApp into 5 topics + dirty via side outputs
+    (BaseLogApp.java:93-174). In Spark the cheap equivalent is a single
+    ``foreachBatch`` that applies the splitter to each micro-batch and
+    appends every branch to its own parquet "topic" — the source is read
+    once per batch (N writeStream queries would read it N times), and the
+    checkpoint makes the whole fan-out replay-consistent as one unit.
+
+    ``split_fn``: batch DataFrame -> dict[name, DataFrame].
+    Returns the started StreamingQuery (caller awaits/stops).
+    """
+
+    def write_all(batch_df, batch_id):
+        batch_df.persist()
+        try:
+            for name, branch in split_fn(batch_df).items():
+                branch.write.mode("append").parquet(os.path.join(out_dir, name))
+        finally:
+            batch_df.unpersist()
+
+    return (
+        raw_stream.writeStream.foreachBatch(write_all)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -37,3 +37,12 @@ def stream_json_lines(
         .option("maxFilesPerTrigger", files_per_trigger)
         .json(path)
     )
+
+
+def stream_text(spark: SparkSession, path: str, files_per_trigger: int = 1) -> DataFrame:
+    """Streaming text source: one ``value`` string column per line — the
+    shape a Kafka value stream presents (S1's CAST(value AS STRING))."""
+    return (
+        spark.readStream.option("maxFilesPerTrigger", files_per_trigger)
+        .text(path)
+    )
