@@ -73,6 +73,51 @@ def slide(
     )
 
 
+def cumulate(
+    df: DataFrame,
+    ts_col: str,
+    step: str,
+    max_span: str,
+    keys: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    """CUMULATE window (Flink 1.13 SQL's growing-window TVF — the reference's
+    engine version supports it though the apps only use TUMBLE; Spark has no
+    native equivalent). Each span-aligned window emits partial results at
+    every step: an event at offset o within its span belongs to the windows
+    [span_start, span_start + k·step) for all k with k·step > o.
+
+    Built as explode(sequence) over the step index then one hash aggregate —
+    the row expansion is span/step× pre-shuffle, same trade as sliding
+    windows; at scale prefer aggregating per step then rolling up.
+    """
+    step_s = _to_seconds(step)
+    span_s = _to_seconds(max_span)
+    n = span_s // step_s
+    assert n * step_s == span_s, "max_span must be a multiple of step"
+    epoch = F.col(ts_col).cast("long")
+    base = (F.floor(epoch / span_s) * span_s).cast("long")
+    expanded = df.select(
+        "*",
+        base.alias("_stt"),
+        F.explode(F.sequence(F.lit(1), F.lit(n))).alias("_k"),
+    ).filter(epoch < F.col("_stt") + F.col("_k") * step_s)
+    out = expanded.groupBy(
+        "_stt", (F.col("_stt") + F.col("_k") * step_s).alias("_edt"), *keys
+    ).agg(*aggs)
+    agg_cols = [c for c in out.columns if c not in ("_stt", "_edt", *keys)]
+    return out.select(
+        F.col("_stt").alias("stt"), F.col("_edt").alias("edt"), *keys, *agg_cols
+    )
+
+
+def _to_seconds(spec: str) -> int:
+    qty, unit = spec.split()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+            "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}[unit]
+    return int(qty) * mult
+
+
 def one_hot_branches(
     branches: list[tuple[DataFrame, dict[str, Column]]], common: list[str]
 ) -> DataFrame:

@@ -224,9 +224,39 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_cumulate_window(spark, sf_dir):
+    """CUMULATE window (Flink 1.13 TVF analog; 1 h step, 4 h span): each
+    span emits growing partials at every step boundary."""
+    from ..operators import windows
+
+    ev = load_table(spark, sf_dir, "events")
+    return windows.cumulate(
+        ev,
+        "ts",
+        "1 hour",
+        "4 hours",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("ct"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        ],
+    )
+
+
+ORACLE_CUMULATE = """
+SELECT (floor(epoch(ts) / 14400) * 14400)::BIGINT AS stt,
+       (floor(epoch(ts) / 14400) * 14400 + k * 3600)::BIGINT AS edt,
+       event_type, count(*) AS ct, round(sum(value), 2) AS value_sum
+FROM events CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS k)
+WHERE epoch(ts) < floor(epoch(ts) / 14400) * 14400 + k * 3600
+GROUP BY 1, 2, 3
+"""
+
+
 SPECS = [
     QuerySpec("e_semi_join", q_semi_join, ORACLE_SEMI, tags=("ext", "join")),
     QuerySpec("e_sliding_window", q_sliding_window, ORACLE_SLIDING, tags=("ext", "window", "streaming")),
+    QuerySpec("e_cumulate_window", q_cumulate_window, ORACLE_CUMULATE, tags=("ext", "window")),
     QuerySpec("e_anti_join", q_anti_join, ORACLE_ANTI, tags=("ext", "join")),
     QuerySpec("e_rollup", q_rollup, ORACLE_ROLLUP, tags=("ext", "agg")),
     QuerySpec("e_distinct_agg", q_distinct_agg, ORACLE_DISTINCT, tags=("ext", "agg")),

@@ -639,8 +639,59 @@ GROUP BY c_nationkey
 """
 
 
+# --------------------------------------------------------------------------
+# Q20 — heavy promo suppliers (adapted: no partsupp, so "stock" is the
+# shipped quantity). Supplier totals vs 1.5× the cross-supplier average:
+# integer-valued sums are exact, so the correlated threshold is bit-stable.
+# --------------------------------------------------------------------------
+
+
+def q_promo_suppliers(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    per_supp = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+    )
+    thresh = per_supp.agg(
+        (F.sum("total_qty") / F.count(F.lit(1)) * 1.5).alias("qty_thresh")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.broadcast(load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    return (
+        per_supp.crossJoin(F.broadcast(thresh))
+        .filter(F.col("total_qty") > F.col("qty_thresh"))
+        .join(s, per_supp["l_suppkey"] == s["s_suppkey"])
+        .join(n, s["s_nationkey"] == n["n_nationkey"])
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"), "total_qty")
+    )
+
+
+ORACLE_Q20 = """
+WITH per_supp AS (
+  SELECT l_suppkey, sum(l_quantity) AS total_qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'PROMO'
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, n_name AS nation, total_qty
+FROM per_supp
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE total_qty > (SELECT sum(total_qty) / count(*) * 1.5 FROM per_supp)
+"""
+
+
 SPECS = [
     QuerySpec("q4_order_priority", q_order_priority, ORACLE_Q4, tags=("tpch",)),
+    QuerySpec("q20_promo_suppliers", q_promo_suppliers, ORACLE_Q20, tags=("tpch",)),
     QuerySpec("q6_forecast_revenue", q_forecast_revenue, ORACLE_Q6, tags=("tpch", "bench")),
     QuerySpec("q7_volume_shipping", q_volume_shipping, ORACLE_Q7, tags=("tpch",)),
     QuerySpec("q8_market_share", q_market_share, ORACLE_Q8, tags=("tpch",)),
