@@ -154,6 +154,36 @@ def ivf_assign(
     )
 
 
+def ivf_refine_centroids(
+    assigned: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """One Lloyd iteration: new centroid = componentwise mean of the vectors
+    in each inverted list. Means are floor-truncated to 1e-6 (not rounded:
+    truncation of an irrational-ish sum never sits on the boundary, so the
+    value is bit-identical across engines despite different summation
+    orders). Empty lists drop out — both engines agree.
+
+    Pipeline: posexplode components → one (list, pos) aggregate → re-pack
+    ordered arrays. Two shuffles total, both on small keys; the component
+    matrix never leaves the cluster.
+    """
+    comps = assigned.select(
+        "list_id", F.posexplode(F.col(vec_col)).alias("pos", "val")
+    )
+    means = comps.groupBy("list_id", "pos").agg(
+        (F.floor((F.sum(F.col("val").cast("double")) / F.count(F.lit(1))) * 1e6) / 1e6).alias("cval")
+    )
+    return (
+        means.groupBy(F.col("list_id").alias("cid"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s["cval"],
+            ).alias("cvec")
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     query: DataFrame,
@@ -162,14 +192,22 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lloyd_iters: int = 0,
 ) -> DataFrame:
     """IVF ANN: probe the ``n_probe`` nearest inverted lists per query, score
     only vectors assigned there. Recall < 1 by construction; the scale win is
     that scoring touches n_probe/n_centroids of the corpus, and the list join
     partition-prunes when the corpus is stored partitioned by list.
+
+    ``lloyd_iters`` k-means refinements tighten the lists before probing
+    (each iteration = refine + reassign, two extra small-key shuffles; at
+    100 TB run the iterations once at index-build time, not per query).
     """
     cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    for _ in range(lloyd_iters):
+        cents = ivf_refine_centroids(assigned, id_col, vec_col)
+        assigned = ivf_assign(corpus, cents, id_col, vec_col)
     q = query.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     q_scored = q.join(F.broadcast(cents)).select(
         "query_id",

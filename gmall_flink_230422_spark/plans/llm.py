@@ -358,6 +358,78 @@ SELECT query_id, vec_id, cos_sim FROM ranked WHERE rk <= 10
 """
 
 
+def q_ann_ivf_lloyd(spark, sf_dir):
+    """IVF with one Lloyd refinement: seed → assign → componentwise-mean
+    centroids (floor-truncated 1e-6) → reassign → probe. The iterative
+    index build expressed entirely in DataFrame ops."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id").isin(*_QUERY_IDS))
+    return similarity.ivf_topk(e, q, k=10, n_centroids=16, n_probe=4, lloyd_iters=1)
+
+
+ORACLE_ANN_IVF_LLOYD = f"""
+WITH cents0 AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+assigned0 AS (
+  SELECT vec_id, embedding, cid AS list_id FROM (
+    SELECT c.vec_id, c.embedding, cents0.cid,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[], cents0.cvec), 6) DESC,
+                      cents0.cid) AS rk
+    FROM embeddings c CROSS JOIN cents0
+  ) WHERE rk = 1
+),
+comps AS (
+  SELECT list_id, gs.i AS pos, embedding[gs.i + 1]::DOUBLE AS val
+  FROM assigned0 CROSS JOIN (SELECT unnest(range(0, 64)) AS i) gs
+  WHERE gs.i < len(embedding)
+),
+cents1 AS (
+  SELECT list_id AS cid,
+         list(cval ORDER BY pos) AS cvec
+  FROM (
+    SELECT list_id, pos, floor(sum(val) / count(*) * 1e6) / 1e6 AS cval
+    FROM comps GROUP BY list_id, pos
+  ) GROUP BY list_id
+),
+assigned1 AS (
+  SELECT vec_id, embedding, cid AS list_id FROM (
+    SELECT c.vec_id, c.embedding, cents1.cid,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[], cents1.cvec), 6) DESC,
+                      cents1.cid) AS rk
+    FROM embeddings c CROSS JOIN cents1
+  ) WHERE rk = 1
+),
+probes AS (
+  SELECT query_id, qv, cid AS list_id FROM (
+    SELECT q.vec_id AS query_id, q.embedding::DOUBLE[] AS qv, cents1.cid,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], cents1.cvec), 6) DESC,
+                      cents1.cid) AS rk
+    FROM embeddings q CROSS JOIN cents1
+    WHERE q.vec_id IN {_QUERY_IDS}
+  ) WHERE rk <= 4
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], p.qv), 4) AS cos_sim
+  FROM assigned1 a JOIN probes p ON a.list_id = p.list_id
+  WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim FROM ranked WHERE rk <= 10
+"""
+
+
 ORACLE_ANN_LSH = f"""
 WITH b AS (
   SELECT vec_id, embedding, ({_BUCKET_SQL})::BIGINT AS bucket FROM embeddings
@@ -464,6 +536,7 @@ SPECS = [
     QuerySpec("x_simhash_pairs", q_simhash_pairs, ORACLE_SIMHASH_PAIRS, tags=("llm", "dedup")),
     QuerySpec("x_cosine_topk", q_cosine_topk, ORACLE_COSINE_TOPK, tags=("llm", "similarity")),
     QuerySpec("x_ann_ivf", q_ann_ivf, ORACLE_ANN_IVF, tags=("llm", "similarity")),
+    QuerySpec("x_ann_ivf_lloyd", q_ann_ivf_lloyd, ORACLE_ANN_IVF_LLOYD, tags=("llm", "similarity")),
     QuerySpec("x_ann_lsh", q_ann_lsh, ORACLE_ANN_LSH, tags=("llm", "similarity")),
     QuerySpec("x_embedding_near_dup", q_embedding_near_dup, ORACLE_EMB_NEAR_DUP, tags=("llm", "similarity")),
     QuerySpec("x_multimodal_decode", q_multimodal_decode, ORACLE_MULTIMODAL, tags=("llm", "multimodal")),

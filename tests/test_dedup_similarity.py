@@ -121,3 +121,20 @@ def test_ivf_assignment_total(spark):
     assert assigned.select("vec_id").distinct().count() == e.count()
     lists = {r["list_id"] for r in assigned.select("list_id").distinct().collect()}
     assert lists <= set(range(8))
+
+
+def test_ivf_lloyd_refinement_shapes(spark):
+    """Refined centroids: one per non-empty list, full-width components,
+    reassignment stays total."""
+    from gmall_flink_230422_spark.io import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents0 = similarity.ivf_centroids(e, n_centroids=8)
+    a0 = similarity.ivf_assign(e, cents0)
+    cents1 = similarity.ivf_refine_centroids(a0)
+    rows = cents1.collect()
+    lists0 = {r["list_id"] for r in a0.select("list_id").distinct().collect()}
+    assert {r["cid"] for r in rows} == lists0
+    assert all(len(r["cvec"]) == 64 for r in rows)
+    a1 = similarity.ivf_assign(e, cents1)
+    assert a1.count() == e.count()
