@@ -82,13 +82,19 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
         + F.least(stop_ratio * 4, F.lit(1.0)) * 0.25
         + alnum_ratio * 0.25
     )
+    # floor-truncated (not rounded): the inputs are exact integer ratios, so
+    # both engines hold bit-identical doubles and truncate identically;
+    # round() diverges at .xxxx5 decimal renderings (seen at sf0.1)
+    def trunc4(c):
+        return F.floor(c * 10000) / 10000
+
     return docs.select(
         F.col(id_col),
         n_tokens.cast("bigint").alias("n_tokens"),
-        F.round(mean_tok_len, 4).alias("mean_tok_len"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(alnum_ratio, 4).alias("alnum_ratio"),
-        F.round(score, 4).alias("quality_score"),
+        trunc4(mean_tok_len).alias("mean_tok_len"),
+        trunc4(stop_ratio).alias("stopword_ratio"),
+        trunc4(alnum_ratio).alias("alnum_ratio"),
+        trunc4(score).alias("quality_score"),
     )
 
 

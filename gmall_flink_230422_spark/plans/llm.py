@@ -105,13 +105,13 @@ WITH f AS (
 )
 SELECT doc_id,
        n_tokens::BIGINT AS n_tokens,
-       round(mean_tok_len, 4) AS mean_tok_len,
-       round(stop_ratio, 4) AS stopword_ratio,
-       round(alnum_ratio, 4) AS alnum_ratio,
-       round(least(n_tokens / 100.0, 1.0) * 0.25
-             + least(mean_tok_len / 8.0, 1.0) * 0.25
-             + least(stop_ratio * 4, 1.0) * 0.25
-             + alnum_ratio * 0.25, 4) AS quality_score
+       floor(mean_tok_len * 10000) / 10000 AS mean_tok_len,
+       floor(stop_ratio * 10000) / 10000 AS stopword_ratio,
+       floor(alnum_ratio * 10000) / 10000 AS alnum_ratio,
+       floor((least(n_tokens / 100.0, 1.0) * 0.25
+              + least(mean_tok_len / 8.0, 1.0) * 0.25
+              + least(stop_ratio * 4, 1.0) * 0.25
+              + alnum_ratio * 0.25) * 10000) / 10000 AS quality_score
 FROM m
 """
 

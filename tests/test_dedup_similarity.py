@@ -138,3 +138,22 @@ def test_ivf_lloyd_refinement_shapes(spark):
     assert all(len(r["cvec"]) == 64 for r in rows)
     a1 = similarity.ivf_assign(e, cents1)
     assert a1.count() == e.count()
+
+
+def test_null_and_empty_text_safety(spark):
+    """Null/empty text flows through every text-derived operator without
+    error: nulls group under a null fingerprint, token-less docs simply
+    produce no shingles/signatures (not crashes, not fabricated rows)."""
+    from gmall_flink_230422_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "hello world"), (4, None)], ["doc_id", "text"]
+    )
+    groups = {r["fp"]: r for r in dedup.exact_dedup_groups(docs).collect()}
+    assert groups[None]["n_docs"] == 2 and groups[None]["canonical_id"] == 1
+    assert dedup.shingles(docs).count() == 0  # max 2 tokens < k=3
+    assert dedup.simhash(docs).count() == 1  # only doc 3 has tokens
+    assert text.quality_features(docs).count() == 4
+    langs = {r["doc_id"]: r["lang"] for r in docs.select(
+        "doc_id", text.detect_language(docs["text"]).alias("lang")).collect()}
+    assert set(langs.values()) <= {"und", "en"}
