@@ -90,6 +90,11 @@ def cumulate(
     Built as explode(sequence) over the step index then one hash aggregate —
     the row expansion is span/step× pre-shuffle, same trade as sliding
     windows; at scale prefer aggregating per step then rolling up.
+
+    Batch-only in this form (the epoch-derived group keys aren't a
+    watermark-eligible ``window()`` struct). Streaming equivalent: tumble
+    per ``step`` (watermarked, incremental) and roll the partials up within
+    each span in the sink/readside — same outputs, streaming-safe state.
     """
     step_s = _to_seconds(step)
     span_s = _to_seconds(max_span)
