@@ -225,6 +225,36 @@ def jaccard_pairs(
     )
 
 
+def dedup_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """End-to-end keep-one dedup pass: exact canonicals → MinHash/LSH
+    near-dup pairs among canonicals → drop the higher id of each verified
+    pair. Returns the surviving ids (one column, ``id_col``).
+
+    The single-hop drop rule (doc_b of every pair) is the standard
+    large-scale approximation of connected-component dedup — transitive
+    chains A~B~C keep A and may keep C if A≁C; a full union-find is
+    iterative and reserved for offline compaction. Every stage is the
+    shuffle-lean pipeline documented on the operators above.
+    """
+    groups = exact_dedup_groups(docs, id_col, text_col)
+    canon_ids = groups.select(F.col("canonical_id").alias(id_col))
+    docs_c = docs.join(canon_ids, id_col, "left_semi")
+    sh = shingles(docs_c, id_col, text_col).cache()
+    sigs = minhash_signatures(sh, id_col, num_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band).cache()
+    near = jaccard_pairs(sh, id_col, threshold, candidates=cands)
+    drop = near.select(F.col("doc_b").alias(id_col)).distinct()
+    return docs_c.join(drop, id_col, "left_anti").select(id_col)
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
     """(doc_id, simhash) — n-bit SimHash over whitespace tokens.
 

@@ -18,10 +18,11 @@ _TOKS = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> ''
 _RAW_TOKS = r"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
 _PHASH = "(('0x' || substr(md5({x}), 1, 15)))::BIGINT"
 
-_SHINGLES_CTE = rf"""
+def _shingles_cte(src: str = "documents") -> str:
+    return rf"""
 toks AS (
   SELECT doc_id, unnest({_TOKS}) AS tok, generate_subscripts({_TOKS}, 1) AS pos
-  FROM documents
+  FROM {src}
 ),
 sh AS (
   SELECT DISTINCT doc_id,
@@ -31,6 +32,48 @@ sh AS (
   QUALIFY lead(tok, 2) OVER w IS NOT NULL
 )
 """
+
+
+def _minhash_lsh_ctes() -> str:
+    """hashed → seeded → banded → cand → sz → inter → verified, over ``sh``."""
+    return f"""
+hashed AS (
+  SELECT doc_id, {{base}} AS hp FROM sh
+),
+seeded AS (
+  SELECT doc_id, seed, min({{value}}) AS minhash
+  FROM hashed CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+  GROUP BY doc_id, seed
+),
+banded AS (
+  SELECT doc_id, (seed // 4)::INT AS band,
+         string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_sig
+  FROM seeded GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT i.doc_a, i.doc_b, round(i.i * 1.0 / (x.sz + y.sz - i.i), 4) AS jaccard
+  FROM inter i
+  JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
+)
+""".format(
+        base=dedup.minhash_base_sql("shingle"),
+        value=dedup.minhash_value_sql("seed", "hp"),
+    )
+
+
+_SHINGLES_CTE = _shingles_cte()
 
 
 # ---------------------------------------------------------------- exact dedup
@@ -186,37 +229,31 @@ def q_minhash_lsh(spark, sf_dir):
 
 ORACLE_MINHASH_LSH = f"""
 WITH {_SHINGLES_CTE},
-hashed AS (
-  SELECT doc_id, {dedup.minhash_base_sql('shingle')} AS hp FROM sh
-),
-seeded AS (
-  SELECT doc_id, seed, min({dedup.minhash_value_sql('seed', 'hp')}) AS minhash
-  FROM hashed CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
-  GROUP BY doc_id, seed
-),
-banded AS (
-  SELECT doc_id, (seed // 4)::INT AS band,
-         string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_sig
-  FROM seeded GROUP BY doc_id, band
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM banded a JOIN banded b
-    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-),
-sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-verified AS (
-  SELECT i.doc_a, i.doc_b, round(i.i * 1.0 / (x.sz + y.sz - i.i), 4) AS jaccard
-  FROM inter i
-  JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-  JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
-)
+{_minhash_lsh_ctes()}
 SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5
+"""
+
+
+def q_dedup_corpus(spark, sf_dir):
+    """Capstone keep-one dedup: exact canonicals (min id per fingerprint) →
+    MinHash/LSH near-dup pairs among canonicals → drop the higher id of
+    each verified pair → surviving doc_ids. The full training-data dedup
+    pass as one declarative pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_corpus(d, threshold=0.5)
+
+
+ORACLE_DEDUP_CORPUS = f"""
+WITH canon AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents)
+  GROUP BY fp
+),
+docs_c AS (SELECT * FROM documents WHERE doc_id IN (SELECT doc_id FROM canon)),
+{_shingles_cte('docs_c')},
+{_minhash_lsh_ctes()}
+SELECT doc_id FROM docs_c
+WHERE doc_id NOT IN (SELECT doc_b FROM verified WHERE jaccard >= 0.5)
 """
 
 
@@ -532,6 +569,7 @@ SPECS = [
     QuerySpec("x_lang_id", q_lang_id, ORACLE_LANG_ID, tags=("llm", "text")),
     QuerySpec("x_ngram_jaccard", q_ngram_jaccard, ORACLE_NGRAM_JACCARD, tags=("llm", "dedup")),
     QuerySpec("x_minhash_lsh", q_minhash_lsh, ORACLE_MINHASH_LSH, tags=("llm", "dedup")),
+    QuerySpec("x_dedup_corpus", q_dedup_corpus, ORACLE_DEDUP_CORPUS, tags=("llm", "dedup")),
     QuerySpec("x_simhash", q_simhash, ORACLE_SIMHASH, tags=("llm", "dedup")),
     QuerySpec("x_simhash_pairs", q_simhash_pairs, ORACLE_SIMHASH_PAIRS, tags=("llm", "dedup")),
     QuerySpec("x_cosine_topk", q_cosine_topk, ORACLE_COSINE_TOPK, tags=("llm", "similarity")),

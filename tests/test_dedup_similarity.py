@@ -157,3 +157,10 @@ def test_null_and_empty_text_safety(spark):
     langs = {r["doc_id"]: r["lang"] for r in docs.select(
         "doc_id", text.detect_language(docs["text"]).alias("lang")).collect()}
     assert set(langs.values()) <= {"und", "en"}
+
+
+def test_dedup_corpus_keep_one(spark):
+    """4-doc corpus: doc 3 is an exact dup of 0 (case), doc 1 a near-dup of
+    0 (1-word edit, jaccard ~0.54) -> survivors are 0 and 2."""
+    out = {r["doc_id"] for r in dedup.dedup_corpus(docs_df(spark), threshold=0.5).collect()}
+    assert out == {0, 2}
