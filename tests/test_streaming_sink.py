@@ -62,3 +62,77 @@ def test_foreachbatch_upsert_with_checkpoint(spark):
         assert got3 == got2
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_sink_failure_retry_is_exactly_once(spark):
+    """T11: a sink that crashes mid-query is retried from the checkpoint on
+    restart; the idempotent per-key MERGE makes the retry invisible — final
+    state identical to a clean run, no duplicates."""
+    d = tempfile.mkdtemp(prefix="gmall_sinkfail_")
+    src, out, ckpt = f"{d}/src", f"{d}/out", f"{d}/ckpt"
+    attempts = {"n": 0}
+    try:
+        df = spark.createDataFrame(ROWS, SCHEMA)
+        df.filter(F.col("seq") == 1).coalesce(1).write.parquet(f"{src}/f1")
+        df.filter(F.col("seq") == 2).coalesce(1).write.parquet(f"{src}/f2")
+
+        def flaky_sink(batch_df, batch_id):
+            # write first, THEN fail once: the worst case — retried batch
+            # re-merges rows that already landed
+            sinks.upsert_parquet(spark, batch_df, out, ["id"], ["seq"])
+            attempts["n"] += 1
+            if attempts["n"] == 2:
+                raise RuntimeError("injected sink failure")
+
+        def run():
+            q = (
+                stream_parquet(spark, f"{src}/*", SCHEMA)
+                .writeStream.foreachBatch(flaky_sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        with pytest.raises(Exception, match="injected sink failure"):
+            run()
+        run()  # restart: replays the failed batch, then finishes
+        got = {r["id"]: (r["seq"], r["v"]) for r in spark.read.parquet(out).collect()}
+        assert got == {1: (2, "a2"), 2: (2, "b2"), 3: (1, "c")}
+        # each id appears exactly once despite the re-merged batch
+        assert spark.read.parquet(out).count() == 3
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_static_lookup_join(spark):
+    """J3 streaming form: a streaming fact joins a static broadcast dim —
+    no watermark needed, dim snapshot per micro-batch (proc-time lookup)."""
+    from gmall_flink_230422_spark.operators.joins import lookup_join
+
+    d = tempfile.mkdtemp(prefix="gmall_slookup_")
+    try:
+        df = spark.createDataFrame(ROWS, SCHEMA)
+        df.filter(F.col("seq") == 1).coalesce(1).write.parquet(f"{d}/src/f1")
+        df.filter(F.col("seq") == 2).coalesce(1).write.parquet(f"{d}/src/f2")
+        dim = spark.createDataFrame(
+            [(1, "gold"), (2, "silver")], ["dim_id", "tier"]
+        )
+        src = stream_parquet(spark, f"{d}/src/*", SCHEMA)
+        joined = lookup_join(src, dim, src["id"] == dim["dim_id"], "left_outer")
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("t_slookup")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("select * from t_slookup").collect()
+        tiers = {(r["id"], r["seq"]): r["tier"] for r in rows}
+        assert tiers[(1, 1)] == "gold" and tiers[(1, 2)] == "gold"
+        assert tiers[(2, 1)] == "silver"
+        assert tiers[(3, 1)] is None  # unmatched fact rows pass through
+        assert len(rows) == len(ROWS)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
