@@ -218,7 +218,7 @@ def jaccard_pairs(
         .join(sb, "doc_b")
         .withColumn(
             "jaccard",
-            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4),
+            (F.floor((F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))) * 10000) / 10000),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

@@ -53,7 +53,7 @@ def brute_force_topk(
     scored = corpus.join(F.broadcast(q), F.col(id_col) != F.col("query_id")).select(
         "query_id",
         id_col,
-        F.round(cosine(F.col(vec_col), F.col("qvec")), 4).alias("cos_sim"),
+        (F.floor((cosine(F.col(vec_col), F.col("qvec"))) * 10000) / 10000).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col(id_col)
@@ -104,7 +104,7 @@ def lsh_topk(
     ).select(
         "query_id",
         id_col,
-        F.round(cosine(F.col(vec_col), F.col("qvec")), 4).alias("cos_sim"),
+        (F.floor((cosine(F.col(vec_col), F.col("qvec"))) * 10000) / 10000).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return (
@@ -144,7 +144,7 @@ def ivf_assign(
         F.col(id_col),
         F.col(vec_col),
         "cid",
-        F.round(cosine(F.col(vec_col), F.col("cvec")), 6).alias("_cs"),
+        (F.floor((cosine(F.col(vec_col), F.col("cvec"))) * 1000000) / 1000000).alias("_cs"),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("_cs").desc(), F.col("cid"))
     return (
@@ -213,7 +213,7 @@ def ivf_topk(
         "query_id",
         "qvec",
         "cid",
-        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("_cs"),
+        (F.floor((cosine(F.col("qvec"), F.col("cvec"))) * 1000000) / 1000000).alias("_cs"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("_cs").desc(), F.col("cid"))
     probes = (
@@ -226,7 +226,7 @@ def ivf_topk(
     ).select(
         "query_id",
         id_col,
-        F.round(cosine(F.col(vec_col), F.col("qvec")), 4).alias("cos_sim"),
+        (F.floor((cosine(F.col(vec_col), F.col("qvec"))) * 10000) / 10000).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return (
@@ -256,7 +256,7 @@ def embedding_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("vec_a"),
             F.col(f"b.{id_col}").alias("vec_b"),
-            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4).alias("cos_sim"),
+            (F.floor((cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))) * 10000) / 10000).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

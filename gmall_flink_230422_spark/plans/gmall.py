@@ -188,7 +188,7 @@ def q_double_alias_join(spark, sf_dir):
     )
     return df.groupBy("cust_nation", "supp_nation").agg(
         F.count(F.lit(1)).alias("n_lines"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
             "revenue"
         ),
     )
@@ -197,7 +197,7 @@ def q_double_alias_join(spark, sf_dir):
 ORACLE_DOUBLE_ALIAS = """
 SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
        count(*) AS n_lines,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -219,14 +219,14 @@ def q_inner_join(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
         )
     )
 
 
 ORACLE_INNER = """
 SELECT o_orderpriority, count(*) AS n_lines,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """

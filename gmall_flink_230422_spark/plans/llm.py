@@ -62,7 +62,7 @@ inter AS (
   GROUP BY 1, 2
 ),
 verified AS (
-  SELECT i.doc_a, i.doc_b, round(i.i * 1.0 / (x.sz + y.sz - i.i), 4) AS jaccard
+  SELECT i.doc_a, i.doc_b, floor((i.i * 1.0 / (x.sz + y.sz - i.i)) * 10000) / 10000 AS jaccard
   FROM inter i
   JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
   JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
@@ -206,9 +206,9 @@ inter AS (
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
-SELECT doc_a, doc_b, round(i * 1.0 / (x.sz + y.sz - i), 4) AS jaccard
+SELECT doc_a, doc_b, floor((i * 1.0 / (x.sz + y.sz - i)) * 10000) / 10000 AS jaccard
 FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
-WHERE round(i * 1.0 / (x.sz + y.sz - i), 4) >= 0.8
+WHERE floor((i * 1.0 / (x.sz + y.sz - i)) * 10000) / 10000 >= 0.8
 """
 
 
@@ -319,7 +319,7 @@ WITH q AS (
 ),
 scored AS (
   SELECT q.query_id, c.vec_id,
-         round(list_cosine_similarity(c.embedding::DOUBLE[], q.qv), 4) AS cos_sim
+         floor((list_cosine_similarity(c.embedding::DOUBLE[], q.qv)) * 10000) / 10000 AS cos_sim
   FROM embeddings c CROSS JOIN q
   WHERE c.vec_id <> q.query_id
 ),
@@ -365,7 +365,7 @@ assigned AS (
     SELECT c.vec_id, c.embedding, cents.cid,
            row_number() OVER (
              PARTITION BY c.vec_id
-             ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[], cents.cvec), 6) DESC,
+             ORDER BY floor((list_cosine_similarity(c.embedding::DOUBLE[], cents.cvec)) * 1000000) / 1000000 DESC,
                       cents.cid) AS rk
     FROM embeddings c CROSS JOIN cents
   ) WHERE rk = 1
@@ -375,7 +375,7 @@ probes AS (
     SELECT q.vec_id AS query_id, q.embedding::DOUBLE[] AS qv, cents.cid,
            row_number() OVER (
              PARTITION BY q.vec_id
-             ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], cents.cvec), 6) DESC,
+             ORDER BY floor((list_cosine_similarity(q.embedding::DOUBLE[], cents.cvec)) * 1000000) / 1000000 DESC,
                       cents.cid) AS rk
     FROM embeddings q CROSS JOIN cents
     WHERE q.vec_id IN {_QUERY_IDS}
@@ -383,7 +383,7 @@ probes AS (
 ),
 scored AS (
   SELECT p.query_id, a.vec_id,
-         round(list_cosine_similarity(a.embedding::DOUBLE[], p.qv), 4) AS cos_sim
+         floor((list_cosine_similarity(a.embedding::DOUBLE[], p.qv)) * 10000) / 10000 AS cos_sim
   FROM assigned a JOIN probes p ON a.list_id = p.list_id
   WHERE a.vec_id <> p.query_id
 ),
@@ -414,7 +414,7 @@ assigned0 AS (
     SELECT c.vec_id, c.embedding, cents0.cid,
            row_number() OVER (
              PARTITION BY c.vec_id
-             ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[], cents0.cvec), 6) DESC,
+             ORDER BY floor((list_cosine_similarity(c.embedding::DOUBLE[], cents0.cvec)) * 1000000) / 1000000 DESC,
                       cents0.cid) AS rk
     FROM embeddings c CROSS JOIN cents0
   ) WHERE rk = 1
@@ -437,7 +437,7 @@ assigned1 AS (
     SELECT c.vec_id, c.embedding, cents1.cid,
            row_number() OVER (
              PARTITION BY c.vec_id
-             ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[], cents1.cvec), 6) DESC,
+             ORDER BY floor((list_cosine_similarity(c.embedding::DOUBLE[], cents1.cvec)) * 1000000) / 1000000 DESC,
                       cents1.cid) AS rk
     FROM embeddings c CROSS JOIN cents1
   ) WHERE rk = 1
@@ -447,7 +447,7 @@ probes AS (
     SELECT q.vec_id AS query_id, q.embedding::DOUBLE[] AS qv, cents1.cid,
            row_number() OVER (
              PARTITION BY q.vec_id
-             ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], cents1.cvec), 6) DESC,
+             ORDER BY floor((list_cosine_similarity(q.embedding::DOUBLE[], cents1.cvec)) * 1000000) / 1000000 DESC,
                       cents1.cid) AS rk
     FROM embeddings q CROSS JOIN cents1
     WHERE q.vec_id IN {_QUERY_IDS}
@@ -455,7 +455,7 @@ probes AS (
 ),
 scored AS (
   SELECT p.query_id, a.vec_id,
-         round(list_cosine_similarity(a.embedding::DOUBLE[], p.qv), 4) AS cos_sim
+         floor((list_cosine_similarity(a.embedding::DOUBLE[], p.qv)) * 10000) / 10000 AS cos_sim
   FROM assigned1 a JOIN probes p ON a.list_id = p.list_id
   WHERE a.vec_id <> p.query_id
 ),
@@ -477,7 +477,7 @@ q AS (
 ),
 scored AS (
   SELECT q.query_id, c.vec_id,
-         round(list_cosine_similarity(c.embedding::DOUBLE[], q.qv), 4) AS cos_sim
+         floor((list_cosine_similarity(c.embedding::DOUBLE[], q.qv)) * 10000) / 10000 AS cos_sim
   FROM b c JOIN q ON c.bucket = q.bucket
   WHERE c.vec_id <> q.query_id
 ),
@@ -502,9 +502,9 @@ WITH b AS (
   SELECT vec_id, embedding, ({_BUCKET_SQL})::BIGINT AS bucket FROM embeddings
 )
 SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
-       round(list_cosine_similarity(a.embedding::DOUBLE[], b2.embedding::DOUBLE[]), 4) AS cos_sim
+       floor((list_cosine_similarity(a.embedding::DOUBLE[], b2.embedding::DOUBLE[])) * 10000) / 10000 AS cos_sim
 FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b2.embedding::DOUBLE[]), 4) >= 0.35
+WHERE floor((list_cosine_similarity(a.embedding::DOUBLE[], b2.embedding::DOUBLE[])) * 10000) / 10000 >= 0.35
 """
 
 

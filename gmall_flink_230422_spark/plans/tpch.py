@@ -24,11 +24,13 @@ def q_pricing_summary(spark, sf_dir):
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
             F.round(F.sum(charge), 2).alias("sum_charge"),
-            # avgs = floor-truncated ratios of rounded sums: identical IEEE
-            # inputs in both engines + truncation (no .5-boundary round()
-            # divergence), bit-stable at any scale factor
+            # precision discipline: round AT the data's decimal grid (qty/
+            # price g=2, price*(1-disc) g=4) so both engines land computed
+            # sums back on the true grid; charge (g=6) rounds at 2 because
+            # accumulated ulp error at 1e8 magnitudes exceeds the 1e-6 grid.
+            # Off-grid ratios (avgs) floor-truncate over the rounded sums.
             (F.floor(F.round(F.sum("l_quantity"), 2) / F.count(F.lit(1)) * 10000) / 10000).alias("avg_qty"),
             (F.floor(F.round(F.sum("l_extendedprice"), 2) / F.count(F.lit(1)) * 10000) / 10000).alias("avg_price"),
             (F.floor(F.round(F.sum("l_discount"), 4) / F.count(F.lit(1)) * 1000000) / 1000000).alias("avg_disc"),
@@ -41,7 +43,7 @@ ORACLE_Q1 = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
        round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
        floor(round(sum(l_quantity), 2) / count(*) * 10000) / 10000 AS avg_qty,
        floor(round(sum(l_extendedprice), 2) / count(*) * 10000) / 10000 AS avg_price,
@@ -70,7 +72,7 @@ def q_top_orders(spark, sf_dir):
         )
     )
     rev = joined.groupBy("o_orderkey", "o_orderpriority").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
     )
     # orderBy+limit → TakeOrderedAndProject: per-partition top-k, no
     # single-partition global Window
@@ -84,7 +86,7 @@ def q_top_orders(spark, sf_dir):
 ORACLE_Q3 = """
 WITH rev AS (
   SELECT o_orderkey, o_orderpriority,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
   FROM customer
   JOIN orders   ON c_custkey = o_custkey
   JOIN lineitem ON o_orderkey = l_orderkey
@@ -116,14 +118,14 @@ def q_local_supplier_volume(spark, sf_dir):
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
     )
     return df.groupBy("r_name", "n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
 
 ORACLE_Q5 = """
 SELECT r_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
        count(*) AS n_lines
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey

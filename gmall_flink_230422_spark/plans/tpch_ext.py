@@ -7,7 +7,9 @@ container columns, so Q2/Q11/Q20/Q21 are unreachable and several queries
 are adapted to the available columns (noted per query).
 
 Cross-engine determinism rules (see README + plans/tpch.py):
-- double aggregates are ``round(sum(...), 2)`` identically on both sides;
+- double aggregates round AT the data's decimal grid (price g=2, price*
+  (1-disc) g=4) identically on both sides — grid-rounding absorbs ulp noise;
+  off-grid ratios floor-truncate over rounded operands;
 - ratios are computed from ROUNDED sums then floor-truncated, so both
   engines divide bit-identical operands;
 - ``avg`` over integer-valued doubles (l_quantity) is written ``sum/count``
@@ -87,12 +89,12 @@ def q_forecast_revenue(spark, sf_dir):
         & (F.col("l_quantity") < 24)
     )
     return li.agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue")
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue")
     )
 
 
 ORACLE_Q6 = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -135,13 +137,13 @@ def q_volume_shipping(spark, sf_dir):
     )
     return df.groupBy(
         "supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year")
-    ).agg(F.round(F.sum(_revenue()), 2).alias("volume"))
+    ).agg(F.round(F.sum(_revenue()), 4).alias("volume"))
 
 
 ORACLE_Q7 = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS BIGINT) AS l_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS volume
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -188,8 +190,8 @@ def q_market_share(spark, sf_dir):
         .join(supp_nation, s["s_nationkey"] == F.col("sn_key"))
     )
     by_year = df.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year")).agg(
-        F.round(F.sum(F.when(F.col("supp_nation") == "NATION_5", _revenue()).otherwise(F.lit(0.0))), 2).alias("_nat"),
-        F.round(F.sum(_revenue()), 2).alias("_all"),
+        F.round(F.sum(F.when(F.col("supp_nation") == "NATION_5", _revenue()).otherwise(F.lit(0.0))), 4).alias("_nat"),
+        F.round(F.sum(_revenue()), 4).alias("_all"),
     )
     return by_year.select(
         "o_year",
@@ -215,8 +217,8 @@ WITH flat AS (
     AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
 )
 SELECT CAST(o_year AS BIGINT) AS o_year,
-       floor(round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0.0 END), 2)
-             / round(sum(volume), 2) * 1000000) / 1000000 AS mkt_share
+       floor(round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0.0 END), 4)
+             / round(sum(volume), 4) * 1000000) / 1000000 AS mkt_share
 FROM flat
 GROUP BY o_year
 """
@@ -245,12 +247,12 @@ def q_product_profit(spark, sf_dir):
     )
     return df.groupBy(
         F.col("n_name").alias("nation"), F.year("o_orderdate").cast("bigint").alias("o_year")
-    ).agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+    ).agg(F.round(F.sum(profit), 4).alias("sum_profit"))
 
 
 ORACLE_Q9 = """
 SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount) - p_retailprice * 0.1 * l_quantity), 2) AS sum_profit
+       round(sum(l_extendedprice * (1 - l_discount) - p_retailprice * 0.1 * l_quantity), 4) AS sum_profit
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN orders   ON l_orderkey = o_orderkey
@@ -284,7 +286,7 @@ def q_returned_items(spark, sf_dir):
         .join(n, c["c_nationkey"] == n["n_nationkey"])
     )
     rev = df.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
-        (F.floor(F.sum(_revenue()) * 100) / 100).alias("revenue")
+        F.round(F.sum(_revenue()), 4).alias("revenue")
     )
     # orderBy+limit → TakeOrderedAndProject: per-partition top-k, no
     # single-partition global Window
@@ -298,7 +300,7 @@ def q_returned_items(spark, sf_dir):
 ORACLE_Q10 = """
 WITH rev AS (
   SELECT c_custkey, c_name, c_acctbal, n_name,
-         floor(sum(l_extendedprice * (1 - l_discount)) * 100) / 100 AS revenue
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
   FROM lineitem
   JOIN orders   ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -392,8 +394,8 @@ def q_promo_effect(spark, sf_dir):
     )
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     agg = li.join(p, li["l_partkey"] == p["p_partkey"]).agg(
-        F.round(F.sum(F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(F.lit(0.0))), 2).alias("_promo"),
-        F.round(F.sum(_revenue()), 2).alias("_all"),
+        F.round(F.sum(F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(F.lit(0.0))), 4).alias("_promo"),
+        F.round(F.sum(_revenue()), 4).alias("_all"),
     )
     return agg.select(
         (F.floor(F.col("_promo") / F.col("_all") * 1000000) / 10000).alias("promo_revenue_pct")
@@ -401,8 +403,8 @@ def q_promo_effect(spark, sf_dir):
 
 
 ORACLE_Q14 = """
-SELECT floor(round(sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2)
-             / round(sum(l_extendedprice * (1 - l_discount)), 2) * 1000000) / 10000 AS promo_revenue_pct
+SELECT floor(round(sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 4)
+             / round(sum(l_extendedprice * (1 - l_discount)), 4) * 1000000) / 10000 AS promo_revenue_pct
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
@@ -422,7 +424,7 @@ def q_top_supplier(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1996-04-01"))
     )
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(_revenue()), 2).alias("total_revenue")
+        F.round(F.sum(_revenue()), 4).alias("total_revenue")
     )
     top = rev.withColumn(
         "_rk", F.rank().over(Window.orderBy(F.col("total_revenue").desc()))
@@ -436,7 +438,7 @@ def q_top_supplier(spark, sf_dir):
 ORACLE_Q15 = """
 WITH rev AS (
   SELECT l_suppkey AS supplier_no,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -498,12 +500,12 @@ def q_small_qty_revenue(spark, sf_dir):
     return (
         li_b.join(thresh, li_b["l_partkey"] == thresh["t_partkey"])
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg((F.floor(F.round(F.sum("l_extendedprice"), 2) / 7.0 * 100) / 100).alias("avg_yearly"))
     )
 
 
 ORACLE_Q17 = """
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT floor(round(sum(l_extendedprice), 2) / 7.0 * 100) / 100 AS avg_yearly
 FROM lineitem l
 JOIN part ON l.l_partkey = p_partkey
 WHERE p_brand = 'Brand#3'
@@ -586,12 +588,12 @@ def q_discounted_revenue(spark, sf_dir):
     return (
         li.join(p, li["l_partkey"] == p["p_partkey"])
         .filter(cond)
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(F.round(F.sum(_revenue()), 4).alias("revenue"))
     )
 
 
 ORACLE_Q19 = """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)

@@ -97,3 +97,27 @@ def fan_out_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def jdbc_sink(
+    df: DataFrame,
+    url: str,
+    table: str,
+    columns: list[str],
+    mode: str = "append",
+    batch_size: int = 5,
+    properties: dict | None = None,
+) -> None:
+    """S10: the ClickHouse-style JDBC batch sink (MyClickHouseUtil.java:
+    80-129) — ordered-column contract + batched inserts via Spark's JDBC
+    writer (`batchsize` ≙ the reference's JdbcExecutionOptions batch of 5).
+    No JDBC driver ships in this container, so this builder is exercised by
+    the parquet-backed `write_topic` path in tests; on a real cluster it is
+    the drop-in ClickHouse/MySQL writer.
+    """
+    (
+        select_contract(df, columns)
+        .write.mode(mode)
+        .option("batchsize", str(batch_size))
+        .jdbc(url, table, properties=properties or {})
+    )
