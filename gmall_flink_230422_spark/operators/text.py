@@ -103,3 +103,39 @@ def rolling_fingerprint(text: Column, window: int = 8) -> Column:
     fingerprints reduce to content-defined sampling of shingle hashes; the
     whole-doc md5 is the degenerate, portable form used for exact identity)."""
     return F.md5(normalize_text(text))
+
+
+def hash_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    fractions: tuple[float, ...] = (0.8, 0.1, 0.1),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by portable id-hash bucket.
+
+    The standard large-corpus split: bucket = md5(salt:id) mod 1000; bucket
+    ranges map to splits by the cumulative fractions. Stable under corpus
+    growth (a doc's split never changes when other docs are added), engine-
+    portable (same md5 construction as every checked hash here), and
+    shuffle-free — a pure projection.
+    """
+    from ..functions.hashing import portable_hash64
+    from pyspark.sql import functions as F
+
+    assert abs(sum(fractions) - 1.0) < 1e-9 and len(fractions) == len(names)
+    bucket = F.pmod(
+        portable_hash64(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+        F.lit(1000),
+    )
+    bounds, acc = [], 0.0
+    for frac in fractions[:-1]:
+        acc += frac
+        bounds.append(int(round(acc * 1000)))
+    # ascending when-chain: first matching cumulative bound wins
+    expr = None
+    for name, b in zip(names[:-1], bounds):
+        cond = bucket < b
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return docs.select(F.col(id_col), bucket.alias("bucket"), expr.alias("split"))

@@ -160,6 +160,27 @@ FROM m
 
 
 # ---------------------------------------------------------------- language ID
+def q_hash_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split by portable id-hash
+    bucket — stable under corpus growth, shuffle-free projection."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.hash_split(d)
+
+
+ORACLE_HASH_SPLIT = f"""
+WITH b AS (
+  SELECT doc_id,
+         ({{h}}) % 1000 AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 800 THEN 'train'
+            WHEN bucket < 900 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+""".format(h="(('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 15)))::BIGINT")
+
+
 def q_lang_id(spark, sf_dir):
     """Language ID: stopword-vote heuristic; deterministic argmax."""
     d = load_table(spark, sf_dir, "documents")
@@ -567,6 +588,7 @@ SPECS = [
     QuerySpec("x_token_stats", q_token_stats, ORACLE_TOKEN_STATS, tags=("llm", "text")),
     QuerySpec("x_quality_score", q_quality, ORACLE_QUALITY, tags=("llm", "text")),
     QuerySpec("x_lang_id", q_lang_id, ORACLE_LANG_ID, tags=("llm", "text")),
+    QuerySpec("x_hash_split", q_hash_split, ORACLE_HASH_SPLIT, tags=("llm", "text")),
     QuerySpec("x_ngram_jaccard", q_ngram_jaccard, ORACLE_NGRAM_JACCARD, tags=("llm", "dedup")),
     QuerySpec("x_minhash_lsh", q_minhash_lsh, ORACLE_MINHASH_LSH, tags=("llm", "dedup")),
     QuerySpec("x_dedup_corpus", q_dedup_corpus, ORACLE_DEDUP_CORPUS, tags=("llm", "dedup")),

@@ -101,3 +101,20 @@ def test_extract_features_deterministic_portable(spark):
         return (int(h[:15], 16) % 1000) / 1000.0
 
     assert row["f0"] == expect(0) and row["f1"] == expect(1)
+
+
+def test_hash_split_stable_and_proportional(spark):
+    """Split assignment is deterministic, stable under corpus growth, and
+    roughly proportional to the requested fractions."""
+    docs = spark.createDataFrame([(i, f"doc {i}") for i in range(500)], ["doc_id", "text"])
+    s1 = {r["doc_id"]: r["split"] for r in text.hash_split(docs).collect()}
+    # growth stability: same ids keep their split in a doubled corpus
+    docs2 = spark.createDataFrame([(i, f"doc {i}") for i in range(1000)], ["doc_id", "text"])
+    s2 = {r["doc_id"]: r["split"] for r in text.hash_split(docs2).collect()}
+    assert all(s2[k] == v for k, v in s1.items())
+    from collections import Counter
+
+    c = Counter(s1.values())
+    assert 0.7 < c["train"] / 500 < 0.9
+    assert 0.05 < c["val"] / 500 < 0.15
+    assert 0.05 < c["test"] / 500 < 0.15
