@@ -176,19 +176,36 @@ def lsh_candidate_pairs(
     return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
+def stop_shingles(
+    shingle_df: DataFrame, max_doc_freq: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop shingles appearing in more than ``max_doc_freq`` docs before any
+    shingle-keyed join — the skew guard for boilerplate-heavy corpora where
+    one shingle ("all rights reserved") would route millions of rows to one
+    reducer. Changes Jaccard semantics (documented recall trade: common
+    shingles carry little signal anyway); sizes must be computed AFTER the
+    filter so the ratio stays consistent."""
+    freq = shingle_df.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    keep = freq.filter(F.col("_df") <= max_doc_freq).select("shingle")
+    return shingle_df.join(keep, "shingle", "left_semi")
+
+
 def jaccard_pairs(
     shingle_df: DataFrame,
     id_col: str = "doc_id",
     threshold: float = 0.2,
     candidates: DataFrame | None = None,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """n-gram Jaccard similarity pairs (doc_a < doc_b, jac ≥ threshold).
 
     Intersection via shingle equi-join (shuffle on shingle — high-frequency
-    shingles are the skew risk; at scale, drop top-percentile shingles as
-    stop-shingles). Union via |A|+|B|−∩. If ``candidates`` (e.g. from LSH)
-    is given, verification is restricted to those pairs.
+    shingles are the skew risk; pass ``max_doc_freq`` to drop stop-shingles
+    first). Union via |A|+|B|−∩. If ``candidates`` (e.g. from LSH) is
+    given, verification is restricted to those pairs.
     """
+    if max_doc_freq is not None:
+        shingle_df = stop_shingles(shingle_df, max_doc_freq, id_col)
     sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     if candidates is not None:
         # candidate-first: restrict BOTH shingle sides to docs that appear in

@@ -691,8 +691,71 @@ WHERE total_qty > (SELECT sum(total_qty) / count(*) * 1.5 FROM per_supp)
 """
 
 
+# --------------------------------------------------------------------------
+# Q2 — min-cost supplier (adapted: no partsupp, so "cost" is the supplier's
+# average unit price observed in lineitem). Ratio is off-grid → floor-
+# truncated over grid-rounded sums; argmin keeps ties via rank over the
+# truncated value (identical on both engines).
+# --------------------------------------------------------------------------
+
+
+def q_min_cost_supplier(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 10).select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    unit = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_partkey", "p_brand", "l_suppkey")
+        .agg(
+            (
+                F.floor(
+                    F.round(F.sum("l_extendedprice"), 2)
+                    / F.sum("l_quantity") * 10000
+                ) / 10000
+            ).alias("unit_cost")
+        )
+    )
+    w = Window.partitionBy("p_partkey").orderBy(F.col("unit_cost"), F.col("l_suppkey"))
+    best = unit.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1)
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = F.broadcast(load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    return (
+        best.join(s, best["l_suppkey"] == s["s_suppkey"])
+        .join(n, s["s_nationkey"] == n["n_nationkey"])
+        .select(
+            "p_partkey", "p_brand", "s_name",
+            F.col("n_name").alias("nation"), "unit_cost",
+        )
+    )
+
+
+ORACLE_Q2 = """
+WITH unit AS (
+  SELECT p_partkey, p_brand, l_suppkey,
+         floor(round(sum(l_extendedprice), 2) / sum(l_quantity) * 10000) / 10000 AS unit_cost
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_size < 10
+  GROUP BY p_partkey, p_brand, l_suppkey
+),
+best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY p_partkey ORDER BY unit_cost, l_suppkey) AS rk
+    FROM unit
+  ) WHERE rk = 1
+)
+SELECT p_partkey, p_brand, s_name, n_name AS nation, unit_cost
+FROM best
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+"""
+
+
 SPECS = [
     QuerySpec("q4_order_priority", q_order_priority, ORACLE_Q4, tags=("tpch",)),
+    QuerySpec("q2_min_cost_supplier", q_min_cost_supplier, ORACLE_Q2, tags=("tpch",)),
     QuerySpec("q20_promo_suppliers", q_promo_suppliers, ORACLE_Q20, tags=("tpch",)),
     QuerySpec("q6_forecast_revenue", q_forecast_revenue, ORACLE_Q6, tags=("tpch", "bench")),
     QuerySpec("q7_volume_shipping", q_volume_shipping, ORACLE_Q7, tags=("tpch",)),

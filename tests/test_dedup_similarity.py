@@ -164,3 +164,16 @@ def test_dedup_corpus_keep_one(spark):
     0 (1-word edit, jaccard ~0.54) -> survivors are 0 and 2."""
     out = {r["doc_id"] for r in dedup.dedup_corpus(docs_df(spark), threshold=0.5).collect()}
     assert out == {0, 2}
+
+
+def test_stop_shingles_filters_common(spark):
+    """Shingles above the doc-frequency cap are dropped; the rest survive."""
+    docs = spark.createDataFrame(
+        [(i, f"common boiler plate unique{i} tail{i} end{i}") for i in range(4)],
+        ["doc_id", "text"],
+    )
+    sh = dedup.shingles(docs)
+    filtered = dedup.stop_shingles(sh, max_doc_freq=2)
+    kept = {r["shingle"] for r in filtered.collect()}
+    assert "common boiler plate" not in kept  # df=4 > 2
+    assert any(s.startswith("plate unique") for s in kept)  # df=1 survives
