@@ -753,10 +753,70 @@ JOIN nation   ON s_nationkey = n_nationkey
 """
 
 
+# --------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (adapted: "late" = shipped >60
+# days after the order date, since commit/receipt dates don't exist). A
+# supplier is charged for a multi-supplier order iff it is the ONLY late
+# one — the exists/not-exists pair collapses to per-order flag sums, all
+# exact integer arithmetic.
+# --------------------------------------------------------------------------
+
+
+def q_late_suppliers(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    flags = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), 1
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    per_order = flags.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    sole_late = (
+        flags.join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1) & (F.col("late") == 1))
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_late.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
+ORACLE_Q21 = """
+WITH flags AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_orderkey, l_suppkey
+),
+per_order AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
+  FROM flags GROUP BY l_orderkey
+)
+SELECT s_suppkey, s_name, count(*) AS numwait
+FROM flags
+JOIN per_order USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE n_supp > 1 AND n_late = 1 AND late = 1
+GROUP BY s_suppkey, s_name
+"""
+
+
 SPECS = [
     QuerySpec("q4_order_priority", q_order_priority, ORACLE_Q4, tags=("tpch",)),
     QuerySpec("q2_min_cost_supplier", q_min_cost_supplier, ORACLE_Q2, tags=("tpch",)),
     QuerySpec("q20_promo_suppliers", q_promo_suppliers, ORACLE_Q20, tags=("tpch",)),
+    QuerySpec("q21_late_suppliers", q_late_suppliers, ORACLE_Q21, tags=("tpch",)),
     QuerySpec("q6_forecast_revenue", q_forecast_revenue, ORACLE_Q6, tags=("tpch", "bench")),
     QuerySpec("q7_volume_shipping", q_volume_shipping, ORACLE_Q7, tags=("tpch",)),
     QuerySpec("q8_market_share", q_market_share, ORACLE_Q8, tags=("tpch",)),
