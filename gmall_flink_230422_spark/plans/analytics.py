@@ -72,6 +72,24 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+def q_cube(spark, sf_dir):
+    """CUBE over (returnflag, linestatus): all grouping-set combinations —
+    the full-lattice companion to e_rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_quantity"), 2).alias("qty_sum"),
+    )
+
+
+ORACLE_CUBE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_lines,
+       round(sum(l_quantity), 2) AS qty_sum
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def q_distinct_agg(spark, sf_dir):
     """Multiple count(DISTINCT) in one aggregate (expand-based plan)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -259,6 +277,7 @@ SPECS = [
     QuerySpec("e_cumulate_window", q_cumulate_window, ORACLE_CUMULATE, tags=("ext", "window")),
     QuerySpec("e_anti_join", q_anti_join, ORACLE_ANTI, tags=("ext", "join")),
     QuerySpec("e_rollup", q_rollup, ORACLE_ROLLUP, tags=("ext", "agg")),
+    QuerySpec("e_cube", q_cube, ORACLE_CUBE, tags=("ext", "agg")),
     QuerySpec("e_distinct_agg", q_distinct_agg, ORACLE_DISTINCT, tags=("ext", "agg")),
     QuerySpec("e_topn_per_group", q_topn_per_group, ORACLE_TOPN, tags=("ext", "window")),
     QuerySpec("e_session_window", q_session_window, ORACLE_SESSION, tags=("ext", "window", "streaming")),

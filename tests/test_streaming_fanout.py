@@ -54,3 +54,38 @@ def test_fanout_matches_batch_split(spark, fan_dir):
         assert got == want, f"{name}: stream wrote {got}, batch has {want}"
     # at least page + one exploded branch must be non-empty for the fixture
     assert batch["page"].count() > 0
+
+
+def test_keyword_pipeline_streaming(spark, fan_dir):
+    """Flagship keyword pipeline (E3: parse -> P9 filter -> U1/U2 tokenize
+    UDF + explode -> A1 watermarked tumble) over the replayed log stream:
+    closed windows must match the batch evaluation exactly."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_230422_spark.apps import dws_keyword_window
+
+    src = stream_text(spark, f"{fan_dir}/src/*")
+    page_s = apps.base_log_app(src, batch=False)["page"]
+    win_s = dws_keyword_window(page_s)
+    q = (
+        win_s.writeStream.format("memory")
+        .queryName("t_kw_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["stt"], r["keyword"]): r["keyword_count"]
+        for r in spark.sql("select * from t_kw_stream").collect()
+    }
+
+    raw = spark.createDataFrame([(l,) for l in LOG_LINES], ["value"])
+    page_b = apps.base_log_app(raw, batch=False)["page"]
+    want = {
+        (r["stt"], r["keyword"]): r["keyword_count"]
+        for r in dws_keyword_window(page_b).collect()
+    }
+    # append-mode emits only watermark-closed windows; each must match batch
+    assert got == {k: v for k, v in want.items() if k in got}
+    assert len(want) > 0
