@@ -136,3 +136,63 @@ def test_stream_static_lookup_join(spark):
         assert len(rows) == len(ROWS)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_windowed_agg_checkpoint_recovery(spark):
+    """T11 for stateful aggregation: a watermarked tumble stream stopped and
+    restarted from its checkpoint resumes window state — late-arriving rows
+    of an open window still merge, and no window is emitted twice."""
+    import datetime as dt
+
+    from gmall_flink_230422_spark.operators.windows import tumble
+    from gmall_flink_230422_spark.sources.files import stream_parquet
+
+    T0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    d = tempfile.mkdtemp(prefix="gmall_aggckpt_")
+    src, ckpt = f"{d}/src", f"{d}/ckpt"
+    rows1 = [(1, T0, 1), (1, T0 + dt.timedelta(seconds=30), 2)]
+    rows2 = [(1, T0 + dt.timedelta(seconds=50), 3),
+             (1, T0 + dt.timedelta(minutes=30), 4)]  # closes the first window
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+
+    out = f"{d}/out"
+
+    def run():
+        win = tumble(
+            stream_parquet(spark, f"{src}/*", schema),
+            "ts", "1 minute", ["user_id"],
+            [F.count(F.lit(1)).alias("ct")], watermark="10 seconds",
+        )
+        q = (
+            win.writeStream.foreachBatch(
+                lambda batch_df, _id: batch_df.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        try:
+            return spark.read.parquet(out).collect()
+        except Exception:
+            return []
+
+    try:
+        spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(f"{src}/f1")
+        first = run()
+        assert first == []  # window still open, nothing emitted yet
+        spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(f"{src}/f2")
+        second = run()  # restart from checkpoint: state for 10:00 window intact
+        got = {(r["stt"], r["user_id"]): r["ct"] for r in second}
+        stt0 = int(T0.timestamp())
+        assert got[(stt0, 1)] == 3, "restored state must merge pre-restart rows"
+        assert len([k for k in got if k[0] == stt0]) == 1, "window emitted once"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
