@@ -82,3 +82,50 @@ def test_lookup_join_broadcasts_dim(spark):
     assert "BroadcastHashJoin" in plan
     # the fact side must not hash-shuffle for the join
     assert "Exchange hashpartitioning" not in plan
+
+
+# plan invariants for headline queries: shuffle budget and broadcast
+# expectations — the PLANS.md claims, asserted so they can't regress
+PLAN_BUDGET = {
+    # name: (max_exchanges, min_broadcast_joins)
+    "q1_pricing_summary": (1, 0),
+    "q5_local_supplier": (1, 4),
+    "q6_forecast_revenue": (1, 0),
+    "q9_product_profit": (1, 3),
+    "a1_tumble_keyed": (1, 0),
+    "t3_daily_uv": (2, 0),  # window partition + daily count agg (PLANS.md)
+    "e_sliding_window": (1, 0),
+    "j4_double_alias_join": (1, 4),
+}
+
+
+def test_headline_plan_budgets(spark):
+    from gmall_flink_230422_spark.plans import registry
+
+    import re
+
+    specs = registry()
+    sf = "/root/testdata/sf0.001"
+    for name, (max_ex, min_bc) in PLAN_BUDGET.items():
+        plan = plan_of(specs[name].fn(spark, sf))
+        # count numbered plan nodes ("(4) Exchange"), not every mention —
+        # formatted explain lists each node twice (tree + detail section)
+        n_ex = len(re.findall(r"\(\d+\) Exchange\b", plan))
+        n_bc = len(re.findall(r"\(\d+\) BroadcastHashJoin\b", plan))
+        assert n_ex <= max_ex, f"{name}: {n_ex} shuffles (budget {max_ex})\n{plan}"
+        assert n_bc >= min_bc, f"{name}: {n_bc} broadcast joins (need {min_bc})\n{plan}"
+
+
+def test_scans_prune_columns(spark):
+    """Column pruning reaches the parquet scan: q6 must read only the four
+    needed lineitem columns, never the full 11-column schema."""
+    from gmall_flink_230422_spark.plans import registry
+
+    plan = plan_of(registry()["q6_forecast_revenue"].fn(spark, "/root/testdata/sf0.001"))
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)", plan)
+    assert m, plan
+    cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    assert set(cols) <= {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+    assert "PushedFilters: [" in plan and "IsNotNull(l_shipdate)" in plan
