@@ -5,9 +5,10 @@ events documents embeddings — one parquet file each under
 ``/root/testdata/sf{0.001,0.01,0.1}``.
 
 ``events.ts`` is written as parquet TIMESTAMP(NANOS); Spark reads it as a
-long (``spark.sql.legacy.parquet.nanosAsLong=true``, set by session.get_spark)
-and we convert to a microsecond timestamp here, matching DuckDB's
-nanos→micros truncation so oracle comparisons line up exactly.
+long (``spark.sql.legacy.parquet.nanosAsLong=true``, set at RUNTIME inside
+``load_table`` so any caller-supplied session works — not only ones built by
+session.get_spark) and we convert to a microsecond timestamp here, matching
+DuckDB's nanos→micros truncation so oracle comparisons line up exactly.
 """
 
 from __future__ import annotations
@@ -34,10 +35,16 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Runtime-settable: make TIMESTAMP(NANOS) parquet readable on ANY session,
+    # including a vanilla one the caller built without our session factory.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos → micros (truncating, same as DuckDB's parquet reader)
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # nanos → micros with INTEGER division (truncating, same as DuckDB's
+        # parquet reader). `ts div 1000` stays in bigint; a float `/` would
+        # round-trip through double (ulp 256 ns at 1.7e18) and can truncate to
+        # the wrong microsecond at exact boundaries.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

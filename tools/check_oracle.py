@@ -2,7 +2,11 @@
 query on Spark and its oracle on DuckDB at sf0.01, compare row count, column
 names, and an order-insensitive value multiset.
 
-Usage: python tools/check_oracle.py [name ...] [--sf DIR]
+Usage: python tools/check_oracle.py [name ...] [--sf DIR] [--vanilla]
+
+``--vanilla`` builds a bare SparkSession (no session-factory configs) exactly
+like the driver's harness does, so session-construction-time assumptions are
+caught locally before the driver catches them.
 """
 
 from __future__ import annotations
@@ -48,11 +52,22 @@ def main():
         i = argv.index("--sf")
         sf_dir = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
+    vanilla = "--vanilla" in argv
     args = [a for a in argv if not a.startswith("--")]
     specs = registry()
     names = args or list(specs)
 
-    spark = get_spark("check-oracle")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check-oracle-vanilla")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        spark = get_spark("check-oracle")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(
