@@ -307,9 +307,12 @@ def dim_app(
     kept = cdc_df.filter(
         F.col("type").isin("insert", "update", "bootstrap-insert")  # DimApp.java:153
     ).withColumn(
-        # arrival-order tiebreak for same-second updates — the Kafka-offset
-        # analog (Maxwell ts has 1 s resolution)
-        "_arr", F.monotonically_increasing_id()
+        # same-second tiebreak (Maxwell ts has 1 s resolution): a STABLE
+        # content hash, not monotonically_increasing_id — the latter changes
+        # across retries/repartitioning, so which row wins a same-ts conflict
+        # would differ between runs. Content-hash order is arbitrary but
+        # deterministic, which is what the oracle story needs.
+        "_arr", F.xxhash64(F.to_json(F.col("data")), F.col("type"))
     )
     out: dict[str, DataFrame] = {}
     for row in config_rows:

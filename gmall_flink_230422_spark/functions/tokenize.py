@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
+
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
@@ -40,15 +42,25 @@ def tokenize_text(text: str | None) -> list[str]:
     return out
 
 
+@F.pandas_udf(ArrayType(StringType()))
+def _tokenize_series(texts: pd.Series) -> pd.Series:
+    """Arrow-batched tokenizer: one Python call per ~10k-row batch instead of
+    one per row. At 100 TB this is the difference between a per-row
+    Python round-trip (BatchEvalPython) and vectorized Arrow transfer
+    (ArrowEvalPython) — the regex itself is unchanged."""
+    return texts.apply(lambda t: tokenize_text(t) if isinstance(t, str) else [])
+
+
 def register_split_udtf(spark: SparkSession, name: str = "split_words") -> None:
     """Register the UDTF analog: SQL ``explode(split_words(col))`` replaces
-    Flink's ``LATERAL TABLE(SplitFunction(col))``."""
-    spark.udf.register(name, tokenize_text, ArrayType(StringType()))
+    Flink's ``LATERAL TABLE(SplitFunction(col))``. Registered as a pandas_udf
+    so the SQL path is Arrow-batched too."""
+    spark.udf.register(name, _tokenize_series)
 
 
 def split_words(col: Column) -> Column:
-    """DataFrame-side tokenizer column (array<string>)."""
-    return F.udf(tokenize_text, ArrayType(StringType()))(col)
+    """DataFrame-side tokenizer column (array<string>), Arrow-batched."""
+    return _tokenize_series(col)
 
 
 def whitespace_tokens(col: Column) -> Column:

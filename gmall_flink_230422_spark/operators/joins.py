@@ -78,11 +78,21 @@ def salted_join(
     seed — ``rand`` seeded for reproducibility within a plan). The right
     side is exploded ``n_salts``× so every (key, salt) bucket can match.
 
-    Result rows are identical to a plain equi-join; only the shuffle
-    distribution changes. Use when AQE skew-join can't apply (streaming
-    micro-batches, or a first-stage shuffle you must pre-plan); in plain
-    batch, prefer AQE.
+    Only ``inner`` and ``left`` joins are supported: the right side is
+    exploded ``n_salts``×, so for right/full/semi/anti joins an unmatched
+    right row would be emitted once per salt (silent duplication). For those,
+    salt the other way around or fall back to AQE skew-join. Within the
+    supported modes, result rows are identical to a plain equi-join; only the
+    shuffle distribution changes. Use when AQE skew-join can't apply
+    (streaming micro-batches, or a first-stage shuffle you must pre-plan);
+    in plain batch, prefer AQE.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: the "
+            "right side is exploded n_salts x, which would duplicate "
+            "unmatched right rows under right/full/semi/anti semantics"
+        )
     salt = F.floor(F.rand(seed=42) * n_salts).cast("int")
     l_salted = left.withColumn("_salt", salt)
     r_salted = right.withColumn(

@@ -426,9 +426,15 @@ def q_top_supplier(spark, sf_dir):
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.round(F.sum(_revenue()), 4).alias("total_revenue")
     )
-    top = rev.withColumn(
-        "_rk", F.rank().over(Window.orderBy(F.col("total_revenue").desc()))
-    ).filter(F.col("_rk") == 1)
+    # Scalar max + broadcast equi-join keeps ties (= rank()==1) WITHOUT the
+    # single-partition Exchange a global Window.orderBy would force: at scale
+    # every supplier row would funnel through one task. The 1-row max side
+    # broadcasts; rev is computed once and reused (self-referencing subquery,
+    # same shape as ORACLE_Q15's `= (SELECT max(...))`).
+    max_rev = rev.agg(F.max("total_revenue").alias("_max_rev"))
+    top = rev.join(
+        F.broadcast(max_rev), rev["total_revenue"] == max_rev["_max_rev"]
+    ).drop("_max_rev")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return top.join(F.broadcast(s), top["supplier_no"] == s["s_suppkey"]).select(
         "s_suppkey", "s_name", "total_revenue"

@@ -74,9 +74,15 @@ def fan_out_sink(
     The reference fans BaseLogApp into 5 topics + dirty via side outputs
     (BaseLogApp.java:93-174). In Spark the cheap equivalent is a single
     ``foreachBatch`` that applies the splitter to each micro-batch and
-    appends every branch to its own parquet "topic" — the source is read
-    once per batch (N writeStream queries would read it N times), and the
-    checkpoint makes the whole fan-out replay-consistent as one unit.
+    writes every branch to its own parquet "topic" — the source is read
+    once per batch (N writeStream queries would read it N times).
+
+    Exactly-once story: each branch batch lands in a ``batch_id=N``
+    subdirectory with ``mode("overwrite")``, so a crash-and-replay of batch N
+    overwrites the same directories instead of appending duplicates — the
+    idempotent-replay pattern, same as upsert_parquet. Consumers read
+    ``out_dir/<name>`` and see ``batch_id`` as a discovered partition column
+    (the Kafka offset analog); drop it if unwanted.
 
     ``split_fn``: batch DataFrame -> dict[name, DataFrame].
     Returns the started StreamingQuery (caller awaits/stops).
@@ -86,7 +92,9 @@ def fan_out_sink(
         batch_df.persist()
         try:
             for name, branch in split_fn(batch_df).items():
-                branch.write.mode("append").parquet(os.path.join(out_dir, name))
+                branch.write.mode("overwrite").parquet(
+                    os.path.join(out_dir, name, f"batch_id={batch_id}")
+                )
         finally:
             batch_df.unpersist()
 

@@ -52,13 +52,37 @@ def kafka_sink(
     servers: str = KAFKA_SERVER,
     exactly_once: bool = True,
 ):
-    """S6/S7: string-value DataFrame → Kafka topic. ``exactly_once`` rides on
-    checkpoint replay (the reference's transactional producer analog)."""
+    """S6/S7: string-value DataFrame → Kafka topic — starts the query and
+    returns the StreamingQuery (same contract as sinks.fan_out_sink).
+
+    ``exactly_once`` maps to the reference's transactional producer
+    (MyKafkaUtil.java:21-60): Spark's Kafka sink is at-least-once on replay,
+    so we enable the idempotent producer (dedup within a producer session)
+    and rely on checkpoint replay + downstream offset-dedup for the full EO
+    contract — documented in SURVEY §2.1 S7. Untestable in this sandbox (no
+    broker); plan construction + option wiring are what the unit tests cover
+    via ``kafka_sink_writer``.
+    """
+    return kafka_sink_writer(df, topic, checkpoint_dir, servers, exactly_once).start()
+
+
+def kafka_sink_writer(
+    df: DataFrame,
+    topic: str,
+    checkpoint_dir: str,
+    servers: str = KAFKA_SERVER,
+    exactly_once: bool = True,
+):
+    """Unstarted writer builder behind :func:`kafka_sink` (testable without a
+    broker: options/plan can be inspected before ``.start()``)."""
     value = df["value"] if "value" in df.columns else F.to_json(F.struct(*df.columns))
-    return (
+    writer = (
         df.select(value.cast("string").alias("value"))
         .writeStream.format("kafka")
         .option("kafka.bootstrap.servers", servers)
         .option("topic", topic)
         .option("checkpointLocation", checkpoint_dir)
     )
+    if exactly_once:
+        writer = writer.option("kafka.enable.idempotence", "true")
+    return writer
