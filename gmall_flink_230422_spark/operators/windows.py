@@ -92,9 +92,11 @@ def cumulate(
     windows; at scale prefer aggregating per step then rolling up.
 
     Batch-only in this form (the epoch-derived group keys aren't a
-    watermark-eligible ``window()`` struct). Streaming equivalent: tumble
-    per ``step`` (watermarked, incremental) and roll the partials up within
-    each span in the sink/readside — same outputs, streaming-safe state.
+    watermark-eligible ``window()`` struct). Streaming form:
+    :func:`cumulate_streaming` (watermarked per-step tumble) +
+    :func:`cumulate_rollup` (read-side expansion) — same output rows,
+    streaming-safe state; parity proven in
+    tests/test_streaming.py::test_cumulate_window_stream.
     """
     step_s = _to_seconds(step)
     span_s = _to_seconds(max_span)
@@ -114,6 +116,70 @@ def cumulate(
     return out.select(
         F.col("_stt").alias("stt"), F.col("_edt").alias("edt"), *keys, *agg_cols
     )
+
+
+def cumulate_streaming(
+    df: DataFrame,
+    ts_col: str,
+    step: str,
+    max_span: str,
+    keys: list[str],
+    aggs: list[Column],
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming-safe CUMULATE, phase 1: per-``step`` tumbling partials.
+
+    The batch :func:`cumulate`'s epoch-derived group keys aren't
+    watermark-eligible, so the streaming form splits the window: aggregate
+    each ``step`` as a normal watermarked tumble (incremental state, closed
+    by the watermark like any A1 window), then roll the closed partials up
+    into the growing windows with :func:`cumulate_rollup` on the read side /
+    in the sink's foreachBatch. State size is per-step, not per-span — the
+    same trade Flink's CUMULATE makes internally with slice sharing.
+    """
+    span_s, step_s = _to_seconds(max_span), _to_seconds(step)
+    assert (span_s // step_s) * step_s == span_s, "max_span must be a multiple of step"
+    return tumble(df, ts_col, step, keys, aggs, watermark=watermark)
+
+
+def cumulate_rollup(
+    partials: DataFrame,
+    step: str,
+    max_span: str,
+    keys: list[str],
+    roll_aggs: list[Column],
+) -> DataFrame:
+    """Streaming CUMULATE, phase 2: roll per-step partials (from
+    :func:`cumulate_streaming`, columns stt/edt/keys/metrics) up into the
+    growing windows. ``roll_aggs`` re-aggregate the partial metric columns
+    (sum for count/sum partials, max for max, …).
+
+    A partial at step index j of its span feeds every window
+    [span, span + k·step) with k > j: explode(sequence) then one hash
+    aggregate — identical output rows to batch :func:`cumulate` once all
+    steps of a span are closed.
+    """
+    step_s = _to_seconds(step)
+    span_s = _to_seconds(max_span)
+    n = span_s // step_s
+    assert n * step_s == span_s, "max_span must be a multiple of step"
+    span = (F.floor(F.col("stt") / span_s) * span_s).cast("long")
+    expanded = (
+        partials.withColumn("_span", span)
+        .withColumn("_j", F.expr(f"(stt - _span) div {step_s}").cast("int"))
+        .select(
+            "*",
+            F.explode(
+                F.sequence((F.col("_j") + F.lit(1)).cast("int"), F.lit(int(n)))
+            ).alias("_k"),
+        )
+    )
+    out = expanded.groupBy(
+        F.col("_span").alias("stt"),
+        (F.col("_span") + F.col("_k").cast("long") * step_s).alias("edt"),
+        *keys,
+    ).agg(*roll_aggs)
+    return out
 
 
 def _to_seconds(spec: str) -> int:
