@@ -36,6 +36,13 @@ HEADLINE = [
     "u1_keyword_count",
     "x_minhash_lsh",
     "x_cosine_topk",
+    # round-2 additions: the most expensive newly driver-checked queries, so
+    # per-query regressions stay visible (VERDICT r1 §next-8). The total is
+    # therefore not comparable to BENCH_r01's 17-query total; compare
+    # per-query times.
+    "a2_tumble_multimetric",
+    "x_dedup_corpus",
+    "j6_dwd_order_detail",
 ]
 
 

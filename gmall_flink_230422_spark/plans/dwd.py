@@ -20,11 +20,21 @@ Scale note: the envelope is narrow (a map per row) and every operator after
 codegen stage per source — no extra shuffle beyond what the final query
 needs. At 100 TB the JSON parse is the dominant cost, exactly as in the
 reference's Kafka consumers, and it is JVM-side (`from_json`), not Python.
+
+Envelope materialization comes in two forms (``_materialize``): the
+``via_json`` path serializes each record to JSON and re-parses through the
+real ``parse_cdc`` (full P1 fidelity — used by the five single-table
+queries), while the typed path unpacks the record structs directly. The
+multi-consumer J6 query uses the typed path: its four consumers each filter
+on ``table=...``, and with per-table union branches Catalyst constant-folds
+every non-matching branch to an empty relation — the query reads each source
+once, not four times. A JSON round-trip would defeat that pruning (nothing
+folds through from_json∘to_json) and quadruple the parse work.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -34,10 +44,36 @@ from . import QuerySpec
 _TS = "1704067200"  # constant Maxwell ts (not projected by any query)
 
 
-def _order_info_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """orders → ``order_info`` CDC stream: one insert per order (status 1001)
-    plus, for F/O orders, one update into 1003/1002 carrying the Maxwell
-    ``old`` map with the previous status — the literal
+def _rec(table: str, type_: str, data: Column, old: Column | None = None) -> Column:
+    """One Maxwell record as a struct column (MyKafkaUtil.java:79-89)."""
+    if old is None:
+        old = F.lit(None).cast("map<string,string>")
+    return F.struct(
+        F.lit("gmall").alias("database"),
+        F.lit(table).alias("table"),
+        F.lit(type_).alias("type"),
+        data.alias("data"),
+        old.alias("old"),
+        F.lit(_TS).alias("ts"),
+    )
+
+
+def _materialize(branches: list[DataFrame], via_json: bool) -> DataFrame:
+    """Union per-table record branches (each a single struct column ``r``)
+    into one envelope stream — through JSON + ``parse_cdc`` for P1 fidelity,
+    or typed for multi-consumer pruning (see module docstring)."""
+    env = branches[0]
+    for b in branches[1:]:
+        env = env.unionByName(b)
+    if via_json:
+        return cdc_ops.parse_cdc(env.select(F.to_json("r").alias("value")))
+    return env.select("r.*").withColumn("proc_time", F.current_timestamp())
+
+
+def _order_info_branches(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    """orders → ``order_info`` CDC records: one insert per order (status
+    1001) plus, for F/O orders, one update into 1003/1002 carrying the
+    Maxwell ``old`` map with the previous status — the literal
     DwdTradeCancelDetail.java:89-92 shape. Updates carry a strictly later
     ``operate_time`` (+1 h) so changelog compaction (latest_by_key, S8) has
     a deterministic winner per order."""
@@ -47,7 +83,7 @@ def _order_info_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") + F.expr("INTERVAL 1 HOUR"), "yyyy-MM-dd HH:mm:ss"
     )
 
-    def _data(status, ot) -> F.Column:
+    def _data(status, ot) -> Column:
         return F.create_map(
             F.lit("id"), F.col("o_orderkey").cast("string"),
             F.lit("user_id"), F.col("o_custkey").cast("string"),
@@ -56,33 +92,19 @@ def _order_info_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("order_status"), status,
         )
 
-    null_old = F.lit(None).cast("map<string,string>")
-    ins = F.struct(
-        F.lit("gmall").alias("database"),
-        F.lit("order_info").alias("table"),
-        F.lit("insert").alias("type"),
-        _data(F.lit("1001"), ot_ins).alias("data"),
-        null_old.alias("old"),
-        F.lit(_TS).alias("ts"),
+    ins = o.select(_rec("order_info", "insert", _data(F.lit("1001"), ot_ins)).alias("r"))
+    new_status = F.when(F.col("o_orderstatus") == "F", "1003").otherwise("1002")
+    upd = o.filter(F.col("o_orderstatus").isin("F", "O")).select(
+        _rec(
+            "order_info", "update", _data(new_status, ot_upd),
+            F.create_map(F.lit("order_status"), F.lit("1001")),
+        ).alias("r")
     )
-    new_status = (
-        F.when(F.col("o_orderstatus") == "F", "1003")
-        .when(F.col("o_orderstatus") == "O", "1002")
-    )
-    upd = F.when(
-        new_status.isNotNull(),
-        F.struct(
-            F.lit("gmall").alias("database"),
-            F.lit("order_info").alias("table"),
-            F.lit("update").alias("type"),
-            _data(new_status, ot_upd).alias("data"),
-            F.create_map(F.lit("order_status"), F.lit("1001")).alias("old"),
-            F.lit(_TS).alias("ts"),
-        ),
-    )
-    recs = F.filter(F.array(ins, upd), lambda r: r.isNotNull())
-    raw = o.select(F.explode(recs).alias("r")).select(F.to_json("r").alias("value"))
-    return cdc_ops.parse_cdc(raw)
+    return [ins, upd]
+
+
+def _order_info_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _materialize(_order_info_branches(spark, sf_dir), via_json=True)
 
 
 def _cart_info_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -188,18 +210,6 @@ def _trade_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("split_activity_amount"), F.floor(F.col("l_discount") * 100).cast("string"),
         F.lit("split_coupon_amount"), F.floor(F.col("l_tax") * 100).cast("string"),
     )
-    null_old = F.lit(None).cast("map<string,string>")
-
-    def _ins(table: str, data) -> F.Column:
-        return F.struct(
-            F.lit("gmall").alias("database"),
-            F.lit(table).alias("table"),
-            F.lit("insert").alias("type"),
-            data.alias("data"),
-            null_old.alias("old"),
-            F.lit(_TS).alias("ts"),
-        )
-
     oa_data = F.create_map(
         F.lit("order_detail_id"), did,
         F.lit("activity_id"), (F.col("l_partkey") % 10).cast("string"),
@@ -209,16 +219,20 @@ def _trade_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("order_detail_id"), did,
         F.lit("coupon_id"), (F.col("l_orderkey") % 500).cast("string"),
     )
-    recs = F.filter(
-        F.array(
-            _ins("order_detail", od_data),
-            F.when(F.col("l_partkey") % 4 == 0, _ins("order_detail_activity", oa_data)),
-            F.when(F.col("l_orderkey") % 5 == 0, _ins("order_detail_coupon", oc_data)),
+    branches = [
+        li.select(_rec("order_detail", "insert", od_data).alias("r")),
+        li.filter(F.col("l_partkey") % 4 == 0).select(
+            _rec("order_detail_activity", "insert", oa_data).alias("r")
         ),
-        lambda r: r.isNotNull(),
-    )
-    li_raw = li.select(F.explode(recs).alias("r")).select(F.to_json("r").alias("value"))
-    return cdc_ops.parse_cdc(li_raw).unionByName(_order_info_envelope(spark, sf_dir))
+        li.filter(F.col("l_orderkey") % 5 == 0).select(
+            _rec("order_detail_coupon", "insert", oc_data).alias("r")
+        ),
+        *_order_info_branches(spark, sf_dir),
+    ]
+    # typed path: J6's four consumers each route on `table`, and per-table
+    # branches let that filter constant-fold the other branches to empty —
+    # one scan per source instead of four re-parses (see module docstring)
+    return _materialize(branches, via_json=False)
 
 
 def _coupon_use_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
