@@ -263,6 +263,64 @@ def _coupon_use_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_ops.parse_cdc(raw)
 
 
+def _refund_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders (every 7th key) → ``order_refund_info`` inserts — feeds the
+    DOUBLE base_dic lookup (refund_type + refund_reason_type), the J4
+    double-alias join inside a DWD spec (DwdTradeOrderRefund.java:54-104)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    ct = F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+    data = F.create_map(
+        F.lit("id"), F.col("o_orderkey").cast("string"),
+        F.lit("user_id"), F.col("o_custkey").cast("string"),
+        F.lit("order_id"), F.col("o_orderkey").cast("string"),
+        F.lit("sku_id"), (F.col("o_orderkey") % 200).cast("string"),
+        F.lit("refund_type"), (F.col("o_orderkey") % 25).cast("string"),
+        F.lit("refund_num"), F.lit("1"),
+        F.lit("refund_amount"), F.floor("o_totalprice").cast("string"),
+        F.lit("refund_reason_type"), (F.col("o_custkey") % 25).cast("string"),
+        F.lit("create_time"), ct,
+    )
+    return _materialize(
+        [o.select(_rec("order_refund_info", "insert", data).alias("r"))], via_json=True
+    )
+
+
+def _comment_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders (every 3rd key) → ``comment_info`` inserts with an appraise
+    code joined against base_dic (DwdInteractionComment.java:44-87)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0)
+    ct = F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+    data = F.create_map(
+        F.lit("id"), F.col("o_orderkey").cast("string"),
+        F.lit("user_id"), F.col("o_custkey").cast("string"),
+        F.lit("sku_id"), (F.col("o_orderkey") % 200).cast("string"),
+        F.lit("order_id"), F.col("o_orderkey").cast("string"),
+        F.lit("create_time"), ct,
+        F.lit("appraise"), (F.col("o_custkey") % 25).cast("string"),
+    )
+    return _materialize(
+        [o.select(_rec("comment_info", "insert", data).alias("r"))], via_json=True
+    )
+
+
+def _user_info_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → ``user_info`` inserts; create_time derived from the key
+    (customer has no date column) identically in both engines
+    (DwdUserRegister.java:35-74)."""
+    c = load_table(spark, sf_dir, "customer")
+    ct = F.date_format(
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("c_custkey") % 365).cast("int")),
+        "yyyy-MM-dd HH:mm:ss",
+    )
+    data = F.create_map(
+        F.lit("id"), F.col("c_custkey").cast("string"),
+        F.lit("create_time"), ct,
+    )
+    return _materialize(
+        [c.select(_rec("user_info", "insert", data).alias("r"))], via_json=True
+    )
+
+
 def _base_dic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nation → base_dic lookup dim (dic_code '0'..'24' → name)."""
     n = load_table(spark, sf_dir, "nation")
@@ -384,6 +442,105 @@ WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 0
 """
 
 
+# ---------------------------------------------------------------- P3: refund (double dic)
+def q_dwd_order_refund(spark, sf_dir):
+    """dwd_trade_order_refund spec: insert route + TWO base_dic lookup joins
+    (refund_type, refund_reason_type) — the double-alias broadcast pattern
+    inside the spec machinery."""
+    from ..apps import DWD_SPECS, run_dwd_app
+
+    env = _refund_envelope(spark, sf_dir)
+    out = run_dwd_app(env, DWD_SPECS["dwd_trade_order_refund"], _base_dic(spark, sf_dir))
+    return out.select(
+        F.col("id").cast("bigint").alias("refund_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("order_id").cast("bigint").alias("order_id"),
+        F.col("sku_id").cast("int").alias("sku_id"),
+        "refund_type",
+        "refund_type_name",
+        F.col("refund_num").cast("int").alias("refund_num"),
+        F.col("refund_amount").cast("bigint").alias("refund_amount"),
+        "refund_reason_type",
+        "refund_reason_type_name",
+        "date_id",
+    )
+
+
+ORACLE_REFUND = """
+WITH dic AS (SELECT n_nationkey::VARCHAR AS code, n_name FROM nation)
+SELECT o_orderkey AS refund_id, o_custkey AS user_id, o_orderkey AS order_id,
+       CAST(o_orderkey % 200 AS INT) AS sku_id,
+       (o_orderkey % 25)::VARCHAR AS refund_type,
+       d1.n_name AS refund_type_name,
+       1 AS refund_num,
+       CAST(floor(o_totalprice) AS BIGINT) AS refund_amount,
+       (o_custkey % 25)::VARCHAR AS refund_reason_type,
+       d2.n_name AS refund_reason_type_name,
+       strftime(o_orderdate, '%Y-%m-%d') AS date_id
+FROM orders
+LEFT JOIN dic d1 ON (o_orderkey % 25)::VARCHAR = d1.code
+LEFT JOIN dic d2 ON (o_custkey % 25)::VARCHAR = d2.code
+WHERE o_orderkey % 7 = 0
+"""
+
+
+# ---------------------------------------------------------------- P3: comment + dic
+def q_dwd_comment(spark, sf_dir):
+    """dwd_interaction_comment spec: insert route + appraise dic lookup."""
+    from ..apps import DWD_SPECS, run_dwd_app
+
+    env = _comment_envelope(spark, sf_dir)
+    out = run_dwd_app(env, DWD_SPECS["dwd_interaction_comment"], _base_dic(spark, sf_dir))
+    return out.select(
+        F.col("id").cast("bigint").alias("comment_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("sku_id").cast("int").alias("sku_id"),
+        F.col("order_id").cast("bigint").alias("order_id"),
+        "appraise",
+        "appraise_name",
+        "create_time",
+        "date_id",
+    )
+
+
+ORACLE_COMMENT = """
+WITH dic AS (SELECT n_nationkey::VARCHAR AS code, n_name FROM nation)
+SELECT o_orderkey AS comment_id, o_custkey AS user_id,
+       CAST(o_orderkey % 200 AS INT) AS sku_id, o_orderkey AS order_id,
+       (o_custkey % 25)::VARCHAR AS appraise,
+       n_name AS appraise_name,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS create_time,
+       strftime(o_orderdate, '%Y-%m-%d') AS date_id
+FROM orders LEFT JOIN dic ON (o_custkey % 25)::VARCHAR = code
+WHERE o_orderkey % 3 = 0
+"""
+
+
+# ---------------------------------------------------------------- P3: user register
+def q_dwd_user_register(spark, sf_dir):
+    """dwd_user_register spec: plain insert route + rename (data id →
+    user_id) + date_id — the smallest spec shape."""
+    from ..apps import DWD_SPECS, run_dwd_app
+
+    env = _user_info_envelope(spark, sf_dir)
+    out = run_dwd_app(env, DWD_SPECS["dwd_user_register"])
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "create_time",
+        "date_id",
+    )
+
+
+ORACLE_USER_REGISTER = """
+SELECT c_custkey AS user_id,
+       strftime(DATE '2024-01-01' + INTERVAL (c_custkey % 365) DAY,
+                '%Y-%m-%d %H:%M:%S') AS create_time,
+       strftime(DATE '2024-01-01' + INTERVAL (c_custkey % 365) DAY,
+                '%Y-%m-%d') AS date_id
+FROM customer
+"""
+
+
 # ---------------------------------------------------------------- J6 five-way join
 def q_dwd_order_detail(spark, sf_dir):
     """J6 end-to-end over the envelope: order_detail ⋈ compacted order_info
@@ -494,5 +651,20 @@ SPECS = (
         "j6_dwd_order_detail", q_dwd_order_detail, ORACLE_ORDER_DETAIL,
         doc="J6: 5-way order-detail join over the CDC envelope with S8 compaction",
         tags=("J6", "J2", "J3", "S8"),
+    ),
+    QuerySpec(
+        "p3_dwd_order_refund", q_dwd_order_refund, ORACLE_REFUND,
+        doc="dwd_trade_order_refund spec: double base_dic lookup (J4 in-spec)",
+        tags=("P3", "J4", "J3"),
+    ),
+    QuerySpec(
+        "p3_dwd_comment", q_dwd_comment, ORACLE_COMMENT,
+        doc="dwd_interaction_comment spec: appraise dic lookup",
+        tags=("P3", "J3"),
+    ),
+    QuerySpec(
+        "p3_dwd_user_register", q_dwd_user_register, ORACLE_USER_REGISTER,
+        doc="dwd_user_register spec: rename projection + date_id",
+        tags=("P3",),
     ),
 )
