@@ -52,6 +52,24 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
+def ensure_parallelism(spark: SparkSession, df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition ``df`` on ``key`` up to the session's core count when
+    the scan cannot split (the fixture parquet files are a single row group,
+    so Spark maps each to ONE task no matter what maxPartitionBytes says).
+
+    For CPU-heavy narrow pipelines (shingling, md5 signatures, per-row map
+    builds) a 1-task scan serializes the whole stage; one cheap hash Exchange
+    up front restores 32-way parallelism. Guarded so it's a no-op at real
+    scale, where a 100 TB table scans as thousands of row-group splits. Hash
+    (not round-robin) partitioning: RoundRobinPartitioning would insert a
+    full local sort ahead of the exchange (sortBeforeRepartition).
+    """
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        df = df.repartition(cores, F.col(key))
+    return df
+
+
 def write_bucketed(
     df: DataFrame, table: str, keys: list[str], n_buckets: int = 32
 ) -> None:

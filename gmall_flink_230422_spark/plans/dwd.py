@@ -34,10 +34,10 @@ folds through from_json∘to_json) and quadruple the parse work.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import ensure_parallelism, load_table
 from ..operators import cdc as cdc_ops
 from . import QuerySpec
 
@@ -181,19 +181,25 @@ def _trade_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     DwdTradeOrderPreProcess.java:25-118 consumes, in one envelope.
 
     The synthetic lineitem repeats (l_orderkey, l_linenumber) pairs with
-    different attributes (full rows ARE unique), so the detail primary key
-    adds a deterministic per-pair sequence: row_number over the remaining
-    columns — a total order because full rows are unique, and identical in
-    DuckDB.
+    different attributes, but (l_orderkey, l_linenumber, l_partkey,
+    l_suppkey) IS unique at every fixture SF, so the detail primary key is
+    that tuple bit-packed into one bigint — shuffle-free (a row_number
+    dedup sequence would cost one full-lineitem Exchange PER envelope
+    branch) and pure integer arithmetic in both engines (a md5 row-hash
+    also works but costs ~2 s of per-row CPU at sf0.1 across the three
+    branches). Packing bounds: linenumber < 8, partkey < 2^22,
+    suppkey < 2^14 — ample through sf1; the oracle would flag any
+    overflow/collision as a row mismatch.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    wseq = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
-        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
-        "l_discount", "l_tax", "l_shipdate",
+    li = ensure_parallelism(
+        spark, load_table(spark, sf_dir, "lineitem"), "l_orderkey"
     )
-    li = li.withColumn("_dseq", F.row_number().over(wseq))
     did = (
-        (F.col("l_orderkey") * 10 + F.col("l_linenumber")) * 100 + F.col("_dseq")
+        (
+            (F.col("l_orderkey") * 8 + F.col("l_linenumber")) * 4194304
+            + F.col("l_partkey")
+        ) * 16384
+        + F.col("l_suppkey")
     ).cast("string")
 
     od_data = F.create_map(
@@ -569,13 +575,11 @@ def q_dwd_order_detail(spark, sf_dir):
 ORACLE_ORDER_DETAIL = """
 WITH dic AS (SELECT n_nationkey::VARCHAR AS code, n_name FROM nation),
 li AS (
-  SELECT *, row_number() OVER (
-      PARTITION BY l_orderkey, l_linenumber
-      ORDER BY l_partkey, l_suppkey, l_quantity, l_extendedprice,
-               l_discount, l_tax, l_shipdate) AS dseq
+  SELECT *, ((l_orderkey * 8 + l_linenumber) * 4194304 + l_partkey) * 16384
+            + l_suppkey AS hid
   FROM lineitem
 )
-SELECT (l_orderkey * 10 + l_linenumber) * 100 + dseq AS detail_id,
+SELECT hid AS detail_id,
        l_orderkey AS order_id,
        l_partkey AS sku_id,
        CAST(floor(l_quantity) AS INT) AS sku_num,

@@ -9,9 +9,21 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import ensure_parallelism, load_table
 from ..operators import dedup, similarity, text
 from . import QuerySpec
+
+
+def _docs_par(spark, sf_dir):
+    """documents with scan parallelism restored — the fixture file is one
+    row group (1-task scan), which serializes the CPU-heavy shingle/signature
+    stages; no-op at real scale (io.ensure_parallelism)."""
+    return ensure_parallelism(spark, load_table(spark, sf_dir, "documents"), "doc_id")
+
+
+def _embs_par(spark, sf_dir):
+    """embeddings with scan parallelism restored (see _docs_par)."""
+    return ensure_parallelism(spark, load_table(spark, sf_dir, "embeddings"), "vec_id")
 
 # shared SQL fragments --------------------------------------------------------
 _TOKS = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')"
@@ -214,7 +226,7 @@ def q_ngram_jaccard(spark, sf_dir):
     """Near-dup pairs by exact 3-gram-shingle Jaccard ≥ 0.8 (shingle
     equi-join intersection — the all-candidates baseline the LSH variant
     prunes)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_par(spark, sf_dir)
     sh = dedup.shingles(d)
     return dedup.jaccard_pairs(sh, threshold=0.8)
 
@@ -238,7 +250,7 @@ def q_minhash_lsh(spark, sf_dir):
     """MinHash(16) + LSH(4 bands × 4 rows) candidate pairs, exact-verified at
     Jaccard ≥ 0.5. Candidate generation joins band-signature buckets only —
     the scale path for 100 TB dedup."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_par(spark, sf_dir)
     # shingles feed both the signature and the verify stage; candidates feed
     # three consumers in the verify join — cache both (tiny vs the corpus:
     # one row per distinct shingle / per surviving pair)
@@ -260,7 +272,7 @@ def q_dedup_corpus(spark, sf_dir):
     MinHash/LSH near-dup pairs among canonicals → drop the higher id of
     each verified pair → surviving doc_ids. The full training-data dedup
     pass as one declarative pipeline."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_par(spark, sf_dir)
     return dedup.dedup_corpus(d, threshold=0.5)
 
 
@@ -281,7 +293,7 @@ WHERE doc_id NOT IN (SELECT doc_b FROM verified WHERE jaccard >= 0.5)
 # ---------------------------------------------------------------- SimHash
 def q_simhash(spark, sf_dir):
     """SimHash(16-bit) signatures per document (bit-vote over token hashes)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_par(spark, sf_dir)
     return dedup.simhash(d, bits=16)
 
 
@@ -306,7 +318,7 @@ ORACLE_SIMHASH = f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sig"
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs, hamming ≤ 1 via half-signature banding
     (pigeonhole-exhaustive at this distance, so the all-pairs oracle agrees)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_par(spark, sf_dir)
     sig = dedup.simhash(d, bits=16)
     pairs = dedup.simhash_near_pairs(sig, bits=16, max_hamming=1)
     return pairs.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
@@ -328,7 +340,7 @@ _QUERY_IDS = (0, 1, 2)
 def q_cosine_topk(spark, sf_dir):
     """Brute-force exact cosine top-10 for 3 query vectors (broadcast the
     queries, JVM-side fold for the dot product, partial top-k per partition)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _embs_par(spark, sf_dir)
     q = e.filter(F.col("vec_id").isin(*_QUERY_IDS))
     return similarity.brute_force_topk(e, q, k=10)
 
@@ -361,7 +373,7 @@ _BUCKET_SQL = " + ".join(
 def q_ann_lsh(spark, sf_dir):
     """Bucketed ANN: sign-LSH (8 leading dims) prunes candidates, cosine
     ranks within the query's bucket — the partition-prunable scale path."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _embs_par(spark, sf_dir)
     q = e.filter(F.col("vec_id").isin(*_QUERY_IDS))
     return similarity.lsh_topk(e, q, k=10, dims=8)
 
@@ -371,7 +383,7 @@ def q_ann_ivf(spark, sf_dir):
     inverted-list assignment, probe the 4 nearest lists per query — the
     write-time-partitionable scale path (corpus stored by list_id ⇒ probes
     partition-prune)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _embs_par(spark, sf_dir)
     q = e.filter(F.col("vec_id").isin(*_QUERY_IDS))
     return similarity.ivf_topk(e, q, k=10, n_centroids=16, n_probe=4)
 
@@ -420,7 +432,7 @@ def q_ann_ivf_lloyd(spark, sf_dir):
     """IVF with one Lloyd refinement: seed → assign → componentwise-mean
     centroids (floor-truncated 1e-6) → reassign → probe. The iterative
     index build expressed entirely in DataFrame ops."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _embs_par(spark, sf_dir)
     q = e.filter(F.col("vec_id").isin(*_QUERY_IDS))
     return similarity.ivf_topk(e, q, k=10, n_centroids=16, n_probe=4, lloyd_iters=1)
 
@@ -514,7 +526,7 @@ SELECT query_id, vec_id, cos_sim FROM ranked WHERE rk <= 10
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (≥ 0.35 on this corpus), sign-bucket
     pruned then exact-verified."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _embs_par(spark, sf_dir)
     return similarity.embedding_near_dup_pairs(e, threshold=0.35, dims=8)
 
 
