@@ -334,3 +334,45 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def contamination_scores(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination check: for every training document, the
+    fraction of its distinct k-word shingles that appear anywhere in the
+    eval/benchmark set — the standard n-gram-overlap decontamination pass a
+    training-data pipeline runs before a model ever sees the corpus.
+
+    Scale design: the two sides are wildly asymmetric — benchmarks are
+    thousands of documents while the training corpus is billions — so the
+    eval side reduces to its DISTINCT shingle set and is broadcast. The
+    training side then never shuffles for the membership probe (map-side
+    hash lookup), and the only Exchange is the partial-aggregated
+    groupBy(doc_id). Documents with fewer than k tokens have no shingles
+    and are vacuously clean (absent from the output), mirroring the
+    shingle-based dedup operators above.
+    """
+    tr = shingles(train, id_col, text_col, k)
+    ev = (
+        shingles(eval_docs, id_col, text_col, k)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        tr.join(F.broadcast(ev), "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_overlap"),
+        )
+        .withColumn(
+            "contamination",
+            F.floor((F.col("n_overlap") / F.col("n_shingles")) * 10000) / 10000,
+        )
+    )

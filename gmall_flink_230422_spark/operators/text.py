@@ -139,3 +139,201 @@ def hash_split(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
     return docs.select(F.col(id_col), bucket.alias("bucket"), expr.alias("split"))
+
+
+def repetition_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document (Rae et al. 2021
+    §A1.1 adapted to word granularity — the fixture corpus is single-line):
+
+    - ``dup_word_frac``   — fraction of word occurrences beyond each word's
+      first (1 - distinct/total): catches boilerplate/keyword-stuffed docs
+    - ``top_word_frac``   — most frequent word's share of all words
+    - ``top_bigram_frac`` — most frequent word-bigram's share of all bigrams
+    - ``mean_word_len``   — degenerate-token guard
+    - ``keep``            — the composite repetition filter verdict
+
+    Shape: two explode→count chains (words, bigrams) that each partial-
+    aggregate map-side before one doc_id Exchange, then a co-partitioned
+    join (both sides already hash-partitioned by doc_id — no extra
+    shuffle). Everything is JVM array/aggregate expressions; nothing
+    leaves codegen.
+    """
+    toks = whitespace_tokens(normalize_text(F.col(text_col)))
+    base = docs.select(F.col(id_col), toks.alias("_toks"))
+
+    words = base.select(id_col, F.explode("_toks").alias("tok"))
+    wc = words.groupBy(id_col, "tok").count()
+    ws = wc.groupBy(id_col).agg(
+        F.sum("count").alias("n_words"),
+        F.max("count").alias("_top_word"),
+        F.count("*").alias("_n_distinct"),
+        F.sum(F.length("tok") * F.col("count")).alias("_chars"),
+    )
+
+    bigram_arr = F.expr(
+        "CASE WHEN size(_toks) >= 2 THEN transform(sequence(1, size(_toks) - 1), "
+        "i -> concat_ws(' ', element_at(_toks, i), element_at(_toks, i + 1))) "
+        "ELSE array() END"
+    )
+    bigrams = base.select(id_col, F.explode(bigram_arr).alias("bg"))
+    bgc = bigrams.groupBy(id_col, "bg").count()
+    bgs = bgc.groupBy(id_col).agg(
+        F.sum("count").alias("_n_bg"), F.max("count").alias("_top_bg")
+    )
+
+    def trunc4(c: Column) -> Column:
+        # exact-integer operands => bit-identical doubles in both engines;
+        # floor-truncate per the repo-wide off-grid-ratio rule
+        return F.floor(c * 10000) / 10000
+
+    joined = ws.join(bgs, id_col, "left")
+    dup_frac = trunc4((F.col("n_words") - F.col("_n_distinct")) / F.col("n_words"))
+    top_word = trunc4(F.col("_top_word") / F.col("n_words"))
+    top_bg = F.coalesce(trunc4(F.col("_top_bg") / F.col("_n_bg")), F.lit(0.0))
+    mean_len = trunc4(F.col("_chars") / F.col("n_words"))
+    return joined.select(
+        F.col(id_col),
+        F.col("n_words").cast("bigint").alias("n_words"),
+        dup_frac.alias("dup_word_frac"),
+        top_word.alias("top_word_frac"),
+        top_bg.alias("top_bigram_frac"),
+        mean_len.alias("mean_word_len"),
+        (
+            (dup_frac <= F.lit(0.8))
+            & (top_word <= F.lit(0.12))
+            & (top_bg <= F.lit(0.08))
+            & mean_len.between(F.lit(3.0), F.lit(10.0))
+        ).alias("keep"),
+    )
+
+
+# PII patterns written in the common Java-regex/RE2 subset (no lookarounds,
+# ASCII classes only) so Spark and the DuckDB oracle match identically.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b555-\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_redact(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII scrub for training data: count and redact email / phone / IPv4
+    patterns. Counts are taken on the ORIGINAL text (each pattern
+    independently); redaction chains the patterns in declaration order.
+
+    All JVM-side ``regexp_count`` / ``regexp_replace`` — per-row regex at
+    scan speed inside codegen, no Python round-trip, embarrassingly
+    parallel at any scale. Replacement tokens are digit-free so chained
+    redactions can't cascade into each other.
+    """
+    cols = [F.col(id_col)]
+    for name, pat, _ in PII_PATTERNS:
+        cols.append(F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint").alias(f"n_{name}"))
+    red = F.col(text_col)
+    for _, pat, token in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, token)
+    cols.append(red.alias("redacted"))
+    out = docs.select(*cols)
+    total = sum((F.col(f"n_{n}") for n, _, _ in PII_PATTERNS[1:]), F.col(f"n_{PII_PATTERNS[0][0]}"))
+    return out.withColumn("n_pii", total)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 2048,
+    n_groups: int = 32,
+) -> DataFrame:
+    """Greedy sequential token packing: assign documents to fixed
+    ``budget``-token training sequences (context windows).
+
+    Two-level layout so it scales: documents are deterministically
+    hash-bucketed into ``n_groups`` independent pack groups, then packed
+    WITHIN each group in doc-id order by a running token sum — the window
+    is partitioned by group, never the single-partition global-sort
+    antipattern, and groups pack in parallel (at 100 TB raise n_groups to
+    O(cores×executors); determinism is unaffected). A document that
+    straddles a boundary belongs to the sequence where it starts; the
+    downstream chunker splits the overflow.
+
+    Returns (id, pack_group, n_tokens, seq_idx, seq_offset) — enough for a
+    writer to co-locate a sequence's documents (partitionBy(pack_group,
+    seq_idx)) without ever concatenating text through the driver.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.hashing import portable_hash64
+
+    grp = F.pmod(
+        portable_hash64(F.concat(F.lit("pack:"), F.col(id_col).cast("string"))),
+        F.lit(n_groups),
+    )
+    base = docs.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+        grp.cast("int").alias("pack_group"),
+    )
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.select(
+        id_col,
+        "pack_group",
+        "n_tokens",
+        F.floor(cum / budget).cast("bigint").alias("seq_idx"),
+        (cum % budget).cast("bigint").alias("seq_offset"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic hash-stratified sampling — the domain-mixing primitive
+    of a training-data pipeline (e.g. downsample low-quality crawl, upweight
+    books): keep a document iff its salted id-hash bucket falls under the
+    stratum's rate, and emit the inverse-rate ``weight`` so downstream
+    mixture accounting stays unbiased.
+
+    Rates compile to an integer-threshold CASE expression (exact — no float
+    equality at the decision boundary), and the whole operator is a map-side
+    projection+filter: zero shuffles, reproducible under corpus growth and
+    re-runs (unlike ``df.sample``, whose seed is partition-layout
+    dependent).
+    """
+    from functools import reduce
+
+    from ..functions.hashing import portable_hash64
+
+    bucket = F.pmod(
+        portable_hash64(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+        F.lit(10000),
+    )
+    thr = reduce(
+        lambda acc, kv: F.when(F.col(strata_col) == kv[0], F.lit(int(round(kv[1] * 10000)))).otherwise(acc),
+        rates.items(),
+        F.lit(int(round(default_rate * 10000))),
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(strata_col),
+            bucket.cast("bigint").alias("bucket"),
+            thr.cast("bigint").alias("_thr"),
+        )
+        .filter(F.col("bucket") < F.col("_thr"))
+        .withColumn("weight", F.floor((F.lit(10000.0) / F.col("_thr")) * 10000) / 10000)
+        .drop("_thr")
+    )

@@ -290,6 +290,189 @@ WHERE doc_id NOT IN (SELECT doc_b FROM verified WHERE jaccard >= 0.5)
 """
 
 
+# ---------------------------------------------------------------- stratified sampling
+_MIX_RATES = {"en": 1.0, "de": 0.5, "es": 0.5, "fr": 0.25, "zh": 0.75}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Domain-mix sampling: per-language keep rates via deterministic salted
+    id-hash buckets, with inverse-rate weights — map-side only."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.stratified_sample(d, _MIX_RATES)
+
+
+ORACLE_STRATIFIED = """
+WITH s AS (
+  SELECT doc_id, lang,
+         (('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 15)))::BIGINT % 10000
+           AS bucket,
+         CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 5000 WHEN 'es' THEN 5000
+                   WHEN 'fr' THEN 2500 WHEN 'zh' THEN 7500 ELSE 10000 END AS thr
+  FROM documents
+)
+SELECT doc_id, lang, bucket::BIGINT AS bucket,
+       floor((10000.0 / thr) * 10000) / 10000 AS weight
+FROM s WHERE bucket < thr
+"""
+
+
+# ---------------------------------------------------------------- sequence packing
+def q_seq_pack(spark, sf_dir):
+    """Token bin-packing into 2048-token training sequences: hash-grouped,
+    per-group running-sum packing (partitioned window — parallel groups)."""
+    d = _docs_par(spark, sf_dir)
+    return text.pack_sequences(d, budget=2048, n_groups=32)
+
+
+ORACLE_SEQ_PACK = f"""
+WITH b AS (
+  SELECT doc_id,
+         len({_RAW_TOKS})::BIGINT AS n_tokens,
+         ((('0x' || substr(md5('pack:' || doc_id::VARCHAR), 1, 15)))::BIGINT % 32)::INT
+           AS pack_group
+  FROM documents
+),
+c AS (
+  SELECT *, coalesce(sum(n_tokens) OVER (
+      PARTITION BY pack_group ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM b
+)
+SELECT doc_id, pack_group, n_tokens,
+       (cum // 2048)::BIGINT AS seq_idx,
+       (cum % 2048)::BIGINT AS seq_offset
+FROM c
+"""
+
+
+# ---------------------------------------------------------------- PII redaction
+def q_pii_redact(spark, sf_dir):
+    """PII scrub: deterministic synthetic PII (email/phone/IPv4 appended to
+    id-keyed subsets — the fixture corpus has none) then count + redact with
+    JVM-side regexes."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(did % 5 == 0,
+               F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com"))
+               ).otherwise(F.lit("")),
+        F.when(did % 7 == 0,
+               F.concat(F.lit(" call 555-"), (did % 9000 + 1000).cast("string"))
+               ).otherwise(F.lit("")),
+        F.when(did % 11 == 0,
+               F.concat(F.lit(" from 10."), (did % 254 + 1).cast("string"), F.lit(".0.1"))
+               ).otherwise(F.lit("")),
+    )
+    return text.pii_redact(d.withColumn("text", aug))
+
+
+ORACLE_PII = r"""
+WITH aug AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' call 555-' || (doc_id % 9000 + 1000) ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' from 10.' || (doc_id % 254 + 1) || '.0.1' ELSE '' END
+    AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))::BIGINT AS n_email,
+       len(regexp_extract_all(text, '\b555-\d{4}\b'))::BIGINT AS n_phone,
+       len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ipv4,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+           '\b555-\d{4}\b', '<PHONE>', 'g'),
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted,
+       (len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+        + len(regexp_extract_all(text, '\b555-\d{4}\b'))
+        + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')))::BIGINT AS n_pii
+FROM aug
+"""
+
+
+# ---------------------------------------------------------------- repetition filter
+def q_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition quality filter: word/bigram repetition
+    fractions + mean word length + composite keep verdict."""
+    d = _docs_par(spark, sf_dir)
+    return text.repetition_features(d)
+
+
+ORACLE_REPETITION = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+wc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+ws AS (
+  SELECT doc_id, sum(c) AS n_words, max(c) AS top_word, count(*) AS n_distinct,
+         sum(length(tok) * c) AS chars
+  FROM wc GROUP BY 1
+),
+bt AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok, generate_subscripts({_TOKS}, 1) AS pos
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+  FROM bt QUALIFY b IS NOT NULL
+),
+bgc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+bgs AS (SELECT doc_id, sum(c) AS n_bg, max(c) AS top_bg FROM bgc GROUP BY 1),
+m AS (
+  SELECT w.doc_id,
+         w.n_words::BIGINT AS n_words,
+         floor(((w.n_words - w.n_distinct) * 1.0 / w.n_words) * 10000) / 10000 AS dup_word_frac,
+         floor((w.top_word * 1.0 / w.n_words) * 10000) / 10000 AS top_word_frac,
+         coalesce(floor((g.top_bg * 1.0 / g.n_bg) * 10000) / 10000, 0.0) AS top_bigram_frac,
+         floor((w.chars * 1.0 / w.n_words) * 10000) / 10000 AS mean_word_len
+  FROM ws w LEFT JOIN bgs g ON w.doc_id = g.doc_id
+)
+SELECT *,
+       (dup_word_frac <= 0.8 AND top_word_frac <= 0.12 AND top_bigram_frac <= 0.08
+        AND mean_word_len BETWEEN 3.0 AND 10.0) AS keep
+FROM m
+"""
+
+
+# ---------------------------------------------------------------- contamination
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: per-training-doc fraction of 3-gram
+    shingles that appear in the (synthesized, doc_id % 17 == 0) eval set —
+    broadcast the eval shingle set, never shuffle the corpus side."""
+    d = _docs_par(spark, sf_dir)
+    train = d.filter(F.col("doc_id") % 17 != 0)
+    ev = d.filter(F.col("doc_id") % 17 == 0)
+    return dedup.contamination_scores(train, ev)
+
+
+def _side_shingles_cte(tag: str, pred: str) -> str:
+    return rf"""
+{tag}_toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok, generate_subscripts({_TOKS}, 1) AS pos
+  FROM documents WHERE {pred}
+),
+{tag}_sh AS (
+  SELECT DISTINCT doc_id,
+         tok || ' ' || lead(tok) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+  FROM {tag}_toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+)"""
+
+
+ORACLE_CONTAMINATION = f"""
+WITH {_side_shingles_cte('tr', 'doc_id % 17 <> 0')},
+{_side_shingles_cte('ev', 'doc_id % 17 = 0')}
+SELECT t.doc_id,
+       count(*)::BIGINT AS n_shingles,
+       count(e.shingle)::BIGINT AS n_overlap,
+       floor((count(e.shingle) * 1.0 / count(*)) * 10000) / 10000 AS contamination
+FROM tr_sh t
+LEFT JOIN (SELECT DISTINCT shingle FROM ev_sh) e ON t.shingle = e.shingle
+GROUP BY t.doc_id
+"""
+
+
 # ---------------------------------------------------------------- SimHash
 def q_simhash(spark, sf_dir):
     """SimHash(16-bit) signatures per document (bit-vote over token hashes)."""
@@ -604,6 +787,11 @@ SPECS = [
     QuerySpec("x_ngram_jaccard", q_ngram_jaccard, ORACLE_NGRAM_JACCARD, tags=("llm", "dedup")),
     QuerySpec("x_minhash_lsh", q_minhash_lsh, ORACLE_MINHASH_LSH, tags=("llm", "dedup")),
     QuerySpec("x_dedup_corpus", q_dedup_corpus, ORACLE_DEDUP_CORPUS, tags=("llm", "dedup")),
+    QuerySpec("x_stratified_sample", q_stratified_sample, ORACLE_STRATIFIED, tags=("llm", "text")),
+    QuerySpec("x_seq_pack", q_seq_pack, ORACLE_SEQ_PACK, tags=("llm", "text")),
+    QuerySpec("x_pii_redact", q_pii_redact, ORACLE_PII, tags=("llm", "text")),
+    QuerySpec("x_repetition_filter", q_repetition_filter, ORACLE_REPETITION, tags=("llm", "text")),
+    QuerySpec("x_contamination", q_contamination, ORACLE_CONTAMINATION, tags=("llm", "dedup")),
     QuerySpec("x_simhash", q_simhash, ORACLE_SIMHASH, tags=("llm", "dedup")),
     QuerySpec("x_simhash_pairs", q_simhash_pairs, ORACLE_SIMHASH_PAIRS, tags=("llm", "dedup")),
     QuerySpec("x_cosine_topk", q_cosine_topk, ORACLE_COSINE_TOPK, tags=("llm", "similarity")),

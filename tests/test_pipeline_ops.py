@@ -1,0 +1,120 @@
+"""Unit tests for the training-data pipeline operators added in round 2:
+contamination check, repetition filter, PII redaction, sequence packing,
+stratified sampling — handcrafted corpora with by-hand expected values."""
+
+from pyspark.sql import functions as F
+
+from gmall_flink_230422_spark.operators import dedup, text
+
+
+def _df(spark, rows, cols=("doc_id", "text")):
+    return spark.createDataFrame(rows, list(cols))
+
+
+# ---------------------------------------------------------------- contamination
+def test_contamination_scores(spark):
+    train = _df(spark, [
+        (1, "a b c d e"),            # shingles: "a b c","b c d","c d e"
+        (2, "x y z w"),              # shingles: "x y z","y z w"
+        (3, "a b"),                  # < 3 tokens: no shingles, absent
+    ])
+    ev = _df(spark, [(100, "a b c d")])  # eval shingles: "a b c","b c d"
+    out = {r["doc_id"]: r for r in dedup.contamination_scores(train, ev).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_shingles"] == 3 and out[1]["n_overlap"] == 2
+    assert abs(out[1]["contamination"] - 0.6666) < 1e-9  # floor(2/3*1e4)/1e4
+    assert out[2]["n_overlap"] == 0 and out[2]["contamination"] == 0.0
+
+
+def test_contamination_is_broadcast_and_single_shuffle(spark):
+    train = _df(spark, [(1, "a b c d e")])
+    ev = _df(spark, [(100, "a b c d")])
+    plan = dedup.contamination_scores(train, ev)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------- repetition
+def test_repetition_features(spark):
+    out = {r["doc_id"]: r for r in text.repetition_features(_df(spark, [
+        (1, "spam spam spam spam"),       # all one word
+        (2, "one two three four five"),   # all distinct
+    ])).collect()}
+    r1 = out[1]
+    assert r1["n_words"] == 4
+    assert r1["dup_word_frac"] == 0.75          # 1 - 1/4
+    assert r1["top_word_frac"] == 1.0
+    assert r1["top_bigram_frac"] == 1.0         # "spam spam" is every bigram
+    assert r1["keep"] is False
+    r2 = out[2]
+    assert r2["dup_word_frac"] == 0.0 and r2["top_word_frac"] == 0.2
+    assert r2["top_bigram_frac"] == 0.25
+    # fails keep only on the top_word threshold (5 distinct words -> 0.2 > 0.12)
+    assert r2["keep"] is False
+
+
+def test_repetition_single_token_doc(spark):
+    # no bigrams: top_bigram_frac coalesces to 0.0, no crash
+    row = text.repetition_features(_df(spark, [(1, "hello")])).collect()[0]
+    assert row["n_words"] == 1 and row["top_bigram_frac"] == 0.0
+
+
+# ---------------------------------------------------------------- PII redaction
+def test_pii_redact_counts_and_chain(spark):
+    out = {r["doc_id"]: r for r in text.pii_redact(_df(spark, [
+        (1, "mail me at bob@example.com or alice@test.org thanks"),
+        (2, "call 555-1234 from 10.0.0.1 now"),
+        (3, "nothing sensitive here"),
+    ])).collect()}
+    assert out[1]["n_email"] == 2 and out[1]["n_pii"] == 2
+    assert "bob@example.com" not in out[1]["redacted"]
+    assert out[1]["redacted"].count("<EMAIL>") == 2
+    assert out[2]["n_phone"] == 1 and out[2]["n_ipv4"] == 1
+    assert out[2]["redacted"] == "call <PHONE> from <IP> now"
+    assert out[3]["n_pii"] == 0 and out[3]["redacted"] == "nothing sensitive here"
+
+
+# ---------------------------------------------------------------- packing
+def test_pack_sequences_budget_and_determinism(spark):
+    docs = _df(spark, [(i, "w " * 10) for i in range(40)])  # 10-token docs (trailing space drops)
+    out = text.pack_sequences(docs, budget=25, n_groups=4)
+    rows = out.collect()
+    assert len(rows) == 40
+    by_group: dict[int, list] = {}
+    for r in rows:
+        by_group.setdefault(r["pack_group"], []).append(r)
+    for grp_rows in by_group.values():
+        grp_rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in grp_rows:
+            assert r["seq_idx"] == cum // 25 and r["seq_offset"] == cum % 25
+            cum += r["n_tokens"]
+    # deterministic across invocations
+    again = {(r["doc_id"], r["seq_idx"], r["seq_offset"])
+             for r in text.pack_sequences(docs, budget=25, n_groups=4).collect()}
+    assert again == {(r["doc_id"], r["seq_idx"], r["seq_offset"]) for r in rows}
+
+
+# ---------------------------------------------------------------- sampling
+def test_stratified_sample_rates_and_weights(spark):
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "zh") for i in range(2000)], ["doc_id", "lang"]
+    )
+    out = text.stratified_sample(docs, {"en": 1.0, "zh": 0.25}, strata_col="lang")
+    rows = out.collect()
+    en = [r for r in rows if r["lang"] == "en"]
+    zh = [r for r in rows if r["lang"] == "zh"]
+    assert len(en) == 1000                      # rate 1.0 keeps everything
+    assert 150 < len(zh) < 350                  # rate 0.25 of 1000, hash-binomial
+    assert all(r["weight"] == 1.0 for r in en)
+    assert all(r["weight"] == 4.0 for r in zh)
+    # deterministic: same ids survive on re-run
+    again = {r["doc_id"] for r in
+             text.stratified_sample(docs, {"en": 1.0, "zh": 0.25}).collect()}
+    assert again == {r["doc_id"] for r in rows}
+
+
+def test_stratified_sample_is_shuffle_free(spark):
+    docs = spark.createDataFrame([(1, "en")], ["doc_id", "lang"])
+    plan = text.stratified_sample(docs, {"en": 0.5})._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
