@@ -43,6 +43,11 @@ HEADLINE = [
     "a2_tumble_multimetric",
     "x_dedup_corpus",
     "j6_dwd_order_detail",
+    # round-2 training-pipeline ops (contamination is the heaviest: double
+    # shingle pass + broadcast probe)
+    "x_contamination",
+    "x_repetition_filter",
+    "x_curate_corpus",
 ]
 
 

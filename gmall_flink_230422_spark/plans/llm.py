@@ -87,6 +87,21 @@ verified AS (
 
 _SHINGLES_CTE = _shingles_cte()
 
+def _side_shingles_cte(tag: str, pred: str) -> str:
+    return rf"""
+{tag}_toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok, generate_subscripts({_TOKS}, 1) AS pos
+  FROM documents WHERE {pred}
+),
+{tag}_sh AS (
+  SELECT DISTINCT doc_id,
+         tok || ' ' || lead(tok) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+  FROM {tag}_toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+)"""
+
+
 
 # ---------------------------------------------------------------- exact dedup
 def q_dedup_exact(spark, sf_dir):
@@ -290,6 +305,104 @@ WHERE doc_id NOT IN (SELECT doc_b FROM verified WHERE jaccard >= 0.5)
 """
 
 
+# ---------------------------------------------------------------- curation capstone
+def q_curate_corpus(spark, sf_dir):
+    """The full training-data curation pass as ONE declarative plan:
+    repetition-quality filter → benchmark decontamination (vs the
+    doc_id % 17 eval split) → exact+near dedup (keep-one) → per-language
+    domain-mix sampling with inverse-rate weights. Every stage is one of
+    the first-class operators above, composed via left-semi prunes so the
+    corpus is filtered BEFORE the expensive dedup shingling."""
+    d = _docs_par(spark, sf_dir)
+    rep_keep = text.repetition_features(d).filter("keep").select("doc_id")
+    train = d.filter(F.col("doc_id") % 17 != 0)
+    ev = d.filter(F.col("doc_id") % 17 == 0)
+    cont_keep = (
+        dedup.contamination_scores(train, ev)
+        .filter(F.col("contamination") < 0.5)
+        .select("doc_id")
+    )
+    # the filtered corpus feeds five consumers inside the dedup stage; cache
+    # it (local stand-in for the parquet checkpoint a production pipeline
+    # writes between curation stages — at 100 TB you persist, not recompute
+    # the quality+contamination subplans per consumer)
+    docs_f = (
+        train.join(rep_keep, "doc_id", "left_semi")
+        .join(cont_keep, "doc_id", "left_semi")
+        .cache()
+    )
+    surv = dedup.dedup_corpus(docs_f, threshold=0.5)
+    surv_docs = docs_f.join(surv, "doc_id", "left_semi")
+    return text.stratified_sample(surv_docs, _MIX_RATES)
+
+
+ORACLE_CURATE = f"""
+WITH rtoks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+rwc AS (SELECT doc_id, tok, count(*) AS c FROM rtoks GROUP BY 1, 2),
+rws AS (
+  SELECT doc_id, sum(c) AS n_words, max(c) AS top_word, count(*) AS n_distinct,
+         sum(length(tok) * c) AS chars
+  FROM rwc GROUP BY 1
+),
+rbt AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok, generate_subscripts({_TOKS}, 1) AS pos
+  FROM documents
+),
+rbg AS (
+  SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+  FROM rbt QUALIFY b IS NOT NULL
+),
+rbgc AS (SELECT doc_id, b, count(*) AS c FROM rbg GROUP BY 1, 2),
+rbgs AS (SELECT doc_id, sum(c) AS n_bg, max(c) AS top_bg FROM rbgc GROUP BY 1),
+rep_keep AS (
+  SELECT w.doc_id
+  FROM rws w LEFT JOIN rbgs g ON w.doc_id = g.doc_id
+  WHERE floor(((w.n_words - w.n_distinct) * 1.0 / w.n_words) * 10000) / 10000 <= 0.8
+    AND floor((w.top_word * 1.0 / w.n_words) * 10000) / 10000 <= 0.12
+    AND coalesce(floor((g.top_bg * 1.0 / g.n_bg) * 10000) / 10000, 0.0) <= 0.08
+    AND floor((w.chars * 1.0 / w.n_words) * 10000) / 10000 BETWEEN 3.0 AND 10.0
+),
+{_side_shingles_cte('tr', 'doc_id % 17 <> 0')},
+{_side_shingles_cte('ev', 'doc_id % 17 = 0')},
+cont_keep AS (
+  SELECT t.doc_id
+  FROM tr_sh t
+  LEFT JOIN (SELECT DISTINCT shingle FROM ev_sh) e ON t.shingle = e.shingle
+  GROUP BY t.doc_id
+  HAVING floor((count(e.shingle) * 1.0 / count(*)) * 10000) / 10000 < 0.5
+),
+docs_f AS (
+  SELECT * FROM documents
+  WHERE doc_id % 17 <> 0
+    AND doc_id IN (SELECT doc_id FROM rep_keep)
+    AND doc_id IN (SELECT doc_id FROM cont_keep)
+),
+canon AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id, md5(lower(trim(text))) AS fp FROM docs_f)
+  GROUP BY fp
+),
+docs_c AS (SELECT * FROM docs_f WHERE doc_id IN (SELECT doc_id FROM canon)),
+{_shingles_cte('docs_c')},
+{_minhash_lsh_ctes()},
+survivors AS (
+  SELECT doc_id, lang FROM docs_c
+  WHERE doc_id NOT IN (SELECT doc_b FROM verified WHERE jaccard >= 0.5)
+),
+s AS (
+  SELECT doc_id, lang,
+         (('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 15)))::BIGINT % 10000
+           AS bucket,
+         CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 5000 WHEN 'es' THEN 5000
+                   WHEN 'fr' THEN 2500 WHEN 'zh' THEN 7500 ELSE 10000 END AS thr
+  FROM survivors
+)
+SELECT doc_id, lang, bucket::BIGINT AS bucket,
+       floor((10000.0 / thr) * 10000) / 10000 AS weight
+FROM s WHERE bucket < thr
+"""
+
+
 # ---------------------------------------------------------------- stratified sampling
 _MIX_RATES = {"en": 1.0, "de": 0.5, "es": 0.5, "fr": 0.25, "zh": 0.75}
 
@@ -445,19 +558,6 @@ def q_contamination(spark, sf_dir):
     return dedup.contamination_scores(train, ev)
 
 
-def _side_shingles_cte(tag: str, pred: str) -> str:
-    return rf"""
-{tag}_toks AS (
-  SELECT doc_id, unnest({_TOKS}) AS tok, generate_subscripts({_TOKS}, 1) AS pos
-  FROM documents WHERE {pred}
-),
-{tag}_sh AS (
-  SELECT DISTINCT doc_id,
-         tok || ' ' || lead(tok) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
-  FROM {tag}_toks
-  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-  QUALIFY lead(tok, 2) OVER w IS NOT NULL
-)"""
 
 
 ORACLE_CONTAMINATION = f"""
@@ -787,6 +887,9 @@ SPECS = [
     QuerySpec("x_ngram_jaccard", q_ngram_jaccard, ORACLE_NGRAM_JACCARD, tags=("llm", "dedup")),
     QuerySpec("x_minhash_lsh", q_minhash_lsh, ORACLE_MINHASH_LSH, tags=("llm", "dedup")),
     QuerySpec("x_dedup_corpus", q_dedup_corpus, ORACLE_DEDUP_CORPUS, tags=("llm", "dedup")),
+    QuerySpec("x_curate_corpus", q_curate_corpus, ORACLE_CURATE,
+              doc="capstone: repetition filter → decontaminate → dedup → domain-mix sample",
+              tags=("llm", "dedup", "text")),
     QuerySpec("x_stratified_sample", q_stratified_sample, ORACLE_STRATIFIED, tags=("llm", "text")),
     QuerySpec("x_seq_pack", q_seq_pack, ORACLE_SEQ_PACK, tags=("llm", "text")),
     QuerySpec("x_pii_redact", q_pii_redact, ORACLE_PII, tags=("llm", "text")),
