@@ -185,3 +185,15 @@ def test_cumulate_window_stream(spark, stream_dir):
     # rolled up from them must match the batch result exactly
     assert got_m == {k: v for k, v in batch_m.items() if k in got_m}
     assert len(got_m) >= 1
+
+
+def test_streamq_registry_batch_equal(spark):
+    """The driver-visible streaming queries return exactly their batch
+    twin's result (complete-mode image over an AvailableNow replay)."""
+    from gmall_flink_230422_spark.plans.gmall import q_tumble_keyed
+    from gmall_flink_230422_spark.plans.streamq import q_stream_tumble_keyed
+
+    sf = "/root/testdata/sf0.001"
+    got = {tuple(r) for r in q_stream_tumble_keyed(spark, sf).collect()}
+    want = {tuple(r) for r in q_tumble_keyed(spark, sf).collect()}
+    assert got == want
