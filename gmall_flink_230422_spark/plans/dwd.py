@@ -547,6 +547,75 @@ FROM customer
 """
 
 
+# ---------------------------------------------------------------- S4/T10: dim sync
+def q_dim_app_sync(spark, sf_dir):
+    """DimApp end-to-end (S4 config re-read + latest-per-source_table,
+    T10 broadcast-state routing, P11 sink_columns pruning, S11 MERGE-by-pk
+    upsert — DimApp.java + TableProcessFunction.java:169-324): customer →
+    ``user_info`` inserts plus later-ts updates for every 4th key, synced
+    through TWO config generations (the superseded one selects an extra
+    column — the latest config wins, proving the re-read). Returns the
+    synced dim table."""
+    import tempfile
+
+    from ..apps import dim_app
+
+    c = load_table(spark, sf_dir, "customer")
+    ct_ins = F.date_format(
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("c_custkey") % 365).cast("int")),
+        "yyyy-MM-dd HH:mm:ss",
+    )
+    ct_upd = F.date_format(
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("c_custkey") % 365).cast("int") + 1),
+        "yyyy-MM-dd HH:mm:ss",
+    )
+
+    def _urec(type_: str, ct: Column, ts: str) -> Column:
+        return F.struct(
+            F.lit("gmall").alias("database"),
+            F.lit("user_info").alias("table"),
+            F.lit(type_).alias("type"),
+            F.create_map(
+                F.lit("id"), F.col("c_custkey").cast("string"),
+                F.lit("create_time"), ct,
+                F.lit("user_name"), F.concat(F.lit("cust_"), F.col("c_custkey").cast("string")),
+            ).alias("data"),
+            F.lit(None).cast("map<string,string>").alias("old"),
+            F.lit(ts).alias("ts"),
+        )
+
+    ins = c.select(_urec("insert", ct_ins, "1704067200").alias("r"))
+    upd = c.filter(F.col("c_custkey") % 4 == 0).select(
+        _urec("update", ct_upd, "1704070800").alias("r")
+    )
+    cdc = _materialize([ins, upd], via_json=True)
+
+    config = spark.createDataFrame(
+        [
+            # superseded generation: selects user_name too
+            ("user_info", "dim_user_info", "id,create_time,user_name", "id", 1),
+            # live generation: pruned to id,create_time (P11)
+            ("user_info", "dim_user_info", "id,create_time", "id", 2),
+        ],
+        ["source_table", "sink_table", "sink_columns", "sink_pk", "config_seq"],
+    )
+    base = tempfile.mkdtemp(prefix="dim_app_sync_")
+    out = dim_app(spark, cdc, config, base)["dim_user_info"]
+    return out.select(
+        F.col("id").cast("bigint").alias("id"), F.col("create_time")
+    )
+
+
+ORACLE_DIM_APP = """
+SELECT c_custkey AS id,
+       strftime(DATE '2024-01-01'
+                + to_days((c_custkey % 365)::INT
+                          + CASE WHEN c_custkey % 4 = 0 THEN 1 ELSE 0 END),
+                '%Y-%m-%d %H:%M:%S') AS create_time
+FROM customer
+"""
+
+
 # ---------------------------------------------------------------- J6 five-way join
 def q_dwd_order_detail(spark, sf_dir):
     """J6 end-to-end over the envelope: order_detail ⋈ compacted order_info
@@ -670,5 +739,10 @@ SPECS = (
         "p3_dwd_user_register", q_dwd_user_register, ORACLE_USER_REGISTER,
         doc="dwd_user_register spec: rename projection + date_id",
         tags=("P3",),
+    ),
+    QuerySpec(
+        "s4_dim_app_sync", q_dim_app_sync, ORACLE_DIM_APP,
+        doc="DimApp E2E: config re-read, prune, MERGE upsert with later-ts updates",
+        tags=("S4", "T10", "S11", "P11", "J8"),
     ),
 )

@@ -599,8 +599,106 @@ GROUP BY keyword
 """
 
 
+# ---------------------------------------------------------------- P10/T6/T7: base log split
+def q_base_log_split(spark, sf_dir):
+    """BaseLogApp end-to-end (P1 parse + T2 repair + T6 five-way split + T7
+    display explosion + P10 envelope rewrite, BaseLogApp.java:36-156): the
+    events table synthesized into raw log-envelope JSON lines (error→err
+    log, signup→start log, rest→page log; view pages carry 2 display
+    entries), run through ``apps.base_log_app``; returns the enriched
+    display stream with the REPAIRED is_new flag."""
+    from ..apps import base_log_app
+
+    ev = load_table(spark, sf_dir, "events")
+    common = F.struct(
+        (F.col("user_id") % 10).cast("string").alias("ar"),
+        F.lit("web").alias("ch"),
+        F.lit("v1").alias("vc"),
+        F.concat(F.lit("mid_"), F.col("user_id").cast("string")).alias("mid"),
+        F.col("user_id").cast("string").alias("uid"),
+        F.lit("1").alias("is_new"),
+        F.lit("ba0").alias("ba"),
+        F.lit("md0").alias("md"),
+        F.lit("os0").alias("os"),
+    )
+    is_page = ~F.col("event_type").isin("error", "signup")
+    page = F.when(
+        is_page,
+        F.struct(
+            F.col("event_type").alias("page_id"),
+            F.lit("home").alias("last_page_id"),
+            F.lit(None).cast("string").alias("item"),
+            F.lit(None).cast("string").alias("item_type"),
+            F.lit(100).cast("long").alias("during_time"),
+        ),
+    )
+    displays = F.when(
+        F.col("event_type") == "view",
+        F.expr(
+            "transform(sequence(0, 1), i -> named_struct("
+            "'item', concat('sku_', event_id % 100), "
+            "'item_type', 'sku_id', 'pos_id', cast(i as string)))"
+        ),
+    )
+    actions = F.when(
+        F.col("event_type") == "click",
+        F.expr(
+            "array(named_struct('action_id', 'cart_add', "
+            "'item', concat('sku_', event_id % 100), 'item_type', 'sku_id'))"
+        ),
+    )
+    start = F.when(
+        F.col("event_type") == "signup",
+        F.struct(F.lit("icon").alias("entry"), F.lit("1000").alias("loading_time")),
+    )
+    err = F.when(F.col("event_type") == "error", F.lit("boom"))
+    raw = ev.select(
+        F.to_json(
+            F.struct(
+                common.alias("common"),
+                page.alias("page"),
+                displays.alias("displays"),
+                actions.alias("actions"),
+                start.alias("start"),
+                err.alias("err"),
+                F.unix_millis("ts").alias("ts"),
+            )
+        ).alias("value")
+    )
+    disp = base_log_app(raw)["display"]
+    return disp.select(
+        F.col("common.mid").alias("mid"),
+        F.col("common.is_new").alias("is_new"),
+        "page_id",
+        "ts",
+        "item",
+        "item_type",
+        "pos_id",
+    )
+
+
+ORACLE_BASE_LOG = """
+WITH md AS (SELECT user_id, min(ts::DATE) AS d0 FROM events GROUP BY 1),
+v AS (
+  SELECT e.event_id, e.ts, e.user_id,
+         CASE WHEN e.ts::DATE = m.d0 THEN '1' ELSE '0' END AS is_new
+  FROM events e JOIN md m ON e.user_id = m.user_id
+  WHERE e.event_type = 'view'
+),
+d AS (SELECT *, unnest([0, 1]) AS pos FROM v)
+SELECT 'mid_' || user_id AS mid, is_new, 'view' AS page_id,
+       epoch_ms(ts)::BIGINT AS ts,
+       'sku_' || (event_id % 100) AS item, 'sku_id' AS item_type,
+       pos::VARCHAR AS pos_id
+FROM d
+"""
+
+
 SPECS = [
     QuerySpec("p1_envelope_parse", q_envelope_parse, ORACLE_ENVELOPE, tags=("gmall", "P1", "S3")),
+    QuerySpec("p10_base_log_split", q_base_log_split, ORACLE_BASE_LOG,
+              doc="BaseLogApp E2E: parse + is_new repair + five-way split + display explosion",
+              tags=("gmall", "P10", "T6", "T7", "T2", "P1")),
     QuerySpec("p2_route_filter", q_route_filter, ORACLE_ROUTE, tags=("gmall", "P2", "P4")),
     QuerySpec("p6_conditional_delta", q_conditional_delta, ORACLE_DELTA, tags=("gmall", "P6")),
     QuerySpec("p5_transition_detect", q_transition_detect, ORACLE_TRANSITION, tags=("gmall", "P5")),
