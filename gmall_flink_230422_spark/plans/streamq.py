@@ -40,7 +40,8 @@ from ..io import load_table
 from ..operators import windows
 from ..sources import files
 from . import QuerySpec
-from .gmall import ORACLE_TUMBLE_KEYED, ORACLE_UNION_PREAGG
+from .analytics import ORACLE_CUMULATE
+from .gmall import ORACLE_TUMBLE_KEYED, ORACLE_UNION_PREAGG, ORACLE_UPSERT
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,7 +110,83 @@ def q_stream_union_preagg(spark, sf_dir):
     return spark.read.parquet(_drain_complete(out, "a4"))
 
 
+def q_stream_cumulate(spark, sf_dir):
+    """CUMULATE through the streaming engine (the windows.cumulate_streaming
+    + cumulate_rollup split: watermark-friendly per-step tumble partials
+    drained via AvailableNow, growing windows rolled up read-side). value_sum
+    partials are exact on the fixture's 2-dec value grid, so the re-rounded
+    rollup equals the batch/oracle total exactly."""
+    ev = _events_stream(spark, sf_dir)
+    partial = windows.cumulate_streaming(
+        ev,
+        "ts",
+        "1 hour",
+        "4 hours",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("ct"), F.round(F.sum("value"), 2).alias("value_sum")],
+    )
+    image = spark.read.parquet(_drain_complete(partial, "cum"))
+    return windows.cumulate_rollup(
+        image,
+        "1 hour",
+        "4 hours",
+        ["event_type"],
+        [F.sum("ct").alias("ct"), F.round(F.sum("value_sum"), 2).alias("value_sum")],
+    )
+
+
+def q_stream_upsert_latest(spark, sf_dir):
+    """S8+T11 through the streaming engine: the orders changelog replayed as
+    a multi-file micro-batch stream into a CHECKPOINTED foreachBatch running
+    the idempotent MERGE-by-key writer (sinks.upsert_parquet) — the repo's
+    exactly-once sink model (checkpoint replay + idempotent merge). The
+    compaction is associative (latest by a total order), so the final store
+    equals batch s8_upsert_latest regardless of micro-batch boundaries."""
+    from .. import sinks
+
+    tmp = tempfile.mkdtemp(prefix="streamq_s8_")
+    src = os.path.join(tmp, "src")
+    store = os.path.join(tmp, "store")
+    ck = os.path.join(tmp, "ck")
+    o = load_table(spark, sf_dir, "orders")
+    o.repartition(8).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = files.stream_parquet(spark, src, schema, files_per_trigger=2)
+
+    def _merge(batch: DataFrame, _i: int) -> None:
+        sinks.upsert_parquet(
+            spark,
+            batch.select(
+                "o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+            ),
+            store,
+            ["o_custkey"],
+            ["o_orderdate", "o_orderkey"],
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(store).select(
+        "o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
 SPECS = (
+    QuerySpec(
+        "s_stream_upsert_latest", q_stream_upsert_latest, ORACLE_UPSERT,
+        doc="S8+T11 executed via streaming: checkpointed foreachBatch + idempotent MERGE",
+        tags=("S8", "T11", "S6", "streaming"),
+    ),
+    QuerySpec(
+        "s_stream_cumulate", q_stream_cumulate, ORACLE_CUMULATE,
+        doc="CUMULATE via streaming: per-step tumble partials + read-side rollup",
+        tags=("A5", "T1", "streaming"),
+    ),
     QuerySpec(
         "s_stream_tumble_keyed", q_stream_tumble_keyed, ORACLE_TUMBLE_KEYED,
         doc="A1 executed via Structured Streaming (AvailableNow replay), batch-equal",
