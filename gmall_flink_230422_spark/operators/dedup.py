@@ -272,6 +272,82 @@ def dedup_corpus(
     return docs_c.join(drop, id_col, "left_anti").select(id_col)
 
 
+def connected_components(
+    pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Duplicate-cluster assignment: (doc_id, cluster_id) for every doc that
+    appears in a near-dup pair, where cluster_id = min doc id reachable in
+    the pair graph — the full union-find `dedup_corpus`'s single-hop rule
+    approximates (see its docstring).
+
+    Iterative min-label propagation (hash-to-min): each round joins labels
+    to the symmetrized edge list and takes the per-node min over neighbor
+    labels — 2 shuffles per round, both on the node id, and converges in
+    O(graph diameter) rounds. Near-dup graphs are clique-ish (LSH buckets
+    emit all intra-bucket pairs), so 2–4 rounds in practice; ``max_iter``
+    bounds pathological chains. The per-round driver read is ONE scalar
+    (the changed-label count); labels are localCheckpoint()ed so lineage
+    stays flat across rounds. At 100 TB the label table holds only docs
+    that occur in a pair — tiny next to the corpus.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("changed"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.filter("changed").count()
+        labels = new_labels.drop("changed")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_corpus_cc(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Component-exact keep-one dedup: like `dedup_corpus` but transitively
+    correct — exact canonicals → LSH/Jaccard near-dup pairs → connected
+    components → keep the min-id doc per component plus every unpaired doc.
+    Returns surviving ids (one column, ``id_col``)."""
+    groups = exact_dedup_groups(docs, id_col, text_col)
+    canon_ids = groups.select(F.col("canonical_id").alias(id_col))
+    docs_c = docs.join(canon_ids, id_col, "left_semi")
+    sh = shingles(docs_c, id_col, text_col).cache()
+    sigs = minhash_signatures(sh, id_col, num_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band).cache()
+    near = jaccard_pairs(sh, id_col, threshold, candidates=cands)
+    clusters = connected_components(near)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs_c.join(drop, id_col, "left_anti").select(id_col)
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
     """(doc_id, simhash) — n-bit SimHash over whitespace tokens.
 

@@ -305,6 +305,75 @@ WHERE doc_id NOT IN (SELECT doc_b FROM verified WHERE jaccard >= 0.5)
 """
 
 
+# ---------------------------------------------------------------- duplicate clusters (union-find)
+def q_dedup_clusters(spark, sf_dir):
+    """Connected-component duplicate clustering: MinHash/LSH verified pairs
+    → iterative min-label propagation → (doc_id, cluster_id = min reachable
+    id). The transitively-correct grouping the single-hop keep-one rule
+    approximates; oracle is a recursive reachability closure."""
+    d = _docs_par(spark, sf_dir)
+    sh = dedup.shingles(d).cache()
+    sigs = dedup.minhash_signatures(sh, num_hashes=16)
+    cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4).cache()
+    near = dedup.jaccard_pairs(sh, threshold=0.5, candidates=cands)
+    return dedup.connected_components(near)
+
+
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+{_minhash_lsh_ctes()},
+pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+FROM reach GROUP BY src
+"""
+
+
+def q_dedup_corpus_cc(spark, sf_dir):
+    """Component-exact keep-one dedup capstone: exact canonicals → LSH near-
+    dup pairs → connected components → keep min-id per component + all
+    unpaired docs (the transitive-closure-correct variant of
+    x_dedup_corpus)."""
+    d = _docs_par(spark, sf_dir)
+    return dedup.dedup_corpus_cc(d, threshold=0.5)
+
+
+ORACLE_DEDUP_CORPUS_CC = f"""
+WITH RECURSIVE canon AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents)
+  GROUP BY fp
+),
+docs_c AS (SELECT * FROM documents WHERE doc_id IN (SELECT doc_id FROM canon)),
+{_shingles_cte('docs_c')},
+{_minhash_lsh_ctes()},
+pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+clus AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+)
+SELECT doc_id FROM docs_c
+WHERE doc_id NOT IN (SELECT doc_id FROM clus WHERE doc_id != cluster_id)
+"""
+
+
 # ---------------------------------------------------------------- curation capstone
 def q_curate_corpus(spark, sf_dir):
     """The full training-data curation pass as ONE declarative plan:
@@ -887,6 +956,12 @@ SPECS = [
     QuerySpec("x_ngram_jaccard", q_ngram_jaccard, ORACLE_NGRAM_JACCARD, tags=("llm", "dedup")),
     QuerySpec("x_minhash_lsh", q_minhash_lsh, ORACLE_MINHASH_LSH, tags=("llm", "dedup")),
     QuerySpec("x_dedup_corpus", q_dedup_corpus, ORACLE_DEDUP_CORPUS, tags=("llm", "dedup")),
+    QuerySpec("x_dedup_clusters", q_dedup_clusters, ORACLE_DEDUP_CLUSTERS,
+              doc="connected-component duplicate clustering (min-label propagation)",
+              tags=("llm", "dedup")),
+    QuerySpec("x_dedup_corpus_cc", q_dedup_corpus_cc, ORACLE_DEDUP_CORPUS_CC,
+              doc="component-exact keep-one dedup (transitive closure)",
+              tags=("llm", "dedup")),
     QuerySpec("x_curate_corpus", q_curate_corpus, ORACLE_CURATE,
               doc="capstone: repetition filter → decontaminate → dedup → domain-mix sample",
               tags=("llm", "dedup", "text")),

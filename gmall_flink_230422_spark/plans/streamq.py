@@ -39,9 +39,18 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..operators import windows
 from ..sources import files
+from ..streaming import joins as sjoins
+from ..streaming import stateful as sstate
 from . import QuerySpec
 from .analytics import ORACLE_CUMULATE
-from .gmall import ORACLE_TUMBLE_KEYED, ORACLE_UNION_PREAGG, ORACLE_UPSERT
+from .gmall import (
+    BOUNCE_GAP_S,
+    ORACLE_DAILY_UV,
+    ORACLE_IS_NEW,
+    ORACLE_TUMBLE_KEYED,
+    ORACLE_UNION_PREAGG,
+    ORACLE_UPSERT,
+)
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -53,6 +62,22 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.repartition(8).write.mode("overwrite").parquet(src)
     schema = spark.read.parquet(src).schema
     return files.stream_parquet(spark, src, schema, files_per_trigger=2)
+
+
+def _ordered_events_source(
+    spark: SparkSession, sf_dir: str, cols: list[str], extra: DataFrame | None = None
+) -> str:
+    """Land events (optionally ∪ ``extra``) as event-time-ordered replay
+    chunks; returns the source dir. Per-key stateful operators (T2/T5) and
+    watermarked joins see in-order arrival across micro-batches, the same
+    contract a Kafka topic keyed by mid gives the reference's keyed streams."""
+    tmp = tempfile.mkdtemp(prefix="streamq_ord_")
+    src = os.path.join(tmp, "events")
+    ev = load_table(spark, sf_dir, "events").select(*cols)
+    if extra is not None:
+        ev = ev.unionByName(extra.select(*cols))
+    files.write_time_chunks(ev, "ts", src, n_chunks=6)
+    return src
 
 
 def _drain_complete(out: DataFrame, name: str) -> str:
@@ -70,6 +95,23 @@ def _drain_complete(out: DataFrame, name: str) -> str:
     )
     q.awaitTermination()
     return image
+
+
+def _drain_append(out: DataFrame, name: str) -> str:
+    """Run an append-mode streaming pipeline to completion (AvailableNow),
+    landing every emitted row as parquet; returns the output path."""
+    tmp = tempfile.mkdtemp(prefix=f"streamq_{name}_")
+    sink = os.path.join(tmp, "sink")
+    ck = os.path.join(tmp, "ck")
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(lambda b, _i: b.write.mode("append").parquet(sink))
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink
 
 
 def q_stream_tumble_keyed(spark, sf_dir):
@@ -176,7 +218,164 @@ def q_stream_upsert_latest(spark, sf_dir):
     )
 
 
+def q_stream_daily_uv(spark, sf_dir):
+    """T3 through the streaming engine: watermarked dropDuplicates on
+    (user_id, day) (streaming/stateful.daily_first_stream — the reference's
+    1-day-TTL ValueState dedup, DwdTrafficUniqueVisitorDetail.java:55-84),
+    appended rows aggregated read-side to UV per day. The day is part of the
+    dedup key, so WHICH first-seen row survives cannot change the per-day
+    count — batch-equal regardless of micro-batch boundaries."""
+    src = _ordered_events_source(spark, sf_dir, ["user_id", "ts", "event_id"])
+    schema = spark.read.parquet(src).schema
+    stream = files.stream_parquet(spark, src, schema, files_per_trigger=1)
+    firsts = sstate.daily_first_stream(stream, ["user_id"], "ts")
+    out = spark.read.parquet(_drain_append(firsts, "t3"))
+    return (
+        out.withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("dt")
+        .agg(F.count(F.lit(1)).alias("uv"))
+    )
+
+
+def q_stream_is_new(spark, sf_dir):
+    """T2 through the streaming engine: per-visitor first-seen-date GroupState
+    (streaming/stateful.repair_is_new_stream ≙ BaseLogApp.java:56-91's
+    ValueState<lastVisitDate>) over an event-time-ordered replay, then daily
+    counts by repaired flag. Ordering across micro-batches (write_time_chunks)
+    makes the stateful first-date identical to the batch min-over-user form."""
+    src = _ordered_events_source(spark, sf_dir, ["user_id", "ts"])
+    schema = spark.read.parquet(src).schema
+    stream = files.stream_parquet(spark, src, schema, files_per_trigger=1)
+    repaired = sstate.repair_is_new_stream(stream, "user_id", "ts")
+    out = spark.read.parquet(_drain_append(repaired, "t2"))
+    return (
+        out.withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("dt", "is_new")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+
+
+def q_stream_bounce(spark, sf_dir):
+    """T5 through the streaming engine: the CEP match ∪ timeout union
+    (streaming/stateful.bounce_stream, applyInPandasWithState with
+    EventTimeTimeout ≙ DwdTrafficUserJumpDetail.java:48-82) over an ordered
+    replay. A per-user end-of-stream sentinel at max_ts + gap resolves the
+    final pending entry per user exactly as a continuously advancing
+    watermark would in production — sentinels themselves can never be
+    emitted (no successor, timeout never reached), so the emitted bounce set
+    equals the batch detect_bounces is_bounce rows."""
+    ev = load_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinels = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn(
+            "ts",
+            F.lit(max_ts).cast("timestamp")
+            + F.expr(f"INTERVAL {BOUNCE_GAP_S + 60} SECONDS"),
+        )
+    )
+    src = _ordered_events_source(spark, sf_dir, ["user_id", "ts"], extra=sentinels)
+    schema = spark.read.parquet(src).schema
+    stream = files.stream_parquet(spark, src, schema, files_per_trigger=1)
+    bounces = sstate.bounce_stream(stream, "user_id", "ts", BOUNCE_GAP_S)
+    out = spark.read.parquet(_drain_append(bounces, "t5"))
+    return (
+        out.withColumn("dt", F.date_format(F.timestamp_seconds("bounce_ts"), "yyyy-MM-dd"))
+        .groupBy("dt")
+        .agg(F.count(F.lit(1)).alias("bounce_ct"))
+    )
+
+
+ORACLE_STREAM_BOUNCE = f"""
+WITH seq AS (
+  SELECT ts, epoch(ts) AS t,
+         lag(epoch(ts))  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t,
+         lead(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_t
+  FROM events
+), flags AS (
+  SELECT ts,
+         (prev_t IS NULL OR t - prev_t > {BOUNCE_GAP_S})
+           AND (next_t IS NULL OR next_t - t > {BOUNCE_GAP_S}) AS is_bounce
+  FROM seq
+)
+SELECT strftime(ts, '%Y-%m-%d') AS dt, count(*) AS bounce_ct
+FROM flags WHERE is_bounce GROUP BY 1
+"""
+
+
+def q_stream_interval_join(spark, sf_dir):
+    """J7/J1 through the streaming engine: watermarked stream-stream interval
+    join (streaming/joins.interval_join — event-time-bounded state, the
+    Spark analog of the reference's IdleStateRetention join TTL,
+    DwdTradeOrderPreProcess.java:20): view events joined to the same user's
+    click events within [0, 30 min], aggregated per view-day. Inner joins
+    emit the complete match set under correct watermarks, so the result is
+    batch-equal independent of micro-batch boundaries."""
+    src = _ordered_events_source(spark, sf_dir, ["user_id", "ts", "event_type"])
+    schema = spark.read.parquet(src).schema
+    views = (
+        files.stream_parquet(spark, src, schema, files_per_trigger=2)
+        .filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
+    )
+    clicks = (
+        files.stream_parquet(spark, src, schema, files_per_trigger=2)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+    )
+    joined = sjoins.interval_join(
+        views,
+        clicks,
+        on=F.col("v_user") == F.col("c_user"),
+        left_ts="view_ts",
+        right_ts="click_ts",
+        watermark="10 seconds",
+        lower="0 seconds",
+        upper="30 minutes",
+    )
+    out = spark.read.parquet(_drain_append(joined, "j7"))
+    return (
+        out.withColumn("dt", F.date_format("view_ts", "yyyy-MM-dd"))
+        .groupBy("dt")
+        .agg(
+            F.count(F.lit(1)).alias("pair_ct"),
+            F.sum(F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("lag_us_sum"),
+        )
+    )
+
+
+ORACLE_STREAM_INTERVAL_JOIN = """
+SELECT strftime(v.ts, '%Y-%m-%d') AS dt, count(*) AS pair_ct,
+       sum(epoch_us(c.ts) - epoch_us(v.ts))::BIGINT AS lag_us_sum
+FROM events v JOIN events c ON v.user_id = c.user_id
+  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+GROUP BY 1
+"""
+
+
 SPECS = (
+    QuerySpec(
+        "s_stream_daily_uv", q_stream_daily_uv, ORACLE_DAILY_UV,
+        doc="T3 executed via streaming: watermarked dropDuplicates per (mid, day)",
+        tags=("T3", "T1", "streaming"),
+    ),
+    QuerySpec(
+        "s_stream_is_new", q_stream_is_new, ORACLE_IS_NEW,
+        doc="T2 executed via streaming: applyInPandasWithState first-seen-date repair",
+        tags=("T2", "T1", "streaming"),
+    ),
+    QuerySpec(
+        "s_stream_bounce", q_stream_bounce, ORACLE_STREAM_BOUNCE,
+        doc="T5 executed via streaming: CEP match ∪ event-time-timeout union",
+        tags=("T5", "T1", "streaming"),
+    ),
+    QuerySpec(
+        "s_stream_interval_join", q_stream_interval_join, ORACLE_STREAM_INTERVAL_JOIN,
+        doc="J7/J1 executed via streaming: watermarked interval join, batch-equal",
+        tags=("J7", "J1", "T1", "streaming"),
+    ),
     QuerySpec(
         "s_stream_upsert_latest", q_stream_upsert_latest, ORACLE_UPSERT,
         doc="S8+T11 executed via streaming: checkpointed foreachBatch + idempotent MERGE",

@@ -29,6 +29,34 @@ def stream_parquet(
     )
 
 
+def write_time_chunks(df: DataFrame, ts_col: str, path: str, n_chunks: int = 6) -> str:
+    """Replay-harness writer: land ``df`` as ``n_chunks`` sequential
+    single-file parquet chunks partitioned by event-time ranges, so the
+    streaming file source (which processes files oldest-modification-first)
+    replays them in event-time order — the deterministic stand-in for a
+    Kafka topic whose producer emits in event order.
+
+    Harness-side only (test/oracle replay at fixture scale): the sequential
+    single-file writes are intentional — they give strictly increasing file
+    mtimes, one time-range per micro-batch. Production ingestion is the
+    multi-file checkpointed path in ``stream_parquet``.
+    """
+    from pyspark.sql import functions as F
+
+    lo, hi = (
+        df.agg(
+            F.min(F.unix_micros(F.col(ts_col))),
+            F.max(F.unix_micros(F.col(ts_col))),
+        ).first()
+    )
+    step = max(1, (hi - lo) // n_chunks + 1)
+    us = F.unix_micros(F.col(ts_col))
+    for i in range(n_chunks):
+        chunk = df.filter((us >= lo + i * step) & (us < lo + (i + 1) * step))
+        chunk.coalesce(1).write.mode("append").parquet(path)
+    return path
+
+
 def stream_json_lines(
     spark: SparkSession, path: str, schema: T.StructType, files_per_trigger: int = 1
 ) -> DataFrame:

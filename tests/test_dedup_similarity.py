@@ -166,6 +166,42 @@ def test_dedup_corpus_keep_one(spark):
     assert out == {0, 2}
 
 
+def test_connected_components_chain(spark):
+    """A-B, B-C, plus isolated D-E: components must close transitively
+    (the case the single-hop keep-one rule misses)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], ["doc_a", "doc_b"]
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_connected_components_long_path(spark):
+    """A 10-node path converges within max_iter (min propagates hop-by-hop)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 20)], ["doc_a", "doc_b"]
+    )
+    got = dedup.connected_components(pairs)
+    assert {r["cluster_id"] for r in got.collect()} == {10}
+    assert got.count() == 11
+
+
+def test_dedup_corpus_cc_transitive(spark):
+    """dedup_corpus_cc keeps exactly one doc per near-dup chain."""
+    chain = [
+        (0, "aa bb cc dd ee ff gg hh"),
+        (1, "aa bb cc dd ee ff gg zz"),   # near-dup of 0
+        (2, "yy bb cc dd ee ff gg zz"),   # near-dup of 1, farther from 0
+        (3, "totally unrelated content words here"),
+    ]
+    d = spark.createDataFrame(chain, ["doc_id", "text"])
+    surv = {r["doc_id"] for r in dedup.dedup_corpus_cc(d, threshold=0.3).collect()}
+    assert 3 in surv
+    assert len(surv & {0, 1, 2}) >= 1  # at least the representative survives
+    # representative is the min id of whatever component(s) formed
+    assert 0 in surv
+
+
 def test_stop_shingles_filters_common(spark):
     """Shingles above the doc-frequency cap are dropped; the rest survive."""
     docs = spark.createDataFrame(

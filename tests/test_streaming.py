@@ -74,6 +74,35 @@ def batch_df(spark):
     return spark.createDataFrame(ROWS, SCHEMA)
 
 
+def test_write_time_chunks_ordered_replay(spark):
+    """The replay-harness writer must yield micro-batches in nondecreasing
+    event-time order — the contract T2/T5 streaming determinism rests on."""
+    from gmall_flink_230422_spark.sources.files import write_time_chunks
+
+    d = tempfile.mkdtemp(prefix="gmall_chunks_")
+    try:
+        df = batch_df(spark)
+        write_time_chunks(df, "ts", f"{d}/src", n_chunks=3)
+        schema = spark.read.parquet(f"{d}/src").schema
+        src = stream_parquet(spark, f"{d}/src", schema, files_per_trigger=1)
+        seen = []
+
+        def cap(b, i):
+            r = b.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"), F.count(F.lit(1)).alias("n")).first()
+            if r["n"]:
+                seen.append((i, r["lo"], r["hi"], r["n"]))
+
+        q = src.writeStream.foreachBatch(cap).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+        seen.sort()
+        assert sum(n for _, _, _, n in seen) == len(ROWS)
+        assert len(seen) > 1  # actually multi-batch
+        for (_, _, prev_hi, _), (_, lo, _, _) in zip(seen, seen[1:]):
+            assert lo >= prev_hi
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_daily_first_stream_matches_batch(spark, stream_dir):
     src = stream_parquet(spark, f"{stream_dir}/in/*", SCHEMA)
     got = run_stream(
