@@ -271,7 +271,119 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_quantiles(spark, sf_dir):
+    """Exact per-group order statistics (median / p90 of order value per
+    customer) via rank selection — integer rank arithmetic (ceil(p·n) as
+    (p_num·n + p_den−1) div p_den) so both engines pick the identical row,
+    no float quantile interpolation to diverge on.
+
+    Scale shape: the window partitions by clerk — group count grows with
+    the data while rows-per-group stays bounded (~10 orders/customer at any
+    SF), so per-partition sort memory is constant and parallelism scales.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        "o_custkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_custkey")).alias("n"),
+    )
+    return ranked.groupBy("o_custkey").agg(
+        F.max("n").alias("n_orders"),
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("o_totalprice"))).alias("median_price"),
+        F.max(F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("o_totalprice"))).alias("p90_price"),
+    )
+
+
+ORACLE_QUANTILES = """
+WITH ranked AS (
+  SELECT o_custkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_custkey) AS n
+  FROM orders
+)
+SELECT o_custkey, max(n)::BIGINT AS n_orders,
+       max(CASE WHEN rn = (n + 1) // 2 THEN o_totalprice END) AS median_price,
+       max(CASE WHEN rn = (9 * n + 9) // 10 THEN o_totalprice END) AS p90_price
+FROM ranked GROUP BY o_custkey
+"""
+
+
+def q_running_total(spark, sf_dir):
+    """Running/cumulative window aggregate: daily revenue per event_type
+    with a per-type running total. The window's input is the PRE-AGGREGATED
+    daily table (days × types rows), so cumulative state is tiny at any
+    scale — never a raw-row running sum."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("dt", "event_type")
+        .agg(F.round(F.sum("value"), 2).alias("day_sum"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("dt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "dt", "event_type", "day_sum",
+        F.round(F.sum("day_sum").over(w), 2).alias("running_sum"),
+    )
+
+
+ORACLE_RUNNING_TOTAL = """
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type, round(sum(value), 2) AS day_sum
+  FROM events GROUP BY 1, 2
+)
+SELECT dt, event_type, day_sum,
+       round(sum(day_sum) OVER (
+         PARTITION BY event_type ORDER BY dt
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum
+FROM daily
+"""
+
+
+def q_grouping_sets(spark, sf_dir):
+    """GROUPING SETS ((region, nation), (region), (nation)) — the irregular
+    lattice rollup/cube can't express; one shuffle, expand-node fan-out."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    )
+    joined.createOrReplaceTempView("_gs_cust")
+    return spark.sql(
+        """
+        SELECT r_name, n_name, count(*) AS n_cust,
+               round(sum(c_acctbal), 2) AS acctbal_sum
+        FROM _gs_cust
+        GROUP BY GROUPING SETS ((r_name, n_name), (r_name), (n_name))
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS acctbal_sum
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name, n_name), (r_name), (n_name))
+"""
+
+
 SPECS = [
+    QuerySpec("e_quantiles", q_quantiles, ORACLE_QUANTILES,
+              doc="exact per-group order statistics by integer rank selection",
+              tags=("ext", "window", "agg")),
+    QuerySpec("e_running_total", q_running_total, ORACLE_RUNNING_TOTAL,
+              doc="cumulative window aggregate over pre-aggregated daily grid",
+              tags=("ext", "window")),
+    QuerySpec("e_grouping_sets", q_grouping_sets, ORACLE_GROUPING_SETS,
+              doc="GROUPING SETS irregular lattice aggregate",
+              tags=("ext", "agg")),
     QuerySpec("e_semi_join", q_semi_join, ORACLE_SEMI, tags=("ext", "join")),
     QuerySpec("e_sliding_window", q_sliding_window, ORACLE_SLIDING, tags=("ext", "window", "streaming")),
     QuerySpec("e_cumulate_window", q_cumulate_window, ORACLE_CUMULATE, tags=("ext", "window")),

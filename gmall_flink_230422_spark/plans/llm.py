@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions import tokenize
 from ..io import ensure_parallelism, load_table
 from ..operators import dedup, similarity, text
 from . import QuerySpec
@@ -302,6 +303,66 @@ docs_c AS (SELECT * FROM documents WHERE doc_id IN (SELECT doc_id FROM canon)),
 {_minhash_lsh_ctes()}
 SELECT doc_id FROM docs_c
 WHERE doc_id NOT IN (SELECT doc_b FROM verified WHERE jaccard >= 0.5)
+"""
+
+
+# ---------------------------------------------------------------- vocabulary / n-gram stats
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary build (BPE-prep stats): top-500 tokens by document
+    frequency with term frequency alongside — one explode + one aggregate
+    (partial/final map-side combine), distributed top-k via
+    TakeOrderedAndProject, deterministic tie-break on the unique token.
+    Integer-only: no float to diverge between engines."""
+    d = _docs_par(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.explode(tokenize.whitespace_tokens(dedup.normalize_text(F.col("text")))).alias("token"),
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("tf"),
+        )
+        .orderBy(F.col("df").desc(), F.col("token"))
+        .limit(500)
+    )
+
+
+ORACLE_VOCAB_TOPK = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+SELECT token, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS tf
+FROM toks GROUP BY 1
+ORDER BY df DESC, token LIMIT 500
+"""
+
+
+def q_ngram_counts(spark, sf_dir):
+    """Corpus bigram frequency table (LM/dedup corpus stats): distinct
+    bigrams per doc (the shingle array expression — zero shuffle until the
+    aggregate) counted across docs; top-300 by document frequency."""
+    d = _docs_par(spark, sf_dir)
+    sh = dedup.shingles(d, k=2)
+    return (
+        sh.groupBy(F.col("shingle").alias("bigram"))
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("bigram"))
+        .limit(300)
+    )
+
+
+ORACLE_NGRAM_COUNTS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok, generate_subscripts({_TOKS}, 1) AS pos
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS bigram
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+)
+SELECT bigram, count(*)::BIGINT AS df
+FROM grams GROUP BY 1
+ORDER BY df DESC, bigram LIMIT 300
 """
 
 
@@ -956,6 +1017,12 @@ SPECS = [
     QuerySpec("x_ngram_jaccard", q_ngram_jaccard, ORACLE_NGRAM_JACCARD, tags=("llm", "dedup")),
     QuerySpec("x_minhash_lsh", q_minhash_lsh, ORACLE_MINHASH_LSH, tags=("llm", "dedup")),
     QuerySpec("x_dedup_corpus", q_dedup_corpus, ORACLE_DEDUP_CORPUS, tags=("llm", "dedup")),
+    QuerySpec("x_vocab_topk", q_vocab_topk, ORACLE_VOCAB_TOPK,
+              doc="corpus vocabulary: top-500 tokens by document frequency",
+              tags=("llm", "text")),
+    QuerySpec("x_ngram_counts", q_ngram_counts, ORACLE_NGRAM_COUNTS,
+              doc="corpus bigram frequency table, top-300 by df",
+              tags=("llm", "text")),
     QuerySpec("x_dedup_clusters", q_dedup_clusters, ORACLE_DEDUP_CLUSTERS,
               doc="connected-component duplicate clustering (min-label propagation)",
               tags=("llm", "dedup")),
