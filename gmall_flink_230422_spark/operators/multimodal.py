@@ -138,6 +138,38 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.mapInPandas(feature_batches, schema)
 
 
+def explode_frames(media: DataFrame, frame_bytes: int = 32) -> DataFrame:
+    """Video-frame explosion analog: one row per fixed-size slice of the
+    payload — (doc_id, frame_idx, frame, frame_len). The real-world shape of
+    video→frames / audio→windows fan-out.
+
+    Entirely JVM-side (sequence → explode → binary substring): no Python in
+    the hot path, no shuffle; output rows ≈ bytes/frame_bytes scale linearly
+    with input and stay partition-local. A real decoder swaps the byte
+    slicing for keyframe offsets; the fan-out plumbing is the scalable part.
+    """
+    n_frames = F.ceil(F.col("n_bytes") / F.lit(frame_bytes)).cast("long")
+    return (
+        # empty payloads emit no frames (sequence(0, -1) would count DOWN)
+        media.filter(F.col("n_bytes") > 0)
+        .select(
+            "doc_id",
+            "media",
+            "n_bytes",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_frames - 1)).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.expr(f"substring(media, cast(frame_idx * {frame_bytes} + 1 as int), {frame_bytes})").alias("frame"),
+            F.least(
+                F.lit(frame_bytes).cast("long"),
+                F.col("n_bytes") - F.col("frame_idx") * frame_bytes,
+            ).alias("frame_len"),
+        )
+    )
+
+
 def frame_sample(decoded: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling analog: deterministic 1-in-N selection by id (stands in
     for video frame sampling; selection logic is the real, scalable part)."""

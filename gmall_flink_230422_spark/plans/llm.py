@@ -974,6 +974,36 @@ FROM documents
 """
 
 
+def q_frame_explode(spark, sf_dir):
+    """Video→frames fan-out analog: one row per 32-byte slice of each
+    payload, aggregated per doc (frame count + byte-accounting check).
+    JVM-side sequence→explode→binary substring — no Python, no shuffle
+    until the final per-doc aggregate."""
+    from ..operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.to_media_table(d)
+    frames = multimodal.explode_frames(media, frame_bytes=32)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("frame_len").alias("total_len"),
+        F.sum(F.octet_length("frame").cast("long")).alias("sliced_len"),
+    )
+
+
+ORACLE_FRAME_EXPLODE = """
+WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents),
+f AS (
+  SELECT doc_id, n_bytes, unnest(range(0, ((n_bytes + 31) // 32))) AS frame_idx
+  FROM m WHERE n_bytes > 0
+)
+SELECT doc_id, count(*)::BIGINT AS n_frames,
+       sum(least(32, n_bytes - frame_idx * 32))::BIGINT AS total_len,
+       sum(least(32, n_bytes - frame_idx * 32))::BIGINT AS sliced_len
+FROM f GROUP BY doc_id
+"""
+
+
 def q_multimodal_pipeline(spark, sf_dir):
     """Full multimodal chain: wrap → resize (byte-cap 128) → decode dims +
     feature-extract (4 dims, portable-hash stub kernel) → join on doc_id.
@@ -1045,5 +1075,8 @@ SPECS = [
     QuerySpec("x_ann_lsh", q_ann_lsh, ORACLE_ANN_LSH, tags=("llm", "similarity")),
     QuerySpec("x_embedding_near_dup", q_embedding_near_dup, ORACLE_EMB_NEAR_DUP, tags=("llm", "similarity")),
     QuerySpec("x_multimodal_decode", q_multimodal_decode, ORACLE_MULTIMODAL, tags=("llm", "multimodal")),
+    QuerySpec("x_frame_explode", q_frame_explode, ORACLE_FRAME_EXPLODE,
+              doc="video→frames fan-out: per-payload fixed-size slice explosion",
+              tags=("llm", "multimodal")),
     QuerySpec("x_multimodal_pipeline", q_multimodal_pipeline, ORACLE_MULTIMODAL_PIPELINE, tags=("llm", "multimodal")),
 ]

@@ -118,3 +118,19 @@ def test_stratified_sample_is_shuffle_free(spark):
     docs = spark.createDataFrame([(1, "en")], ["doc_id", "lang"])
     plan = text.stratified_sample(docs, {"en": 0.5})._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_explode_frames_slicing(spark):
+    from gmall_flink_230422_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 70), (2, "b" * 32), (3, "c"), (4, "")], ["doc_id", "text"]
+    )
+    frames = multimodal.explode_frames(multimodal.to_media_table(docs), frame_bytes=32)
+    rows = {(r["doc_id"], r["frame_idx"]): r for r in frames.collect()}
+    # 70 bytes -> 3 frames (32, 32, 6); 32 -> 1; 1 -> 1; empty -> none
+    assert {k[0] for k in rows} == {1, 2, 3}
+    assert [rows[(1, i)]["frame_len"] for i in range(3)] == [32, 32, 6]
+    assert len(bytes(rows[(1, 2)]["frame"])) == 6
+    assert rows[(2, 0)]["frame_len"] == 32 and (2, 1) not in rows
+    assert rows[(3, 0)]["frame_len"] == 1
