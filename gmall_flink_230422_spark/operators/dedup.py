@@ -296,9 +296,15 @@ def connected_components(
         .distinct()
         .cache()
     )
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    ).localCheckpoint()
+    # seed labels with the one-hop min (self ∪ neighbors) — one aggregate,
+    # no join; cliques (the common LSH-bucket case) then converge in a
+    # single confirm round
+    labels = (
+        edges.groupBy("src")
+        .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
+        .select(F.col("src").alias("node"), "label")
+        .localCheckpoint()
+    )
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["node"])
