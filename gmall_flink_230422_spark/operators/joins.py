@@ -102,6 +102,72 @@ def salted_join(
     return out.drop("_salt")
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """AS-OF join (extension — the time-series join Spark lacks natively):
+    for each left row, attach the payload of the latest right row with the
+    same key and ``right_ts <= left_ts`` (inclusive); null payload when no
+    such row exists.
+
+    Scalable union-sort form: tag both sides, union, and carry the last
+    non-null payload forward with a running window per key — ONE shuffle on
+    the key, per-partition sort bounded by rows-per-key, and never the
+    quadratic key ⋈ key + filter + argmax a naive formulation costs. Ties
+    (right_ts == left_ts) order the right row first, so an exact-timestamp
+    match is visible to the left row. The right side must be unique per
+    (key, right_ts); pre-dedupe it if not (both engines would otherwise
+    pick an arbitrary row).
+    """
+    from pyspark.sql import Window
+
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),  # right sorts first on ts ties
+        payload.alias("_payload"),
+    )
+    l = left.select(
+        *left.columns,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+    )
+    lw = l.select(
+        *[F.col(k) for k in keys],
+        "_ts",
+        "_side",
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_left"),
+    )
+    rw = r.select(
+        *[F.col(k) for k in keys],
+        "_ts",
+        "_side",
+        "_payload",
+        F.lit(None).cast(lw.schema["_left"].dataType).alias("_left"),
+    )
+    unioned = lw.unionByName(rw)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "_asof", F.last("_payload", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("_side") == 1).select(
+        *[F.col(f"_left.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_asof.{c}").alias(c) for c in payload_cols],
+    )
+    return out
+
+
 def config_broadcast_join(
     main: DataFrame,
     config: DataFrame,

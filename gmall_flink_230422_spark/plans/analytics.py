@@ -374,7 +374,64 @@ GROUP BY GROUPING SETS ((r_name, n_name), (r_name), (n_name))
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """AS-OF join (extension): each event picks the customer's latest order
+    at-or-before the event time — the time-series join Spark lacks natively,
+    built scalably as tag-union + one keyed shuffle + running last-non-null
+    window (operators/joins.py::asof_join), never a quadratic
+    join-filter-argmax. Oracle: DuckDB's native ASOF LEFT JOIN. The right
+    side is pre-deduped to one row per (customer, date) via a single
+    max(struct) aggregate so both engines pick the same row."""
+    from ..operators import joins as jops
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("custkey"), "ts", "event_id"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    o1 = (
+        o.groupBy(F.col("o_custkey").alias("custkey"), "o_orderdate")
+        .agg(F.max(F.struct("o_orderkey", "o_totalprice")).alias("s"))
+        .select(
+            "custkey",
+            F.col("o_orderdate").cast("timestamp").alias("order_ts"),
+            F.col("s.o_orderkey").alias("o_orderkey"),
+            F.col("s.o_totalprice").alias("o_totalprice"),
+        )
+    )
+    joined = jops.asof_join(
+        ev, o1, ["custkey"], "ts", "order_ts", ["o_orderkey", "o_totalprice"]
+    )
+    return joined.groupBy("custkey").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("o_orderkey").alias("n_matched"),
+        F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+    )
+
+
+ORACLE_ASOF = """
+WITH o1 AS (
+  SELECT custkey, order_ts, o_orderkey, o_totalprice FROM (
+    SELECT o_custkey AS custkey, o_orderdate::TIMESTAMP AS order_ts,
+           o_orderkey, o_totalprice,
+           row_number() OVER (
+             PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+    FROM orders) WHERE rn = 1
+),
+j AS (
+  SELECT e.user_id AS custkey, o1.o_orderkey, o1.o_totalprice
+  FROM events e ASOF LEFT JOIN o1
+    ON e.user_id = o1.custkey AND e.ts >= o1.order_ts
+)
+SELECT custkey, count(*) AS n_events, count(o_orderkey) AS n_matched,
+       round(sum(o_totalprice), 2) AS price_sum
+FROM j GROUP BY custkey
+"""
+
+
 SPECS = [
+    QuerySpec("e_asof_join", q_asof_join, ORACLE_ASOF,
+              doc="as-of join: latest order at-or-before each event, union-sort form",
+              tags=("ext", "join", "asof")),
     QuerySpec("e_quantiles", q_quantiles, ORACLE_QUANTILES,
               doc="exact per-group order statistics by integer rank selection",
               tags=("ext", "window", "agg")),

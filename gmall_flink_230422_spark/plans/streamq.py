@@ -355,6 +355,75 @@ GROUP BY 1
 """
 
 
+def q_stream_left_outer_join(spark, sf_dir):
+    """J2 through the streaming engine: watermarked stream-stream LEFT OUTER
+    interval join (DwdTradeOrderPreProcess.java:168-171's left joins) —
+    null-extended rows are emitted only once the watermark PROVES no match
+    can arrive. Two far-future sentinel events (one per side's filter) push
+    the final watermark past every real row so the tail null-extensions
+    flush, exactly as a continuously advancing watermark would in
+    production; sentinels themselves are never emitted (the watermark never
+    passes them) and are filtered defensively anyway."""
+    ev = load_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinel_ts = F.lit(max_ts).cast("timestamp") + F.expr("INTERVAL 7200 SECONDS")
+    sentinels = (
+        spark.range(2)
+        .select(
+            F.lit(-1).cast("long").alias("user_id"),
+            sentinel_ts.alias("ts"),
+            F.when(F.col("id") == 0, F.lit("view")).otherwise(F.lit("click")).alias("event_type"),
+        )
+    )
+    src = _ordered_events_source(
+        spark, sf_dir, ["user_id", "ts", "event_type"], extra=sentinels
+    )
+    schema = spark.read.parquet(src).schema
+    views = (
+        files.stream_parquet(spark, src, schema, files_per_trigger=2)
+        .filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
+    )
+    clicks = (
+        files.stream_parquet(spark, src, schema, files_per_trigger=2)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+    )
+    joined = sjoins.interval_join(
+        views,
+        clicks,
+        on=F.col("v_user") == F.col("c_user"),
+        left_ts="view_ts",
+        right_ts="click_ts",
+        watermark="10 seconds",
+        lower="0 seconds",
+        upper="30 minutes",
+        how="left_outer",
+    )
+    out = spark.read.parquet(_drain_append(joined, "j2")).filter(F.col("v_user") >= 0)
+    return (
+        out.withColumn("dt", F.date_format("view_ts", "yyyy-MM-dd"))
+        .groupBy("dt")
+        .agg(
+            F.count(F.lit(1)).alias("row_ct"),
+            F.count("click_ts").alias("matched_ct"),
+            F.sum(F.col("click_ts").isNull().cast("bigint")).alias("unmatched_ct"),
+        )
+    )
+
+
+ORACLE_STREAM_LEFT_OUTER = """
+SELECT strftime(v.ts, '%Y-%m-%d') AS dt, count(*) AS row_ct,
+       count(c.ts)::BIGINT AS matched_ct,
+       sum(CASE WHEN c.ts IS NULL THEN 1 ELSE 0 END)::BIGINT AS unmatched_ct
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON v.user_id = c.user_id
+  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+GROUP BY 1
+"""
+
+
 SPECS = (
     QuerySpec(
         "s_stream_daily_uv", q_stream_daily_uv, ORACLE_DAILY_UV,
@@ -370,6 +439,11 @@ SPECS = (
         "s_stream_bounce", q_stream_bounce, ORACLE_STREAM_BOUNCE,
         doc="T5 executed via streaming: CEP match ∪ event-time-timeout union",
         tags=("T5", "T1", "streaming"),
+    ),
+    QuerySpec(
+        "s_stream_left_outer_join", q_stream_left_outer_join, ORACLE_STREAM_LEFT_OUTER,
+        doc="J2 executed via streaming: left-outer interval join, null-extension on watermark close",
+        tags=("J2", "J7", "T1", "streaming"),
     ),
     QuerySpec(
         "s_stream_interval_join", q_stream_interval_join, ORACLE_STREAM_INTERVAL_JOIN,

@@ -174,3 +174,28 @@ def test_q15_has_no_single_partition_exchange(spark):
 
     plan = plan_of(registry()["q15_top_supplier"].fn(spark, SF_DIR))
     assert "Window" not in plan, plan
+
+
+def test_asof_join_semantics(spark):
+    """Inclusive tie, latest-wins, and no-match-null behavior of asof_join."""
+    import datetime as dt
+
+    from gmall_flink_230422_spark.operators.joins import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, s)
+    left = spark.createDataFrame(
+        [(1, t(5), "e1"), (1, t(10), "e2"), (2, t(3), "e3"), (3, t(9), "e4")],
+        ["k", "ts", "eid"],
+    )
+    right = spark.createDataFrame(
+        [(1, t(5), 100.0), (1, t(7), 200.0), (2, t(4), 300.0)],
+        ["k", "rts", "price"],
+    )
+    out = {r["eid"]: r["price"] for r in
+           asof_join(left, right, ["k"], "ts", "rts", ["price"]).collect()}
+    assert out == {
+        "e1": 100.0,   # tie (rts == ts) is inclusive
+        "e2": 200.0,   # latest at-or-before wins
+        "e3": None,    # right row is in the future -> null
+        "e4": None,    # key with no right rows at all
+    }
