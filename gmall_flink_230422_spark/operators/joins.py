@@ -168,6 +168,45 @@ def asof_join(
     return out
 
 
+def range_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    left_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bin_seconds: int = 600,
+) -> DataFrame:
+    """Interval-overlap (range) join via time-axis binning (extension —
+    Spark plans a bare ``start <= ts <= end`` predicate as a nested-loop
+    join, the 100 TB anti-pattern).
+
+    Each interval explodes into the fixed-width bins it covers; each left
+    row lands in exactly one bin; an EQUI-join on the bin id plus the
+    residual range filter reproduces the theta-join exactly. Every matching
+    (row, interval) pair appears once — it can only meet in the left row's
+    single bin. Cost: one hash-partitionable shuffle (or broadcast when the
+    exploded intervals are small) instead of O(n·m) comparisons; interval
+    fan-out is ceil(len/bin)+1, so pick ``bin_seconds`` near the typical
+    interval length. Timestamps compare at microsecond precision; both
+    bounds inclusive. Caller ensures disjoint column names.
+    """
+    us = bin_seconds * 1_000_000
+    lb = left.withColumn("_bin", F.expr(f"unix_micros({left_ts}) div {us}"))
+    iv = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"unix_micros({start_ts}) div {us}"),
+                F.expr(f"unix_micros({end_ts}) div {us}"),
+            )
+        ),
+    )
+    out = lb.join(iv, "_bin").filter(
+        (F.col(left_ts) >= F.col(start_ts)) & (F.col(left_ts) <= F.col(end_ts))
+    )
+    return out.drop("_bin")
+
+
 def config_broadcast_join(
     main: DataFrame,
     config: DataFrame,

@@ -428,7 +428,100 @@ FROM j GROUP BY custkey
 """
 
 
+def q_range_join(spark, sf_dir):
+    """Pure range (interval-overlap) join, binned: high-value events spawn
+    10-minute incident windows; every event falling inside a window is
+    attributed to it (an event can hit several overlapping windows, like the
+    theta-join oracle). operators/joins.py::range_join turns the
+    nested-loop predicate into an equi-join on a time bin + residual filter
+    — the plan must show a hash/broadcast join, never
+    BroadcastNestedLoopJoin (asserted in test_scale_plans)."""
+    from ..operators import joins as jops
+
+    ev = load_table(spark, sf_dir, "events")
+    incidents = ev.filter(F.col("value") > 225.0).select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+    )
+    j = jops.range_join(
+        ev.select("ts", "value"), incidents, "ts", "w_start", "w_end",
+        bin_seconds=600,
+    )
+    return j.groupBy("incident_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )
+
+
+ORACLE_RANGE_JOIN = """
+WITH w AS (
+  SELECT event_id AS incident_id, ts AS w_start, ts + INTERVAL 10 MINUTE AS w_end
+  FROM events WHERE value > 225.0
+)
+SELECT incident_id, count(*) AS n_events, round(sum(e.value), 2) AS value_sum
+FROM w JOIN events e ON e.ts >= w.w_start AND e.ts <= w.w_end
+GROUP BY incident_id
+"""
+
+
+def q_hll_distinct(spark, sf_dir):
+    """Deterministic HyperLogLog distinct-count sketch per event_type, with
+    the exact count alongside. Fixed 256-register state per group merged
+    map-side (operators/sketches.py) — the 100 TB shape for distinct
+    counting; the estimate is bit-reproducible cross-engine (integer-exact
+    harmonic sum, one double division), so DuckDB matches it exactly —
+    unlike approx_count_distinct, whose sketch is engine-private. Raw
+    estimator: biased high when exact_ct << 2.5·m (visible at sf0.001),
+    documented in the module."""
+    from ..operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    b = sketches.hll_buckets(
+        ev, F.col("event_id").cast("string"), ["event_type"]
+    )
+    est = sketches.hll_estimate(b, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("event_id").alias("exact_ct")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type", "exact_ct", "hll_est"
+    )
+
+
+def _oracle_hll() -> str:
+    from ..functions.hashing import portable_hash64_sql
+    from ..operators import sketches
+
+    return f"""
+WITH h AS (
+  SELECT event_type, {portable_hash64_sql("CAST(event_id AS VARCHAR)")} AS _h
+  FROM events
+),
+r AS (SELECT event_type, {sketches.hll_rho_sql("_h")} FROM h),
+reg AS (
+  SELECT event_type, _bucket, max(_rho) AS _max_rho FROM r GROUP BY 1, 2
+),
+est AS (
+  SELECT event_type, {sketches.hll_estimate_sql()} AS hll_est
+  FROM reg GROUP BY 1
+),
+exact AS (
+  SELECT event_type, count(DISTINCT event_id)::BIGINT AS exact_ct
+  FROM events GROUP BY 1
+)
+SELECT exact.event_type, exact_ct, hll_est
+FROM exact JOIN est ON exact.event_type = est.event_type
+"""
+
+
 SPECS = [
+    QuerySpec("e_range_join", q_range_join, ORACLE_RANGE_JOIN,
+              doc="binned interval-overlap join: events inside incident windows",
+              tags=("ext", "join", "range")),
+    QuerySpec("e_hll_distinct", q_hll_distinct, _oracle_hll(),
+              doc="deterministic HLL distinct sketch vs exact, per event_type",
+              tags=("ext", "sketch", "agg")),
     QuerySpec("e_asof_join", q_asof_join, ORACLE_ASOF,
               doc="as-of join: latest order at-or-before each event, union-sort form",
               tags=("ext", "join", "asof")),

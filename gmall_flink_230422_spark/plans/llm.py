@@ -366,6 +366,59 @@ ORDER BY df DESC, bigram LIMIT 300
 """
 
 
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch term-frequency estimation (corpus monitoring at
+    100 TB: the 4×1024-cell grid is fixed-size mergeable state, so token
+    frequencies stream into KBs of memory instead of a full vocab table).
+    Top-20 exact tokens are probed against the sketch; cms_est >= exact_tf
+    always (collision overcount only). Deterministic: same portable-hash
+    universal family as MinHash, so DuckDB rebuilds the identical grid."""
+    from ..operators import sketches
+
+    d = _docs_par(spark, sf_dir)
+    toks = d.select(
+        F.explode(
+            tokenize.whitespace_tokens(dedup.normalize_text(F.col("text")))
+        ).alias("token")
+    )
+    sketch = sketches.cms_table(toks, F.col("token"))
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_tf"))
+        .orderBy(F.col("exact_tf").desc(), "token")
+        .limit(20)
+    )
+    return sketches.cms_lookup(sketch, top, "token")
+
+
+def _oracle_cms() -> str:
+    from ..operators import sketches
+
+    phash_tok = f"({_PHASH.format(x='token')} % 2147483647)"
+    return f"""
+WITH toks AS (SELECT unnest({_TOKS}) AS token FROM documents),
+hb AS (SELECT {phash_tok} AS _hb FROM toks),
+rows AS (SELECT unnest([0, 1, 2, 3]) AS cms_row),
+cells AS (
+  SELECT cms_row, {sketches.cms_col_sql("cms_row", "_hb")} AS cms_col,
+         count(*)::BIGINT AS cms_count
+  FROM hb CROSS JOIN rows GROUP BY 1, 2
+),
+top AS (
+  SELECT token, count(*)::BIGINT AS exact_tf FROM toks
+  GROUP BY 1 ORDER BY exact_tf DESC, token LIMIT 20
+),
+probes AS (
+  SELECT token, exact_tf, cms_row,
+         {sketches.cms_col_sql("cms_row", phash_tok)} AS cms_col
+  FROM top CROSS JOIN rows
+)
+SELECT p.token, p.exact_tf, min(c.cms_count) AS cms_est
+FROM probes p JOIN cells c ON p.cms_row = c.cms_row AND p.cms_col = c.cms_col
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------- duplicate clusters (union-find)
 def q_dedup_clusters(spark, sf_dir):
     """Connected-component duplicate clustering: MinHash/LSH verified pairs
@@ -1053,6 +1106,9 @@ SPECS = [
     QuerySpec("x_ngram_counts", q_ngram_counts, ORACLE_NGRAM_COUNTS,
               doc="corpus bigram frequency table, top-300 by df",
               tags=("llm", "text")),
+    QuerySpec("x_cms_heavy_hitters", q_cms_heavy_hitters, _oracle_cms(),
+              doc="count-min sketch: top-20 token frequencies, estimate vs exact",
+              tags=("llm", "text", "sketch")),
     QuerySpec("x_dedup_clusters", q_dedup_clusters, ORACLE_DEDUP_CLUSTERS,
               doc="connected-component duplicate clustering (min-label propagation)",
               tags=("llm", "dedup")),

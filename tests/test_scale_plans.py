@@ -199,3 +199,66 @@ def test_asof_join_semantics(spark):
         "e3": None,    # right row is in the future -> null
         "e4": None,    # key with no right rows at all
     }
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    """The binned range join must plan as a hash/sort-merge/broadcast-hash
+    join on the bin key — never the O(n*m) nested-loop a bare range
+    predicate produces."""
+    from gmall_flink_230422_spark.plans import registry
+
+    plan = plan_of(registry()["e_range_join"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_range_join_matches_theta_join(spark):
+    """Binned result == naive theta-join result (pair multiset identical)."""
+    from gmall_flink_230422_spark.operators.joins import range_join
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "ts")
+    iv = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("value") > 150)
+        .select(
+            F.col("event_id").alias("wid"),
+            F.col("ts").alias("ws"),
+            (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("we"),
+        )
+    )
+    binned = {
+        (r["event_id"], r["wid"])
+        for r in range_join(ev, iv, "ts", "ws", "we", 600).collect()
+    }
+    naive = {
+        (r["event_id"], r["wid"])
+        for r in ev.join(
+            iv, (F.col("ts") >= F.col("ws")) & (F.col("ts") <= F.col("we"))
+        ).collect()
+    }
+    assert binned == naive and len(binned) > 0
+
+
+def test_hll_accuracy_in_dense_regime(spark):
+    """Raw HLL (m=256) within 10% of exact when n >> m (standard error
+    1.04/sqrt(256) = 6.5%)."""
+    from gmall_flink_230422_spark.operators import sketches
+
+    df = spark.range(20000).select(F.col("id").cast("string").alias("v"))
+    b = sketches.hll_buckets(df.withColumn("g", F.lit(1)), F.col("v"), ["g"])
+    est = sketches.hll_estimate(b, ["g"]).first()["hll_est"]
+    assert abs(est - 20000) / 20000 < 0.10, est
+
+
+def test_cms_never_underestimates(spark):
+    """CMS point estimates are >= exact counts for every probed term."""
+    from gmall_flink_230422_spark.operators import sketches
+
+    df = spark.range(5000).select(
+        F.concat(F.lit("t"), (F.col("id") % 100).cast("string")).alias("term")
+    )
+    sketch = sketches.cms_table(df, F.col("term"))
+    exact = df.groupBy("term").agg(F.count(F.lit(1)).alias("exact_ct"))
+    probed = sketches.cms_lookup(sketch, exact, "term").collect()
+    assert len(probed) == 100
+    assert all(r["cms_est"] >= r["exact_ct"] for r in probed)
