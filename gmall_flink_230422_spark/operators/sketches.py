@@ -183,7 +183,86 @@ def cms_lookup(
     )
 
 
+BLOOM_M_BITS = 65_536
+BLOOM_K = 4
+
+
+def bloom_build(
+    keys: DataFrame, key: Column, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
+) -> list[int]:
+    """Build a Bloom-filter bitset from a key column; returns the dense
+    word array (``m_bits / 64`` longs — 8 KB at the default size).
+
+    The build is fully distributed: per key, k positions from the portable
+    universal family; positions fold into (word, mask) cells and a single
+    ``bit_or`` aggregate (map-side combined) produces at most 1024 rows.
+    Only that bounded bitset is collected — same contract as the broadcast
+    config table (apps.py): driver state is O(m_bits), never O(keys).
+
+    Why not Spark's runtime bloom (spark.sql.optimizer.runtime.bloomFilter)?
+    It only injects into equi-joins it can see through; this one is an
+    explicit, reusable bitset you can apply to ANY fact scan — including
+    streaming micro-batches and pre-shuffle pruning the optimizer can't
+    prove — and it's deterministic/portable for the oracle story.
+    """
+    base = F.pmod(portable_hash64(key), F.lit(MINHASH_P))
+    cells = (
+        keys.select(base.alias("_hb"))
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_s"), "_hb"
+        )
+        .withColumn("_pos", F.expr(cms_col_sql("_s", "_hb", m_bits)))
+        .select(
+            F.expr("_pos div 64").alias("_word"),
+            F.expr("shiftleft(1L, CAST(_pos % 64 AS INT))").alias("_mask"),
+        )
+        .groupBy("_word")
+        .agg(F.expr("bit_or(_mask)").alias("_bits"))
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for row in cells:
+        words[row["_word"]] = row["_bits"]
+    return words
+
+
+def bloom_prune(
+    df: DataFrame,
+    key: Column,
+    words: list[int],
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Drop rows whose key is definitely not in the bloomed set.
+
+    The bitset rides into every task as an array literal (one 8 KB
+    broadcast-equivalent), so the probe is a pure projection-time
+    expression — zero joins, zero shuffles, applied at the scan. False
+    positives pass through (pruning less, never changing results); the
+    exact join downstream stays correct. This is the 100 TB pre-shuffle
+    guard: prune the fact table to ~matching rows BEFORE paying the
+    Exchange.
+    """
+    arr = F.array(*[F.lit(w) for w in words])
+    probed = df.withColumn(
+        "_bh", F.pmod(portable_hash64(key), F.lit(MINHASH_P))
+    ).withColumn("_bloom_arr", arr)
+    cond = None
+    for s in range(k):
+        pos = f"(({cms_col_sql(str(s), '_bh', m_bits)}))"
+        hit = F.expr(
+            f"(element_at(_bloom_arr, CAST({pos} div 64 AS INT) + 1) & "
+            f"shiftleft(1L, CAST({pos} % 64 AS INT))) != 0"
+        )
+        cond = hit if cond is None else (cond & hit)
+    return probed.filter(cond).drop("_bh", "_bloom_arr")
+
+
 __all__ = [
+    "BLOOM_M_BITS",
+    "BLOOM_K",
+    "bloom_build",
+    "bloom_prune",
     "HLL_M",
     "HLL_RHO_CAP",
     "HLL_EST_NUMERATOR",

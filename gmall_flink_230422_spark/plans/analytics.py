@@ -515,7 +515,52 @@ FROM exact JOIN est ON exact.event_type = est.event_type
 """
 
 
+def q_bloom_join(spark, sf_dir):
+    """Bloom-pruned dimension join: revenue of suppliers in one nation.
+    The supplier keyset folds into an 8 KB deterministic Bloom bitset
+    (operators/sketches.py::bloom_build — bounded driver state, like the
+    reference's broadcast config); the lineitem scan is pruned by a pure
+    projection-time probe BEFORE any shuffle, then the exact join
+    guarantees correctness (false positives only prune less). At 100 TB
+    this is the difference between shuffling the whole fact table and
+    shuffling ~1/25th of it. Oracle: the plain join — bloom must be
+    result-invisible."""
+    from ..operators import sketches
+
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    dim = s.join(
+        F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]
+    ).select("s_suppkey", "s_name")
+    words = sketches.bloom_build(dim, F.col("s_suppkey").cast("string"))
+    li = load_table(spark, sf_dir, "lineitem")
+    pruned = sketches.bloom_prune(li, F.col("l_suppkey").cast("string"), words)
+    return (
+        pruned.join(dim, pruned["l_suppkey"] == dim["s_suppkey"])
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+    )
+
+
+ORACLE_BLOOM_JOIN = """
+SELECT s_suppkey, s_name, count(*) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+GROUP BY s_suppkey, s_name
+"""
+
+
 SPECS = [
+    QuerySpec("e_bloom_join", q_bloom_join, ORACLE_BLOOM_JOIN,
+              doc="Bloom-prefiltered supplier join: bitset prune before shuffle, exact join after",
+              tags=("ext", "join", "sketch")),
     QuerySpec("e_range_join", q_range_join, ORACLE_RANGE_JOIN,
               doc="binned interval-overlap join: events inside incident windows",
               tags=("ext", "join", "range")),

@@ -616,6 +616,50 @@ FROM customer
 """
 
 
+def q_scd2_history(spark, sf_dir):
+    """SCD2 dimension history (extension): every CDC version of order_info
+    becomes a validity interval [valid_from, valid_to) with one lead()
+    window per key; the open interval is the current image. This is the
+    warehouse-standard history-preserving alternative to the reference's
+    SCD1 Phoenix upsert (DimSinkFunction overwrites in place, DimApp) —
+    one keyed shuffle, no self-join, and at 100 TB the window partitions
+    by the dimension key so state is bounded by versions-per-key."""
+    from pyspark.sql import Window
+
+    env = _materialize(_order_info_branches(spark, sf_dir), via_json=False)
+    rows = env.filter(F.col("table") == "order_info").select(
+        F.col("data")["id"].cast("bigint").alias("id"),
+        F.col("data")["order_status"].alias("order_status"),
+        F.col("data")["operate_time"].alias("valid_from"),
+    )
+    w = Window.partitionBy("id").orderBy("valid_from")
+    return rows.select(
+        "id",
+        "order_status",
+        "valid_from",
+        F.lead("valid_from").over(w).alias("valid_to"),
+        F.lead("valid_from").over(w).isNull().cast("int").alias("is_current"),
+    )
+
+
+ORACLE_SCD2 = """
+WITH v AS (
+  SELECT o_orderkey AS id, '1001' AS order_status,
+         strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS valid_from
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'F' THEN '1003' ELSE '1002' END,
+         strftime(o_orderdate + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S')
+  FROM orders WHERE o_orderstatus IN ('F', 'O')
+)
+SELECT id, order_status, valid_from,
+       lead(valid_from) OVER w AS valid_to,
+       CAST(lead(valid_from) OVER w IS NULL AS INT) AS is_current
+FROM v WINDOW w AS (PARTITION BY id ORDER BY valid_from)
+"""
+
+
 # ---------------------------------------------------------------- J6 five-way join
 def q_dwd_order_detail(spark, sf_dir):
     """J6 end-to-end over the envelope: order_detail ⋈ compacted order_info
@@ -719,6 +763,11 @@ SPECS = (
         "p3_dwd_coupon_pay", q_dwd_coupon_pay, ORACLE_COUPON_PAY,
         doc="dwd_tool_coupon_pay spec: require_nonnull + date_id",
         tags=("P3", "P4"),
+    ),
+    QuerySpec(
+        "e_scd2_history", q_scd2_history, ORACLE_SCD2,
+        doc="SCD2 validity intervals from the CDC changelog (lead window per key)",
+        tags=("ext", "S11", "T9"),
     ),
     QuerySpec(
         "j6_dwd_order_detail", q_dwd_order_detail, ORACLE_ORDER_DETAIL,

@@ -424,7 +424,49 @@ GROUP BY 1
 """
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exactly-once dedup via Spark's native
+    ``dropDuplicatesWithinWatermark``: the source replays every event TWICE
+    (the at-least-once redelivery shape a Kafka consumer restart produces —
+    the situation the reference handles with Flink checkpoint replay +
+    downstream idempotence, SURVEY §2.1 S7); the operator keeps first-seen
+    per event_id, holding state only until the watermark passes the dup's
+    event time — bounded state, unlike a global dropDuplicates. Oracle: the
+    raw events table (dedup must exactly cancel the double delivery)."""
+    ev = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "value"]
+    src = _ordered_events_source(spark, sf_dir, cols, extra=ev.select(*cols))
+    schema = spark.read.parquet(src).schema
+    stream = files.stream_parquet(spark, src, schema, files_per_trigger=2)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = spark.read.parquet(_drain_append(deduped, "dedup"))
+    return (
+        out.withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("dt")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+    )
+
+
+ORACLE_STREAM_DEDUP = """
+SELECT strftime(ts, '%Y-%m-%d') AS dt, count(*) AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       round(sum(value), 2) AS value_sum
+FROM events GROUP BY 1
+"""
+
+
 SPECS = (
+    QuerySpec(
+        "s_stream_dedup", q_stream_dedup, ORACLE_STREAM_DEDUP,
+        doc="at-least-once redelivery canceled by dropDuplicatesWithinWatermark",
+        tags=("T3", "T11", "T1", "streaming"),
+    ),
     QuerySpec(
         "s_stream_daily_uv", q_stream_daily_uv, ORACLE_DAILY_UV,
         doc="T3 executed via streaming: watermarked dropDuplicates per (mid, day)",

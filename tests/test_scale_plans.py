@@ -262,3 +262,23 @@ def test_cms_never_underestimates(spark):
     probed = sketches.cms_lookup(sketch, exact, "term").collect()
     assert len(probed) == 100
     assert all(r["cms_est"] >= r["exact_ct"] for r in probed)
+
+
+def test_bloom_prune_is_lossless_and_selective(spark):
+    """bloom_prune keeps every true match (join result identical to the
+    un-pruned join) while actually dropping most non-matching rows."""
+    from gmall_flink_230422_spark.operators import sketches
+
+    s = load_table(spark, SF_DIR, "supplier").filter(F.col("s_nationkey") == 3)
+    dim = s.select("s_suppkey")
+    words = sketches.bloom_build(dim, F.col("s_suppkey").cast("string"))
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_suppkey")
+    pruned = sketches.bloom_prune(li, F.col("l_suppkey").cast("string"), words)
+
+    full_n = li.count()
+    pruned_n = pruned.count()
+    assert pruned_n < full_n * 0.5, (pruned_n, full_n)  # actually prunes
+
+    exact = {tuple(r) for r in li.join(dim, li["l_suppkey"] == dim["s_suppkey"]).collect()}
+    via_bloom = {tuple(r) for r in pruned.join(dim, pruned["l_suppkey"] == dim["s_suppkey"]).collect()}
+    assert exact == via_bloom and len(exact) > 0
