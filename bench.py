@@ -52,6 +52,12 @@ HEADLINE = [
     "x_dedup_corpus_cc",
     "e_quantiles",
     "x_vocab_topk",
+    # round-2 batch 3: time-series joins + deterministic sketches
+    "e_asof_join",
+    "e_range_join",
+    "e_bloom_join",
+    "e_hll_distinct",
+    "x_cms_heavy_hitters",
 ]
 
 

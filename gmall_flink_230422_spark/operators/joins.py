@@ -161,8 +161,15 @@ def asof_join(
     carried = unioned.withColumn(
         "_asof", F.last("_payload", ignorenulls=True).over(w)
     )
+    # Key columns pass through TOP-LEVEL (not re-projected out of the _left
+    # struct): that preserves the window's hash-partitioning lineage, so a
+    # downstream groupBy/join on the same keys plans WITHOUT another
+    # Exchange — the asof shuffle is reused.
     out = carried.filter(F.col("_side") == 1).select(
-        *[F.col(f"_left.{c}").alias(c) for c in left.columns],
+        *[
+            F.col(c) if c in keys else F.col(f"_left.{c}").alias(c)
+            for c in left.columns
+        ],
         *[F.col(f"_asof.{c}").alias(c) for c in payload_cols],
     )
     return out

@@ -282,3 +282,20 @@ def test_bloom_prune_is_lossless_and_selective(spark):
     exact = {tuple(r) for r in li.join(dim, li["l_suppkey"] == dim["s_suppkey"]).collect()}
     via_bloom = {tuple(r) for r in pruned.join(dim, pruned["l_suppkey"] == dim["s_suppkey"]).collect()}
     assert exact == via_bloom and len(exact) > 0
+
+
+def test_asof_join_reuses_partitioning(spark):
+    """The final per-key aggregate after asof_join must reuse the asof
+    shuffle's hash partitioning: 2 Exchanges total (right-side pre-dedup +
+    the union window), never a third for the groupBy."""
+    import re
+
+    from gmall_flink_230422_spark.plans import registry
+
+    plan = plan_of(registry()["e_asof_join"].fn(spark, SF_DIR))
+    n_ex = sum(
+        1
+        for line in plan.splitlines()
+        if re.match(r"^\s*\(\d+\)\s*Exchange", line)
+    )
+    assert n_ex <= 2, plan
