@@ -293,6 +293,80 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    size: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window chunking: split each document into overlapping
+    ``size``-token chunks every ``stride`` tokens (overlap = size − stride),
+    the standard pre-training/RAG windowing step.
+
+    Pure array expressions — tokenize, ``sequence`` of chunk starts,
+    ``explode``, ``slice`` — so chunking runs at scan speed with ZERO
+    shuffles and no Python; at 100 TB it pipelines into whatever the next
+    stage partitions by. Empty documents produce no chunks (both engines).
+
+    Output: (doc_id, chunk_id, n_tokens, chunk_text), chunk_id = start/stride.
+    """
+    toks = whitespace_tokens(normalize_text(F.col(text_col)))
+    base = docs.select(F.col(id_col), toks.alias("_toks")).filter(
+        F.size("_toks") > 0
+    )
+    starts = F.sequence(F.lit(0), F.size("_toks") - 1, F.lit(stride))
+    chunks = base.select(id_col, "_toks", F.explode(starts).alias("_start"))
+    return chunks.select(
+        F.col(id_col),
+        (F.col("_start") / stride).cast("bigint").alias("chunk_id"),
+        F.least(F.lit(size), F.size("_toks") - F.col("_start"))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.array_join(F.slice("_toks", F.col("_start") + 1, F.lit(size)), " ").alias(
+            "chunk_text"
+        ),
+    )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    scale: int = 256,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Per-row weighted sampling: keep a document with probability
+    min(1, weight/scale), deterministically — the quality-weighted
+    upsampling/downsampling primitive (e.g. keep long documents, thin
+    boilerplate) complementing the per-stratum :func:`stratified_sample`.
+
+    Decision is pure integer arithmetic: salted id-hash bucket in [0,10000)
+    vs threshold ``min(10000, weight·10000 div scale)`` — no float at the
+    boundary, engine-portable, stable under corpus growth and re-runs.
+    Map-side projection+filter: zero shuffles.
+    """
+    from ..functions.hashing import portable_hash64
+
+    bucket = F.pmod(
+        portable_hash64(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+        F.lit(10000),
+    )
+    thr = F.least(
+        F.lit(10000).cast("bigint"),
+        F.expr(f"({weight_col} * 10000) div {scale}").cast("bigint"),
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(weight_col),
+            bucket.cast("bigint").alias("bucket"),
+            thr.alias("keep_thr"),
+        )
+        .filter(F.col("bucket") < F.col("keep_thr"))
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     rates: dict[str, float],
