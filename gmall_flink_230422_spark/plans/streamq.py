@@ -53,9 +53,23 @@ from .gmall import (
 )
 
 
+def _clamp_shuffle(spark: SparkSession) -> None:
+    """On a vanilla session (driver harness) the 200-partition default makes
+    every micro-batch state shuffle ~6× wider than the core count for the
+    small per-batch volumes here — pure task-launch overhead. Clamp to the
+    scheduler's parallelism ONLY when the config is still the untouched
+    default; a deliberate setting (session factory, cluster tuning) wins.
+    Runtime-settable, affects only subsequent jobs on this session."""
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+        )
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as a replayed multi-file micro-batch stream (ts already
     micros — the nanos conversion happens in the batch re-chunk write)."""
+    _clamp_shuffle(spark)
     tmp = tempfile.mkdtemp(prefix="streamq_src_")
     src = os.path.join(tmp, "events")
     ev = load_table(spark, sf_dir, "events")
@@ -71,6 +85,7 @@ def _ordered_events_source(
     chunks; returns the source dir. Per-key stateful operators (T2/T5) and
     watermarked joins see in-order arrival across micro-batches, the same
     contract a Kafka topic keyed by mid gives the reference's keyed streams."""
+    _clamp_shuffle(spark)
     tmp = tempfile.mkdtemp(prefix="streamq_ord_")
     src = os.path.join(tmp, "events")
     ev = load_table(spark, sf_dir, "events").select(*cols)
@@ -186,6 +201,7 @@ def q_stream_upsert_latest(spark, sf_dir):
     equals batch s8_upsert_latest regardless of micro-batch boundaries."""
     from .. import sinks
 
+    _clamp_shuffle(spark)
     tmp = tempfile.mkdtemp(prefix="streamq_s8_")
     src = os.path.join(tmp, "src")
     store = os.path.join(tmp, "store")
