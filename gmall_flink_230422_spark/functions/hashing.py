@@ -23,6 +23,15 @@ def portable_hash64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
+def fast_hash60(col: Column) -> Column:
+    """60-bit non-negative hash via Spark's codegen'd xxhash64 — an order of
+    magnitude cheaper than the md5 path and type-direct (no string cast).
+    NOT cross-engine portable: use only where the hash is result-invisible
+    (e.g. Bloom pruning, where false positives merely prune less and the
+    exact join downstream fixes everything)."""
+    return F.pmod(F.xxhash64(col), F.lit(1 << 60))
+
+
 def portable_hash64_sql(expr: str) -> str:
     """Same hash as :func:`portable_hash64`, as a DuckDB SQL expression."""
     return f"(('0x' || substr(md5({expr}), 1, 15)))::BIGINT"

@@ -298,14 +298,17 @@ def connected_components(
     )
     # seed labels with the one-hop min (self ∪ neighbors) — one aggregate,
     # no join; cliques (the common LSH-bucket case) then converge in a
-    # single confirm round
+    # single confirm round. cache() (not checkpoint) — the convergence
+    # count below materializes it in the SAME job, so each round costs one
+    # action, not two; a periodic localCheckpoint keeps lineage bounded on
+    # pathological long chains.
     labels = (
         edges.groupBy("src")
         .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
         .select(F.col("src").alias("node"), "label")
-        .localCheckpoint()
+        .cache()
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
@@ -318,9 +321,13 @@ def connected_components(
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
                 (F.col("nbr_label") < F.col("label")).alias("changed"),
             )
-        ).localCheckpoint()
+        )
+        new_labels = (
+            new_labels.localCheckpoint() if (it + 1) % 5 == 0 else new_labels.cache()
+        )
         changed = new_labels.filter("changed").count()
-        labels = new_labels.drop("changed")
+        prev, labels = labels, new_labels.drop("changed")
+        prev.unpersist()
         if changed == 0:
             break
     edges.unpersist()

@@ -128,29 +128,50 @@ def ivf_centroids(
     )
 
 
+def _centroid_array(centroids: DataFrame) -> DataFrame:
+    """Pack (cid, cvec) rows into ONE row holding array<struct<cid,cvec>>,
+    sorted by cid (collect_list order is nondeterministic; the sort fixes
+    it). The packed array broadcasts as a single small value, so downstream
+    per-row argmax/top-k over centroids needs no explode and no shuffle."""
+    return centroids.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cvec"))).alias("_cents")
+    )
+
+
+def _score6(vec: Column, cvec: Column) -> Column:
+    """Centroid score: cosine floor-truncated to 6 dp (bit-stable across
+    engines — same grid the oracle uses)."""
+    return F.floor(cosine(vec, cvec) * 1000000) / 1000000
+
+
 def ivf_assign(
     corpus: DataFrame, centroids: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """Inverted-list assignment: each vector → its max-cosine centroid
-    (rounded to 6 dp, cid tiebreak — bit-stable across engines).
+    (truncated to 6 dp, lowest-cid tiebreak — bit-stable across engines).
 
     At 100 TB this is the write-time step: the corpus is materialized
     partitioned by ``list_id``, so probes become partition-pruned scans.
-    The broadcast×argmax costs n_centroids score evaluations per row with
-    zero shuffle (the rank window is partitioned by the vector id, which
-    the corpus is already distributed by).
+    The argmax is evaluated per row over the broadcast centroid array with
+    ``array_max`` over ``transform`` — a pure narrow map: no explode, no
+    window, ZERO shuffle regardless of corpus size. ``array_max`` compares
+    struct fields left-to-right, so (score, -cid) yields max score with the
+    LOWEST cid on ties, matching the oracle's ORDER BY score DESC, cid.
     """
-    scored = corpus.join(F.broadcast(centroids)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        "cid",
-        (F.floor((cosine(F.col(vec_col), F.col("cvec"))) * 1000000) / 1000000).alias("_cs"),
+    cents = _centroid_array(centroids)
+    best = F.array_max(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                _score6(F.col(vec_col), c["cvec"]).alias("_cs"),
+                (-c["cid"]).alias("_ncid"),
+            ),
+        )
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("_cs").desc(), F.col("cid"))
     return (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .select(id_col, vec_col, F.col("cid").alias("list_id"))
+        corpus.join(F.broadcast(cents))
+        .withColumn("_best", best)
+        .select(id_col, vec_col, (-F.col("_best._ncid")).alias("list_id"))
     )
 
 
@@ -209,17 +230,27 @@ def ivf_topk(
         cents = ivf_refine_centroids(assigned, id_col, vec_col)
         assigned = ivf_assign(corpus, cents, id_col, vec_col)
     q = query.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    q_scored = q.join(F.broadcast(cents)).select(
-        "query_id",
-        "qvec",
-        "cid",
-        (F.floor((cosine(F.col("qvec"), F.col("cvec"))) * 1000000) / 1000000).alias("_cs"),
+    # Top-n_probe lists per query via a sorted slice of the broadcast
+    # centroid array — same narrow-map trick as ivf_assign (no window, no
+    # shuffle). array_sort ascends, so (-score, cid) ranks score DESC with
+    # lowest-cid tiebreak, exactly the oracle's ordering.
+    ranked = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("_cents"),
+                lambda c: F.struct(
+                    (-_score6(F.col("qvec"), c["cvec"])).alias("_ncs"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        ),
+        1,
+        n_probe,
     )
-    wq = Window.partitionBy("query_id").orderBy(F.col("_cs").desc(), F.col("cid"))
     probes = (
-        q_scored.withColumn("_rk", F.row_number().over(wq))
-        .filter(F.col("_rk") <= n_probe)
-        .select("query_id", "qvec", F.col("cid").alias("list_id"))
+        q.join(F.broadcast(_centroid_array(cents)))
+        .select("query_id", "qvec", F.explode(ranked).alias("_probe"))
+        .select("query_id", "qvec", F.col("_probe.cid").alias("list_id"))
     )
     scored = assigned.join(F.broadcast(probes), "list_id").filter(
         F.col(id_col) != F.col("query_id")

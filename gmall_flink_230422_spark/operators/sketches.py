@@ -43,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import portable_hash64, portable_hash64_sql
+from ..functions.hashing import fast_hash60, portable_hash64, portable_hash64_sql
 from .dedup import MINHASH_A_STEP, MINHASH_B_STEP, MINHASH_P
 
 HLL_M = 256
@@ -193,8 +193,10 @@ def bloom_build(
     """Build a Bloom-filter bitset from a key column; returns the dense
     word array (``m_bits / 64`` longs — 8 KB at the default size).
 
-    The build is fully distributed: per key, k positions from the portable
-    universal family; positions fold into (word, mask) cells and a single
+    The build is fully distributed: per key, k positions from the same
+    universal family over the codegen'd ``fast_hash60`` (the bitset is
+    result-invisible — false positives only prune less — so the expensive
+    cross-engine-portable hash buys nothing here); positions fold into (word, mask) cells and a single
     ``bit_or`` aggregate (map-side combined) produces at most 1024 rows.
     Only that bounded bitset is collected — same contract as the broadcast
     config table (apps.py): driver state is O(m_bits), never O(keys).
@@ -205,7 +207,7 @@ def bloom_build(
     streaming micro-batches and pre-shuffle pruning the optimizer can't
     prove — and it's deterministic/portable for the oracle story.
     """
-    base = F.pmod(portable_hash64(key), F.lit(MINHASH_P))
+    base = F.pmod(fast_hash60(key), F.lit(MINHASH_P))
     cells = (
         keys.select(base.alias("_hb"))
         .select(
@@ -245,7 +247,7 @@ def bloom_prune(
     """
     arr = F.array(*[F.lit(w) for w in words])
     probed = df.withColumn(
-        "_bh", F.pmod(portable_hash64(key), F.lit(MINHASH_P))
+        "_bh", F.pmod(fast_hash60(key), F.lit(MINHASH_P))
     ).withColumn("_bloom_arr", arr)
     cond = None
     for s in range(k):

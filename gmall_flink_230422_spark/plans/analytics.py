@@ -532,9 +532,9 @@ def q_bloom_join(spark, sf_dir):
     dim = s.join(
         F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]
     ).select("s_suppkey", "s_name")
-    words = sketches.bloom_build(dim, F.col("s_suppkey").cast("string"))
+    words = sketches.bloom_build(dim, F.col("s_suppkey"))
     li = load_table(spark, sf_dir, "lineitem")
-    pruned = sketches.bloom_prune(li, F.col("l_suppkey").cast("string"), words)
+    pruned = sketches.bloom_prune(li, F.col("l_suppkey"), words)
     return (
         pruned.join(dim, pruned["l_suppkey"] == dim["s_suppkey"])
         .groupBy("s_suppkey", "s_name")

@@ -271,9 +271,9 @@ def test_bloom_prune_is_lossless_and_selective(spark):
 
     s = load_table(spark, SF_DIR, "supplier").filter(F.col("s_nationkey") == 3)
     dim = s.select("s_suppkey")
-    words = sketches.bloom_build(dim, F.col("s_suppkey").cast("string"))
+    words = sketches.bloom_build(dim, F.col("s_suppkey"))
     li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_suppkey")
-    pruned = sketches.bloom_prune(li, F.col("l_suppkey").cast("string"), words)
+    pruned = sketches.bloom_prune(li, F.col("l_suppkey"), words)
 
     full_n = li.count()
     pruned_n = pruned.count()
