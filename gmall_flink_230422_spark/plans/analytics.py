@@ -14,6 +14,62 @@ from . import QuerySpec
 SESSION_GAP_S = 1800
 
 
+def q_window_functions(spark, sf_dir):
+    """The analytic window-function surface in one plan: ranking
+    (row_number/rank/dense_rank/ntile), navigation (lag/lead), distribution
+    (percent_rank/cume_dist), frames (running sum, partition extremes) —
+    each per-customer over the order history.
+
+    Scale shape: ONE hash-partition shuffle on o_custkey serves every
+    function (Spark collapses same-partitioning windows into one Window
+    node; the two sort orders become two in-partition sorts, never extra
+    Exchanges). Determinism: ranking/navigation order by the unique
+    (o_orderdate, o_orderkey); rank/percent_rank order by o_totalprice,
+    where ties share a rank, so output is tie-safe in both engines. The
+    running sum adds doubles in the same unique row order in both engines →
+    bit-identical; round2 lands it on the money grid."""
+    o = load_table(spark, sf_dir, "orders")
+    seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    by_price = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+    part = Window.partitionBy("o_custkey")
+    running = seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(seq).alias("seq_no"),
+        F.rank().over(by_price).alias("price_rank"),
+        F.dense_rank().over(by_price).alias("price_dense_rank"),
+        F.ntile(4).over(seq).alias("quartile"),
+        F.lag("o_totalprice").over(seq).alias("prev_price"),
+        F.lead("o_totalprice").over(seq).alias("next_price"),
+        (F.floor(F.percent_rank().over(by_price) * 1000000) / 1000000).alias("price_pctile"),
+        (F.floor(F.cume_dist().over(by_price) * 1000000) / 1000000).alias("price_cume"),
+        F.round(F.sum("o_totalprice").over(running), 2).alias("running_spend"),
+        F.count(F.lit(1)).over(part).alias("n_orders"),
+        F.date_format(F.first("o_orderdate").over(seq), "yyyy-MM-dd").alias("first_order_dt"),
+    )
+
+
+ORACLE_WINDOW_FUNCTIONS = """
+SELECT o_orderkey, o_custkey,
+       row_number() OVER seq AS seq_no,
+       rank() OVER byp AS price_rank,
+       dense_rank() OVER byp AS price_dense_rank,
+       ntile(4) OVER seq AS quartile,
+       lag(o_totalprice) OVER seq AS prev_price,
+       lead(o_totalprice) OVER seq AS next_price,
+       floor(percent_rank() OVER byp * 1000000) / 1000000 AS price_pctile,
+       floor(cume_dist() OVER byp * 1000000) / 1000000 AS price_cume,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+       count(*) OVER (PARTITION BY o_custkey) AS n_orders,
+       strftime(first_value(o_orderdate) OVER seq, '%Y-%m-%d') AS first_order_dt
+FROM orders
+WINDOW seq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       byp AS (PARTITION BY o_custkey ORDER BY o_totalprice)
+"""
+
+
 def q_semi_join(spark, sf_dir):
     """left_semi: customers having ≥1 open-status order, counted by nation."""
     c = load_table(spark, sf_dir, "customer")
@@ -579,6 +635,9 @@ SPECS = [
     QuerySpec("e_grouping_sets", q_grouping_sets, ORACLE_GROUPING_SETS,
               doc="GROUPING SETS irregular lattice aggregate",
               tags=("ext", "agg")),
+    QuerySpec("e_window_functions", q_window_functions, ORACLE_WINDOW_FUNCTIONS,
+              doc="ranking/navigation/distribution/frame window functions, one shuffle",
+              tags=("ext", "window")),
     QuerySpec("e_semi_join", q_semi_join, ORACLE_SEMI, tags=("ext", "join")),
     QuerySpec("e_sliding_window", q_sliding_window, ORACLE_SLIDING, tags=("ext", "window", "streaming")),
     QuerySpec("e_cumulate_window", q_cumulate_window, ORACLE_CUMULATE, tags=("ext", "window")),

@@ -136,6 +136,50 @@ FROM events
 """
 
 
+def q_scalar_string(spark, sf_dir):
+    """§2.6 companion: the string scalar surface the reference touches via
+    JSON field handling and keyword split (SplitFunction.java:11-22,
+    KeywordUtil usage) plus the standard warehouse string kit — every
+    expression is a JVM codegen built-in, evaluated in the scan's project
+    (one stage, no shuffle, full column pruning)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_up"),
+        F.lower("c_name").alias("name_lo"),
+        F.substring("c_name", 1, 8).alias("name_pfx"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("key_pad"),
+        F.regexp_replace("c_name", "#", "-").alias("name_dash"),
+        F.length("c_name").alias("name_len"),
+        F.instr(F.col("c_name"), "#").alias("hash_pos"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("name_num"),
+        F.split("c_name", "#").getItem(0).alias("name_word"),
+        F.concat_ws("|", "c_mktsegment", F.col("c_custkey").cast("string")).alias("seg_key"),
+        F.translate("c_name", "0123456789", "##########").alias("name_masked"),
+        F.repeat(F.substring("c_mktsegment", 1, 2), 2).alias("seg_rep"),
+    )
+
+
+ORACLE_SCALAR_STRING = """
+SELECT c_custkey,
+       upper(c_mktsegment) AS seg_up,
+       lower(c_name) AS name_lo,
+       substr(c_name, 1, 8) AS name_pfx,
+       lpad(c_custkey::VARCHAR, 12, '0') AS key_pad,
+       replace(c_name, '#', '-') AS name_dash,
+       length(c_name) AS name_len,
+       strpos(c_name, '#') AS hash_pos,
+       reverse(c_mktsegment) AS seg_rev,
+       regexp_extract(c_name, '([0-9]+)', 1) AS name_num,
+       split_part(c_name, '#', 1) AS name_word,
+       concat_ws('|', c_mktsegment, c_custkey::VARCHAR) AS seg_key,
+       translate(c_name, '0123456789', '##########') AS name_masked,
+       repeat(substr(c_mktsegment, 1, 2), 2) AS seg_rep
+FROM customer
+"""
+
+
 # ---------------------------------------------------------------- J3: broadcast dim lookup
 def q_dim_lookup_join(spark, sf_dir):
     """J3: proc-time lookup join → broadcast hash join, 2-hop
@@ -703,6 +747,9 @@ SPECS = [
     QuerySpec("p6_conditional_delta", q_conditional_delta, ORACLE_DELTA, tags=("gmall", "P6")),
     QuerySpec("p5_transition_detect", q_transition_detect, ORACLE_TRANSITION, tags=("gmall", "P5")),
     QuerySpec("fn_scalar_datetime", q_scalar_datetime, ORACLE_SCALAR, tags=("gmall", "2.6")),
+    QuerySpec("fn_scalar_string", q_scalar_string, ORACLE_SCALAR_STRING,
+              doc="§2.6 string scalar surface: case/pad/substr/regex/split/translate, one codegen stage",
+              tags=("gmall", "2.6")),
     QuerySpec("j3_dim_lookup_join", q_dim_lookup_join, ORACLE_DIM_LOOKUP, tags=("gmall", "J3")),
     QuerySpec("j4_double_alias_join", q_double_alias_join, ORACLE_DOUBLE_ALIAS, tags=("gmall", "J4", "J6")),
     QuerySpec("j1_inner_join", q_inner_join, ORACLE_INNER, tags=("gmall", "J1")),

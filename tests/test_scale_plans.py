@@ -299,3 +299,20 @@ def test_asof_join_reuses_partitioning(spark):
         if re.match(r"^\s*\(\d+\)\s*Exchange", line)
     )
     assert n_ex <= 2, plan
+
+
+def test_window_suite_single_exchange(spark):
+    """All twelve window functions in e_window_functions share ONE
+    hash-partition Exchange on o_custkey (same-partitioning Window nodes
+    collapse onto one shuffle; extra sort orders are in-partition sorts)."""
+    import re
+
+    from gmall_flink_230422_spark.plans import registry
+
+    plan = plan_of(registry()["e_window_functions"].fn(spark, SF_DIR))
+    n_ex = sum(
+        1
+        for line in plan.splitlines()
+        if re.match(r"^\s*\(\d+\)\s*Exchange", line)
+    )
+    assert n_ex == 1, plan
