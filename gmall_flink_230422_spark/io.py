@@ -39,12 +39,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # including a vanilla one the caller built without our session factory.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos → micros with INTEGER division (truncating, same as DuckDB's
-        # parquet reader). `ts div 1000` stays in bigint; a float `/` would
-        # round-trip through double (ulp 256 ns at 1.7e18) and can truncate to
-        # the wrong microsecond at exact boundaries.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # nanos → micros with INTEGER division (truncating, same as
+            # DuckDB's parquet reader). `ts div 1000` stays in bigint; a float
+            # `/` would round-trip through double (ulp 256 ns at 1.7e18) and
+            # can truncate to the wrong microsecond at exact boundaries.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Newer fixtures write plain TIMESTAMP(MICROS) (no UTC adjust),
+            # which Spark reads as TIMESTAMP_NTZ. Normalize to the session-tz
+            # TIMESTAMP the whole query surface (epoch casts, watermarks,
+            # window()) was built against; sessions here run UTC so the
+            # wall-clock values are unchanged and match DuckDB's naive reads.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
