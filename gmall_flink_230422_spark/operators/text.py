@@ -329,6 +329,163 @@ def chunk_documents(
     )
 
 
+def chunk_dedup(
+    docs: DataFrame,
+    size: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Passage-level exact dedup: split each document into disjoint
+    ``size``-token chunks (:func:`chunk_documents` with stride == size, the
+    paragraph-dedup analog for flat text) and keep the first corpus-wide
+    occurrence of every distinct chunk — first = lowest (doc_id, chunk_id),
+    the same canonical-winner rule as exact doc dedup (dedup.py).
+
+    Scale shape: chunking is shuffle-free array expressions; the winner
+    election is ONE window shuffle keyed by the 60-bit portable chunk hash
+    (8-byte key, not the chunk string; an md5 collision merely merges two
+    chunks' dedup groups — the usual, accepted MinHash/LSH-style tolerance),
+    then a per-doc re-aggregation keyed by doc_id. No self-join, no
+    collect.
+
+    Output per doc: n_chunks, kept_chunks (this doc owns the canonical
+    copy), dup_chunks (earlier doc already had an identical chunk).
+    """
+    from ..functions.hashing import portable_hash64
+    from pyspark.sql import Window
+
+    chunks = chunk_documents(docs, size=size, stride=size, id_col=id_col, text_col=text_col)
+    h = portable_hash64(F.col("chunk_text"))
+    w = Window.partitionBy(h).orderBy(id_col, "chunk_id")
+    flagged = chunks.withColumn("_rk", F.row_number().over(w))
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("_rk") == 1).cast("bigint")).alias("kept_chunks"),
+            F.sum((F.col("_rk") > 1).cast("bigint")).alias("dup_chunks"),
+        )
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-``k`` terms by TF-IDF (the classic corpus-relevance
+    salience score; score = tf · ln(N/df)).
+
+    Scale shape: explode → (doc, token) count is one partial/final hash agg;
+    document frequency comes from a window over the tf table keyed by token
+    (no vocab join to plan or broadcast — at 100 TB the vocab alone can be
+    billions of keys); corpus size N is a scalar aggregate broadcast via
+    crossJoin, never collected-and-relitted. The final per-doc top-k is a
+    row_number window keyed by doc_id. Three narrow shuffles total, all on
+    natural keys, all JVM-side.
+
+    Float parity (README §Correctness): the score is floor-truncated on a
+    1e-4 grid over exact-integer operands, and ranking orders by the FLOORED
+    score (tie-break token) so both engines rank identical values.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(whitespace_tokens(normalize_text(F.col(text_col)))).alias("token"),
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_w = Window.partitionBy("token")
+    n = docs.select(F.countDistinct(id_col).alias("_n_docs"))
+    scored = (
+        tf.withColumn("df", F.count(F.lit(1)).over(df_w))
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.floor(F.col("tf") * F.log(F.col("_n_docs") / F.col("df")) * 10000) / 10000,
+        )
+    )
+    rk_w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("_rk", F.row_number().over(rk_w))
+        .filter(F.col("_rk") <= k)
+        .select(id_col, "token", "tf", "df", "tfidf")
+    )
+
+
+def bm25_rank(
+    docs: DataFrame,
+    terms: tuple[str, ...],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 relevance ranking of the corpus against a fixed query-term set
+    (Robertson/Sparck-Jones idf: ln(1 + (N − df + ½)/(df + ½))) — the
+    retrieval scorer behind search-based data curation.
+
+    Scale shape: per-term tf and doc length come straight from the token
+    array (``filter``/``size`` — zero shuffles, scan-speed); the corpus
+    stats (N, avgdl, per-term df) are ONE tiny scalar aggregate broadcast
+    back via crossJoin; the top-k is a TakeOrderedAndProject, not a global
+    sort. Nothing shuffles the corpus itself.
+
+    Float parity: contributions are summed in fixed textual order
+    (term₁ + term₂ + …) from exact-integer tf/df/dl, and the emitted score
+    is floor-truncated on a 1e-4 grid; ranking uses the floored score with
+    doc-id tie-break.
+    """
+    tokenized = docs.select(
+        F.col(id_col),
+        whitespace_tokens(normalize_text(F.col(text_col))).alias("_toks"),
+    )
+    def _eq(term: str):
+        # one-arg closure: a two-param lambda would be read by PySpark as the
+        # (element, index) form and bind the index column to the default arg
+        return lambda t: t == F.lit(term)
+
+    base = tokenized.select(
+        id_col,
+        F.size("_toks").alias("dl"),
+        *[
+            F.size(F.filter(F.col("_toks"), _eq(term))).alias(f"_tf_{i}")
+            for i, term in enumerate(terms)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("dl").alias("_dl_sum"),
+        *[
+            F.sum((F.col(f"_tf_{i}") > 0).cast("bigint")).alias(f"_df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("_dl_sum") / F.col("_n")
+    contrib = None
+    for i in range(len(terms)):
+        idf = F.log(
+            1.0 + (F.col("_n") - F.col(f"_df_{i}") + 0.5) / (F.col(f"_df_{i}") + 0.5)
+        )
+        tf = F.col(f"_tf_{i}")
+        c = idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * F.col("dl") / avgdl))
+        contrib = c if contrib is None else contrib + c
+    score = F.floor(contrib * 10000) / 10000
+    return (
+        scored.select(
+            id_col,
+            "dl",
+            *[F.col(f"_tf_{i}").alias(f"tf_{i}") for i in range(len(terms))],
+            score.alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), id_col)
+        .limit(k)
+    )
+
+
 def weighted_sample(
     docs: DataFrame,
     id_col: str = "doc_id",

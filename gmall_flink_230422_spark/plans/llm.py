@@ -1057,6 +1057,106 @@ FROM f GROUP BY doc_id
 """
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms (operators/text.tfidf_top_terms):
+    salience extraction for corpus curation. Three narrow shuffles — (doc,
+    token) agg, df window on token, top-k window on doc — scalar N broadcast."""
+    return text.tfidf_top_terms(_docs_par(spark, sf_dir), k=3)
+
+
+ORACLE_TFIDF_TOPK = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+withdf AS (SELECT *, count(*) OVER (PARTITION BY token) AS df FROM tf),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, token, tf, df,
+         floor(tf * ln(n_docs::DOUBLE / df) * 10000) / 10000 AS tfidf
+  FROM withdf, n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
+  FROM scored
+)
+SELECT doc_id, token, tf::BIGINT AS tf, df::BIGINT AS df, tfidf
+FROM ranked WHERE rk <= 3
+"""
+
+
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_bm25_rank(spark, sf_dir):
+    """BM25 top-20 documents for a fixed 3-term query
+    (operators/text.bm25_rank): tf/dl from the token array (zero shuffles),
+    one broadcast scalar-stats aggregate, TakeOrdered top-k."""
+    return text.bm25_rank(_docs_par(spark, sf_dir), _BM25_TERMS, k=20, k1=_BM25_K1, b=_BM25_B)
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n         ".join(
+        f"len(list_filter({_TOKS}, t -> t = '{t}'))::BIGINT AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    k1, b = _BM25_K1, _BM25_B
+    contrib = " + ".join(
+        f"(ln(1.0 + (_n - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * (tf_{i} * ({k1} + 1)) / (tf_{i} + {k1} * (1 - {b} + {b} * dl / (_dl_sum::DOUBLE / _n))))"
+        for i in range(len(_BM25_TERMS))
+    )
+    tf_sel = ", ".join(f"tf_{i}" for i in range(len(_BM25_TERMS)))
+    return f"""
+WITH base AS (
+  SELECT doc_id, len({_TOKS})::BIGINT AS dl,
+         {tf_cols}
+  FROM documents
+),
+stats AS (SELECT count(*) AS _n, sum(dl) AS _dl_sum, {df_cols} FROM base)
+SELECT doc_id, dl, {tf_sel},
+       floor(({contrib}) * 10000) / 10000 AS bm25
+FROM base, stats
+ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
+
+ORACLE_BM25 = _bm25_oracle()
+
+
+def q_chunk_dedup(spark, sf_dir):
+    """Passage-level exact dedup (operators/text.chunk_dedup): disjoint
+    32-token chunks, first corpus-wide occurrence wins; per-doc kept/dup
+    counts. One hash-keyed window shuffle + one per-doc agg, integer-only."""
+    return text.chunk_dedup(_docs_par(spark, sf_dir), size=32)
+
+
+ORACLE_CHUNK_DEDUP = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok, generate_subscripts({_TOKS}, 1) AS pos
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, (pos - 1) // 32 AS chunk_id,
+         string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+  FROM toks GROUP BY 1, 2
+),
+flagged AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY chunk_text ORDER BY doc_id, chunk_id) AS rk
+  FROM chunks
+)
+SELECT doc_id, count(*) AS n_chunks,
+       sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END)::BIGINT AS kept_chunks,
+       sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_chunks
+FROM flagged GROUP BY 1
+"""
+
+
 def q_multimodal_pipeline(spark, sf_dir):
     """Full multimodal chain: wrap → resize (byte-cap 128) → decode dims +
     feature-extract (4 dims, portable-hash stub kernel) → join on doc_id.
@@ -1125,6 +1225,13 @@ SPECS = [
     QuerySpec("x_contamination", q_contamination, ORACLE_CONTAMINATION, tags=("llm", "dedup")),
     QuerySpec("x_simhash", q_simhash, ORACLE_SIMHASH, tags=("llm", "dedup")),
     QuerySpec("x_simhash_pairs", q_simhash_pairs, ORACLE_SIMHASH_PAIRS, tags=("llm", "dedup")),
+    QuerySpec("x_tfidf_topk", q_tfidf_topk, ORACLE_TFIDF_TOPK,
+              doc="per-doc top-3 TF-IDF salience terms", tags=("llm", "text")),
+    QuerySpec("x_bm25_rank", q_bm25_rank, ORACLE_BM25,
+              doc="BM25 top-20 docs for a fixed query-term set", tags=("llm", "text")),
+    QuerySpec("x_chunk_dedup", q_chunk_dedup, ORACLE_CHUNK_DEDUP,
+              doc="passage-level exact dedup: disjoint 32-token chunks, first occurrence wins",
+              tags=("llm", "dedup")),
     QuerySpec("x_cosine_topk", q_cosine_topk, ORACLE_COSINE_TOPK, tags=("llm", "similarity")),
     QuerySpec("x_ann_ivf", q_ann_ivf, ORACLE_ANN_IVF, tags=("llm", "similarity")),
     QuerySpec("x_ann_ivf_lloyd", q_ann_ivf_lloyd, ORACLE_ANN_IVF_LLOYD, tags=("llm", "similarity")),

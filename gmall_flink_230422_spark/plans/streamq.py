@@ -42,7 +42,7 @@ from ..sources import files
 from ..streaming import joins as sjoins
 from ..streaming import stateful as sstate
 from . import QuerySpec
-from .analytics import ORACLE_CUMULATE
+from .analytics import ORACLE_CUMULATE, ORACLE_SESSION, SESSION_GAP_S
 from .gmall import (
     BOUNCE_GAP_S,
     ORACLE_DAILY_UV,
@@ -190,6 +190,33 @@ def q_stream_cumulate(spark, sf_dir):
         ["event_type"],
         [F.sum("ct").alias("ct"), F.round(F.sum("value_sum"), 2).alias("value_sum")],
     )
+
+
+def q_stream_session_window(spark, sf_dir):
+    """Session windows through the streaming engine: Spark's native
+    ``session_window`` (the merging sessionizer Flink exposes as
+    EventTimeSessionWindows, SURVEY §2.4) over the replayed event stream,
+    keyed by user. Complete mode retains every open session and re-merges
+    on each micro-batch, so after AvailableNow drains the replay the final
+    image equals the batch e_session_window result exactly — same oracle."""
+    ev = _events_stream(spark, sf_dir)
+    out = (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_S} seconds").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.col("user_id"),
+            F.col("w.start").cast("long").alias("session_start"),
+            F.col("w.end").cast("long").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+    return spark.read.parquet(_drain_complete(out, "sess"))
 
 
 def q_stream_upsert_latest(spark, sf_dir):
@@ -512,6 +539,11 @@ SPECS = (
         "s_stream_upsert_latest", q_stream_upsert_latest, ORACLE_UPSERT,
         doc="S8+T11 executed via streaming: checkpointed foreachBatch + idempotent MERGE",
         tags=("S8", "T11", "S6", "streaming"),
+    ),
+    QuerySpec(
+        "s_stream_session_window", q_stream_session_window, ORACLE_SESSION,
+        doc="session windows via Structured Streaming (native session_window, complete mode)",
+        tags=("A1", "T1", "streaming", "window"),
     ),
     QuerySpec(
         "s_stream_cumulate", q_stream_cumulate, ORACLE_CUMULATE,

@@ -134,3 +134,59 @@ def test_explode_frames_slicing(spark):
     assert len(bytes(rows[(1, 2)]["frame"])) == 6
     assert rows[(2, 0)]["frame_len"] == 32 and (2, 1) not in rows
     assert rows[(3, 0)]["frame_len"] == 1
+
+
+# ---------------------------------------------------------- relevance scoring
+def test_tfidf_top_terms_hand_checked(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r["doc_id"], r["token"]): r
+        for r in text.tfidf_top_terms(docs, k=2).collect()
+    }
+    import math
+
+    # doc 1: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
+    exp_apple = math.floor(2 * math.log(3.0) * 10000) / 10000
+    assert rows[(1, "apple")]["tfidf"] == exp_apple
+    assert rows[(1, "apple")]["tf"] == 2 and rows[(1, "apple")]["df"] == 1
+    # doc 3: cherry tf=3, in 2 of 3 docs -> 3*ln(1.5)
+    assert rows[(3, "cherry")]["tfidf"] == math.floor(
+        3 * math.log(3.0 / 2.0) * 10000
+    ) / 10000
+
+
+def test_bm25_rank_orders_by_relevance(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark join"),
+            (2, "spark join window extra words here"),
+            (3, "nothing relevant at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = text.bm25_rank(docs, ("spark", "join"), k=3).collect()
+    assert [r["doc_id"] for r in rows][:2] == [1, 2]  # tf-heavy short doc wins
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[3]["bm25"] == 0.0  # no query terms -> zero score
+    assert by_id[1]["tf_0"] == 3 and by_id[1]["tf_1"] == 1
+
+
+def test_chunk_dedup_first_occurrence_wins(spark):
+    shared = " ".join(f"w{i}" for i in range(32))
+    uniq_a = " ".join(f"a{i}" for i in range(32))
+    uniq_b = " ".join(f"b{i}" for i in range(8))  # short tail chunk
+    docs = spark.createDataFrame(
+        [(1, f"{shared} {uniq_a}"), (2, f"{shared} {uniq_b}"), (3, shared)],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text.chunk_dedup(docs, size=32).collect()}
+    assert out[1]["n_chunks"] == 2 and out[1]["kept_chunks"] == 2
+    assert out[2]["n_chunks"] == 2 and out[2]["dup_chunks"] == 1  # shared chunk
+    assert out[3]["n_chunks"] == 1 and out[3]["kept_chunks"] == 0
