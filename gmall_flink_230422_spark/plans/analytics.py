@@ -613,7 +613,123 @@ GROUP BY s_suppkey, s_name
 """
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered conversion funnel view → click → purchase: each user's first
+    view, first click strictly after that view, first purchase strictly
+    after that click; corpus-level counts of users reaching each stage (the
+    ClickHouse windowFunnel shape, left downstream by the reference).
+
+    Scale shape: the three stage timestamps are chained conditional-min
+    window passes over ONE user_id hash partitioning — Spark plans a single
+    Exchange and reuses it for all three Window nodes and the per-user
+    dedup; the final count is a scalar aggregate. Integer-only output."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.select("user_id", "ts", "event_type")
+        .withColumn(
+            "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .groupBy("user_id")
+        # the window made t1..t3 per-user constants, so max == the value and
+        # the groupBy reuses the window's hashpartitioning(user_id) with NO
+        # new Exchange (a distinct over (user_id, t1, t2, t3) would re-hash)
+        .agg(F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3"))
+    )
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("t1").isNotNull().cast("bigint")).alias("stage_view"),
+        F.sum(F.col("t2").isNotNull().cast("bigint")).alias("stage_click"),
+        F.sum(F.col("t3").isNotNull().cast("bigint")).alias("stage_purchase"),
+    )
+
+
+ORACLE_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+             OVER (PARTITION BY user_id) AS t1
+  FROM events
+), s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                OVER (PARTITION BY user_id) AS t2
+  FROM s1
+), s3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                OVER (PARTITION BY user_id) AS t3
+  FROM s2
+), per_user AS (
+  SELECT DISTINCT user_id, t1, t2, t3 FROM s3
+)
+SELECT count(*) AS n_users,
+       sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS stage_view,
+       sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS stage_click,
+       sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS stage_purchase
+FROM per_user
+"""
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-active date, distinct
+    active users at day offsets 0–7 (the classic DAU-retention triangle).
+
+    Scale shape: one distinct over (user, day) — the natural dedup grain —
+    then the cohort date as a min-window over the user partitioning, then
+    the (cohort, offset) count-distinct. Each step keys the shuffle on what
+    the next consumes; no collect, no cross join; integer-only output."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("dt")).distinct()
+    w = Window.partitionBy("user_id")
+    return (
+        days.withColumn("cohort_dt", F.min("dt").over(w))
+        .withColumn("day_offset", F.datediff("dt", F.col("cohort_dt")))
+        .filter(F.col("day_offset") <= 7)
+        .groupBy(F.date_format("cohort_dt", "yyyy-MM-dd").alias("cohort_dt"), "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+ORACLE_COHORT = """
+WITH days AS (
+  SELECT DISTINCT user_id, ts::DATE AS dt FROM events
+), coh AS (
+  SELECT user_id, dt, min(dt) OVER (PARTITION BY user_id) AS cohort_dt
+  FROM days
+)
+SELECT strftime(cohort_dt, '%Y-%m-%d') AS cohort_dt,
+       date_diff('day', cohort_dt, dt)::INT AS day_offset,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM coh
+WHERE date_diff('day', cohort_dt, dt) <= 7
+GROUP BY 1, 2
+"""
+
+
 SPECS = [
+    QuerySpec("e_funnel", q_funnel, ORACLE_FUNNEL,
+              doc="ordered view→click→purchase funnel: chained conditional-min windows, one shuffle",
+              tags=("ext", "window", "analytics")),
+    QuerySpec("e_cohort_retention", q_cohort_retention, ORACLE_COHORT,
+              doc="first-active-date cohorts × day offsets 0-7, distinct-user retention counts",
+              tags=("ext", "window", "analytics")),
     QuerySpec("e_bloom_join", q_bloom_join, ORACLE_BLOOM_JOIN,
               doc="Bloom-prefiltered supplier join: bitset prune before shuffle, exact join after",
               tags=("ext", "join", "sketch")),
