@@ -58,6 +58,12 @@ HEADLINE = [
     "e_bloom_join",
     "e_hll_distinct",
     "x_cms_heavy_hitters",
+    # round-2 batch 4: relevance scoring, passage dedup, event analytics
+    "x_tfidf_topk",
+    "x_bm25_rank",
+    "x_chunk_dedup",
+    "e_funnel",
+    "e_cohort_retention",
 ]
 
 
