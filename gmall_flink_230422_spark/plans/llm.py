@@ -894,6 +894,41 @@ SELECT query_id, vec_id, cos_sim FROM ranked WHERE rk <= 10
 """
 
 
+def q_ann_recall(spark, sf_dir):
+    """ANN index quality metric: recall@10 of the IVF probe against the
+    exact brute-force top-10, per query vector — the standard accuracy gauge
+    for an approximate index (run at a sampled query set in production; the
+    sample IS this query shape). Join on (query_id, vec_id), count hits;
+    integer hits, recall = hits/10 computed identically in both engines."""
+    e = _embs_par(spark, sf_dir)
+    q = e.filter(F.col("vec_id").isin(*_QUERY_IDS))
+    exact = similarity.brute_force_topk(e, q, k=10).select("query_id", "vec_id")
+    ivf = (
+        similarity.ivf_topk(e, q, k=10, n_centroids=16, n_probe=4)
+        .select("query_id", "vec_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        exact.join(ivf, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("_hit").alias("n_hits"),
+            (F.count("_hit") / 10.0).alias("recall_at_10"),
+        )
+    )
+
+
+ORACLE_ANN_RECALL = f"""
+WITH exact AS ({ORACLE_COSINE_TOPK}),
+ivf AS ({ORACLE_ANN_IVF})
+SELECT e.query_id, count(i.vec_id) AS n_hits,
+       count(i.vec_id) / 10.0 AS recall_at_10
+FROM exact e
+LEFT JOIN ivf i ON e.query_id = i.query_id AND e.vec_id = i.vec_id
+GROUP BY 1
+"""
+
+
 def q_ann_ivf_lloyd(spark, sf_dir):
     """IVF with one Lloyd refinement: seed → assign → componentwise-mean
     centroids (floor-truncated 1e-6) → reassign → probe. The iterative
@@ -1235,6 +1270,9 @@ SPECS = [
     QuerySpec("x_cosine_topk", q_cosine_topk, ORACLE_COSINE_TOPK, tags=("llm", "similarity")),
     QuerySpec("x_ann_ivf", q_ann_ivf, ORACLE_ANN_IVF, tags=("llm", "similarity")),
     QuerySpec("x_ann_ivf_lloyd", q_ann_ivf_lloyd, ORACLE_ANN_IVF_LLOYD, tags=("llm", "similarity")),
+    QuerySpec("x_ann_recall", q_ann_recall, ORACLE_ANN_RECALL,
+              doc="recall@10 of the IVF probe vs exact brute-force top-10",
+              tags=("llm", "similarity")),
     QuerySpec("x_ann_lsh", q_ann_lsh, ORACLE_ANN_LSH, tags=("llm", "similarity")),
     QuerySpec("x_embedding_near_dup", q_embedding_near_dup, ORACLE_EMB_NEAR_DUP, tags=("llm", "similarity")),
     QuerySpec("x_multimodal_decode", q_multimodal_decode, ORACLE_MULTIMODAL, tags=("llm", "multimodal")),
