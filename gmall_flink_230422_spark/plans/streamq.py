@@ -42,7 +42,7 @@ from ..sources import files
 from ..streaming import joins as sjoins
 from ..streaming import stateful as sstate
 from . import QuerySpec
-from .analytics import ORACLE_CUMULATE, ORACLE_SESSION, SESSION_GAP_S
+from .analytics import ORACLE_CUMULATE, ORACLE_SESSION, SESSION_GAP_S, _oracle_hll
 from .gmall import (
     BOUNCE_GAP_S,
     ORACLE_DAILY_UV,
@@ -190,6 +190,53 @@ def q_stream_cumulate(spark, sf_dir):
         ["event_type"],
         [F.sum("ct").alias("ct"), F.round(F.sum("value_sum"), 2).alias("value_sum")],
     )
+
+
+def q_stream_hll_distinct(spark, sf_dir):
+    """Streaming distinct-count via the deterministic HLL sketch
+    (operators/sketches.py): each micro-batch reduces to ≤256 register rows
+    per group inside a checkpointed foreachBatch, landed in a
+    ``batch_id=N`` subdir (overwrite ⇒ idempotent replay, the exactly-once
+    sink model), and the read side max-merges registers before the
+    estimate. Register max is associative/commutative/idempotent, so the
+    final estimate equals batch e_hll_distinct REGARDLESS of micro-batch
+    boundaries or replays — the mergeable-state pattern that makes
+    100 TB / multi-stream distinct counting tractable. Same oracle as the
+    batch twin."""
+    from ..operators import sketches
+
+    ev = _events_stream(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="streamq_hll_")
+    store = os.path.join(tmp, "registers")
+    ck = os.path.join(tmp, "ck")
+
+    def _land(batch: DataFrame, batch_id: int) -> None:
+        regs = sketches.hll_buckets(
+            batch, F.col("event_id").cast("string"), ["event_type"]
+        )
+        regs.write.mode("overwrite").parquet(
+            os.path.join(store, f"batch_id={batch_id}")
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(_land)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    merged = (
+        spark.read.parquet(store)
+        .groupBy("event_type", "_bucket")
+        .agg(F.max("_max_rho").alias("_max_rho"))
+    )
+    est = sketches.hll_estimate(merged, ["event_type"])
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("event_id").alias("exact_ct"))
+    )
+    return exact.join(est, "event_type").select("event_type", "exact_ct", "hll_est")
 
 
 def q_stream_session_window(spark, sf_dir):
@@ -539,6 +586,11 @@ SPECS = (
         "s_stream_upsert_latest", q_stream_upsert_latest, ORACLE_UPSERT,
         doc="S8+T11 executed via streaming: checkpointed foreachBatch + idempotent MERGE",
         tags=("S8", "T11", "S6", "streaming"),
+    ),
+    QuerySpec(
+        "s_stream_hll_distinct", q_stream_hll_distinct, _oracle_hll(),
+        doc="streaming HLL: per-batch registers, idempotent landing, read-side max-merge",
+        tags=("T11", "T1", "streaming", "sketch"),
     ),
     QuerySpec(
         "s_stream_session_window", q_stream_session_window, ORACLE_SESSION,
