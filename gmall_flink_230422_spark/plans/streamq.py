@@ -42,7 +42,13 @@ from ..sources import files
 from ..streaming import joins as sjoins
 from ..streaming import stateful as sstate
 from . import QuerySpec
-from .analytics import ORACLE_CUMULATE, ORACLE_SESSION, SESSION_GAP_S, _oracle_hll
+from .analytics import (
+    ORACLE_CUMULATE,
+    ORACLE_SESSION,
+    ORACLE_SLIDING,
+    SESSION_GAP_S,
+    _oracle_hll,
+)
 from .gmall import (
     BOUNCE_GAP_S,
     ORACLE_DAILY_UV,
@@ -165,6 +171,24 @@ def q_stream_union_preagg(spark, sf_dir):
         ],
     )
     return spark.read.parquet(_drain_complete(out, "a4"))
+
+
+def q_stream_sliding_window(spark, sf_dir):
+    """Sliding (hopping) window through the streaming engine: 2 h width /
+    1 h hop keyed count+sum — the overlapping-window state shape (each event
+    lives in 2 windows simultaneously; Spark's window generator expands
+    before the stateful aggregate). Final complete-mode image == batch
+    e_sliding_window, same oracle."""
+    ev = _events_stream(spark, sf_dir)
+    out = windows.slide(
+        ev,
+        "ts",
+        "2 hours",
+        "1 hour",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("ct"), F.round(F.sum("value"), 2).alias("value_sum")],
+    )
+    return spark.read.parquet(_drain_complete(out, "slide"))
 
 
 def q_stream_cumulate(spark, sf_dir):
@@ -596,6 +620,11 @@ SPECS = (
         "s_stream_session_window", q_stream_session_window, ORACLE_SESSION,
         doc="session windows via Structured Streaming (native session_window, complete mode)",
         tags=("A1", "T1", "streaming", "window"),
+    ),
+    QuerySpec(
+        "s_stream_sliding_window", q_stream_sliding_window, ORACLE_SLIDING,
+        doc="sliding window via Structured Streaming: overlapping-window state, batch-equal",
+        tags=("T1", "streaming", "window"),
     ),
     QuerySpec(
         "s_stream_cumulate", q_stream_cumulate, ORACLE_CUMULATE,
