@@ -17,11 +17,22 @@ def test_tokenizer_latin_runs():
     assert tokenize_text("Hello, World! 42x") == ["hello", "world", "42x"]
 
 
-def test_tokenizer_cjk_bigrams():
-    # IK max-word approximation: CJK runs → bigrams (U2, KeyWordUtil.java)
-    assert tokenize_text("小米手机") == ["小米", "米手", "手机"]
+def test_tokenizer_cjk_dictionary_max_word():
+    # IK max-word approximation (U2, KeyWordUtil.java smart=false): every
+    # lexicon word at every position; dictionary hits suppress the bigram
+    # fallback over the characters they cover
+    assert tokenize_text("小米手机") == ["小米", "手机"]
+    assert tokenize_text("小米笔记本电脑") == ["小米", "笔记本电脑", "笔记本", "电脑"]
     assert tokenize_text("茶") == ["茶"]
     assert tokenize_text("apple苹果5G") == ["apple", "苹果", "5g"]
+
+
+def test_tokenizer_cjk_bigram_fallback_and_smart():
+    # out-of-vocabulary runs keep the deterministic bigram fallback
+    assert tokenize_text("今天天气") == ["今天", "天天", "天气"]
+    # smart mode: non-overlapping forward longest-match
+    assert tokenize_text("苹果智能手机", mode="smart") == ["苹果", "智能手机"]
+    assert tokenize_text("智能手机", mode="smart") == ["智能手机"]
 
 
 def test_tokenizer_empty():
