@@ -486,6 +486,70 @@ def bm25_rank(
     )
 
 
+def lm_surprisal_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram-language-model quality score (the CCNet/KenLM-style
+    perplexity-proxy filter): train add-one-smoothed bigram probabilities on
+    the corpus itself, score each document by its mean token surprisal
+    −ln P(w₂|w₁) — high = unnatural text, the classic crawl-quality signal.
+
+    Scale shape: bigrams come from the token array (``arrays_zip`` of two
+    slices — zero shuffle until the count); the model is two hash aggregates
+    (bigram + unigram counts) joined back to the bigram stream on their
+    natural keys, vocab size V is a broadcast scalar. This is the standard
+    distributed LM-scoring join shape: nothing collects, the model tables
+    shuffle once each.
+
+    EXACT cross-engine parity: each bigram's surprisal is floored to an
+    integer milli-nat (identical doubles from identical integer operands),
+    so the per-doc aggregate is an INTEGER sum — order-independent, unlike
+    a float sum — and the mean is one integer division emitted on a 1e-4
+    grid. Output: (doc_id, n_bigrams, avg_surprisal).
+    """
+    toks = whitespace_tokens(normalize_text(F.col(text_col)))
+    base = docs.select(F.col(id_col), toks.alias("_toks")).filter(F.size("_toks") >= 2)
+    pairs = base.select(
+        id_col,
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(_toks, 1, size(_toks) - 1)").alias("w1"),
+                F.expr("slice(_toks, 2, size(_toks) - 1)").alias("w2"),
+            )
+        ).alias("_bg"),
+    ).select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+
+    toks_flat = docs.select(F.explode(toks).alias("tok"))
+    uni = toks_flat.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    v = toks_flat.agg(F.countDistinct("tok").alias("_v"))
+
+    scored = (
+        pairs.join(bg, ["w1", "w2"])
+        .join(uni.withColumnRenamed("tok", "w1"), "w1")
+        .crossJoin(F.broadcast(v))
+        .withColumn(
+            "_s",
+            F.floor(
+                -F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("_v"))) * 1000
+            ).cast("bigint"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("_s").alias("_ssum"))
+        .select(
+            id_col,
+            "n_bigrams",
+            (F.expr("(_ssum * 10) div n_bigrams") / F.lit(10000.0)).alias(
+                "avg_surprisal"
+            ),
+        )
+    )
+
+
 def weighted_sample(
     docs: DataFrame,
     id_col: str = "doc_id",

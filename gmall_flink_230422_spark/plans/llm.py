@@ -1092,6 +1092,42 @@ FROM f GROUP BY doc_id
 """
 
 
+def q_lm_score(spark, sf_dir):
+    """Bigram-LM perplexity-proxy quality scoring (operators/
+    text.lm_surprisal_score): add-one-smoothed corpus bigram model, per-doc
+    mean surprisal in integer milli-nats (order-independent aggregate)."""
+    return text.lm_surprisal_score(_docs_par(spark, sf_dir))
+
+
+ORACLE_LM_SCORE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok, generate_subscripts({_TOKS}, 1) AS pos
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+uni AS (SELECT tok, count(*) AS c1 FROM toks GROUP BY 1),
+bg AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY 1, 2),
+v AS (SELECT count(DISTINCT tok) AS vsz FROM toks),
+scored AS (
+  SELECT p.doc_id,
+         floor(-ln((bg.c2 + 1.0) / (uni.c1 + v.vsz)) * 1000)::BIGINT AS s
+  FROM pairs p
+  JOIN bg ON p.w1 = bg.w1 AND p.w2 = bg.w2
+  JOIN uni ON p.w1 = uni.tok
+  CROSS JOIN v
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_bigrams, sum(s) AS ssum FROM scored GROUP BY 1
+)
+SELECT doc_id, n_bigrams,
+       ((ssum * 10) // n_bigrams) / 10000.0 AS avg_surprisal
+FROM agg
+"""
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Per-document top-3 TF-IDF terms (operators/text.tfidf_top_terms):
     salience extraction for corpus curation. Three narrow shuffles — (doc,
@@ -1260,6 +1296,9 @@ SPECS = [
     QuerySpec("x_contamination", q_contamination, ORACLE_CONTAMINATION, tags=("llm", "dedup")),
     QuerySpec("x_simhash", q_simhash, ORACLE_SIMHASH, tags=("llm", "dedup")),
     QuerySpec("x_simhash_pairs", q_simhash_pairs, ORACLE_SIMHASH_PAIRS, tags=("llm", "dedup")),
+    QuerySpec("x_lm_score", q_lm_score, ORACLE_LM_SCORE,
+              doc="bigram-LM perplexity-proxy quality score, integer-surprisal parity",
+              tags=("llm", "text")),
     QuerySpec("x_tfidf_topk", q_tfidf_topk, ORACLE_TFIDF_TOPK,
               doc="per-doc top-3 TF-IDF salience terms", tags=("llm", "text")),
     QuerySpec("x_bm25_rank", q_bm25_rank, ORACLE_BM25,
