@@ -60,6 +60,7 @@ HEADLINE = [
     "x_cms_heavy_hitters",
     # round-2 batch 4: relevance scoring, passage dedup, event analytics
     "x_tfidf_topk",
+    "x_lm_score",
     "x_bm25_rank",
     "x_chunk_dedup",
     "e_funnel",

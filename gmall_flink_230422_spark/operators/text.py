@@ -550,6 +550,63 @@ def lm_surprisal_score(
     )
 
 
+def mixture_sample_summary(
+    docs: DataFrame,
+    budget_num: int = 2,
+    budget_den: int = 5,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Target-mixture rebalancing (the data-mixing step of a training run):
+    given a total budget (``budget_num/budget_den`` of the corpus) and a
+    UNIFORM target share per stratum, derive each stratum's keep-rate from
+    its observed count — over-represented domains get downsampled toward
+    the target, under-represented ones keep everything (rate caps at 1) —
+    then sample with the same salted-hash threshold as
+    :func:`stratified_sample` (deterministic, layout-independent).
+
+    All rate arithmetic is INTEGER (thresholds on a 1/10000 grid derived
+    by integer division from exact counts), so the decision boundary is
+    exact in any engine. The stratum stats are a tiny broadcast join; the
+    corpus itself is touched by one projection+filter and one aggregate.
+
+    Returns the per-stratum audit summary (n_total, n_kept, rate) — the
+    mixing report a pipeline operator actually reviews.
+    """
+    from ..functions.hashing import portable_hash64
+
+    counts = docs.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    stats = counts.agg(
+        F.sum("_n").alias("_total"), F.count(F.lit(1)).alias("_k")
+    )
+    thr = (
+        counts.crossJoin(F.broadcast(stats))
+        .withColumn("_budget", F.expr(f"(_total * {budget_num}) div {budget_den}"))
+        .withColumn(
+            "_thr",
+            F.least(F.lit(10000).cast("bigint"), F.expr("(_budget * 10000) div (_k * _n)")),
+        )
+        .select(strata_col, "_n", "_thr")
+    )
+    bucket = F.pmod(
+        portable_hash64(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+        F.lit(10000),
+    )
+    flagged = docs.select(F.col(id_col), F.col(strata_col)).join(
+        F.broadcast(thr), strata_col
+    )
+    return (
+        flagged.withColumn("_kept", (bucket < F.col("_thr")).cast("bigint"))
+        .groupBy(strata_col)
+        .agg(
+            F.max("_n").alias("n_total"),
+            F.sum("_kept").alias("n_kept"),
+            (F.max("_thr") / F.lit(10000.0)).alias("rate"),
+        )
+    )
+
+
 def weighted_sample(
     docs: DataFrame,
     id_col: str = "doc_id",

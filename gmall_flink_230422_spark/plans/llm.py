@@ -1092,6 +1092,34 @@ FROM f GROUP BY doc_id
 """
 
 
+def q_domain_mix(spark, sf_dir):
+    """Uniform-target domain mixing at a 2/5-corpus budget
+    (operators/text.mixture_sample_summary): integer-derived per-source
+    keep-rates, salted-hash sampling, per-source audit summary."""
+    return text.mixture_sample_summary(load_table(spark, sf_dir, "documents"))
+
+
+_MIX_HASH = "(('0x' || substr(md5('mix:' || doc_id), 1, 15)))::BIGINT"
+
+ORACLE_DOMAIN_MIX = f"""
+WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+stats AS (SELECT sum(n) AS total, count(*) AS k FROM counts),
+thr AS (
+  SELECT source, n,
+         least(10000, (((total * 2) // 5) * 10000) // (k * n)) AS t
+  FROM counts, stats
+),
+flags AS (
+  SELECT d.source, t.n, t.t,
+         CASE WHEN ({_MIX_HASH} % 10000) < t.t THEN 1 ELSE 0 END AS kept
+  FROM documents d JOIN thr t USING (source)
+)
+SELECT source, max(n)::BIGINT AS n_total, sum(kept)::BIGINT AS n_kept,
+       max(t) / 10000.0 AS rate
+FROM flags GROUP BY 1
+"""
+
+
 def q_lm_score(spark, sf_dir):
     """Bigram-LM perplexity-proxy quality scoring (operators/
     text.lm_surprisal_score): add-one-smoothed corpus bigram model, per-doc
@@ -1296,6 +1324,9 @@ SPECS = [
     QuerySpec("x_contamination", q_contamination, ORACLE_CONTAMINATION, tags=("llm", "dedup")),
     QuerySpec("x_simhash", q_simhash, ORACLE_SIMHASH, tags=("llm", "dedup")),
     QuerySpec("x_simhash_pairs", q_simhash_pairs, ORACLE_SIMHASH_PAIRS, tags=("llm", "dedup")),
+    QuerySpec("x_domain_mix", q_domain_mix, ORACLE_DOMAIN_MIX,
+              doc="uniform-target domain mixing: integer keep-rates from corpus counts, hash sampling",
+              tags=("llm", "sampling")),
     QuerySpec("x_lm_score", q_lm_score, ORACLE_LM_SCORE,
               doc="bigram-LM perplexity-proxy quality score, integer-surprisal parity",
               tags=("llm", "text")),
