@@ -613,6 +613,34 @@ GROUP BY s_suppkey, s_name
 """
 
 
+def q_salted_join(spark, sf_dir):
+    """Skew-mitigated join, driver-checked: orders ⋈ customer through
+    operators/joins.salted_join (8 salts — the pre-planned skew strategy
+    for when AQE can't apply, e.g. streaming micro-batches), aggregated to
+    order counts + revenue per customer nation. Salting changes ONLY the
+    shuffle distribution, so the result equals the plain equi-join the
+    oracle runs."""
+    from ..operators.joins import salted_join
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    joined = salted_join(
+        o.withColumnRenamed("o_custkey", "c_custkey"), c, "c_custkey", n_salts=8
+    )
+    return joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+ORACLE_SALTED_JOIN = """
+SELECT c_nationkey, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
 def q_funnel(spark, sf_dir):
     """Ordered conversion funnel view → click → purchase: each user's first
     view, first click strictly after that view, first purchase strictly
@@ -724,6 +752,9 @@ GROUP BY 1, 2
 
 
 SPECS = [
+    QuerySpec("e_salted_join", q_salted_join, ORACLE_SALTED_JOIN,
+              doc="pre-planned skew salting (8 salts), result-identical to the plain equi-join",
+              tags=("ext", "join", "skew")),
     QuerySpec("e_funnel", q_funnel, ORACLE_FUNNEL,
               doc="ordered view→click→purchase funnel: chained conditional-min windows, one shuffle",
               tags=("ext", "window", "analytics")),
