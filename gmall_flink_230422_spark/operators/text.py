@@ -607,6 +607,74 @@ def mixture_sample_summary(
     )
 
 
+def bpe_train_merges(
+    docs: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """BPE tokenizer training (the merge-learning loop of byte-pair
+    encoding) expressed as DataFrame ops: reduce the corpus to its
+    word-frequency table ONCE, then per iteration count adjacent symbol
+    pairs weighted by word frequency, take the argmax pair (ties broken
+    lexicographically), and fold the merge through every word's symbol
+    sequence greedily left-to-right.
+
+    Scale shape: after the one corpus-wide word-count shuffle the loop runs
+    entirely on the VOCABULARY table (distinct words × freq — orders of
+    magnitude smaller than the corpus; this is how production BPE trainers
+    scale). Pair counting is a narrow (a, b)-keyed aggregate per iteration;
+    the only driver transfer is the single argmax row per merge (the same
+    bounded-scalar pattern as the IVF centroid build). The merge fold is a
+    JVM higher-order ``aggregate`` — no Python in the loop.
+
+    Returns the learned merge table: (step, p1, p2, pair_count).
+    """
+    toks = whitespace_tokens(normalize_text(F.col(text_col)))
+    words = (
+        docs.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    rep = words.select("freq", F.split("word", "").alias("sym"))
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs = rep.select(
+            "freq",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(sym, 1, size(sym) - 1)").alias("a"),
+                    F.expr("slice(sym, 2, size(sym) - 1)").alias("b"),
+                )
+            ).alias("_p"),
+        ).select("freq", F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("freq").alias("ct"))
+            .orderBy(F.col("ct").desc(), "a", "b")
+            .first()
+        )
+        p1, p2, ct = top["a"], top["b"], top["ct"]
+        merges.append((step, p1, p2, ct))
+
+        def _fold(p1: str = p1, p2: str = p2):
+            # two-arg lambda required by the higher-order function; pair
+            # literals bound via the factory's defaults
+            return lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(p1))
+                & (x == F.lit(p2)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(p1 + p2))),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        rep = rep.withColumn(
+            "sym",
+            F.aggregate(F.col("sym"), F.array().cast("array<string>"), _fold()),
+        )
+    return docs.sparkSession.createDataFrame(
+        merges, "step int, p1 string, p2 string, pair_count bigint"
+    )
+
+
 def weighted_sample(
     docs: DataFrame,
     id_col: str = "doc_id",

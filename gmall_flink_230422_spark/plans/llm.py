@@ -1092,6 +1092,59 @@ FROM f GROUP BY doc_id
 """
 
 
+def q_bpe_train(spark, sf_dir):
+    """BPE merge learning (operators/text.bpe_train_merges, 3 merges): the
+    tokenizer-training loop over the corpus word-frequency table; only the
+    per-iteration argmax row touches the driver."""
+    return text.bpe_train_merges(_docs_par(spark, sf_dir), n_merges=3)
+
+
+def _bpe_oracle(n_merges: int = 3) -> str:
+    """DuckDB twin of bpe_train_merges: the greedy left-to-right merge fold
+    is list_reduce with the accumulator encoded as a chr(1)-joined string —
+    verified to match Spark's aggregate() fold element-for-element
+    (including chained merges like 'a b a b' → 'ab ab')."""
+
+    def _reduce(top: str) -> str:
+        acc_list = "string_split(acc, chr(1))"
+        return f"""string_split(list_reduce(s, (acc, x) ->
+      CASE WHEN list_extract({acc_list}, len({acc_list})) = {top}.a AND x = {top}.b
+           THEN CASE WHEN len({acc_list}) = 1 THEN {top}.a || {top}.b
+                ELSE array_to_string(list_slice({acc_list}, 1, len({acc_list}) - 1), chr(1))
+                     || chr(1) || {top}.a || {top}.b END
+           ELSE acc || chr(1) || x END), chr(1))"""
+
+    blocks = [
+        f"""W AS (
+  SELECT tok AS word, count(*)::BIGINT AS freq FROM (
+    SELECT unnest({_TOKS}) AS tok FROM documents
+  ) GROUP BY 1
+),
+rep0 AS (SELECT freq, string_split(word, '') AS s FROM W)"""
+    ]
+    selects = []
+    for i in range(1, n_merges + 1):
+        blocks.append(f"""pairs{i} AS (
+  SELECT freq, s[i] AS a, s[i + 1] AS b
+  FROM (SELECT freq, s, unnest(generate_series(1, len(s) - 1)) AS i FROM rep{i - 1})
+),
+top{i} AS (
+  SELECT a, b, sum(freq)::BIGINT AS ct FROM pairs{i} GROUP BY 1, 2
+  ORDER BY ct DESC, a, b LIMIT 1
+)""")
+        if i < n_merges:
+            blocks.append(
+                f"rep{i} AS (SELECT freq, {_reduce(f'top{i}')} AS s FROM rep{i - 1}, top{i})"
+            )
+        selects.append(
+            f"SELECT {i} AS step, a AS p1, b AS p2, ct AS pair_count FROM top{i}"
+        )
+    return "WITH " + ",\n".join(blocks) + "\n" + "\nUNION ALL ".join(selects)
+
+
+ORACLE_BPE_TRAIN = _bpe_oracle()
+
+
 def q_domain_mix(spark, sf_dir):
     """Uniform-target domain mixing at a 2/5-corpus budget
     (operators/text.mixture_sample_summary): integer-derived per-source
@@ -1324,6 +1377,9 @@ SPECS = [
     QuerySpec("x_contamination", q_contamination, ORACLE_CONTAMINATION, tags=("llm", "dedup")),
     QuerySpec("x_simhash", q_simhash, ORACLE_SIMHASH, tags=("llm", "dedup")),
     QuerySpec("x_simhash_pairs", q_simhash_pairs, ORACLE_SIMHASH_PAIRS, tags=("llm", "dedup")),
+    QuerySpec("x_bpe_train", q_bpe_train, ORACLE_BPE_TRAIN,
+              doc="BPE tokenizer training: 3 learned merges over the word-frequency table",
+              tags=("llm", "text", "iterative")),
     QuerySpec("x_domain_mix", q_domain_mix, ORACLE_DOMAIN_MIX,
               doc="uniform-target domain mixing: integer keep-rates from corpus counts, hash sampling",
               tags=("llm", "sampling")),

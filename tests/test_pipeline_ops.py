@@ -190,3 +190,18 @@ def test_chunk_dedup_first_occurrence_wins(spark):
     assert out[1]["n_chunks"] == 2 and out[1]["kept_chunks"] == 2
     assert out[2]["n_chunks"] == 2 and out[2]["dup_chunks"] == 1  # shared chunk
     assert out[3]["n_chunks"] == 1 and out[3]["kept_chunks"] == 0
+
+
+def test_bpe_train_learns_expected_merges(spark):
+    # corpus engineered so merges are unambiguous: "ab" dominates, then
+    # "ab"+"c" (chained onto the first merge's output symbol)
+    docs = spark.createDataFrame(
+        [(1, "abc abc abc ab"), (2, "abc ab xy")], ["doc_id", "text"]
+    )
+    rows = text.bpe_train_merges(docs, n_merges=2).collect()
+    assert [(r["step"], r["p1"], r["p2"]) for r in rows] == [
+        (1, "a", "b"),
+        (2, "ab", "c"),
+    ]
+    # step-1 count: every word contains exactly one 'a b' pair; freqs 4+2
+    assert rows[0]["pair_count"] == 6
