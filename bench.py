@@ -65,6 +65,10 @@ HEADLINE = [
     "x_chunk_dedup",
     "e_funnel",
     "e_cohort_retention",
+    "e_salted_join",
+    "x_domain_mix",
+    "x_bpe_train",
+    "x_ann_recall",
 ]
 
 
