@@ -316,3 +316,30 @@ def test_window_suite_single_exchange(spark):
         if re.match(r"^\s*\(\d+\)\s*Exchange", line)
     )
     assert n_ex == 1, plan
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-style dt-partitioned layout + partition pruning: a dt-filtered
+    read must plan PartitionFilters (pruned at listing time, before any IO)
+    and touch only the matching partition directories — the other half of
+    the 100 TB scan story next to columnar pushdown (time-partitioned fact
+    tables are the norm for event data)."""
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "dt", F.date_format("ts", "yyyy-MM-dd")
+    )
+    out = str(tmp_path / "events_by_dt")
+    ev.write.partitionBy("dt").mode("overwrite").parquet(out)
+    days = sorted(
+        str(r["dt"]) for r in spark.read.parquet(out).select("dt").distinct().collect()
+    )
+    assert len(days) > 2
+    pick = days[1]
+    q = spark.read.parquet(out).filter(F.col("dt") == F.lit(pick)).select("event_id", "value")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "dt" in plan.split("PartitionFilters")[1][:120]
+    # the authoritative check: only one partition's rows are read
+    expected = spark.read.parquet(out).filter(F.col("dt") == pick).count()
+    exact = load_table(spark, SF_DIR, "events").withColumn(
+        "dt", F.date_format("ts", "yyyy-MM-dd")
+    ).filter(F.col("dt") == pick).count()
+    assert expected == exact
