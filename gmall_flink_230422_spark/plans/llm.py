@@ -283,6 +283,54 @@ SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5
 """
 
 
+def q_lsh_recall(spark, sf_dir):
+    """LSH dedup-candidate recall audit: exact Jaccard≥0.5 truth pairs
+    (the quadratic baseline — run on a sample in production; the sample IS
+    this query shape) vs the MinHash(16)/LSH(4×4) candidate set. Integer
+    hit counts; recall emitted by integer division on the 1e-4 grid."""
+    d = _docs_par(spark, sf_dir)
+    sh = dedup.shingles(d).cache()
+    truth = dedup.jaccard_pairs(sh, threshold=0.5)
+    sigs = dedup.minhash_signatures(sh, num_hashes=16)
+    cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4).cache()
+    flagged = truth.join(
+        cands.withColumn("_c", F.lit(1)), ["doc_a", "doc_b"], "left"
+    )
+    t_agg = flagged.agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.sum(F.coalesce("_c", F.lit(0))).cast("bigint").alias("n_caught"),
+    )
+    c_agg = cands.agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
+    return t_agg.crossJoin(F.broadcast(c_agg)).select(
+        "n_true_pairs",
+        "n_candidate_pairs",
+        "n_caught",
+        (F.expr("(n_caught * 10000) div n_true_pairs") / F.lit(10000.0)).alias(
+            "recall"
+        ),
+    )
+
+
+ORACLE_LSH_RECALL = f"""
+WITH {_SHINGLES_CTE},
+{_minhash_lsh_ctes()},
+truth AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
+  WHERE floor((i.i * 1.0 / (x.sz + y.sz - i.i)) * 10000) / 10000 >= 0.5
+),
+flags AS (
+  SELECT t.doc_a, CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS caught
+  FROM truth t LEFT JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+)
+SELECT count(*)::BIGINT AS n_true_pairs,
+       (SELECT count(*) FROM cand)::BIGINT AS n_candidate_pairs,
+       sum(caught)::BIGINT AS n_caught,
+       ((sum(caught) * 10000) // count(*)) / 10000.0 AS recall
+FROM flags
+"""
+
+
 def q_dedup_corpus(spark, sf_dir):
     """Capstone keep-one dedup: exact canonicals (min id per fingerprint) →
     MinHash/LSH near-dup pairs among canonicals → drop the higher id of
@@ -1351,6 +1399,9 @@ SPECS = [
     QuerySpec("x_hash_split", q_hash_split, ORACLE_HASH_SPLIT, tags=("llm", "text")),
     QuerySpec("x_ngram_jaccard", q_ngram_jaccard, ORACLE_NGRAM_JACCARD, tags=("llm", "dedup")),
     QuerySpec("x_minhash_lsh", q_minhash_lsh, ORACLE_MINHASH_LSH, tags=("llm", "dedup")),
+    QuerySpec("x_lsh_recall", q_lsh_recall, ORACLE_LSH_RECALL,
+              doc="LSH candidate recall vs exact Jaccard truth — dedup quality audit",
+              tags=("llm", "dedup")),
     QuerySpec("x_dedup_corpus", q_dedup_corpus, ORACLE_DEDUP_CORPUS, tags=("llm", "dedup")),
     QuerySpec("x_vocab_topk", q_vocab_topk, ORACLE_VOCAB_TOPK,
               doc="corpus vocabulary: top-500 tokens by document frequency",

@@ -216,6 +216,38 @@ def q_stream_cumulate(spark, sf_dir):
     )
 
 
+def q_stream_topn(spark, sf_dir):
+    """Continuous TopN through the streaming engine (the Flink retract-TopN
+    shape, left to ClickHouse by the reference): per-key counts maintained
+    as complete-mode streaming state, ranked to top-3 users per event_type
+    once AvailableNow drains the replay. In production the rank runs per
+    emitted image (update-mode sink re-ranks each trigger); the final image
+    here makes it batch-equal and oracle-checkable."""
+    ev = _events_stream(spark, sf_dir)
+    counts = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("ct"))
+    image = spark.read.parquet(_drain_complete(counts, "topn"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.col("ct").desc(), "user_id")
+    return (
+        image.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("event_type", "user_id", "ct", "rk")
+    )
+
+
+ORACLE_STREAM_TOPN = """
+WITH counts AS (
+  SELECT event_type, user_id, count(*) AS ct FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY ct DESC, user_id) AS rk
+  FROM counts
+)
+SELECT event_type, user_id, ct, rk FROM ranked WHERE rk <= 3
+"""
+
+
 def q_stream_hll_distinct(spark, sf_dir):
     """Streaming distinct-count via the deterministic HLL sketch
     (operators/sketches.py): each micro-batch reduces to ≤256 register rows
@@ -610,6 +642,11 @@ SPECS = (
         "s_stream_upsert_latest", q_stream_upsert_latest, ORACLE_UPSERT,
         doc="S8+T11 executed via streaming: checkpointed foreachBatch + idempotent MERGE",
         tags=("S8", "T11", "S6", "streaming"),
+    ),
+    QuerySpec(
+        "s_stream_topn", q_stream_topn, ORACLE_STREAM_TOPN,
+        doc="continuous TopN: complete-mode per-key counts ranked to top-3 per group",
+        tags=("T1", "streaming", "window"),
     ),
     QuerySpec(
         "s_stream_hll_distinct", q_stream_hll_distinct, _oracle_hll(),
