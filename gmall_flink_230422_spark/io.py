@@ -61,6 +61,15 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view so the whole surface is
+    reachable through ``spark.sql`` — the SQL-first interface the reference
+    exposes via Flink SQL (SURVEY §2.2). Views are lazy; Catalyst sees the
+    same pruned/pushed scans as the DataFrame API."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
 def ensure_parallelism(spark: SparkSession, df: DataFrame, key: str) -> DataFrame:
     """Hash-repartition ``df`` on ``key`` up to the session's core count when
     the scan cannot split (the fixture parquet files are a single row group,

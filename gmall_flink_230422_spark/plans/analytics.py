@@ -613,6 +613,52 @@ GROUP BY s_suppkey, s_name
 """
 
 
+_SQL_SURFACE = """
+WITH daily AS (
+  SELECT date_format(ts, 'yyyy-MM-dd') AS dt, user_id,
+         count(*) AS n_events,
+         round(sum(value), 2) AS value_sum
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY value_sum DESC, dt, user_id) AS rk
+  FROM daily
+)
+SELECT r.dt, r.user_id, r.n_events, r.value_sum, r.rk,
+       count(*) OVER () AS n_rows
+FROM ranked r WHERE r.rk <= 20
+"""
+
+
+def q_sql_interface(spark, sf_dir):
+    """The SQL-first interface (the reference's users write Flink SQL): the
+    whole pipeline — CTEs, aggregate, global rank, windowed count — issued
+    as ONE ``spark.sql`` string over registered views (io.register_views).
+    Catalyst plans the identical pruned scan + WindowGroupLimit top-k it
+    gives the DataFrame form; this query is the parity proof that a
+    SQL-only user can drive the engine."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_SURFACE)
+
+
+ORACLE_SQL_INTERFACE = """
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS dt, user_id,
+         count(*) AS n_events, round(sum(value), 2) AS value_sum
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY value_sum DESC, dt, user_id) AS rk
+  FROM daily
+)
+SELECT dt, user_id, n_events, value_sum, rk,
+       (SELECT count(*) FROM ranked WHERE rk <= 20) AS n_rows
+FROM ranked WHERE rk <= 20
+"""
+
+
 def q_salted_join(spark, sf_dir):
     """Skew-mitigated join, driver-checked: orders ⋈ customer through
     operators/joins.salted_join (8 salts — the pre-planned skew strategy
@@ -752,6 +798,9 @@ GROUP BY 1, 2
 
 
 SPECS = [
+    QuerySpec("e_sql_interface", q_sql_interface, ORACLE_SQL_INTERFACE,
+              doc="full pipeline issued as one spark.sql string over registered views",
+              tags=("ext", "sql")),
     QuerySpec("e_salted_join", q_salted_join, ORACLE_SALTED_JOIN,
               doc="pre-planned skew salting (8 salts), result-identical to the plain equi-join",
               tags=("ext", "join", "skew")),
