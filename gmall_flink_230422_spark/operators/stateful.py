@@ -96,6 +96,50 @@ def latest_by_key(
     )
 
 
+def changelog_to_retract(
+    df: DataFrame, keys: list[str], order_by: list[Column], payload: list[str]
+) -> DataFrame:
+    """Changelog → retract-stream conversion (Flink's changelog semantics,
+    the contract behind upsert-kafka, SURVEY §2.1 S8): per key, the first
+    version emits ``+I``; every later version emits ``-U`` retracting the
+    previous payload followed by ``+U`` asserting the new one — exactly the
+    RowKind sequence a Flink retract sink receives.
+
+    One keyed window shuffle: each row looks back one version with ``lag``
+    and emits its retraction + assertion via an inline array explode (no
+    self-join, no second shuffle). Output: keys, version, row_kind, payload.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    ver = F.row_number().over(w)
+    rows = df.select(
+        *keys,
+        ver.alias("version"),
+        F.struct(*[F.col(c) for c in payload]).alias("_cur"),
+        F.lag(F.struct(*[F.col(c) for c in payload])).over(w).alias("_prev"),
+    )
+    kinds = rows.select(
+        *keys,
+        "version",
+        F.explode(
+            F.when(
+                F.col("version") == 1,
+                F.array(F.struct(F.lit("+I").alias("row_kind"), F.col("_cur").alias("p"))),
+            ).otherwise(
+                F.array(
+                    F.struct(F.lit("-U").alias("row_kind"), F.col("_prev").alias("p")),
+                    F.struct(F.lit("+U").alias("row_kind"), F.col("_cur").alias("p")),
+                )
+            )
+        ).alias("_k"),
+    )
+    return kinds.select(
+        *keys,
+        "version",
+        F.col("_k.row_kind").alias("row_kind"),
+        *[F.col(f"_k.p.{c}").alias(c) for c in payload],
+    )
+
+
 def transition_rows(
     df: DataFrame, key: str, status_col: str, to_value: str, order_by: list[Column]
 ) -> DataFrame:

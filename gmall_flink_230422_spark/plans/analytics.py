@@ -613,6 +613,43 @@ GROUP BY s_suppkey, s_name
 """
 
 
+def q_changelog_retract(spark, sf_dir):
+    """Changelog → retract stream (operators/stateful.changelog_to_retract):
+    the orders changelog keyed by customer emits the +I/-U/+U RowKind
+    sequence a Flink retract sink consumes (SURVEY §2.1 S8 semantics),
+    one keyed shuffle."""
+    from ..operators.stateful import changelog_to_retract
+
+    o = load_table(spark, sf_dir, "orders")
+    return changelog_to_retract(
+        o,
+        keys=["o_custkey"],
+        order_by=[F.col("o_orderdate"), F.col("o_orderkey")],
+        payload=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+
+
+ORACLE_CHANGELOG_RETRACT = """
+WITH seq AS (
+  SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
+         row_number() OVER w AS version,
+         lag(o_orderkey)    OVER w AS p_orderkey,
+         lag(o_orderstatus) OVER w AS p_orderstatus,
+         lag(o_totalprice)  OVER w AS p_totalprice
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+SELECT o_custkey, version, '+I' AS row_kind, o_orderkey, o_orderstatus, o_totalprice
+FROM seq WHERE version = 1
+UNION ALL
+SELECT o_custkey, version, '-U', p_orderkey, p_orderstatus, p_totalprice
+FROM seq WHERE version > 1
+UNION ALL
+SELECT o_custkey, version, '+U', o_orderkey, o_orderstatus, o_totalprice
+FROM seq WHERE version > 1
+"""
+
+
 _SQL_SURFACE = """
 WITH daily AS (
   SELECT date_format(ts, 'yyyy-MM-dd') AS dt, user_id,
@@ -798,6 +835,9 @@ GROUP BY 1, 2
 
 
 SPECS = [
+    QuerySpec("e_changelog_retract", q_changelog_retract, ORACLE_CHANGELOG_RETRACT,
+              doc="changelog to retract stream: +I/-U/+U RowKind sequence per key version",
+              tags=("ext", "cdc", "S8")),
     QuerySpec("e_sql_interface", q_sql_interface, ORACLE_SQL_INTERFACE,
               doc="full pipeline issued as one spark.sql string over registered views",
               tags=("ext", "sql")),
