@@ -650,6 +650,49 @@ FROM seq WHERE version > 1
 """
 
 
+def q_retract_agg(spark, sf_dir):
+    """Retract-aware aggregation (the consumer side of Flink's changelog
+    semantics): fold the +I/-U/+U stream with signed contributions —
+    retractions subtract — so the aggregate nets out to CURRENT state, not
+    history. Per customer the net totalprice equals the latest version's
+    value, which is what the oracle asserts via last_value. One shuffle for
+    the retract window (reused from changelog_to_retract) + one for the
+    final aggregate."""
+    from ..operators.stateful import changelog_to_retract
+
+    o = load_table(spark, sf_dir, "orders")
+    retract = changelog_to_retract(
+        o,
+        keys=["o_custkey"],
+        order_by=[F.col("o_orderdate"), F.col("o_orderkey")],
+        payload=["o_orderkey", "o_totalprice"],
+    )
+    signed = F.when(
+        F.col("row_kind") == "-U", -F.col("o_totalprice")
+    ).otherwise(F.col("o_totalprice"))
+    return (
+        retract.groupBy("o_custkey")
+        .agg(
+            F.round(F.sum(signed), 2).alias("current_totalprice"),
+            F.max("version").alias("n_versions"),
+        )
+    )
+
+
+ORACLE_RETRACT_AGG = """
+WITH seq AS (
+  SELECT o_custkey, o_totalprice,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY o_custkey) AS n
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC)
+)
+SELECT o_custkey, round(o_totalprice, 2) AS current_totalprice,
+       n AS n_versions
+FROM seq WHERE rn = 1
+"""
+
+
 _SQL_SURFACE = """
 WITH daily AS (
   SELECT date_format(ts, 'yyyy-MM-dd') AS dt, user_id,
@@ -835,6 +878,9 @@ GROUP BY 1, 2
 
 
 SPECS = [
+    QuerySpec("e_retract_agg", q_retract_agg, ORACLE_RETRACT_AGG,
+              doc="retract-aware aggregate: signed fold of +I/-U/+U nets out to current state",
+              tags=("ext", "cdc", "S8")),
     QuerySpec("e_changelog_retract", q_changelog_retract, ORACLE_CHANGELOG_RETRACT,
               doc="changelog to retract stream: +I/-U/+U RowKind sequence per key version",
               tags=("ext", "cdc", "S8")),
