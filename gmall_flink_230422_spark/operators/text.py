@@ -522,9 +522,14 @@ def lm_surprisal_score(
     ).select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
 
     toks_flat = docs.select(F.explode(toks).alias("tok"))
-    uni = toks_flat.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    # the unigram MODEL table is vocab-sized — cache it so both consumers
+    # (the probability join and the vocab-size scalar) reuse one corpus
+    # pass; the corpus-sized pair stream stays recompute-on-use
+    uni = toks_flat.groupBy("tok").agg(F.count(F.lit(1)).alias("c1")).cache()
     bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    v = toks_flat.agg(F.countDistinct("tok").alias("_v"))
+    # vocab size = the unigram table's row count — a one-row agg over the
+    # already-reduced model table, NOT another corpus scan + distinct
+    v = uni.agg(F.count(F.lit(1)).alias("_v"))
 
     scored = (
         pairs.join(bg, ["w1", "w2"])
