@@ -109,11 +109,14 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     payload_cols: list[str],
+    direction: str = "backward",
 ) -> DataFrame:
     """AS-OF join (extension — the time-series join Spark lacks natively):
     for each left row, attach the payload of the latest right row with the
     same key and ``right_ts <= left_ts`` (inclusive); null payload when no
-    such row exists.
+    such row exists. ``direction="forward"`` flips the match to the FIRST
+    right row with ``right_ts >= left_ts`` (the next-event lookup), same
+    single-shuffle shape with the running window read in reverse.
 
     Scalable union-sort form: tag both sides, union, and carry the last
     non-null payload forward with a running window per key — ONE shuffle on
@@ -126,11 +129,16 @@ def asof_join(
     """
     from pyspark.sql import Window
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     payload = F.struct(*[F.col(c) for c in payload_cols])
+    # tie order: the right row must fall INSIDE the left row's window frame
+    # at equal timestamps — before it for backward, after it for forward
+    r_side = 0 if direction == "backward" else 2
     r = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("_ts"),
-        F.lit(0).alias("_side"),  # right sorts first on ts ties
+        F.lit(r_side).alias("_side"),
         payload.alias("_payload"),
     )
     l = left.select(
@@ -153,14 +161,21 @@ def asof_join(
         F.lit(None).cast(lw.schema["_left"].dataType).alias("_left"),
     )
     unioned = lw.unionByName(rw)
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy("_ts", "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = unioned.withColumn(
-        "_asof", F.last("_payload", ignorenulls=True).over(w)
-    )
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("_ts", "_side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carry = F.last("_payload", ignorenulls=True)
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("_ts", "_side")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carry = F.first("_payload", ignorenulls=True)
+    carried = unioned.withColumn("_asof", carry.over(w))
     # Key columns pass through TOP-LEVEL (not re-projected out of the _left
     # struct): that preserves the window's hash-partitioning lineage, so a
     # downstream groupBy/join on the same keys plans WITHOUT another

@@ -613,6 +613,74 @@ GROUP BY s_suppkey, s_name
 """
 
 
+def q_asof_forward(spark, sf_dir):
+    """Forward AS-OF join: each event picks the customer's FIRST order
+    at-or-after the event time (next-event lookup — the reverse read of the
+    same single-shuffle union-window asof operator). DuckDB has no native
+    forward ASOF, so the oracle mirrors the union + first_value IGNORE
+    NULLS forward-frame construction directly."""
+    from ..operators import joins as jops
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("custkey"), "ts", "event_id"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    o1 = (
+        o.groupBy(F.col("o_custkey").alias("custkey"), "o_orderdate")
+        .agg(F.max(F.struct("o_orderkey", "o_totalprice")).alias("s"))
+        .select(
+            "custkey",
+            F.col("o_orderdate").cast("timestamp").alias("order_ts"),
+            F.col("s.o_orderkey").alias("o_orderkey"),
+            F.col("s.o_totalprice").alias("o_totalprice"),
+        )
+    )
+    joined = jops.asof_join(
+        ev,
+        o1,
+        ["custkey"],
+        "ts",
+        "order_ts",
+        ["o_orderkey", "o_totalprice"],
+        direction="forward",
+    )
+    return joined.groupBy("custkey").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("o_orderkey").alias("n_matched"),
+        F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+    )
+
+
+ORACLE_ASOF_FORWARD = """
+WITH o1 AS (
+  SELECT custkey, order_ts, o_orderkey, o_totalprice FROM (
+    SELECT o_custkey AS custkey, o_orderdate::TIMESTAMP AS order_ts,
+           o_orderkey, o_totalprice,
+           row_number() OVER (
+             PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+    FROM orders) WHERE rn = 1
+),
+u AS (
+  SELECT user_id AS custkey, ts AS _ts, 1 AS _side,
+         NULL::BIGINT AS r_orderkey, NULL::DOUBLE AS r_totalprice
+  FROM events
+  UNION ALL
+  SELECT custkey, order_ts, 2, o_orderkey, o_totalprice FROM o1
+),
+carried AS (
+  SELECT custkey, _side,
+         first_value(r_orderkey IGNORE NULLS) OVER w AS o_orderkey,
+         first_value(r_totalprice IGNORE NULLS) OVER w AS o_totalprice
+  FROM u
+  WINDOW w AS (PARTITION BY custkey ORDER BY _ts, _side
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT custkey, count(*) AS n_events, count(o_orderkey) AS n_matched,
+       round(sum(o_totalprice), 2) AS price_sum
+FROM carried WHERE _side = 1 GROUP BY custkey
+"""
+
+
 def q_changelog_retract(spark, sf_dir):
     """Changelog → retract stream (operators/stateful.changelog_to_retract):
     the orders changelog keyed by customer emits the +I/-U/+U RowKind
@@ -878,6 +946,9 @@ GROUP BY 1, 2
 
 
 SPECS = [
+    QuerySpec("e_asof_forward", q_asof_forward, ORACLE_ASOF_FORWARD,
+              doc="forward as-of join: next order at-or-after each event, reverse-read window",
+              tags=("ext", "join", "asof")),
     QuerySpec("e_retract_agg", q_retract_agg, ORACLE_RETRACT_AGG,
               doc="retract-aware aggregate: signed fold of +I/-U/+U nets out to current state",
               tags=("ext", "cdc", "S8")),
