@@ -141,3 +141,95 @@ def test_bounce_detection_matches_simulation(spark, deltas, gap):
             if (nxt - t).total_seconds() > gap:
                 want.add(i)
     assert got == want
+
+
+@SLOW
+@given(
+    lefts=st.lists(st.integers(0, 50), min_size=1, max_size=15),
+    rights=st.lists(st.integers(0, 50), min_size=0, max_size=10),
+    forward=st.booleans(),
+)
+def test_asof_join_matches_linear_scan(spark, lefts, rights, forward):
+    """Both as-of directions == the obvious per-row linear scan (latest
+    right <= left, or first right >= left), including tie timestamps."""
+    from gmall_flink_230422_spark.operators.joins import asof_join
+
+    rights = sorted(set(rights))
+    l_df = spark.createDataFrame(
+        [(1, t, i) for i, t in enumerate(lefts)], ["k", "lts", "lid"]
+    )
+    r_df = spark.createDataFrame(
+        [(1, t, t * 10) for t in rights], "k long, rts long, pay long"
+    )
+    got = {
+        r["lid"]: r["pay"]
+        for r in asof_join(
+            l_df, r_df, ["k"], "lts", "rts", ["pay"],
+            direction="forward" if forward else "backward",
+        ).collect()
+    }
+    for i, t in enumerate(lefts):
+        if forward:
+            cand = [r for r in rights if r >= t]
+            want = min(cand) * 10 if cand else None
+        else:
+            cand = [r for r in rights if r <= t]
+            want = max(cand) * 10 if cand else None
+        assert got[i] == want, (t, rights, forward)
+
+
+@SLOW
+@given(
+    texts=st.lists(st.text("ab ", min_size=0, max_size=12), min_size=1, max_size=8),
+    size=st.integers(1, 4),
+)
+def test_chunk_dedup_conserves_chunks(spark, texts, size):
+    """kept + dup == total per doc; corpus-wide kept == number of DISTINCT
+    chunk strings; and a chunk's first (doc, chunk_id) owner is kept."""
+    from gmall_flink_230422_spark.operators import text as topo
+
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    out = topo.chunk_dedup(docs, size=size).collect()
+    # python reference chunking
+    all_chunks = []
+    for did, t in enumerate(texts):
+        toks = [w for w in t.lower().strip().split() if w]
+        for c in range(0, len(toks), size):
+            all_chunks.append((did, " ".join(toks[c : c + size])))
+    per_doc_total = {}
+    for did, _ in all_chunks:
+        per_doc_total[did] = per_doc_total.get(did, 0) + 1
+    assert {r["doc_id"]: r["n_chunks"] for r in out} == per_doc_total
+    for r in out:
+        assert r["kept_chunks"] + r["dup_chunks"] == r["n_chunks"]
+    assert sum(r["kept_chunks"] for r in out) == len({c for _, c in all_chunks})
+
+
+@SLOW
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 20), st.text("xy", min_size=1, max_size=2)),
+        min_size=1, max_size=15,
+    )
+)
+def test_changelog_retract_reconstructs_state(spark, rows):
+    """Replaying the retract stream into a dict (apply +I/+U, check -U
+    retracts the standing value) ends at exactly latest-per-key state."""
+    from gmall_flink_230422_spark.operators.stateful import changelog_to_retract
+
+    data = [(k, s, i, v) for i, (k, s, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["k", "seq", "uniq", "v"])
+    stream = changelog_to_retract(
+        df, ["k"], [F.col("seq"), F.col("uniq")], ["v"]
+    ).collect()
+    state: dict = {}
+    for r in sorted(stream, key=lambda r: (r["k"], r["version"], r["row_kind"] != "-U")):
+        if r["row_kind"] == "-U":
+            assert state[r["k"]] == r["v"], "retraction must name the standing value"
+        else:
+            state[r["k"]] = r["v"]
+    want = {}
+    for k, s, i, v in data:
+        if k not in want or (s, i) > want[k][:2]:
+            want[k] = (s, i, v)
+    assert state == {k: v for k, (s, i, v) in want.items()}
