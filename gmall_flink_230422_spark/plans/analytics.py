@@ -613,6 +613,56 @@ GROUP BY s_suppkey, s_name
 """
 
 
+def q_gap_fill(spark, sf_dir):
+    """Time-series densification (gap fill): hourly event counts per type
+    with EVERY hour slot in the type's [min, max] range present, zeros
+    where no events landed — the resample step dashboards and window
+    models expect dense input for.
+
+    Scale shape: counts and spans are two aggregates over the same
+    (type, hour) grain; the slot axis is generated per type with
+    ``sequence`` + ``explode`` (slots = time-range/step rows — tiny next to
+    the events), then a left join back to the counts on the natural key.
+    No driver-side calendar, no cross join against a global axis."""
+    ev = load_table(spark, sf_dir, "events")
+    hours = ev.select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    )
+    counts = hours.groupBy("event_type", "hr").agg(F.count(F.lit(1)).alias("ct"))
+    spans = counts.groupBy("event_type").agg(
+        F.min("hr").alias("lo"), F.max("hr").alias("hi")
+    )
+    slots = spans.select(
+        "event_type",
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hr"),
+    )
+    return (
+        slots.join(counts, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            F.col("hr").cast("long").alias("slot"),
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+        )
+    )
+
+
+ORACLE_GAP_FILL = """
+WITH counts AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS ct
+  FROM events GROUP BY 1, 2
+),
+spans AS (
+  SELECT event_type, min(hr) AS lo, max(hr) AS hi FROM counts GROUP BY 1
+),
+slots AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+  FROM spans
+)
+SELECT s.event_type, epoch(s.hr)::BIGINT AS slot, coalesce(c.ct, 0) AS ct
+FROM slots s LEFT JOIN counts c ON s.event_type = c.event_type AND s.hr = c.hr
+"""
+
+
 def q_asof_forward(spark, sf_dir):
     """Forward AS-OF join: each event picks the customer's FIRST order
     at-or-after the event time (next-event lookup — the reverse read of the
@@ -946,6 +996,9 @@ GROUP BY 1, 2
 
 
 SPECS = [
+    QuerySpec("e_gap_fill", q_gap_fill, ORACLE_GAP_FILL,
+              doc="time-series densification: zero-filled hourly slots per type",
+              tags=("ext", "window", "timeseries")),
     QuerySpec("e_asof_forward", q_asof_forward, ORACLE_ASOF_FORWARD,
               doc="forward as-of join: next order at-or-after each event, reverse-read window",
               tags=("ext", "join", "asof")),
