@@ -110,6 +110,7 @@ def asof_join(
     right_ts: str,
     payload_cols: list[str],
     direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """AS-OF join (extension — the time-series join Spark lacks natively):
     for each left row, attach the payload of the latest right row with the
@@ -125,13 +126,19 @@ def asof_join(
     (right_ts == left_ts) order the right row first, so an exact-timestamp
     match is visible to the left row. The right side must be unique per
     (key, right_ts); pre-dedupe it if not (both engines would otherwise
-    pick an arbitrary row).
+    pick an arbitrary row). ``tolerance_seconds`` (pandas merge_asof
+    parity) nulls the payload when the matched row is farther than the
+    tolerance from the left timestamp — the match itself is unchanged, so
+    it stays one window pass with a post-projection guard.
     """
     from pyspark.sql import Window
 
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
-    payload = F.struct(*[F.col(c) for c in payload_cols])
+    payload = F.struct(
+        *[F.col(c) for c in payload_cols],
+        F.col(right_ts).cast("double").alias("_rts"),
+    )
     # tie order: the right row must fall INSIDE the left row's window frame
     # at equal timestamps — before it for backward, after it for forward
     r_side = 0 if direction == "backward" else 2
@@ -180,12 +187,17 @@ def asof_join(
     # struct): that preserves the window's hash-partitioning lineage, so a
     # downstream groupBy/join on the same keys plans WITHOUT another
     # Exchange — the asof shuffle is reused.
+    if tolerance_seconds is None:
+        valid = F.col("_asof").isNotNull()
+    else:
+        gap = F.abs(F.col("_ts").cast("double") - F.col("_asof._rts"))
+        valid = F.col("_asof").isNotNull() & (gap <= F.lit(float(tolerance_seconds)))
     out = carried.filter(F.col("_side") == 1).select(
         *[
             F.col(c) if c in keys else F.col(f"_left.{c}").alias(c)
             for c in left.columns
         ],
-        *[F.col(f"_asof.{c}").alias(c) for c in payload_cols],
+        *[F.when(valid, F.col(f"_asof.{c}")).alias(c) for c in payload_cols],
     )
     return out
 

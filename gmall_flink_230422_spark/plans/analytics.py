@@ -613,6 +613,70 @@ GROUP BY s_suppkey, s_name
 """
 
 
+ASOF_TOL_S = 7 * 86400
+
+
+def q_asof_tolerance(spark, sf_dir):
+    """AS-OF join with a 7-day tolerance (pandas merge_asof parity): the
+    latest order at-or-before each event still matches, but matches older
+    than the tolerance are nulled in a post-projection guard — same single
+    window pass. Oracle: DuckDB native ASOF plus the same gap guard."""
+    from ..operators import joins as jops
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("custkey"), "ts", "event_id"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    o1 = (
+        o.groupBy(F.col("o_custkey").alias("custkey"), "o_orderdate")
+        .agg(F.max(F.struct("o_orderkey", "o_totalprice")).alias("s"))
+        .select(
+            "custkey",
+            F.col("o_orderdate").cast("timestamp").alias("order_ts"),
+            F.col("s.o_orderkey").alias("o_orderkey"),
+            F.col("s.o_totalprice").alias("o_totalprice"),
+        )
+    )
+    joined = jops.asof_join(
+        ev,
+        o1,
+        ["custkey"],
+        "ts",
+        "order_ts",
+        ["o_orderkey", "o_totalprice"],
+        tolerance_seconds=ASOF_TOL_S,
+    )
+    return joined.groupBy("custkey").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("o_orderkey").alias("n_matched"),
+        F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+    )
+
+
+ORACLE_ASOF_TOLERANCE = f"""
+WITH o1 AS (
+  SELECT custkey, order_ts, o_orderkey, o_totalprice FROM (
+    SELECT o_custkey AS custkey, o_orderdate::TIMESTAMP AS order_ts,
+           o_orderkey, o_totalprice,
+           row_number() OVER (
+             PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+    FROM orders) WHERE rn = 1
+),
+j AS (
+  SELECT e.user_id AS custkey,
+         CASE WHEN epoch(e.ts) - epoch(o1.order_ts) <= {ASOF_TOL_S}
+              THEN o1.o_orderkey END AS o_orderkey,
+         CASE WHEN epoch(e.ts) - epoch(o1.order_ts) <= {ASOF_TOL_S}
+              THEN o1.o_totalprice END AS o_totalprice
+  FROM events e ASOF LEFT JOIN o1
+    ON e.user_id = o1.custkey AND e.ts >= o1.order_ts
+)
+SELECT custkey, count(*) AS n_events, count(o_orderkey) AS n_matched,
+       round(sum(o_totalprice), 2) AS price_sum
+FROM j GROUP BY custkey
+"""
+
+
 def q_gap_fill(spark, sf_dir):
     """Time-series densification (gap fill): hourly event counts per type
     with EVERY hour slot in the type's [min, max] range present, zeros
@@ -996,6 +1060,9 @@ GROUP BY 1, 2
 
 
 SPECS = [
+    QuerySpec("e_asof_tolerance", q_asof_tolerance, ORACLE_ASOF_TOLERANCE,
+              doc="as-of join with 7-day tolerance: stale matches nulled post-window",
+              tags=("ext", "join", "asof")),
     QuerySpec("e_gap_fill", q_gap_fill, ORACLE_GAP_FILL,
               doc="time-series densification: zero-filled hourly slots per type",
               tags=("ext", "window", "timeseries")),
