@@ -216,6 +216,81 @@ def q_stream_cumulate(spark, sf_dir):
     )
 
 
+LATE_WM_S = 7200  # 2 h watermark delay
+LATE_CHUNKS = 6
+
+
+def q_stream_late_data(spark, sf_dir):
+    """Watermark LATE-DATA semantics, driver-checked end-to-end: events
+    arrive in a DETERMINISTIC scrambled order (md5-hash chunking, 6
+    micro-batches), a 2 h watermark gates a 1 h tumbling count in APPEND
+    mode, and the output is exactly what Structured Streaming emits — rows
+    whose window closed before they arrived are dropped, windows never
+    closed by the final watermark are withheld. The oracle replays the
+    same watermark algebra in SQL: wm before batch k = max event time of
+    batches < k minus the delay; a row survives iff its window end > that
+    wm; a window is emitted iff its end ≤ the final wm. This pins the
+    engine's late-data contract (SURVEY §2.5 T1) to an independent model,
+    not just to itself."""
+    from ..functions.hashing import portable_hash64
+
+    _clamp_shuffle(spark)
+    tmp = tempfile.mkdtemp(prefix="streamq_late_")
+    src = os.path.join(tmp, "events")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    chunked = ev.withColumn(
+        "_chunk",
+        F.pmod(
+            portable_hash64(F.concat(F.lit("chunk:"), F.col("event_id").cast("string"))),
+            F.lit(LATE_CHUNKS),
+        ),
+    )
+    files.write_chunks_by(chunked, "_chunk", src, LATE_CHUNKS)
+    schema = spark.read.parquet(src).schema
+    stream = files.stream_parquet(spark, src, schema, files_per_trigger=1)
+    out = (
+        stream.withWatermark("ts", f"{LATE_WM_S} seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .select(F.col("w.start").cast("long").alias("stt"), "ct")
+    )
+    return spark.read.parquet(_drain_append(out, "late"))
+
+
+ORACLE_STREAM_LATE = f"""
+WITH base AS (
+  -- stt via date_trunc, NOT epoch()::BIGINT: that cast ROUNDS, and a row
+  -- .9 s before the hour would be binned into the wrong window
+  SELECT epoch(ts) AS t,
+         epoch(date_trunc('hour', ts))::BIGINT AS stt,
+         (('0x' || substr(md5('chunk:' || event_id), 1, 15))::BIGINT % {LATE_CHUNKS}) AS chunk
+  FROM events
+),
+batch_max AS (SELECT chunk, max(t) AS m FROM base GROUP BY 1),
+wm AS (
+  -- the LATE-ROW filter in batch k sees the watermark committed at batch
+  -- start, which was computed from stats through batch k-2 (the k-1 stats
+  -- update the watermark only after that batch completes) — verified
+  -- against StreamingQueryProgress eventTime stats; eviction/emission uses
+  -- the k-1 value, which only matters for the final-emission filter below
+  SELECT chunk,
+         max(m) OVER (ORDER BY chunk ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+           - {LATE_WM_S} AS wm_before
+  FROM batch_max
+),
+kept AS (
+  SELECT b.stt
+  FROM base b JOIN wm ON b.chunk = wm.chunk
+  WHERE wm.wm_before IS NULL OR b.stt + 3600 > wm.wm_before
+),
+final_wm AS (SELECT max(t) - {LATE_WM_S} AS wm_final FROM base)
+SELECT stt, count(*) AS ct
+FROM kept, final_wm
+WHERE stt + 3600 <= wm_final
+GROUP BY stt
+"""
+
+
 def q_stream_topn(spark, sf_dir):
     """Continuous TopN through the streaming engine (the Flink retract-TopN
     shape, left to ClickHouse by the reference): per-key counts maintained
@@ -642,6 +717,11 @@ SPECS = (
         "s_stream_upsert_latest", q_stream_upsert_latest, ORACLE_UPSERT,
         doc="S8+T11 executed via streaming: checkpointed foreachBatch + idempotent MERGE",
         tags=("S8", "T11", "S6", "streaming"),
+    ),
+    QuerySpec(
+        "s_stream_late_data", q_stream_late_data, ORACLE_STREAM_LATE,
+        doc="watermark late-data semantics vs an independent SQL watermark model",
+        tags=("T1", "streaming", "watermark"),
     ),
     QuerySpec(
         "s_stream_topn", q_stream_topn, ORACLE_STREAM_TOPN,

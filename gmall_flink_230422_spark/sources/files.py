@@ -57,6 +57,23 @@ def write_time_chunks(df: DataFrame, ts_col: str, path: str, n_chunks: int = 6) 
     return path
 
 
+def write_chunks_by(
+    df: DataFrame, chunk_col: str, path: str, n_chunks: int
+) -> str:
+    """Replay-harness writer, arbitrary chunk assignment: land chunk k as
+    the k-th single-file parquet write (strictly increasing mtimes ⇒ the
+    file stream replays chunks in index order). With a hash-derived
+    ``chunk_col`` this produces a DETERMINISTIC out-of-order arrival
+    pattern — the harness for exercising watermark late-data semantics."""
+    from pyspark.sql import functions as F
+
+    for i in range(n_chunks):
+        df.filter(F.col(chunk_col) == i).drop(chunk_col).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    return path
+
+
 def stream_json_lines(
     spark: SparkSession, path: str, schema: T.StructType, files_per_trigger: int = 1
 ) -> DataFrame:
