@@ -69,6 +69,9 @@ HEADLINE = [
     "x_domain_mix",
     "x_bpe_train",
     "x_ann_recall",
+    "x_lsh_recall",
+    "e_changelog_retract",
+    "e_gap_fill",
 ]
 
 
