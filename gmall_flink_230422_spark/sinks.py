@@ -107,6 +107,42 @@ def fan_out_sink(
     )
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target)`` balanced files and atomically swap it in.
+    Streaming micro-batch sinks accrete one-file-per-batch fragments; at
+    100 TB the resulting listing/open overhead dominates scans, and the
+    periodic compactor (this) is the standard fix.
+
+    The rewrite is one round-robin repartition (no key assumption, even
+    output sizes); the swap is rename-based (write to ``path.compact``,
+    move the old dir aside, move the new one in, drop the old), so readers
+    never observe a half-written directory. Returns the new file count.
+    """
+    import shutil
+
+    df = spark.read.parquet(path)
+    files = df.inputFiles()
+    total = sum(
+        os.path.getsize(f[len("file:") :] if f.startswith("file:") else f)
+        for f in files
+    )
+    n_files = max(1, -(-total // target_file_bytes))
+    if n_files >= len(files):
+        return len(files)  # already compact enough
+    tmp = path.rstrip("/") + ".compact"
+    old = path.rstrip("/") + ".old"
+    df.repartition(int(n_files)).write.mode("overwrite").parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return int(n_files)
+
+
 def jdbc_sink(
     df: DataFrame,
     url: str,

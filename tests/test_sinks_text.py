@@ -118,3 +118,22 @@ def test_hash_split_stable_and_proportional(spark):
     assert 0.7 < c["train"] / 500 < 0.9
     assert 0.05 < c["val"] / 500 < 0.15
     assert 0.05 < c["test"] / 500 < 0.15
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from gmall_flink_230422_spark import sinks
+
+    out = str(tmp_path / "frag")
+    # 40 single-row appends = 40 fragment files (a streaming sink's wake)
+    df = spark.range(200)
+    df.repartition(40).write.mode("overwrite").parquet(out)
+    before = spark.read.parquet(out)
+    n_before = len(before.inputFiles())
+    rows_before = sorted(r["id"] for r in before.collect())
+    assert n_before >= 40
+    n_after = sinks.compact_parquet(spark, out, target_file_bytes=1 << 30)
+    after = spark.read.parquet(out)
+    assert len(after.inputFiles()) == n_after <= 2
+    assert sorted(r["id"] for r in after.collect()) == rows_before
+    # idempotent second run: already compact, no rewrite
+    assert sinks.compact_parquet(spark, out, target_file_bytes=1 << 30) == n_after
