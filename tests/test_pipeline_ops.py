@@ -205,3 +205,38 @@ def test_bpe_train_learns_expected_merges(spark):
     ]
     # step-1 count: every word contains exactly one 'a b' pair; freqs 4+2
     assert rows[0]["pair_count"] == 6
+
+
+def test_mixture_sample_rate_caps_at_one(spark):
+    # stratum far below its uniform share keeps EVERYTHING (rate 1.0);
+    # the over-represented one is downsampled toward the target
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)],
+        ["doc_id", "source"],
+    )
+    out = {r["source"]: r for r in
+           text.mixture_sample_summary(docs, budget_num=1, budget_den=2).collect()}
+    # budget 500, uniform target 250/stratum; small has 100 -> rate 1.0
+    assert out["small"]["rate"] == 1.0
+    assert out["small"]["n_kept"] == 100
+    # big: threshold = 500*10000 div (2*900) = 2777 -> rate 0.2777
+    assert out["big"]["rate"] == 0.2777
+    assert 150 < out["big"]["n_kept"] < 350  # hash-binomial around 250
+
+
+def test_gap_fill_emits_zero_slots(spark, tmp_path):
+    import datetime as dt
+    from gmall_flink_230422_spark.plans.analytics import q_gap_fill
+
+    # events at hour 0 and hour 3 -> slots 1 and 2 must appear with ct=0
+    rows = [(1, dt.datetime(2024, 1, 1, 0, 30), 7, "view", 1.0, "{}"),
+            (2, dt.datetime(2024, 1, 1, 3, 10), 7, "view", 1.0, "{}")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = str(tmp_path / "sf")
+    df.write.parquet(out + "/events.parquet")
+    got = {(r["event_type"], r["slot"]): r["ct"] for r in q_gap_fill(spark, out).collect()}
+    base = int(dt.datetime(2024, 1, 1).timestamp())
+    assert got == {("view", base): 1, ("view", base + 3600): 0,
+                   ("view", base + 7200): 0, ("view", base + 10800): 1}
