@@ -660,6 +660,48 @@ FROM v WINDOW w AS (PARTITION BY id ORDER BY valid_from)
 """
 
 
+SCD2_AS_OF = "1998-06-15 00:00:00"
+
+
+def q_scd2_point_in_time(spark, sf_dir):
+    """Temporal point-in-time lookup over the SCD2 history (the query the
+    history table exists FOR): the version of each order_info key valid at
+    a fixed reference instant — ``valid_from <= T < valid_to`` with the
+    open current interval unbounded. Reuses q_scd2_history's single-shuffle
+    interval build; the filter prunes to ≤1 row per key with no extra
+    shuffle."""
+    hist = q_scd2_history(spark, sf_dir)
+    t = F.lit(SCD2_AS_OF)
+    return hist.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select("id", "order_status", "valid_from", "is_current")
+
+
+ORACLE_SCD2_PIT = f"""
+WITH v AS (
+  SELECT o_orderkey AS id, '1001' AS order_status,
+         strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS valid_from
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'F' THEN '1003' ELSE '1002' END,
+         strftime(o_orderdate + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S')
+  FROM orders WHERE o_orderstatus IN ('F', 'O')
+),
+h AS (
+  SELECT id, order_status, valid_from,
+         lead(valid_from) OVER w AS valid_to,
+         CAST(lead(valid_from) OVER w IS NULL AS INT) AS is_current
+  FROM v WINDOW w AS (PARTITION BY id ORDER BY valid_from)
+)
+SELECT id, order_status, valid_from, is_current
+FROM h
+WHERE valid_from <= '{SCD2_AS_OF}'
+  AND (valid_to IS NULL OR valid_to > '{SCD2_AS_OF}')
+"""
+
+
 # ---------------------------------------------------------------- J6 five-way join
 def q_dwd_order_detail(spark, sf_dir):
     """J6 end-to-end over the envelope: order_detail ⋈ compacted order_info
@@ -768,6 +810,11 @@ SPECS = (
         "e_scd2_history", q_scd2_history, ORACLE_SCD2,
         doc="SCD2 validity intervals from the CDC changelog (lead window per key)",
         tags=("ext", "S11", "T9"),
+    ),
+    QuerySpec(
+        "e_scd2_point_in_time", q_scd2_point_in_time, ORACLE_SCD2_PIT,
+        doc="temporal point-in-time lookup: the version valid at a fixed instant",
+        tags=("ext", "S11", "asof"),
     ),
     QuerySpec(
         "j6_dwd_order_detail", q_dwd_order_detail, ORACLE_ORDER_DETAIL,
