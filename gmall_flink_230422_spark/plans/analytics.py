@@ -949,6 +949,57 @@ GROUP BY 1
 """
 
 
+def q_session_paths(spark, sf_dir):
+    """Journey mining: sessionize (native session_window, 30 min gap),
+    string the session's event types in time order into a path, rank the
+    top-20 paths by frequency. Path assembly is sort_array over
+    (ts, event_id, type) structs — deterministic under the unique event_id
+    tie-break, unlike a bare collect_list. One session shuffle + one path
+    count; the top-k is TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_S} seconds").alias("w"), "user_id"
+        )
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.array_join(
+                F.transform(F.col("evs"), lambda e: e["event_type"]), ">"
+            ).alias("path")
+        )
+    )
+    return (
+        sess.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )
+
+
+ORACLE_SESSION_PATHS = f"""
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > {SESSION_GAP_S}
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), grp AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM seq
+), paths AS (
+  SELECT string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM grp GROUP BY user_id, session_no
+)
+SELECT path, count(*) AS n_sessions
+FROM paths GROUP BY 1
+ORDER BY n_sessions DESC, path LIMIT 20
+"""
+
+
 def q_funnel(spark, sf_dir):
     """Ordered conversion funnel view → click → purchase: each user's first
     view, first click strictly after that view, first purchase strictly
@@ -1081,6 +1132,9 @@ SPECS = [
     QuerySpec("e_salted_join", q_salted_join, ORACLE_SALTED_JOIN,
               doc="pre-planned skew salting (8 salts), result-identical to the plain equi-join",
               tags=("ext", "join", "skew")),
+    QuerySpec("e_session_paths", q_session_paths, ORACLE_SESSION_PATHS,
+              doc="journey mining: sessionized event-type paths, top-20 by frequency",
+              tags=("ext", "window", "analytics")),
     QuerySpec("e_funnel", q_funnel, ORACLE_FUNNEL,
               doc="ordered view→click→purchase funnel: chained conditional-min windows, one shuffle",
               tags=("ext", "window", "analytics")),
