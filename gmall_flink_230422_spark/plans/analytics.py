@@ -949,6 +949,46 @@ GROUP BY 1
 """
 
 
+def q_rolling_window(spark, sf_dir):
+    """Time-RANGE window frame: 7-day rolling order revenue per day — the
+    range-interval frame (`RANGE BETWEEN INTERVAL 6 DAYS PRECEDING`)
+    rows-based frames can't express over a sparse day grid. Pre-aggregate
+    to the day grid first (the 100 TB discipline: the window runs over
+    ~days rows, not raw orders), then one rangeBetween window on the epoch
+    axis. The window is deliberately unpartitioned — the frame needs the
+    global day axis — but its input is the calendar grid (rows grow with
+    TIME, not data volume; ~365/year at any SF), so the single-partition
+    sort is bounded, unlike a global window over a data-sized key (the
+    q15 anti-pattern this repo removed). Roll sums re-round to the money
+    grid."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("dt"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("day_rev"))
+        .withColumn("epoch_d", F.unix_date("dt"))
+    )
+    w = Window.orderBy("epoch_d").rangeBetween(-6, 0)
+    return daily.select(
+        F.date_format("dt", "yyyy-MM-dd").alias("dt"),
+        "day_rev",
+        F.round(F.sum("day_rev").over(w), 2).alias("rolling_7d_rev"),
+        F.count(F.lit(1)).over(w).alias("days_in_frame"),
+    )
+
+
+ORACLE_ROLLING = """
+WITH daily AS (
+  SELECT o_orderdate::DATE AS dt, round(sum(o_totalprice), 2) AS day_rev
+  FROM orders GROUP BY 1
+)
+SELECT strftime(dt, '%Y-%m-%d') AS dt, day_rev,
+       round(sum(day_rev) OVER w, 2) AS rolling_7d_rev,
+       count(*) OVER w AS days_in_frame
+FROM daily
+WINDOW w AS (ORDER BY dt RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_session_paths(spark, sf_dir):
     """Journey mining: sessionize (native session_window, 30 min gap),
     string the session's event types in time order into a path, rank the
@@ -1132,6 +1172,9 @@ SPECS = [
     QuerySpec("e_salted_join", q_salted_join, ORACLE_SALTED_JOIN,
               doc="pre-planned skew salting (8 salts), result-identical to the plain equi-join",
               tags=("ext", "join", "skew")),
+    QuerySpec("e_rolling_window", q_rolling_window, ORACLE_ROLLING,
+              doc="7-day RANGE-frame rolling revenue over the pre-aggregated day grid",
+              tags=("ext", "window", "timeseries")),
     QuerySpec("e_session_paths", q_session_paths, ORACLE_SESSION_PATHS,
               doc="journey mining: sessionized event-type paths, top-20 by frequency",
               tags=("ext", "window", "analytics")),
