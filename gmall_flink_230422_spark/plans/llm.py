@@ -331,6 +331,53 @@ FROM flags
 """
 
 
+def q_minhash_estimate(spark, sf_dir):
+    """MinHash estimator accuracy audit: for every LSH candidate pair,
+    the signature-agreement Jaccard estimate (matching minima / 16)
+    side-by-side with the exact shingle Jaccard — the calibration table
+    that justifies trusting signatures at 100 TB where exact Jaccard is
+    unaffordable. Integer agreement counts; both ratios on the 1e-4 grid."""
+    d = _docs_par(spark, sf_dir)
+    sh = dedup.shingles(d).cache()
+    sigs = dedup.minhash_signatures(sh, num_hashes=16)
+    cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4).cache()
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"), "seed", F.col("minhash").alias("mh_a")
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"), "seed", F.col("minhash").alias("mh_b")
+    )
+    agree = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "seed"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum((F.col("mh_a") == F.col("mh_b")).cast("bigint")).alias("n_agree"))
+        .withColumn("est_jaccard", F.expr("(n_agree * 10000) div 16") / F.lit(10000.0))
+    )
+    exact = dedup.jaccard_pairs(sh, threshold=0.0, candidates=cands)
+    return agree.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "n_agree", "est_jaccard", "jaccard"
+    )
+
+
+ORACLE_MINHASH_ESTIMATE = f"""
+WITH {_SHINGLES_CTE},
+{_minhash_lsh_ctes()},
+agree AS (
+  SELECT c.doc_a, c.doc_b,
+         sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)::BIGINT AS n_agree
+  FROM cand c
+  JOIN seeded sa ON sa.doc_id = c.doc_a
+  JOIN seeded sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+  GROUP BY 1, 2
+)
+SELECT a.doc_a, a.doc_b, a.n_agree,
+       ((a.n_agree * 10000) // 16) / 10000.0 AS est_jaccard,
+       v.jaccard
+FROM agree a JOIN verified v ON a.doc_a = v.doc_a AND a.doc_b = v.doc_b
+"""
+
+
 def q_dedup_corpus(spark, sf_dir):
     """Capstone keep-one dedup: exact canonicals (min id per fingerprint) →
     MinHash/LSH near-dup pairs among canonicals → drop the higher id of
@@ -1399,6 +1446,9 @@ SPECS = [
     QuerySpec("x_hash_split", q_hash_split, ORACLE_HASH_SPLIT, tags=("llm", "text")),
     QuerySpec("x_ngram_jaccard", q_ngram_jaccard, ORACLE_NGRAM_JACCARD, tags=("llm", "dedup")),
     QuerySpec("x_minhash_lsh", q_minhash_lsh, ORACLE_MINHASH_LSH, tags=("llm", "dedup")),
+    QuerySpec("x_minhash_estimate", q_minhash_estimate, ORACLE_MINHASH_ESTIMATE,
+              doc="MinHash estimate vs exact Jaccard per candidate pair — estimator calibration",
+              tags=("llm", "dedup")),
     QuerySpec("x_lsh_recall", q_lsh_recall, ORACLE_LSH_RECALL,
               doc="LSH candidate recall vs exact Jaccard truth — dedup quality audit",
               tags=("llm", "dedup")),
