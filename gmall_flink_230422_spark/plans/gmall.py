@@ -161,6 +161,38 @@ def q_scalar_string(spark, sf_dir):
     )
 
 
+def q_scalar_json(spark, sf_dir):
+    """§2.6 companion: the JSON scalar surface — the reference's bread and
+    butter (every topic payload goes through JSONObject:
+    BaseLogApp.java:43-55, DimSinkFunction, MyKafkaUtil's topic_db DDL).
+    get_json_object path extraction, from_json typed parse, validity
+    probing, and JSON re-assembly — all JVM built-ins in the scan's
+    projection, no shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k int")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed["k"].alias("k_int"),
+        (parsed["k"] % 10).alias("k_mod"),
+        parsed.isNotNull().cast("int").alias("is_valid"),
+        F.to_json(F.struct(F.col("event_id"), parsed["k"].alias("k"))).alias("rebuilt"),
+        F.json_array_length(F.concat(F.lit("["), F.col("props"), F.lit("]"))).alias("arr_len"),
+    )
+
+
+ORACLE_SCALAR_JSON = """
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       (json_extract(props, '$.k'))::INT AS k_int,
+       (json_extract(props, '$.k'))::INT % 10 AS k_mod,
+       CASE WHEN json_valid(props) THEN 1 ELSE 0 END AS is_valid,
+       '{"event_id":' || event_id || ',"k":' || json_extract_string(props, '$.k') || '}' AS rebuilt,
+       json_array_length('[' || props || ']') AS arr_len
+FROM events
+"""
+
+
 ORACLE_SCALAR_STRING = """
 SELECT c_custkey,
        upper(c_mktsegment) AS seg_up,
@@ -750,6 +782,9 @@ SPECS = [
     QuerySpec("fn_scalar_string", q_scalar_string, ORACLE_SCALAR_STRING,
               doc="§2.6 string scalar surface: case/pad/substr/regex/split/translate, one codegen stage",
               tags=("gmall", "2.6")),
+    QuerySpec("fn_scalar_json", q_scalar_json, ORACLE_SCALAR_JSON,
+              doc="§2.6 JSON scalar surface: path extract, typed parse, validity, re-assembly",
+              tags=("gmall", "2.6", "S2")),
     QuerySpec("j3_dim_lookup_join", q_dim_lookup_join, ORACLE_DIM_LOOKUP, tags=("gmall", "J3")),
     QuerySpec("j4_double_alias_join", q_double_alias_join, ORACLE_DOUBLE_ALIAS, tags=("gmall", "J4", "J6")),
     QuerySpec("j1_inner_join", q_inner_join, ORACLE_INNER, tags=("gmall", "J1")),
