@@ -949,6 +949,64 @@ GROUP BY 1
 """
 
 
+def q_outlier_stats(spark, sf_dir):
+    """Statistical profiling with 3σ outlier counts per event type — the
+    numeric-column screening step of data curation. Moments are EXACT:
+    values live on the 2-dec grid, so Σv and Σv² are computed in centi-unit
+    BIGINTs (order-independent, no float-summation drift); mean/σ then come
+    from one identical double expression per engine, and sqrt is IEEE
+    correctly-rounded (unlike ln) so both engines agree bit-for-bit. One
+    aggregate + one broadcast-back pass."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("vc")
+    )
+    stats = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vc").alias("s1"),
+        F.sum(F.col("vc") * F.col("vc")).alias("s2"),
+    )
+    mean_c = F.col("s1") / F.col("n")
+    var_c = F.col("s2") / F.col("n") - mean_c * mean_c
+    enriched = stats.withColumn("mean_c", mean_c).withColumn(
+        "std_c", F.sqrt(var_c)
+    )
+    flagged = base.join(F.broadcast(enriched), "event_type").withColumn(
+        "is_outlier",
+        (F.abs(F.col("vc") - F.col("mean_c")) > 3 * F.col("std_c")).cast("bigint"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        (F.floor(F.max("mean_c") * 100) / 10000).alias("mean_value"),
+        (F.floor(F.max("std_c") * 100) / 10000).alias("std_value"),
+        F.sum("is_outlier").alias("n_outliers"),
+    )
+
+
+ORACLE_OUTLIER = """
+WITH base AS (
+  SELECT event_type, round(value * 100)::BIGINT AS vc FROM events
+),
+stats AS (
+  SELECT event_type, count(*) AS n, sum(vc) AS s1, sum(vc * vc) AS s2
+  FROM base GROUP BY 1
+),
+enriched AS (
+  SELECT event_type, n,
+         s1 / n AS mean_c,
+         sqrt(s2 / n - (s1 / n) * (s1 / n)) AS std_c
+  FROM stats
+)
+SELECT b.event_type, max(e.n) AS n,
+       floor(max(e.mean_c) * 100) / 10000 AS mean_value,
+       floor(max(e.std_c) * 100) / 10000 AS std_value,
+       sum(CASE WHEN abs(b.vc - e.mean_c) > 3 * e.std_c THEN 1 ELSE 0 END)::BIGINT
+         AS n_outliers
+FROM base b JOIN enriched e USING (event_type)
+GROUP BY 1
+"""
+
+
 def q_rolling_window(spark, sf_dir):
     """Time-RANGE window frame: 7-day rolling order revenue per day — the
     range-interval frame (`RANGE BETWEEN INTERVAL 6 DAYS PRECEDING`)
@@ -1172,6 +1230,9 @@ SPECS = [
     QuerySpec("e_salted_join", q_salted_join, ORACLE_SALTED_JOIN,
               doc="pre-planned skew salting (8 salts), result-identical to the plain equi-join",
               tags=("ext", "join", "skew")),
+    QuerySpec("e_outlier_stats", q_outlier_stats, ORACLE_OUTLIER,
+              doc="3-sigma outlier screen: exact integer moments, IEEE sqrt, broadcast-back",
+              tags=("ext", "agg", "stats")),
     QuerySpec("e_rolling_window", q_rolling_window, ORACLE_ROLLING,
               doc="7-day RANGE-frame rolling revenue over the pre-aggregated day grid",
               tags=("ext", "window", "timeseries")),
