@@ -331,6 +331,45 @@ FROM flags
 """
 
 
+def q_embedding_stats(spark, sf_dir):
+    """Embedding-column health screen (the vector analog of token_stats):
+    per label, count, zero-vector count, and min/mean/max L2 norm. Norms
+    come from the same JVM fold the cosine path uses; each is floored to
+    the 1e-4 grid BEFORE the per-label aggregate so the mean is an exact
+    integer sum + one division — no float-summation drift. One narrow
+    aggregate, no shuffle beyond it."""
+    e = _embs_par(spark, sf_dir)
+    sq = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    norm_u = F.floor(F.sqrt(sq) * 10000).cast("bigint")
+    base = e.select("label", norm_u.alias("nu"))
+    return base.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("nu") == 0).cast("bigint")).alias("n_zero"),
+        (F.min("nu") / 10000.0).alias("min_norm"),
+        (F.expr("(sum(nu)) div count(1)") / 10000.0).alias("mean_norm"),
+        (F.max("nu") / 10000.0).alias("max_norm"),
+    )
+
+
+ORACLE_EMBEDDING_STATS = """
+WITH base AS (
+  SELECT label,
+         floor(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) * 10000)::BIGINT AS nu
+  FROM embeddings
+)
+SELECT label, count(*) AS n,
+       sum(CASE WHEN nu = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+       min(nu) / 10000.0 AS min_norm,
+       (sum(nu) // count(*)) / 10000.0 AS mean_norm,
+       max(nu) / 10000.0 AS max_norm
+FROM base GROUP BY 1
+"""
+
+
 def q_minhash_estimate(spark, sf_dir):
     """MinHash estimator accuracy audit: for every LSH candidate pair,
     the signature-agreement Jaccard estimate (matching minima / 16)
@@ -1446,6 +1485,9 @@ SPECS = [
     QuerySpec("x_hash_split", q_hash_split, ORACLE_HASH_SPLIT, tags=("llm", "text")),
     QuerySpec("x_ngram_jaccard", q_ngram_jaccard, ORACLE_NGRAM_JACCARD, tags=("llm", "dedup")),
     QuerySpec("x_minhash_lsh", q_minhash_lsh, ORACLE_MINHASH_LSH, tags=("llm", "dedup")),
+    QuerySpec("x_embedding_stats", q_embedding_stats, ORACLE_EMBEDDING_STATS,
+              doc="embedding-column health screen: per-label L2-norm stats, grid-exact",
+              tags=("llm", "similarity", "stats")),
     QuerySpec("x_minhash_estimate", q_minhash_estimate, ORACLE_MINHASH_ESTIMATE,
               doc="MinHash estimate vs exact Jaccard per candidate pair — estimator calibration",
               tags=("llm", "dedup")),
