@@ -720,6 +720,148 @@ FROM s WHERE bucket < thr
 """
 
 
+LM_MAX_SURPRISAL = 3.5
+
+
+def q_curate_funnel(spark, sf_dir):
+    """Curation FUNNEL audit: the per-stage survivor counts of the full
+    pipeline — corpus → train split → repetition filter → bigram-LM
+    perplexity filter (< {thr} mean surprisal) → decontamination → exact+
+    near dedup — the acceptance report a data-curation run publishes.
+    Every stage is a first-class operator from this module; each count is
+    a scalar aggregate over left-semi-pruned ids, so the corpus text is
+    only ever scanned by the operators themselves."""
+    d = _docs_par(spark, sf_dir)
+    train = d.filter(F.col("doc_id") % 17 != 0)
+    ev = d.filter(F.col("doc_id") % 17 == 0)
+    rep_keep = text.repetition_features(d).filter("keep").select("doc_id")
+    lm_keep = (
+        text.lm_surprisal_score(d)
+        .filter(F.col("avg_surprisal") < LM_MAX_SURPRISAL)
+        .select("doc_id")
+    )
+    cont_keep = (
+        dedup.contamination_scores(train, ev)
+        .filter(F.col("contamination") < 0.5)
+        .select("doc_id")
+    )
+    s2 = train.join(rep_keep, "doc_id", "left_semi")
+    s3 = s2.join(lm_keep, "doc_id", "left_semi")
+    s4 = s3.join(cont_keep, "doc_id", "left_semi").cache()
+    surv = dedup.dedup_corpus(s4, threshold=0.5)
+    s5 = s4.join(surv, "doc_id", "left_semi")
+
+    def stage(n: int, df):
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(n).alias("stage"), "n_docs"
+        )
+
+    out = stage(1, d)
+    for i, df in ((2, train), (3, s2), (4, s3), (5, s4), (6, s5)):
+        out = out.unionByName(stage(i, df))
+    return out
+
+
+q_curate_funnel.__doc__ = q_curate_funnel.__doc__.format(thr=LM_MAX_SURPRISAL)
+
+
+def _lm_keep_ctes() -> str:
+    """lm_-prefixed bigram-LM CTE chain ending in lm_keep (docs under the
+    surprisal cap), collision-free next to the shingle CTEs."""
+    return f"""
+lm_toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok, generate_subscripts({_TOKS}, 1) AS pos
+  FROM documents
+),
+lm_pairs AS (
+  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+  FROM lm_toks a JOIN lm_toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+lm_uni AS (SELECT tok, count(*) AS c1 FROM lm_toks GROUP BY 1),
+lm_bg AS (SELECT w1, w2, count(*) AS c2 FROM lm_pairs GROUP BY 1, 2),
+lm_v AS (SELECT count(*) AS vsz FROM lm_uni),
+lm_scored AS (
+  SELECT p.doc_id,
+         floor(-ln((g.c2 + 1.0) / (u.c1 + v.vsz)) * 1000)::BIGINT AS s
+  FROM lm_pairs p
+  JOIN lm_bg g ON p.w1 = g.w1 AND p.w2 = g.w2
+  JOIN lm_uni u ON p.w1 = u.tok
+  CROSS JOIN lm_v v
+),
+lm_keep AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, count(*) AS nb, sum(s) AS ss FROM lm_scored GROUP BY 1
+  ) WHERE ((ss * 10) // nb) / 10000.0 < {LM_MAX_SURPRISAL}
+)"""
+
+
+ORACLE_CURATE_FUNNEL = f"""
+WITH rtoks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+rwc AS (SELECT doc_id, tok, count(*) AS c FROM rtoks GROUP BY 1, 2),
+rws AS (
+  SELECT doc_id, sum(c) AS n_words, max(c) AS top_word, count(*) AS n_distinct,
+         sum(length(tok) * c) AS chars
+  FROM rwc GROUP BY 1
+),
+rbt AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok, generate_subscripts({_TOKS}, 1) AS pos
+  FROM documents
+),
+rbg AS (
+  SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+  FROM rbt QUALIFY b IS NOT NULL
+),
+rbgc AS (SELECT doc_id, b, count(*) AS c FROM rbg GROUP BY 1, 2),
+rbgs AS (SELECT doc_id, sum(c) AS n_bg, max(c) AS top_bg FROM rbgc GROUP BY 1),
+rep_keep AS (
+  SELECT w.doc_id
+  FROM rws w LEFT JOIN rbgs g ON w.doc_id = g.doc_id
+  WHERE floor(((w.n_words - w.n_distinct) * 1.0 / w.n_words) * 10000) / 10000 <= 0.8
+    AND floor((w.top_word * 1.0 / w.n_words) * 10000) / 10000 <= 0.12
+    AND coalesce(floor((g.top_bg * 1.0 / g.n_bg) * 10000) / 10000, 0.0) <= 0.08
+    AND floor((w.chars * 1.0 / w.n_words) * 10000) / 10000 BETWEEN 3.0 AND 10.0
+),
+{_lm_keep_ctes()},
+{_side_shingles_cte('tr', 'doc_id % 17 <> 0')},
+{_side_shingles_cte('ev', 'doc_id % 17 = 0')},
+cont_keep AS (
+  SELECT t.doc_id
+  FROM tr_sh t
+  LEFT JOIN (SELECT DISTINCT shingle FROM ev_sh) e ON t.shingle = e.shingle
+  GROUP BY t.doc_id
+  HAVING floor((count(e.shingle) * 1.0 / count(*)) * 10000) / 10000 < 0.5
+),
+s2d AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id % 17 <> 0 AND doc_id IN (SELECT doc_id FROM rep_keep)
+),
+s3d AS (SELECT doc_id FROM s2d WHERE doc_id IN (SELECT doc_id FROM lm_keep)),
+docs_f AS (
+  SELECT * FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM s3d)
+    AND doc_id IN (SELECT doc_id FROM cont_keep)
+),
+canon AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id, md5(lower(trim(text))) AS fp FROM docs_f)
+  GROUP BY fp
+),
+docs_c AS (SELECT * FROM docs_f WHERE doc_id IN (SELECT doc_id FROM canon)),
+{_shingles_cte('docs_c')},
+{_minhash_lsh_ctes()},
+survivors AS (
+  SELECT doc_id FROM docs_c
+  WHERE doc_id NOT IN (SELECT doc_b FROM verified WHERE jaccard >= 0.5)
+)
+SELECT 1 AS stage, (SELECT count(*) FROM documents) AS n_docs
+UNION ALL SELECT 2, (SELECT count(*) FROM documents WHERE doc_id % 17 <> 0)
+UNION ALL SELECT 3, (SELECT count(*) FROM s2d)
+UNION ALL SELECT 4, (SELECT count(*) FROM s3d)
+UNION ALL SELECT 5, (SELECT count(*) FROM docs_f)
+UNION ALL SELECT 6, (SELECT count(*) FROM survivors)
+"""
+
+
 # ---------------------------------------------------------------- stratified sampling
 _MIX_RATES = {"en": 1.0, "de": 0.5, "es": 0.5, "fr": 0.25, "zh": 0.75}
 
@@ -1485,6 +1627,9 @@ SPECS = [
     QuerySpec("x_hash_split", q_hash_split, ORACLE_HASH_SPLIT, tags=("llm", "text")),
     QuerySpec("x_ngram_jaccard", q_ngram_jaccard, ORACLE_NGRAM_JACCARD, tags=("llm", "dedup")),
     QuerySpec("x_minhash_lsh", q_minhash_lsh, ORACLE_MINHASH_LSH, tags=("llm", "dedup")),
+    QuerySpec("x_curate_funnel", q_curate_funnel, ORACLE_CURATE_FUNNEL,
+              doc="per-stage survivor counts of the full curation pipeline incl. the LM filter",
+              tags=("llm", "pipeline")),
     QuerySpec("x_embedding_stats", q_embedding_stats, ORACLE_EMBEDDING_STATS,
               doc="embedding-column health screen: per-label L2-norm stats, grid-exact",
               tags=("llm", "similarity", "stats")),
