@@ -48,6 +48,7 @@ HEADLINE = [
     "x_contamination",
     "x_repetition_filter",
     "x_curate_corpus",
+    "x_curate_funnel",
     # round-2 batch 2: union-find dedup clustering + vocab/order-statistics
     "x_dedup_corpus_cc",
     "e_quantiles",
