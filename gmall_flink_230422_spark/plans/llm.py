@@ -720,6 +720,40 @@ FROM s WHERE bucket < thr
 """
 
 
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffling: the training-order permutation as a
+    salted-hash sort key (`md5(epoch:seed:id)`) — reproducible across
+    re-runs and cluster layouts, unlike rand()-ordered shuffles, and a new
+    epoch salt yields an independent permutation. Emitted as the first 100
+    (position, doc_id) pairs; at scale this is a sort-merge write, and the
+    per-epoch order never touches the driver."""
+    from ..functions.hashing import portable_hash64
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    key = portable_hash64(
+        F.concat(F.lit("epoch:1:"), F.col("doc_id").cast("string"))
+    )
+    w = Window.orderBy(key, "doc_id")
+    return (
+        d.select("doc_id", key.alias("shuffle_key"))
+        .withColumn("position", F.row_number().over(w))
+        .filter(F.col("position") <= 100)
+    )
+
+
+ORACLE_EPOCH_SHUFFLE = """
+WITH keyed AS (
+  SELECT doc_id,
+         (('0x' || substr(md5('epoch:1:' || doc_id), 1, 15)))::BIGINT AS shuffle_key
+  FROM documents
+)
+SELECT doc_id, shuffle_key,
+       row_number() OVER (ORDER BY shuffle_key, doc_id) AS position
+FROM keyed QUALIFY position <= 100
+"""
+
+
 LM_MAX_SURPRISAL = 3.5
 
 
@@ -1627,6 +1661,9 @@ SPECS = [
     QuerySpec("x_hash_split", q_hash_split, ORACLE_HASH_SPLIT, tags=("llm", "text")),
     QuerySpec("x_ngram_jaccard", q_ngram_jaccard, ORACLE_NGRAM_JACCARD, tags=("llm", "dedup")),
     QuerySpec("x_minhash_lsh", q_minhash_lsh, ORACLE_MINHASH_LSH, tags=("llm", "dedup")),
+    QuerySpec("x_epoch_shuffle", q_epoch_shuffle, ORACLE_EPOCH_SHUFFLE,
+              doc="deterministic seeded training-order permutation (salted-hash sort key)",
+              tags=("llm", "sampling")),
     QuerySpec("x_curate_funnel", q_curate_funnel, ORACLE_CURATE_FUNNEL,
               doc="per-stage survivor counts of the full curation pipeline incl. the LM filter",
               tags=("llm", "pipeline")),
