@@ -949,6 +949,37 @@ GROUP BY 1
 """
 
 
+def q_unpivot(spark, sf_dir):
+    """Unpivot (melt) — the inverse reshape of e_pivot: the wide daily
+    counts matrix stacked back to long (dt, event_type, ct) via Spark's
+    native ``unpivot``. Round-tripping through both reshapes is the
+    wide↔long contract BI layers depend on; zero-filled cells survive as
+    explicit zero rows."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = q_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ids=["dt"],
+        values=types,
+        variableColumnName="event_type",
+        valueColumnName="ct",
+    )
+
+
+ORACLE_UNPIVOT = """
+WITH counts AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type, count(*) AS ct
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT dt, t.event_type
+  FROM (SELECT DISTINCT dt FROM counts)
+  CROSS JOIN (SELECT unnest(['click','error','purchase','signup','view']) AS event_type) t
+)
+SELECT g.dt, g.event_type, coalesce(c.ct, 0) AS ct
+FROM grid g LEFT JOIN counts c ON g.dt = c.dt AND g.event_type = c.event_type
+"""
+
+
 def q_outlier_stats(spark, sf_dir):
     """Statistical profiling with 3σ outlier counts per event type — the
     numeric-column screening step of data curation. Moments are EXACT:
@@ -1230,6 +1261,9 @@ SPECS = [
     QuerySpec("e_salted_join", q_salted_join, ORACLE_SALTED_JOIN,
               doc="pre-planned skew salting (8 salts), result-identical to the plain equi-join",
               tags=("ext", "join", "skew")),
+    QuerySpec("e_unpivot", q_unpivot, ORACLE_UNPIVOT,
+              doc="unpivot/melt: the wide pivot matrix back to long rows, zero cells explicit",
+              tags=("ext", "reshape")),
     QuerySpec("e_outlier_stats", q_outlier_stats, ORACLE_OUTLIER,
               doc="3-sigma outlier screen: exact integer moments, IEEE sqrt, broadcast-back",
               tags=("ext", "agg", "stats")),
