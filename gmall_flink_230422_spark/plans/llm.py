@@ -585,6 +585,88 @@ FROM reach GROUP BY src
 """
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware keep-one: within each near-duplicate cluster keep the
+    HIGHEST-quality member (tie → lowest id) instead of the arbitrary
+    min-id canonical — the curation-grade dedup policy (keep the cleanest
+    copy, drop the rest). Clusters from the CC operator, scores from the
+    quality operator, winner by one per-cluster rank window."""
+    from pyspark.sql import Window
+
+    d = _docs_par(spark, sf_dir)
+    sh = dedup.shingles(d).cache()
+    sigs = dedup.minhash_signatures(sh, num_hashes=16)
+    cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4).cache()
+    near = dedup.jaccard_pairs(sh, threshold=0.5, candidates=cands)
+    clusters = dedup.connected_components(near)
+    quality = text.quality_features(d).select("doc_id", "quality_score")
+    joined = clusters.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), "doc_id"
+    )
+    cw = Window.partitionBy("cluster_id")
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(cw))
+        .filter(F.col("rk") == 1)
+        .select("cluster_id", "doc_id", "quality_score", "cluster_size")
+    )
+
+
+ORACLE_DEDUP_KEEP_BEST = f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+{_minhash_lsh_ctes()},
+pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+clusters AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+),
+qf AS (
+  SELECT doc_id,
+         {_RAW_TOKS} AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS alnum_chars
+  FROM documents
+), qm AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN coalesce(list_sum(list_transform(toks, t -> length(t))), 0) * 1.0 / len(toks)
+              ELSE 0.0 END AS mean_tok_len,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, t -> list_contains({_EN_STOP_SQL}, t))) * 1.0 / len(toks)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_chars > 0 THEN alnum_chars * 1.0 / n_chars ELSE 0.0 END AS alnum_ratio
+  FROM qf
+), q AS (
+  SELECT doc_id,
+         floor((least(n_tokens / 100.0, 1.0) * 0.25
+                + least(mean_tok_len / 8.0, 1.0) * 0.25
+                + least(stop_ratio * 4, 1.0) * 0.25
+                + alnum_ratio * 0.25) * 10000) / 10000 AS quality_score
+  FROM qm
+),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, q.quality_score,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.quality_score DESC, c.doc_id) AS rk,
+         count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+  FROM clusters c JOIN q ON c.doc_id = q.doc_id
+)
+SELECT cluster_id, doc_id, quality_score, cluster_size
+FROM ranked WHERE rk = 1
+"""
+
+
 def q_dedup_corpus_cc(spark, sf_dir):
     """Component-exact keep-one dedup capstone: exact canonicals → LSH near-
     dup pairs → connected components → keep min-id per component + all
@@ -1686,6 +1768,9 @@ SPECS = [
     QuerySpec("x_cms_heavy_hitters", q_cms_heavy_hitters, _oracle_cms(),
               doc="count-min sketch: top-20 token frequencies, estimate vs exact",
               tags=("llm", "text", "sketch")),
+    QuerySpec("x_dedup_keep_best", q_dedup_keep_best, ORACLE_DEDUP_KEEP_BEST,
+              doc="quality-aware keep-one: highest-quality member per near-dup cluster",
+              tags=("llm", "dedup")),
     QuerySpec("x_dedup_clusters", q_dedup_clusters, ORACLE_DEDUP_CLUSTERS,
               doc="connected-component duplicate clustering (min-label propagation)",
               tags=("llm", "dedup")),
