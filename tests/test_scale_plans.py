@@ -343,3 +343,17 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
         "dt", F.date_format("ts", "yyyy-MM-dd")
     ).filter(F.col("dt") == pick).count()
     assert expected == exact
+
+
+def test_epoch_shuffle_uses_window_group_limit(spark):
+    """The global top-100 permutation prefix must plan a distributed
+    partial top-k (TakeOrderedAndProject, or WindowGroupLimit on older
+    planners) — never a full global sort of the corpus."""
+    from gmall_flink_230422_spark.plans.llm import q_epoch_shuffle
+
+    plan = (
+        q_epoch_shuffle(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
