@@ -677,6 +677,80 @@ FROM j GROUP BY custkey
 """
 
 
+ATTR_TOL_S = 3600
+
+
+def q_attribution(spark, sf_dir):
+    """Last-touch attribution: each purchase credits the same user's most
+    recent click within 1 h (the as-of join with tolerance, composed into
+    the classic marketing-attribution shape); daily totals of attributed
+    vs organic revenue. One keyed as-of pass + one day aggregate."""
+    from ..operators import joins as jops
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("revenue")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    # dedupe clicks to one per (user, ts): keep max click_id so both engines
+    # pick the identical row (asof_join requires unique right timestamps)
+    clicks1 = clicks.groupBy("user_id", "click_ts").agg(
+        F.max("click_id").alias("click_id")
+    )
+    joined = jops.asof_join(
+        purchases,
+        clicks1,
+        ["user_id"],
+        "ts",
+        "click_ts",
+        ["click_id"],
+        tolerance_seconds=ATTR_TOL_S,
+    )
+    return (
+        joined.withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("dt")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("click_id").isNotNull().cast("bigint")).alias("n_attributed"),
+            F.round(
+                F.sum(F.when(F.col("click_id").isNotNull(), F.col("revenue")).otherwise(0.0)),
+                2,
+            ).alias("attributed_revenue"),
+            F.round(
+                F.sum(F.when(F.col("click_id").isNull(), F.col("revenue")).otherwise(0.0)),
+                2,
+            ).alias("organic_revenue"),
+        )
+    )
+
+
+ORACLE_ATTRIBUTION = f"""
+WITH purchases AS (
+  SELECT user_id, ts, value AS revenue FROM events WHERE event_type = 'purchase'
+),
+clicks1 AS (
+  SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+j AS (
+  SELECT p.user_id, p.ts, p.revenue,
+         CASE WHEN epoch(p.ts) - epoch(c.click_ts) <= {ATTR_TOL_S}
+              THEN c.click_id END AS click_id
+  FROM purchases p ASOF LEFT JOIN clicks1 c
+    ON p.user_id = c.user_id AND p.ts >= c.click_ts
+)
+SELECT strftime(ts, '%Y-%m-%d') AS dt, count(*) AS n_purchases,
+       sum(CASE WHEN click_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_attributed,
+       round(sum(CASE WHEN click_id IS NOT NULL THEN revenue ELSE 0 END), 2)
+         AS attributed_revenue,
+       round(sum(CASE WHEN click_id IS NULL THEN revenue ELSE 0 END), 2)
+         AS organic_revenue
+FROM j GROUP BY 1
+"""
+
+
 def q_gap_fill(spark, sf_dir):
     """Time-series densification (gap fill): hourly event counts per type
     with EVERY hour slot in the type's [min, max] range present, zeros
@@ -1243,6 +1317,9 @@ SPECS = [
     QuerySpec("e_asof_tolerance", q_asof_tolerance, ORACLE_ASOF_TOLERANCE,
               doc="as-of join with 7-day tolerance: stale matches nulled post-window",
               tags=("ext", "join", "asof")),
+    QuerySpec("e_attribution", q_attribution, ORACLE_ATTRIBUTION,
+              doc="last-touch attribution: purchases credited to the preceding click within 1 h",
+              tags=("ext", "asof", "analytics")),
     QuerySpec("e_gap_fill", q_gap_fill, ORACLE_GAP_FILL,
               doc="time-series densification: zero-filled hourly slots per type",
               tags=("ext", "window", "timeseries")),
