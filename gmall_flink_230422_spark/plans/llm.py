@@ -585,6 +585,83 @@ FROM reach GROUP BY src
 """
 
 
+def q_dedup_residual(spark, sf_dir):
+    """Dedup-effectiveness self-audit: how many near-dup pairs SURVIVE each
+    keep-one policy. The single-hop rule (drop the higher id of each pair)
+    can leave transitive residue — if A~B and B~C but A≁C, dropping B and C
+    keeps the A…-chain intact yet pairs inside longer chains can persist —
+    while the connected-components variant is residue-free by construction.
+    One verified-pairs computation feeds both policies; residual = pairs
+    whose BOTH endpoints survive."""
+    d = _docs_par(spark, sf_dir)
+    surv1 = dedup.dedup_corpus(d, threshold=0.5).cache()
+    surv2 = dedup.dedup_corpus_cc(d, threshold=0.5).cache()
+    sh = dedup.shingles(d).cache()
+    sigs = dedup.minhash_signatures(sh, num_hashes=16)
+    cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    pairs = dedup.jaccard_pairs(sh, threshold=0.5, candidates=cands).cache()
+
+    def residual(name, surv):
+        a = surv.select(F.col("doc_id").alias("doc_a"))
+        b = surv.select(F.col("doc_id").alias("doc_b"))
+        res = pairs.join(a, "doc_a", "left_semi").join(b, "doc_b", "left_semi")
+        return (
+            surv.agg(F.count(F.lit(1)).alias("n_survivors"))
+            .crossJoin(F.broadcast(res.agg(F.count(F.lit(1)).alias("residual_pairs"))))
+            .select(F.lit(name).alias("method"), "n_survivors", "residual_pairs")
+        )
+
+    return residual("single_hop", surv1).unionByName(residual("components", surv2))
+
+
+ORACLE_DEDUP_RESIDUAL = f"""
+WITH RECURSIVE canon AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id, md5(lower(trim(text)) ) AS fp FROM documents)
+  GROUP BY fp
+),
+docs_c AS (SELECT * FROM documents WHERE doc_id IN (SELECT doc_id FROM canon)),
+{_shingles_cte('docs_c')},
+{_minhash_lsh_ctes()},
+pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
+surv1 AS (
+  SELECT doc_id FROM docs_c WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+clusters AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+),
+surv2 AS (
+  SELECT doc_id FROM docs_c
+  WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+),
+res1 AS (
+  SELECT count(*) AS n FROM pairs
+  WHERE doc_a IN (SELECT doc_id FROM surv1) AND doc_b IN (SELECT doc_id FROM surv1)
+),
+res2 AS (
+  SELECT count(*) AS n FROM pairs
+  WHERE doc_a IN (SELECT doc_id FROM surv2) AND doc_b IN (SELECT doc_id FROM surv2)
+)
+SELECT 'single_hop' AS method,
+       (SELECT count(*) FROM surv1) AS n_survivors,
+       (SELECT n FROM res1)::BIGINT AS residual_pairs
+UNION ALL
+SELECT 'components',
+       (SELECT count(*) FROM surv2),
+       (SELECT n FROM res2)::BIGINT
+"""
+
+
 def q_dedup_keep_best(spark, sf_dir):
     """Quality-aware keep-one: within each near-duplicate cluster keep the
     HIGHEST-quality member (tie → lowest id) instead of the arbitrary
@@ -1768,6 +1845,9 @@ SPECS = [
     QuerySpec("x_cms_heavy_hitters", q_cms_heavy_hitters, _oracle_cms(),
               doc="count-min sketch: top-20 token frequencies, estimate vs exact",
               tags=("llm", "text", "sketch")),
+    QuerySpec("x_dedup_residual", q_dedup_residual, ORACLE_DEDUP_RESIDUAL,
+              doc="residual near-dup pairs after single-hop vs connected-components keep-one",
+              tags=("llm", "dedup")),
     QuerySpec("x_dedup_keep_best", q_dedup_keep_best, ORACLE_DEDUP_KEEP_BEST,
               doc="quality-aware keep-one: highest-quality member per near-dup cluster",
               tags=("llm", "dedup")),
