@@ -571,6 +571,84 @@ FROM exact JOIN est ON exact.event_type = est.event_type
 """
 
 
+def q_hll_sliding(spark, sf_dir):
+    """Sliding-window distinct via HLL register MERGING: distinct counts
+    cannot be summed across overlapping windows, but register-max can be
+    merged — per-hour registers are built once (≤256 rows per hour) and
+    each hour's registers fan into its 3 covering windows with a tiny
+    3-element explode, then max-merge + estimate per window. This is the
+    sketch-mergeability pattern that makes sliding/overlapping distinct
+    affordable at 100 TB (the naive form re-scans every window). Exact
+    count alongside for calibration."""
+    from ..operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    hours = ev.select(
+        F.date_trunc("hour", "ts").cast("long").alias("hr"),
+        F.col("event_id").cast("string").alias("eid"),
+        "event_id",
+    )
+    regs = sketches.hll_buckets(hours, F.col("eid"), ["hr"])
+    # each hour's registers serve windows ending at hr, hr+1h, hr+2h
+    fan = regs.select(
+        F.explode(
+            F.array(F.col("hr"), F.col("hr") + 3600, F.col("hr") + 7200)
+        ).alias("win_end_hr"),
+        "_bucket",
+        "_max_rho",
+    )
+    merged = fan.groupBy("win_end_hr", "_bucket").agg(
+        F.max("_max_rho").alias("_max_rho")
+    )
+    est = sketches.hll_estimate(merged, ["win_end_hr"])
+    exact = (
+        hours.select(
+            F.explode(
+                F.array(F.col("hr"), F.col("hr") + 3600, F.col("hr") + 7200)
+            ).alias("win_end_hr"),
+            "event_id",
+        )
+        .groupBy("win_end_hr")
+        .agg(F.countDistinct("event_id").alias("exact_ct"))
+    )
+    return exact.join(est, "win_end_hr").select(
+        F.col("win_end_hr").alias("win_end"), "exact_ct", "hll_est"
+    )
+
+
+def _oracle_hll_sliding() -> str:
+    from ..functions.hashing import portable_hash64_sql
+    from ..operators import sketches
+
+    return f"""
+WITH h AS (
+  SELECT epoch(date_trunc('hour', ts))::BIGINT AS hr, event_id,
+         {portable_hash64_sql("CAST(event_id AS VARCHAR)")} AS _h
+  FROM events
+),
+r AS (SELECT hr, {sketches.hll_rho_sql("_h")} FROM h),
+reg AS (SELECT hr, _bucket, max(_rho) AS _max_rho FROM r GROUP BY 1, 2),
+fan AS (
+  SELECT hr + o AS win_end_hr, _bucket, _max_rho
+  FROM reg CROSS JOIN (SELECT unnest([0, 3600, 7200]) AS o)
+),
+merged AS (
+  SELECT win_end_hr, _bucket, max(_max_rho) AS _max_rho FROM fan GROUP BY 1, 2
+),
+est AS (
+  SELECT win_end_hr, {sketches.hll_estimate_sql()} AS hll_est
+  FROM merged GROUP BY 1
+),
+exact AS (
+  SELECT hr + o AS win_end_hr, count(DISTINCT event_id)::BIGINT AS exact_ct
+  FROM h CROSS JOIN (SELECT unnest([0, 3600, 7200]) AS o)
+  GROUP BY 1
+)
+SELECT exact.win_end_hr AS win_end, exact_ct, hll_est
+FROM exact JOIN est ON exact.win_end_hr = est.win_end_hr
+"""
+
+
 def q_bloom_join(spark, sf_dir):
     """Bloom-pruned dimension join: revenue of suppliers in one nation.
     The supplier keyset folds into an 8 KB deterministic Bloom bitset
@@ -1362,6 +1440,9 @@ SPECS = [
     QuerySpec("e_range_join", q_range_join, ORACLE_RANGE_JOIN,
               doc="binned interval-overlap join: events inside incident windows",
               tags=("ext", "join", "range")),
+    QuerySpec("e_hll_sliding", q_hll_sliding, _oracle_hll_sliding(),
+              doc="sliding-window distinct via HLL register merging (3h windows, 1h hop)",
+              tags=("ext", "sketch", "window")),
     QuerySpec("e_hll_distinct", q_hll_distinct, _oracle_hll(),
               doc="deterministic HLL distinct sketch vs exact, per event_type",
               tags=("ext", "sketch", "agg")),
