@@ -52,13 +52,26 @@ CJK_LEXICON: frozenset[str] = frozenset(
 _MAX_WORD_LEN = max(len(w) for w in CJK_LEXICON)
 
 
+def _max_word_len(lexicon: frozenset[str]) -> int:
+    """Longest dictionary entry for the *given* lexicon — computed from the
+    argument (not the built-in) so call-time custom lexicons with words
+    longer than the built-in max are still matched. Single-char entries are
+    intentionally excluded from dictionary matching (the match loop stops at
+    length 2, mirroring IK's CJK segmenter which treats single chars as the
+    fallback path, not dictionary words)."""
+    if lexicon is CJK_LEXICON:
+        return _MAX_WORD_LEN
+    return max((len(w) for w in lexicon), default=0)
+
+
 def _cjk_max_word(run: str, lexicon: frozenset[str]) -> list[str]:
     """IK smart=false analog: every lexicon word in the run (longest first
     per start position), bigram fallback over uncovered stretches."""
     out: list[str] = []
+    max_len = _max_word_len(lexicon)
     covered = [False] * len(run)
     for i in range(len(run)):
-        for L in range(min(_MAX_WORD_LEN, len(run) - i), 1, -1):
+        for L in range(min(max_len, len(run) - i), 1, -1):
             w = run[i : i + L]
             if w in lexicon:
                 out.append(w)
@@ -86,9 +99,10 @@ def _cjk_smart(run: str, lexicon: frozenset[str]) -> list[str]:
     """IK smart=true analog: non-overlapping forward longest-match; singles
     for unmatched chars."""
     out: list[str] = []
+    max_len = _max_word_len(lexicon)
     i = 0
     while i < len(run):
-        for L in range(min(_MAX_WORD_LEN, len(run) - i), 1, -1):
+        for L in range(min(max_len, len(run) - i), 1, -1):
             if run[i : i + L] in lexicon:
                 out.append(run[i : i + L])
                 i += L

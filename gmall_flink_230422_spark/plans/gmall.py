@@ -167,29 +167,58 @@ def q_scalar_json(spark, sf_dir):
     BaseLogApp.java:43-55, DimSinkFunction, MyKafkaUtil's topic_db DDL).
     get_json_object path extraction, from_json typed parse, validity
     probing, and JSON re-assembly — all JVM built-ins in the scan's
-    projection, no shuffle."""
+    projection, no shuffle.
+
+    The fixture's ``props`` rows are all valid JSON containing ``k``, which
+    would leave the validity branch untested; to exercise it we
+    deterministically mangle ~2% of rows in-query (``event_id % 97 == 0``
+    → truncated/invalid JSON; ``% 89 == 0`` → key renamed away) and the
+    oracle applies the same mangle with ``json_valid``-guarded extraction
+    (DuckDB's json functions *error* on invalid input, unlike Spark's
+    null-returning ones)."""
     ev = load_table(spark, sf_dir, "events")
+    props = (
+        F.when(F.col("event_id") % 97 == 0, F.substring("props", 1, 5))
+        .when(F.col("event_id") % 89 == 0, F.regexp_replace("props", '"k"', '"x"'))
+        .otherwise(F.col("props"))
+    )
+    ev = ev.select("event_id", props.alias("props"))
     parsed = F.from_json("props", "k int")
+    k = parsed["k"]
     return ev.select(
         "event_id",
         F.get_json_object("props", "$.k").alias("k_str"),
-        parsed["k"].alias("k_int"),
-        (parsed["k"] % 10).alias("k_mod"),
-        parsed.isNotNull().cast("int").alias("is_valid"),
-        F.to_json(F.struct(F.col("event_id"), parsed["k"].alias("k"))).alias("rebuilt"),
+        k.alias("k_int"),
+        (k % 10).alias("k_mod"),
+        # from_json PERMISSIVE yields a non-null all-null struct on malformed
+        # input, so the validity probe is get_json_object('$') (null ⇔ invalid)
+        F.get_json_object("props", "$").isNotNull().cast("int").alias("is_valid"),
+        F.to_json(F.struct(F.col("event_id"), k.alias("k"))).alias("rebuilt"),
         F.json_array_length(F.concat(F.lit("["), F.col("props"), F.lit("]"))).alias("arr_len"),
     )
 
 
 ORACLE_SCALAR_JSON = """
+WITH m AS (
+  SELECT event_id,
+         CASE WHEN event_id % 97 = 0 THEN substr(props, 1, 5)
+              WHEN event_id % 89 = 0 THEN replace(props, '"k"', '"x"')
+              ELSE props END AS props
+  FROM events
+)
 SELECT event_id,
-       json_extract_string(props, '$.k') AS k_str,
-       (json_extract(props, '$.k'))::INT AS k_int,
-       (json_extract(props, '$.k'))::INT % 10 AS k_mod,
+       CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS k_str,
+       CASE WHEN json_valid(props) THEN (json_extract(props, '$.k'))::INT END AS k_int,
+       CASE WHEN json_valid(props) THEN (json_extract(props, '$.k'))::INT % 10 END AS k_mod,
        CASE WHEN json_valid(props) THEN 1 ELSE 0 END AS is_valid,
-       '{"event_id":' || event_id || ',"k":' || json_extract_string(props, '$.k') || '}' AS rebuilt,
-       json_array_length('[' || props || ']') AS arr_len
-FROM events
+       CASE WHEN json_valid(props) THEN
+            CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                 THEN '{"event_id":' || event_id || ',"k":' || json_extract_string(props, '$.k') || '}'
+                 ELSE '{"event_id":' || event_id || '}' END
+            ELSE '{"event_id":' || event_id || '}' END AS rebuilt,
+       CASE WHEN json_valid('[' || props || ']')
+            THEN json_array_length('[' || props || ']') END AS arr_len
+FROM m
 """
 
 

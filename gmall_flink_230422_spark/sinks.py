@@ -120,10 +120,29 @@ def compact_parquet(
 
     The rewrite is one round-robin repartition (no key assumption, even
     output sizes); the swap is rename-based (write to ``path.compact``,
-    move the old dir aside, move the new one in, drop the old), so readers
-    never observe a half-written directory. Returns the new file count.
+    move the old dir aside, move the new one in, drop the old). Readers
+    never observe a *half-written* directory, but the two-rename swap is
+    NOT atomic: there is a window between the renames where ``path`` does
+    not exist, and a crash inside it strands the data at ``path + ".old"``.
+    Mitigations here: stale ``.compact``/``.old`` dirs from a prior failed
+    run are reclaimed up front (restoring ``.old`` to ``path`` if ``path``
+    is gone), and a failed swap rolls the original directory back. On a
+    real deployment use a table format with a manifest commit (Delta /
+    Iceberg ``RewriteDataFiles``) for a truly atomic swap. Returns the new
+    file count.
     """
     import shutil
+
+    tmp = path.rstrip("/") + ".compact"
+    old = path.rstrip("/") + ".old"
+    # Crash recovery + pre-clean: a prior run may have died mid-swap
+    # (data stranded at .old) or mid-write (half-built .compact); either
+    # leftover would also make os.rename below raise (dest exists).
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    for stale in (tmp, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
 
     df = spark.read.parquet(path)
     files = df.inputFiles()
@@ -134,11 +153,13 @@ def compact_parquet(
     n_files = max(1, -(-total // target_file_bytes))
     if n_files >= len(files):
         return len(files)  # already compact enough
-    tmp = path.rstrip("/") + ".compact"
-    old = path.rstrip("/") + ".old"
     df.repartition(int(n_files)).write.mode("overwrite").parquet(tmp)
     os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except BaseException:
+        os.rename(old, path)  # roll back so readers keep the original data
+        raise
     shutil.rmtree(old)
     return int(n_files)
 

@@ -9,6 +9,8 @@ ingestion at 100 TB: immutable files + checkpointed offsets).
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -27,6 +29,26 @@ def stream_parquet(
         .option("maxFilesPerTrigger", files_per_trigger)
         .parquet(path)
     )
+
+
+def _force_mtime(path: str, seen: set[str], stamp: float) -> set[str]:
+    """Pin every not-yet-seen file under ``path`` to mtime ``stamp``.
+
+    The file-stream source replays files oldest-mtime-first; consecutive
+    ``coalesce(1)`` writes *usually* get increasing mtimes, but on
+    filesystems with coarse mtime granularity (1 s on HFS+/some network
+    mounts) chunks can tie and replay order becomes nondeterministic. An
+    explicit ``os.utime`` per chunk makes the ordering a guarantee instead
+    of a timing accident. Returns the updated seen-set."""
+    import os
+
+    current: set[str] = set()
+    for root, _dirs, names in os.walk(path):
+        for n in names:
+            current.add(os.path.join(root, n))
+    for f in current - seen:
+        os.utime(f, (stamp, stamp))
+    return current
 
 
 def write_time_chunks(df: DataFrame, ts_col: str, path: str, n_chunks: int = 6) -> str:
@@ -51,9 +73,12 @@ def write_time_chunks(df: DataFrame, ts_col: str, path: str, n_chunks: int = 6) 
     )
     step = max(1, (hi - lo) // n_chunks + 1)
     us = F.unix_micros(F.col(ts_col))
+    seen: set[str] = set()
+    base = time.time()
     for i in range(n_chunks):
         chunk = df.filter((us >= lo + i * step) & (us < lo + (i + 1) * step))
         chunk.coalesce(1).write.mode("append").parquet(path)
+        seen = _force_mtime(path, seen, base + i)
     return path
 
 
@@ -61,16 +86,20 @@ def write_chunks_by(
     df: DataFrame, chunk_col: str, path: str, n_chunks: int
 ) -> str:
     """Replay-harness writer, arbitrary chunk assignment: land chunk k as
-    the k-th single-file parquet write (strictly increasing mtimes ⇒ the
-    file stream replays chunks in index order). With a hash-derived
-    ``chunk_col`` this produces a DETERMINISTIC out-of-order arrival
-    pattern — the harness for exercising watermark late-data semantics."""
+    the k-th single-file parquet write (mtimes pinned strictly increasing
+    via ``_force_mtime`` ⇒ the file stream replays chunks in index order
+    even on coarse-mtime filesystems). With a hash-derived ``chunk_col``
+    this produces a DETERMINISTIC out-of-order arrival pattern — the
+    harness for exercising watermark late-data semantics."""
     from pyspark.sql import functions as F
 
+    seen: set[str] = set()
+    base = time.time()
     for i in range(n_chunks):
         df.filter(F.col(chunk_col) == i).drop(chunk_col).coalesce(1).write.mode(
             "append"
         ).parquet(path)
+        seen = _force_mtime(path, seen, base + i)
     return path
 
 

@@ -35,6 +35,22 @@ def test_tokenizer_cjk_bigram_fallback_and_smart():
     assert tokenize_text("智能手机", mode="smart") == ["智能手机"]
 
 
+def test_tokenizer_custom_lexicon_longer_than_builtin_max():
+    # max word length is derived from the lexicon ARGUMENT, not the built-in
+    # table: a 7-char custom entry must match even though the built-in max
+    # is 5 (ADVICE r2)
+    lex = frozenset({"人工智能实验室", "人工智能", "实验室"})
+    assert tokenize_text("人工智能实验室", lexicon=lex) == [
+        "人工智能实验室", "人工智能", "实验室",
+    ]
+    assert tokenize_text("人工智能实验室", mode="smart", lexicon=lex) == [
+        "人工智能实验室",
+    ]
+    # single-char lexicon entries are intentionally never dictionary-matched
+    # (they surface via the fallback paths instead)
+    assert tokenize_text("茶叶", lexicon=frozenset({"茶"})) == ["茶叶"]
+
+
 def test_tokenizer_empty():
     assert tokenize_text("") == []
     assert tokenize_text(None) == []

@@ -137,3 +137,40 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     assert sorted(r["id"] for r in after.collect()) == rows_before
     # idempotent second run: already compact, no rewrite
     assert sinks.compact_parquet(spark, out, target_file_bytes=1 << 30) == n_after
+
+
+def test_compact_parquet_recovers_from_prior_crash(spark, tmp_path):
+    """Leftover .compact/.old dirs from a crashed prior run must not break
+    the next compaction, and data stranded at .old (crash between the two
+    swap renames) must be restored (ADVICE r2)."""
+    import os
+    import shutil
+
+    from gmall_flink_230422_spark import sinks
+
+    out = str(tmp_path / "frag")
+    spark.range(100).repartition(20).write.mode("overwrite").parquet(out)
+    rows = sorted(r["id"] for r in spark.read.parquet(out).collect())
+
+    # simulate a crash in the rename window: dataset stranded at .old,
+    # half-built .compact left behind
+    os.rename(out, out + ".old")
+    os.makedirs(out + ".compact")
+    with open(out + ".compact/garbage", "w") as f:
+        f.write("partial")
+
+    n_after = sinks.compact_parquet(spark, out, target_file_bytes=1 << 30)
+    after = spark.read.parquet(out)
+    assert len(after.inputFiles()) == n_after
+    assert sorted(r["id"] for r in after.collect()) == rows
+    assert not os.path.exists(out + ".old")
+    assert not os.path.exists(out + ".compact")
+
+    # stale dirs alongside an intact dataset are simply reclaimed
+    os.makedirs(out + ".old")
+    shutil.copytree(out, out + ".compact")
+    spark.range(100).repartition(20).write.mode("overwrite").parquet(out)
+    sinks.compact_parquet(spark, out, target_file_bytes=1 << 30)
+    assert sorted(r["id"] for r in spark.read.parquet(out).collect()) == rows
+    assert not os.path.exists(out + ".old")
+    assert not os.path.exists(out + ".compact")
