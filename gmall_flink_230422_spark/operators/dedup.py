@@ -250,6 +250,7 @@ def dedup_corpus(
     num_hashes: int = 16,
     bands: int = 4,
     rows_per_band: int = 4,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end keep-one dedup pass: exact canonicals → MinHash/LSH
     near-dup pairs among canonicals → drop the higher id of each verified
@@ -260,11 +261,21 @@ def dedup_corpus(
     chains A~B~C keep A and may keep C if A≁C; a full union-find is
     iterative and reserved for offline compaction. Every stage is the
     shuffle-lean pipeline documented on the operators above.
+
+    ``shingle_df``: optional precomputed ``(id_col, shingle)`` frame for a
+    SUPERSET of ``docs`` (it is semi-join-pruned to the canonical ids
+    here). Pipelines that shingle the corpus for several consumers —
+    contamination probe + dedup in the curation capstones — compute the
+    shingle frame once, cache/checkpoint it, and pass it in instead of
+    re-tokenizing the corpus per stage.
     """
     groups = exact_dedup_groups(docs, id_col, text_col)
     canon_ids = groups.select(F.col("canonical_id").alias(id_col))
     docs_c = docs.join(canon_ids, id_col, "left_semi")
-    sh = shingles(docs_c, id_col, text_col).cache()
+    if shingle_df is not None:
+        sh = shingle_df.join(docs_c.select(id_col), id_col, "left_semi").cache()
+    else:
+        sh = shingles(docs_c, id_col, text_col).cache()
     sigs = minhash_signatures(sh, id_col, num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band).cache()
     near = jaccard_pairs(sh, id_col, threshold, candidates=cands)
@@ -342,15 +353,20 @@ def dedup_corpus_cc(
     num_hashes: int = 16,
     bands: int = 4,
     rows_per_band: int = 4,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Component-exact keep-one dedup: like `dedup_corpus` but transitively
     correct — exact canonicals → LSH/Jaccard near-dup pairs → connected
     components → keep the min-id doc per component plus every unpaired doc.
-    Returns surviving ids (one column, ``id_col``)."""
+    Returns surviving ids (one column, ``id_col``). ``shingle_df`` shares a
+    precomputed superset shingle frame exactly as in `dedup_corpus`."""
     groups = exact_dedup_groups(docs, id_col, text_col)
     canon_ids = groups.select(F.col("canonical_id").alias(id_col))
     docs_c = docs.join(canon_ids, id_col, "left_semi")
-    sh = shingles(docs_c, id_col, text_col).cache()
+    if shingle_df is not None:
+        sh = shingle_df.join(docs_c.select(id_col), id_col, "left_semi").cache()
+    else:
+        sh = shingles(docs_c, id_col, text_col).cache()
     sigs = minhash_signatures(sh, id_col, num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band).cache()
     near = jaccard_pairs(sh, id_col, threshold, candidates=cands)
@@ -431,6 +447,8 @@ def contamination_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
+    train_shingles: DataFrame | None = None,
+    eval_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark-contamination check: for every training document, the
     fraction of its distinct k-word shingles that appear anywhere in the
@@ -445,10 +463,23 @@ def contamination_scores(
     groupBy(doc_id). Documents with fewer than k tokens have no shingles
     and are vacuously clean (absent from the output), mirroring the
     shingle-based dedup operators above.
+
+    ``train_shingles``/``eval_shingles``: optional precomputed shingle
+    frames for EXACTLY the respective doc sets — the shared-shingle hook
+    the curation capstones use to tokenize the corpus once across the
+    contamination and dedup stages.
     """
-    tr = shingles(train, id_col, text_col, k)
+    tr = (
+        train_shingles
+        if train_shingles is not None
+        else shingles(train, id_col, text_col, k)
+    )
     ev = (
-        shingles(eval_docs, id_col, text_col, k)
+        (
+            eval_shingles
+            if eval_shingles is not None
+            else shingles(eval_docs, id_col, text_col, k)
+        )
         .select("shingle")
         .distinct()
         .withColumn("_hit", F.lit(1))

@@ -594,9 +594,9 @@ def q_dedup_residual(spark, sf_dir):
     One verified-pairs computation feeds both policies; residual = pairs
     whose BOTH endpoints survive."""
     d = _docs_par(spark, sf_dir)
-    surv1 = dedup.dedup_corpus(d, threshold=0.5).cache()
-    surv2 = dedup.dedup_corpus_cc(d, threshold=0.5).cache()
     sh = dedup.shingles(d).cache()
+    surv1 = dedup.dedup_corpus(d, threshold=0.5, shingle_df=sh).cache()
+    surv2 = dedup.dedup_corpus_cc(d, threshold=0.5, shingle_df=sh).cache()
     sigs = dedup.minhash_signatures(sh, num_hashes=16)
     cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
     pairs = dedup.jaccard_pairs(sh, threshold=0.5, candidates=cands).cache()
@@ -788,13 +788,23 @@ def q_curate_corpus(spark, sf_dir):
     doc_id % 17 eval split) → exact+near dedup (keep-one) → per-language
     domain-mix sampling with inverse-rate weights. Every stage is one of
     the first-class operators above, composed via left-semi prunes so the
-    corpus is filtered BEFORE the expensive dedup shingling."""
+    corpus text is tokenized/shingled exactly ONCE: the corpus-wide shingle
+    frame is computed up front, cached, and shared by the contamination
+    probe and the dedup chain (each consumer prunes it by id — at 100 TB
+    this is the shingle table you checkpoint to parquet between stages,
+    not a per-stage re-tokenize of the corpus)."""
     d = _docs_par(spark, sf_dir)
+    sh_all = dedup.shingles(d).cache()
     rep_keep = text.repetition_features(d).filter("keep").select("doc_id")
     train = d.filter(F.col("doc_id") % 17 != 0)
     ev = d.filter(F.col("doc_id") % 17 == 0)
     cont_keep = (
-        dedup.contamination_scores(train, ev)
+        dedup.contamination_scores(
+            train,
+            ev,
+            train_shingles=sh_all.filter(F.col("doc_id") % 17 != 0),
+            eval_shingles=sh_all.filter(F.col("doc_id") % 17 == 0),
+        )
         .filter(F.col("contamination") < 0.5)
         .select("doc_id")
     )
@@ -807,7 +817,7 @@ def q_curate_corpus(spark, sf_dir):
         .join(cont_keep, "doc_id", "left_semi")
         .cache()
     )
-    surv = dedup.dedup_corpus(docs_f, threshold=0.5)
+    surv = dedup.dedup_corpus(docs_f, threshold=0.5, shingle_df=sh_all)
     surv_docs = docs_f.join(surv, "doc_id", "left_semi")
     return text.stratified_sample(surv_docs, _MIX_RATES)
 
@@ -921,38 +931,82 @@ def q_curate_funnel(spark, sf_dir):
     pipeline — corpus → train split → repetition filter → bigram-LM
     perplexity filter (< {thr} mean surprisal) → decontamination → exact+
     near dedup — the acceptance report a data-curation run publishes.
-    Every stage is a first-class operator from this module; each count is
-    a scalar aggregate over left-semi-pruned ids, so the corpus text is
-    only ever scanned by the operators themselves."""
+    Every stage is a first-class operator from this module. Two shared-
+    computation rules keep the plan one-pass: the corpus is shingled
+    exactly once (the cached corpus-wide shingle frame feeds both the
+    contamination probe and the dedup chain), and every per-stage keep
+    list is a cached id column so the acceptance counts come from ONE
+    flag-join + single aggregate instead of a 6-branch union that would
+    re-evaluate the filter subplans per branch. At 100 TB the cached id
+    lists are the between-stage manifest files a curation run checkpoints;
+    the single flag pass is one co-partitioned join cascade over them."""
     d = _docs_par(spark, sf_dir)
+    sh_all = dedup.shingles(d).cache()
     train = d.filter(F.col("doc_id") % 17 != 0)
     ev = d.filter(F.col("doc_id") % 17 == 0)
-    rep_keep = text.repetition_features(d).filter("keep").select("doc_id")
+    rep_keep = (
+        text.repetition_features(d).filter("keep").select("doc_id").cache()
+    )
     lm_keep = (
         text.lm_surprisal_score(d)
         .filter(F.col("avg_surprisal") < LM_MAX_SURPRISAL)
         .select("doc_id")
+        .cache()
     )
     cont_keep = (
-        dedup.contamination_scores(train, ev)
+        dedup.contamination_scores(
+            train,
+            ev,
+            train_shingles=sh_all.filter(F.col("doc_id") % 17 != 0),
+            eval_shingles=sh_all.filter(F.col("doc_id") % 17 == 0),
+        )
         .filter(F.col("contamination") < 0.5)
         .select("doc_id")
+        .cache()
     )
-    s2 = train.join(rep_keep, "doc_id", "left_semi")
-    s3 = s2.join(lm_keep, "doc_id", "left_semi")
-    s4 = s3.join(cont_keep, "doc_id", "left_semi").cache()
-    surv = dedup.dedup_corpus(s4, threshold=0.5)
-    s5 = s4.join(surv, "doc_id", "left_semi")
+    s4 = (
+        train.join(rep_keep, "doc_id", "left_semi")
+        .join(lm_keep, "doc_id", "left_semi")
+        .join(cont_keep, "doc_id", "left_semi")
+        .cache()
+    )
+    surv = dedup.dedup_corpus(s4, threshold=0.5, shingle_df=sh_all)
 
-    def stage(n: int, df):
-        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
-            F.lit(n).alias("stage"), "n_docs"
-        )
+    def flag(df, name):
+        return df.select("doc_id").withColumn(name, F.lit(True))
 
-    out = stage(1, d)
-    for i, df in ((2, train), (3, s2), (4, s3), (5, s4), (6, s5)):
-        out = out.unionByName(stage(i, df))
-    return out
+    flags = (
+        d.select("doc_id")
+        .withColumn("_t", F.col("doc_id") % 17 != 0)
+        .join(flag(rep_keep, "_r"), "doc_id", "left")
+        .join(flag(lm_keep, "_l"), "doc_id", "left")
+        .join(flag(cont_keep, "_c"), "doc_id", "left")
+        .join(flag(surv, "_s"), "doc_id", "left")
+    )
+
+    def nsum(*cols):
+        cond = F.lit(True)
+        for c in cols:
+            cond = cond & F.coalesce(F.col(c), F.lit(False))
+        return F.sum(cond.cast("long"))
+
+    one = flags.agg(
+        F.count(F.lit(1)).alias("n1"),
+        nsum("_t").alias("n2"),
+        nsum("_t", "_r").alias("n3"),
+        nsum("_t", "_r", "_l").alias("n4"),
+        nsum("_t", "_r", "_l", "_c").alias("n5"),
+        nsum("_t", "_r", "_l", "_c", "_s").alias("n6"),
+    )
+    stages = F.array(
+        *[
+            F.struct(F.lit(i).alias("stage"), F.col(f"n{i}").alias("n_docs"))
+            for i in range(1, 7)
+        ]
+    )
+    return one.select(F.explode(stages).alias("_st")).select(
+        F.col("_st.stage").alias("stage"), F.col("_st.n_docs").alias("n_docs")
+    )
 
 
 q_curate_funnel.__doc__ = q_curate_funnel.__doc__.format(thr=LM_MAX_SURPRISAL)
