@@ -297,14 +297,18 @@ def dim_app(
     Returns {sink_table: DataFrame}; writes each via sinks.upsert_parquet.
     """
     from .operators.stateful import latest_by_key
-    from . import sinks
 
     # latest config row per source_table = the reference's broadcast map state
     config_rows = latest_by_key(
         config_df, ["source_table"], [F.col("config_seq")]
     ).collect()
+    config_state = {r["source_table"]: r.asDict() for r in config_rows}
+    return _dim_sync_batch(spark, cdc_df, config_state, base_path)
 
-    kept = cdc_df.filter(
+
+def _keep_dim_cdc(cdc_df: DataFrame) -> DataFrame:
+    """The DimApp record filter + deterministic same-second tiebreak."""
+    return cdc_df.filter(
         F.col("type").isin("insert", "update", "bootstrap-insert")  # DimApp.java:153
     ).withColumn(
         # same-second tiebreak (Maxwell ts has 1 s resolution): a STABLE
@@ -314,8 +318,21 @@ def dim_app(
         # deterministic, which is what the oracle story needs.
         "_arr", F.xxhash64(F.to_json(F.col("data")), F.col("type"))
     )
+
+
+def _dim_sync_batch(
+    spark: SparkSession,
+    cdc_df: DataFrame,
+    config_state: dict[str, dict],
+    base_path: str,
+) -> dict[str, DataFrame]:
+    """Route + prune + MERGE one CDC batch under a given broadcast-state
+    snapshot (the shared body of `dim_app` and `dim_app_incremental`)."""
+    from . import sinks
+
+    kept = _keep_dim_cdc(cdc_df)
     out: dict[str, DataFrame] = {}
-    for row in config_rows:
+    for row in config_state.values():
         cols = [c.strip() for c in row["sink_columns"].split(",")]
         pk = row["sink_pk"] or "id"
         routed = kept.filter(F.col("table") == row["source_table"])
@@ -328,6 +345,56 @@ def dim_app(
             spark, projected, f"{base_path}/{row['sink_table']}", [pk], ["_seq", "_arr"]
         )
         out[row["sink_table"]] = spark.read.parquet(f"{base_path}/{row['sink_table']}")
+    return out
+
+
+def dim_app_incremental(
+    spark: SparkSession,
+    batches: list[tuple[DataFrame, int]],
+    config_changelog: DataFrame,
+    base_path: str,
+) -> dict[str, DataFrame]:
+    """DimApp with INCREMENTAL config semantics — the Flink-CDC binlog model
+    (DimApp.java:163-175, StartupOptions.initial: snapshot once, then only
+    the changes) rather than `dim_app`'s snapshot-re-read-per-batch.
+
+    ``config_changelog`` rows: (source_table, sink_table, sink_columns,
+    sink_pk, config_seq, op) with op 'u' (upsert) / 'd' (delete). ``batches``
+    pairs each CDC micro-batch with the config watermark visible to it.
+    Per batch only the changelog rows with ``last_wm < config_seq <= wm``
+    are read (the changes-since-last-batch / Delta-CDF read shape) and
+    applied to the in-driver broadcast map state — upserts replace the
+    routing entry for their source_table, deletes remove it, mirroring
+    TableProcessFunction's BroadcastProcessFunction state mutations.
+
+    The semantic difference vs `dim_app` is visible whenever the config
+    changes mid-stream: earlier batches are routed under EARLIER config
+    generations (exactly what the reference topology does), whereas
+    snapshot mode applies the latest generation to everything. The
+    config-state dict is bounded by the config table size (the reference's
+    broadcast map state, TableProcessFunction.java:169-205), so the
+    per-batch driver read is bounded-by-construction.
+
+    Returns {sink_table: DataFrame} of the final MERGE state.
+    """
+    config_state: dict[str, dict] = {}
+    out: dict[str, DataFrame] = {}
+    last_wm = -(1 << 62)
+    for cdc_df, wm in batches:
+        delta = (
+            config_changelog.filter(
+                (F.col("config_seq") > last_wm) & (F.col("config_seq") <= wm)
+            )
+            .orderBy("config_seq")
+            .collect()
+        )
+        for r in delta:
+            if r["op"] == "d":
+                config_state.pop(r["source_table"], None)
+            else:
+                config_state[r["source_table"]] = r.asDict()
+        last_wm = wm
+        out.update(_dim_sync_batch(spark, cdc_df, config_state, base_path))
     return out
 
 

@@ -548,19 +548,10 @@ FROM customer
 
 
 # ---------------------------------------------------------------- S4/T10: dim sync
-def q_dim_app_sync(spark, sf_dir):
-    """DimApp end-to-end (S4 config re-read + latest-per-source_table,
-    T10 broadcast-state routing, P11 sink_columns pruning, S11 MERGE-by-pk
-    upsert — DimApp.java + TableProcessFunction.java:169-324): customer →
-    ``user_info`` inserts plus later-ts updates for every 4th key, synced
-    through TWO config generations (the superseded one selects an extra
-    column — the latest config wins, proving the re-read). Returns the
-    synced dim table."""
-    import tempfile
-
-    from ..apps import dim_app
-
-    c = load_table(spark, sf_dir, "customer")
+def _user_info_branches(c: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """customer → ``user_info`` CDC record branches: one insert per customer
+    plus a later-ts update (+1 day create_time) for every 4th key — the
+    shared fixture for both dim-sync paths (snapshot + incremental)."""
     ct_ins = F.date_format(
         F.date_add(F.lit("2024-01-01").cast("date"), (F.col("c_custkey") % 365).cast("int")),
         "yyyy-MM-dd HH:mm:ss",
@@ -588,6 +579,23 @@ def q_dim_app_sync(spark, sf_dir):
     upd = c.filter(F.col("c_custkey") % 4 == 0).select(
         _urec("update", ct_upd, "1704070800").alias("r")
     )
+    return ins, upd
+
+
+def q_dim_app_sync(spark, sf_dir):
+    """DimApp end-to-end (S4 config re-read + latest-per-source_table,
+    T10 broadcast-state routing, P11 sink_columns pruning, S11 MERGE-by-pk
+    upsert — DimApp.java + TableProcessFunction.java:169-324): customer →
+    ``user_info`` inserts plus later-ts updates for every 4th key, synced
+    through TWO config generations (the superseded one selects an extra
+    column — the latest config wins, proving the re-read). Returns the
+    synced dim table."""
+    import tempfile
+
+    from ..apps import dim_app
+
+    c = load_table(spark, sf_dir, "customer")
+    ins, upd = _user_info_branches(c)
     cdc = _materialize([ins, upd], via_json=True)
 
     config = spark.createDataFrame(
@@ -612,6 +620,77 @@ SELECT c_custkey AS id,
                 + to_days((c_custkey % 365)::INT
                           + CASE WHEN c_custkey % 4 = 0 THEN 1 ELSE 0 END),
                 '%Y-%m-%d %H:%M:%S') AS create_time
+FROM customer
+"""
+
+
+def q_dim_app_sync_incremental(spark, sf_dir):
+    """S4 INCREMENTAL config semantics (Flink-CDC binlog model, DimApp.java:
+    163-175 StartupOptions.initial) vs the snapshot-re-read path, on the
+    same fixture: batch 1 (all inserts) is routed under config generation 1
+    (sink_columns includes user_name), the config changes BETWEEN batches
+    (generation 2 prunes to id,create_time — read as a changes-since-last-
+    batch delta, not a snapshot), batch 2 (every-4th-key updates) is routed
+    under generation 2. Result: non-updated rows keep the gen-1 user_name,
+    updated rows have it nulled by the pruned MERGE — state the snapshot
+    path can't produce (it applies gen 2 to everything). Output compares
+    the two paths: create_time must agree (paths_agree), user_name is the
+    incremental path's generation-dependent column."""
+    import tempfile
+
+    from ..apps import dim_app, dim_app_incremental
+
+    c = load_table(spark, sf_dir, "customer")
+    ins, upd = _user_info_branches(c)
+    batch1 = _materialize([ins], via_json=True)
+    batch2 = _materialize([upd], via_json=True)
+    changelog = spark.createDataFrame(
+        [
+            ("user_info", "dim_user_info", "id,create_time,user_name", "id", 1, "u"),
+            ("user_info", "dim_user_info", "id,create_time", "id", 2, "u"),
+        ],
+        ["source_table", "sink_table", "sink_columns", "sink_pk", "config_seq", "op"],
+    )
+    base_i = tempfile.mkdtemp(prefix="dim_incr_")
+    incr = dim_app_incremental(
+        spark, [(batch1, 1), (batch2, 2)], changelog, base_i
+    )["dim_user_info"]
+    base_s = tempfile.mkdtemp(prefix="dim_snap_")
+    snap = dim_app(
+        spark, _materialize([ins, upd], via_json=True), changelog.drop("op"), base_s
+    )["dim_user_info"]
+    return (
+        incr.select(
+            F.col("id").cast("bigint").alias("id"),
+            F.col("create_time").alias("ct_incr"),
+            F.col("user_name").alias("uname_incr"),
+        )
+        .join(
+            snap.select(
+                F.col("id").cast("bigint").alias("id"),
+                F.col("create_time").alias("ct_snap"),
+            ),
+            "id",
+            "full",
+        )
+        .select(
+            "id",
+            "ct_incr",
+            "uname_incr",
+            (F.col("ct_incr") == F.col("ct_snap")).cast("int").alias("paths_agree"),
+        )
+    )
+
+
+ORACLE_DIM_APP_INCR = """
+SELECT c_custkey AS id,
+       strftime(DATE '2024-01-01'
+                + to_days((c_custkey % 365)::INT
+                          + CASE WHEN c_custkey % 4 = 0 THEN 1 ELSE 0 END),
+                '%Y-%m-%d %H:%M:%S') AS ct_incr,
+       CASE WHEN c_custkey % 4 = 0 THEN NULL
+            ELSE 'cust_' || c_custkey::VARCHAR END AS uname_incr,
+       1 AS paths_agree
 FROM customer
 """
 
@@ -839,6 +918,11 @@ SPECS = (
     QuerySpec(
         "s4_dim_app_sync", q_dim_app_sync, ORACLE_DIM_APP,
         doc="DimApp E2E: config re-read, prune, MERGE upsert with later-ts updates",
+        tags=("S4", "T10", "S11", "P11", "J8"),
+    ),
+    QuerySpec(
+        "s4_dim_app_sync_incremental", q_dim_app_sync_incremental, ORACLE_DIM_APP_INCR,
+        doc="S4 incremental (changes-since-last-batch) config semantics vs snapshot path",
         tags=("S4", "T10", "S11", "P11", "J8"),
     ),
 )

@@ -177,6 +177,46 @@ def test_dim_app_config_driven(spark, cdc):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_dim_app_incremental_config_delete(spark, cdc):
+    """Incremental path: a config-row DELETE between batches stops syncing
+    that table — later CDC records for it are dropped, rows already synced
+    stay (the reference's broadcast-state remove semantics)."""
+    d = tempfile.mkdtemp(prefix="gmall_dim_incr_")
+    try:
+        changelog = spark.createDataFrame(
+            [
+                ("order_info", "dim_order_info", "id,user_id,order_status", "id", 1, "u"),
+                ("user_info", "dim_user_info", "id,create_time", "id", 1, "u"),
+                ("order_info", "dim_order_info", "", "", 2, "d"),
+            ],
+            ["source_table", "sink_table", "sink_columns", "sink_pk", "config_seq", "op"],
+        )
+        # batch 2 carries NEW ids (suffix _b2) so the delete's effect is
+        # observable: after the config delete only user_info still syncs
+        from pyspark.sql import functions as F
+
+        batch2 = cdc.withColumn(
+            "data",
+            F.expr(
+                "map_concat(map_filter(data, (k, v) -> k != 'id'), "
+                "map('id', concat(data['id'], '_b2')))"
+            ),
+        )
+        dims = apps.dim_app_incremental(
+            spark, [(cdc, 1), (batch2, 2)], changelog, d
+        )
+        assert set(dims) == {"dim_order_info", "dim_user_info"}
+        oi_ids = {r["id"] for r in dims["dim_order_info"].collect()}
+        ui_ids = {r["id"] for r in dims["dim_user_info"].collect()}
+        # order_info: frozen at batch-1 state, no _b2 ids leaked past the delete
+        assert oi_ids == {"o1", "o2"}
+        # user_info: still routed — batch-2 ids present alongside batch-1's
+        assert any(i.endswith("_b2") for i in ui_ids)
+        assert any(not i.endswith("_b2") for i in ui_ids)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 LOG_LINES = [
     json.dumps({
         "common": {"ar": "110000", "ch": "web", "vc": "v2", "mid": f"mid_{m}",
