@@ -51,6 +51,25 @@ def test_tokenizer_custom_lexicon_longer_than_builtin_max():
     assert tokenize_text("茶叶", lexicon=frozenset({"茶"})) == ["茶叶"]
 
 
+def test_tokenizer_golden_corpus():
+    """Golden-file pin of the documented IK approximation (U2): max_word and
+    smart outputs on a fixed CJK e-commerce corpus. The tokenizer is a
+    SEMANTIC approximation of the reference's IK analyzer — this pin makes
+    any drift (lexicon edit, matcher change) an explicit, reviewed diff of
+    tests/golden/tokenizer_golden.json rather than a silent change."""
+    import json
+    from pathlib import Path
+
+    golden = json.loads(
+        (Path(__file__).parent / "golden" / "tokenizer_golden.json").read_text()
+    )
+    assert set(golden) == {"max_word", "smart"}
+    for mode, cases in golden.items():
+        assert len(cases) == 15
+        for text, expected in cases.items():
+            assert tokenize_text(text, mode=mode) == expected, (mode, text)
+
+
 def test_tokenizer_empty():
     assert tokenize_text("") == []
     assert tokenize_text(None) == []

@@ -1,0 +1,138 @@
+"""Optional-broker Kafka integration test (VERDICT r2 next-round #6).
+
+If a Kafka broker is reachable (KAFKA_BOOTSTRAP env or localhost:9092) AND
+the spark-sql-kafka connector is on the classpath, run one true
+kafka → parse → window → kafka round trip mirroring the reference topology
+(MyKafkaUtil.java:21-109: producer → getKafkaConsumer → windowed agg →
+getKafkaProducer). Skips cleanly when either prerequisite is absent — the
+no-broker sandbox exercises only the skip path; the test exists so a real
+deployment's first wiring of sources/kafka.py has coverage.
+"""
+
+import json
+import os
+import socket
+import tempfile
+import uuid
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gmall_flink_230422_spark.sources import kafka as ksrc
+
+BOOTSTRAP = os.environ.get("KAFKA_BOOTSTRAP", "localhost:9092")
+
+
+def _broker_reachable() -> bool:
+    host, _, port = BOOTSTRAP.partition(":")
+    try:
+        with socket.create_connection((host, int(port or 9092)), timeout=1):
+            return True
+    except OSError:
+        return False
+
+
+def _connector_available(spark) -> bool:
+    """The kafka batch/stream source lives in the optional
+    spark-sql-kafka package; probe the classpath instead of crashing."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False
+
+
+pytestmark = pytest.mark.skipif(
+    not _broker_reachable(),
+    reason=f"no Kafka broker reachable at {BOOTSTRAP}",
+)
+
+
+def test_kafka_round_trip(spark, tmp_path):
+    if not _connector_available(spark):
+        pytest.skip("spark-sql-kafka connector not on the classpath")
+
+    in_topic = f"t2_in_{uuid.uuid4().hex[:8]}"
+    out_topic = f"t2_out_{uuid.uuid4().hex[:8]}"
+
+    # produce 20 events via the batch kafka writer (same connector)
+    rows = [
+        (json.dumps({"k": f"u{i % 4}", "ts": 1700000000 + i, "v": i}),)
+        for i in range(20)
+    ]
+    (
+        spark.createDataFrame(rows, ["value"])
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", BOOTSTRAP)
+        .option("topic", in_topic)
+        .save()
+    )
+
+    # consume with the S1 factory (startingOffsets=earliest), parse, window,
+    # and write back with the S6/S7 factory — checkpointed, availableNow
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    src = ksrc.kafka_source(spark, in_topic, "it_group", servers=BOOTSTRAP)
+    agg = (
+        src.select(F.from_json("value", schema).alias("r"))
+        .select("r.*")
+        .withColumn("event_time", F.timestamp_seconds("ts"))
+        .withWatermark("event_time", "10 seconds")
+        .groupBy(F.window("event_time", "60 seconds"), "k")
+        .agg(F.sum("v").alias("total"))
+        .select(F.to_json(F.struct("k", "total")).alias("value"))
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        ksrc.kafka_sink_writer(agg, out_topic, ckpt, servers=BOOTSTRAP)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # read the output topic back (batch) and check the per-key sums
+    out = (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", BOOTSTRAP)
+        .option("subscribe", out_topic)
+        .option("startingOffsets", "earliest")
+        .load()
+        .select(F.col("value").cast("string").alias("value"))
+    )
+    got = {
+        r["k"]: r["total"]
+        for r in out.select(
+            F.from_json("value", "k string, total long").alias("r")
+        ).select("r.*").collect()
+    }
+    expect = {}
+    for i in range(20):
+        expect[f"u{i % 4}"] = expect.get(f"u{i % 4}", 0) + i
+    assert got == expect
+
+    # checkpoint recovery: restarting the same query adds nothing (offsets
+    # are committed — the reference's EO story)
+    q2 = (
+        ksrc.kafka_sink_writer(agg, out_topic, ckpt, servers=BOOTSTRAP)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    n_after = (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", BOOTSTRAP)
+        .option("subscribe", out_topic)
+        .option("startingOffsets", "earliest")
+        .load()
+        .count()
+    )
+    assert n_after == len(expect)
