@@ -73,6 +73,11 @@ HEADLINE = [
     "x_lsh_recall",
     "e_changelog_retract",
     "e_gap_fill",
+    # round-3 additions: data-selection + semantic dedup + sketch + LSH tuning
+    "x_dsir_resample",
+    "x_semdedup",
+    "x_lsh_tune",
+    "e_hist_quantile",
 ]
 
 

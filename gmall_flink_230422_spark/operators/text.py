@@ -486,6 +486,75 @@ def bm25_rank(
     )
 
 
+def lm_crossentropy_components(
+    docs: DataFrame,
+    model_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Generalized bigram-LM scoring: train the add-one-smoothed model on
+    ``model_docs``, score ``docs``. The cross-corpus form behind both the
+    self-scored perplexity filter (`lm_surprisal_score`) and DSIR-style
+    importance resampling (score the raw pool under a target-domain model).
+
+    Unseen bigrams/unigrams smooth through the same add-one formula via
+    LEFT joins + coalesce: P = (c2+1)/(c1+V) with c2=c1=0 when absent —
+    which degrades exactly to the self-scored inner-join form when
+    ``model_docs is docs`` (every scored bigram is then in the model).
+
+    Output: (id_col, n_bigrams, ssum) with ssum the INTEGER sum of floored
+    milli-nat surprisals — order-independent and bit-exact cross-engine
+    (see `lm_surprisal_score` for the parity rationale). Scale shape
+    unchanged: two hash aggregates for the model, natural-key joins for
+    scoring, V as a broadcast scalar.
+    """
+    toks = whitespace_tokens(normalize_text(F.col(text_col)))
+    base = docs.select(F.col(id_col), toks.alias("_toks")).filter(F.size("_toks") >= 2)
+    pairs = base.select(
+        id_col,
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(_toks, 1, size(_toks) - 1)").alias("w1"),
+                F.expr("slice(_toks, 2, size(_toks) - 1)").alias("w2"),
+            )
+        ).alias("_bg"),
+    ).select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+
+    m_toks = whitespace_tokens(normalize_text(F.col(text_col)))
+    m_base = model_docs.select(m_toks.alias("_toks"))
+    m_pairs = m_base.filter(F.size("_toks") >= 2).select(
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(_toks, 1, size(_toks) - 1)").alias("w1"),
+                F.expr("slice(_toks, 2, size(_toks) - 1)").alias("w2"),
+            )
+        ).alias("_bg")
+    ).select(F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+    m_flat = m_base.select(F.explode("_toks").alias("tok"))
+    uni = m_flat.groupBy("tok").agg(F.count(F.lit(1)).alias("c1")).cache()
+    bg = m_pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    v = uni.agg(F.count(F.lit(1)).alias("_v"))
+
+    scored = (
+        pairs.join(bg, ["w1", "w2"], "left")
+        .join(uni.withColumnRenamed("tok", "w1"), "w1", "left")
+        .crossJoin(F.broadcast(v))
+        .withColumn(
+            "_s",
+            F.floor(
+                -F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1.0))
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("_v"))
+                )
+                * 1000
+            ).cast("bigint"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.sum("_s").alias("ssum")
+    )
+
+
 def lm_surprisal_score(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -508,50 +577,15 @@ def lm_surprisal_score(
     so the per-doc aggregate is an INTEGER sum — order-independent, unlike
     a float sum — and the mean is one integer division emitted on a 1e-4
     grid. Output: (doc_id, n_bigrams, avg_surprisal).
+
+    The self-scored special case of `lm_crossentropy_components` (model =
+    corpus, so the smoothing left-joins degrade to inner joins).
     """
-    toks = whitespace_tokens(normalize_text(F.col(text_col)))
-    base = docs.select(F.col(id_col), toks.alias("_toks")).filter(F.size("_toks") >= 2)
-    pairs = base.select(
+    comp = lm_crossentropy_components(docs, docs, id_col, text_col)
+    return comp.select(
         id_col,
-        F.explode(
-            F.arrays_zip(
-                F.expr("slice(_toks, 1, size(_toks) - 1)").alias("w1"),
-                F.expr("slice(_toks, 2, size(_toks) - 1)").alias("w2"),
-            )
-        ).alias("_bg"),
-    ).select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
-
-    toks_flat = docs.select(F.explode(toks).alias("tok"))
-    # the unigram MODEL table is vocab-sized — cache it so both consumers
-    # (the probability join and the vocab-size scalar) reuse one corpus
-    # pass; the corpus-sized pair stream stays recompute-on-use
-    uni = toks_flat.groupBy("tok").agg(F.count(F.lit(1)).alias("c1")).cache()
-    bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    # vocab size = the unigram table's row count — a one-row agg over the
-    # already-reduced model table, NOT another corpus scan + distinct
-    v = uni.agg(F.count(F.lit(1)).alias("_v"))
-
-    scored = (
-        pairs.join(bg, ["w1", "w2"])
-        .join(uni.withColumnRenamed("tok", "w1"), "w1")
-        .crossJoin(F.broadcast(v))
-        .withColumn(
-            "_s",
-            F.floor(
-                -F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("_v"))) * 1000
-            ).cast("bigint"),
-        )
-    )
-    return (
-        scored.groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("_s").alias("_ssum"))
-        .select(
-            id_col,
-            "n_bigrams",
-            (F.expr("(_ssum * 10) div n_bigrams") / F.lit(10000.0)).alias(
-                "avg_surprisal"
-            ),
-        )
+        "n_bigrams",
+        (F.expr("(ssum * 10) div n_bigrams") / F.lit(10000.0)).alias("avg_surprisal"),
     )
 
 

@@ -269,6 +269,72 @@ FROM events GROUP BY 1
 """
 
 
+def q_hist_quantile(spark, sf_dir):
+    """Mergeable histogram-quantile sketch: GLOBAL approximate p50/p90/p99
+    of order totals from fixed 1000.00-unit bins — the fixed-size,
+    mergeable alternative to an exact global sort at 100 TB (per-partition
+    bin counts merge like HLL registers; only the ≤~600-row bin table is
+    ever globally combined). Money enters the integer domain as cents
+    (floor(x*100 + 0.5) — identical IEEE product both engines), ranks are
+    exact integer ceilings, and the answer is each quantile's bin with its
+    inclusive upper edge in cents. Cumulative counts come from a
+    triangular join over the tiny bin table (broadcast) — deliberately NOT
+    a global-order window, which would single-partition the plan."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    hist = (
+        o.select(F.floor(cents / F.lit(100000)).cast("bigint").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .cache()
+    )
+    n = hist.agg(F.sum("cnt").alias("n_rows"))
+    a, b = hist.alias("a"), hist.alias("b")
+    cum = (
+        a.join(F.broadcast(b), F.col("b.bin") <= F.col("a.bin"))
+        .groupBy(F.col("a.bin").alias("bin"))
+        .agg(F.sum(F.col("b.cnt")).alias("cum"))
+    )
+    qs = spark.createDataFrame([(500,), (900,), (990,)], ["q_milli"])
+    ranks = qs.crossJoin(F.broadcast(n)).withColumn(
+        "rank", F.expr("(q_milli * n_rows + 999) div 1000")
+    )
+    return (
+        ranks.join(F.broadcast(cum), F.col("cum") >= F.col("rank"))
+        .groupBy("q_milli", "n_rows", "rank")
+        .agg(F.min("bin").alias("bin"))
+        .select(
+            "q_milli",
+            "n_rows",
+            "rank",
+            "bin",
+            ((F.col("bin") + 1) * 100000 - 1).alias("approx_upper_cents"),
+        )
+    )
+
+
+ORACLE_HIST_QUANTILE = """
+WITH bins AS (
+  SELECT floor(floor(o_totalprice * 100 + 0.5) / 100000)::BIGINT AS bin FROM orders
+),
+hist AS (SELECT bin, count(*) AS cnt FROM bins GROUP BY 1),
+n AS (SELECT sum(cnt)::BIGINT AS n_rows FROM hist),
+cum AS (
+  SELECT a.bin, sum(b.cnt)::BIGINT AS cum
+  FROM hist a JOIN hist b ON b.bin <= a.bin GROUP BY a.bin
+),
+qs AS (SELECT unnest([500, 900, 990]) AS q_milli),
+ranks AS (
+  SELECT q_milli, n_rows, (q_milli * n_rows + 999) // 1000 AS rank
+  FROM qs CROSS JOIN n
+)
+SELECT r.q_milli, r.n_rows, r.rank, min(c.bin) AS bin,
+       (min(c.bin) + 1) * 100000 - 1 AS approx_upper_cents
+FROM ranks r JOIN cum c ON c.cum >= r.rank
+GROUP BY r.q_milli, r.n_rows, r.rank
+"""
+
+
 def q_sliding_window(spark, sf_dir):
     """Sliding window (2 h width, 1 h hop) keyed count+sum — extension; each
     event lands in exactly 2 windows, expanded JVM-side pre-aggregate."""
@@ -1472,4 +1538,7 @@ SPECS = [
     QuerySpec("e_session_window", q_session_window, ORACLE_SESSION, tags=("ext", "window", "streaming")),
     QuerySpec("e_pivot", q_pivot, ORACLE_PIVOT, tags=("ext", "agg")),
     QuerySpec("e_value_histogram", q_value_histogram, ORACLE_HISTOGRAM, tags=("ext", "agg")),
+    QuerySpec("e_hist_quantile", q_hist_quantile, ORACLE_HIST_QUANTILE,
+              doc="mergeable histogram-quantile sketch: global p50/p90/p99 from fixed bins",
+              tags=("ext", "agg", "sketch")),
 ]

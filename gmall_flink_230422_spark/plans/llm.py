@@ -1865,6 +1865,218 @@ FROM clipped
 """
 
 
+# ---------------------------------------------------------------- DSIR importance resampling
+def q_dsir_resample(spark, sf_dir):
+    """DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", adapted to the repo's
+    bigram-LM proxy): score every raw-pool document under (a) a model
+    trained on the raw pool itself and (b) a model trained on the target
+    split (doc_id % 17 == 0 — the benchmark-domain stand-in). The
+    importance weight is the integer milli-nat log-likelihood-ratio
+    ssum_raw − ssum_target (positive ⇒ the doc is more target-like than
+    corpus-average); ``keep`` selects positive-weight docs. All-integer
+    output — no float sums anywhere (repo parity rule). Scale shape: two
+    model trainings (hash aggregates over the two pools), one scoring pass
+    per model over the raw pool with natural-key joins; the target model
+    tables are benchmark-sized and broadcastable at 100 TB."""
+    d = _docs_par(spark, sf_dir)
+    train = d.filter(F.col("doc_id") % 17 != 0)
+    target = d.filter(F.col("doc_id") % 17 == 0)
+    raw = text.lm_crossentropy_components(train, train)
+    tgt = text.lm_crossentropy_components(train, target).select(
+        "doc_id", F.col("ssum").alias("ssum_target")
+    )
+    return (
+        raw.select("doc_id", "n_bigrams", F.col("ssum").alias("ssum_raw"))
+        .join(tgt, "doc_id")
+        .withColumn("weight_milli", F.col("ssum_raw") - F.col("ssum_target"))
+        .withColumn("keep", (F.col("weight_milli") > 0).cast("int"))
+    )
+
+
+ORACLE_DSIR = f"""
+WITH d_toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok, generate_subscripts({_TOKS}, 1) AS pos
+  FROM documents WHERE doc_id % 17 <> 0
+),
+d_pairs AS (
+  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+  FROM d_toks a JOIN d_toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+r_uni AS (SELECT tok, count(*) AS c1 FROM d_toks GROUP BY 1),
+r_bg AS (SELECT w1, w2, count(*) AS c2 FROM d_pairs GROUP BY 1, 2),
+r_v AS (SELECT count(*) AS vsz FROM r_uni),
+t_toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok, generate_subscripts({_TOKS}, 1) AS pos
+  FROM documents WHERE doc_id % 17 = 0
+),
+t_pairs AS (
+  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+  FROM t_toks a JOIN t_toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+t_uni AS (SELECT tok, count(*) AS c1 FROM t_toks GROUP BY 1),
+t_bg AS (SELECT w1, w2, count(*) AS c2 FROM t_pairs GROUP BY 1, 2),
+t_v AS (SELECT count(*) AS vsz FROM t_uni),
+r_scored AS (
+  SELECT p.doc_id,
+         floor(-ln((coalesce(g.c2, 0) + 1.0) / (coalesce(u.c1, 0) + v.vsz)) * 1000)::BIGINT AS s
+  FROM d_pairs p
+  LEFT JOIN r_bg g ON p.w1 = g.w1 AND p.w2 = g.w2
+  LEFT JOIN r_uni u ON p.w1 = u.tok
+  CROSS JOIN r_v v
+),
+t_scored AS (
+  SELECT p.doc_id,
+         floor(-ln((coalesce(g.c2, 0) + 1.0) / (coalesce(u.c1, 0) + v.vsz)) * 1000)::BIGINT AS s
+  FROM d_pairs p
+  LEFT JOIN t_bg g ON p.w1 = g.w1 AND p.w2 = g.w2
+  LEFT JOIN t_uni u ON p.w1 = u.tok
+  CROSS JOIN t_v v
+),
+r_agg AS (SELECT doc_id, count(*) AS nb, sum(s) AS ss FROM r_scored GROUP BY 1),
+t_agg AS (SELECT doc_id, sum(s) AS ss FROM t_scored GROUP BY 1)
+SELECT r.doc_id, r.nb::BIGINT AS n_bigrams, r.ss::BIGINT AS ssum_raw,
+       t.ss::BIGINT AS ssum_target,
+       (r.ss - t.ss)::BIGINT AS weight_milli,
+       CASE WHEN r.ss - t.ss > 0 THEN 1 ELSE 0 END AS keep
+FROM r_agg r JOIN t_agg t ON r.doc_id = t.doc_id
+"""
+
+
+# ---------------------------------------------------------------- SemDeDup
+def q_semdedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): embedding-cosine
+    near-dup pairs (sign-bucket pruned, exact-verified at cos ≥ 0.35 on
+    this corpus) → connected components → keep the min-id member per
+    cluster. One row per SURVIVOR with its cluster size (1 = unpaired).
+    Scale: pair generation is per-bucket (never all-pairs), the CC label
+    table holds only paired vectors, survivors come from one anti-join."""
+    e = _embs_par(spark, sf_dir)
+    pairs = similarity.embedding_near_dup_pairs(e, threshold=0.35, dims=8).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    clusters = dedup.connected_components(pairs).cache()
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    keep = (
+        clusters.filter(F.col("doc_id") == F.col("cluster_id"))
+        .join(sizes, "cluster_id")
+        .select(F.col("cluster_id").alias("keep_id"), "cluster_size")
+    )
+    unpaired = (
+        e.select("vec_id")
+        .join(clusters.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_anti")
+        .select(
+            F.col("vec_id").alias("keep_id"),
+            F.lit(1).cast("bigint").alias("cluster_size"),
+        )
+    )
+    return keep.unionByName(unpaired)
+
+
+ORACLE_SEMDEDUP = f"""
+WITH RECURSIVE b AS (
+  SELECT vec_id, embedding, ({_BUCKET_SQL})::BIGINT AS bucket FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS doc_a, b2.vec_id AS doc_b
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+  WHERE floor((list_cosine_similarity(a.embedding::DOUBLE[], b2.embedding::DOUBLE[])) * 10000) / 10000 >= 0.35
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+clus AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM clus GROUP BY 1)
+SELECT cluster_id AS keep_id, cluster_size::BIGINT AS cluster_size FROM sizes
+UNION ALL
+SELECT vec_id AS keep_id, 1::BIGINT AS cluster_size FROM embeddings
+WHERE vec_id NOT IN (SELECT doc_id FROM clus)
+"""
+
+
+# ---------------------------------------------------------------- LSH band tuning sweep
+def _lsh_cfg_ctes(tag: str, rpb: int) -> str:
+    """Banded/cand/verified-count CTE chain for one band config, prefixed
+    ``tag`` — reuses the shared hashed/seeded/sz/inter CTEs."""
+    return f"""
+{tag}_banded AS (
+  SELECT doc_id, (seed // {rpb})::INT AS band,
+         string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_sig
+  FROM seeded GROUP BY doc_id, band
+),
+{tag}_cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM {tag}_banded a JOIN {tag}_banded b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+{tag}_ver AS (
+  SELECT count(*) AS n FROM inter i
+  JOIN {tag}_cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
+  WHERE floor((i.i * 1.0 / (x.sz + y.sz - i.i)) * 10000) / 10000 >= 0.5
+)"""
+
+
+def q_lsh_tune(spark, sf_dir):
+    """LSH band-configuration sweep — the tuning report a dedup run
+    publishes before committing a config: for the SAME 16 MinHashes,
+    candidate volume and verified-pair yield per (bands × rows_per_band).
+    More bands of fewer rows raises recall and candidate volume (the
+    S-curve steepens left); the sweep quantifies the candidate-budget
+    tradeoff. One shingle pass and one signature pass feed all three
+    configs — only the banding aggregate differs per config."""
+    d = _docs_par(spark, sf_dir)
+    sh = dedup.shingles(d).cache()
+    sigs = dedup.minhash_signatures(sh, num_hashes=16).cache()
+    outs = []
+    for bands, rpb in ((2, 8), (4, 4), (8, 2)):
+        cands = dedup.lsh_candidate_pairs(
+            sigs, bands=bands, rows_per_band=rpb
+        ).cache()
+        ver = dedup.jaccard_pairs(sh, threshold=0.5, candidates=cands)
+        outs.append(
+            cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+            .crossJoin(F.broadcast(ver.agg(F.count(F.lit(1)).alias("n_verified"))))
+            .select(
+                F.lit(bands).alias("bands"),
+                F.lit(rpb).alias("rows_per_band"),
+                "n_candidates",
+                "n_verified",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+ORACLE_LSH_TUNE = f"""
+WITH {_SHINGLES_CTE},
+{_minhash_lsh_ctes()},
+{_lsh_cfg_ctes('b2', 8)},
+{_lsh_cfg_ctes('b8', 2)}
+SELECT 2 AS bands, 8 AS rows_per_band,
+       (SELECT count(*) FROM b2_cand)::BIGINT AS n_candidates,
+       (SELECT n FROM b2_ver)::BIGINT AS n_verified
+UNION ALL
+SELECT 4, 4,
+       (SELECT count(*) FROM cand)::BIGINT,
+       (SELECT count(*) FROM verified WHERE jaccard >= 0.5)::BIGINT
+UNION ALL
+SELECT 8, 2,
+       (SELECT count(*) FROM b8_cand)::BIGINT,
+       (SELECT n FROM b8_ver)::BIGINT
+"""
+
+
 SPECS = [
     QuerySpec("x_dedup_exact", q_dedup_exact, ORACLE_DEDUP_EXACT, tags=("llm", "dedup")),
     QuerySpec("x_fingerprint", q_fingerprint, ORACLE_FINGERPRINT, tags=("llm", "text")),
@@ -1950,4 +2162,13 @@ SPECS = [
               doc="video→frames fan-out: per-payload fixed-size slice explosion",
               tags=("llm", "multimodal")),
     QuerySpec("x_multimodal_pipeline", q_multimodal_pipeline, ORACLE_MULTIMODAL_PIPELINE, tags=("llm", "multimodal")),
+    QuerySpec("x_dsir_resample", q_dsir_resample, ORACLE_DSIR,
+              doc="DSIR importance resampling: milli-nat LLR weight under raw vs target bigram LMs",
+              tags=("llm", "text", "sampling")),
+    QuerySpec("x_semdedup", q_semdedup, ORACLE_SEMDEDUP,
+              doc="SemDeDup: embedding-cosine clusters, keep one per cluster",
+              tags=("llm", "similarity", "dedup")),
+    QuerySpec("x_lsh_tune", q_lsh_tune, ORACLE_LSH_TUNE,
+              doc="LSH band-config sweep: candidate volume + verified yield per (bands x rows)",
+              tags=("llm", "dedup")),
 ]
