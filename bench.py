@@ -78,6 +78,7 @@ HEADLINE = [
     "x_semdedup",
     "x_lsh_tune",
     "e_hist_quantile",
+    "x_signal_windows",
 ]
 
 

@@ -170,6 +170,49 @@ def explode_frames(media: DataFrame, frame_bytes: int = 32) -> DataFrame:
     )
 
 
+def window_signal(
+    media: DataFrame, window_units: int = 64, hop_units: int = 32
+) -> DataFrame:
+    """Audio-windowing analog: OVERLAPPED fixed windows over the payload
+    (hop < window — the STFT/mel-frame shape, vs `explode_frames`'
+    disjoint slices), one row per FULL window with a deterministic
+    energy proxy (sum of sample values).
+
+    "Samples" here are the characters of the UTF-8-decoded payload (the
+    container has no audio libs — see module docstring); a real pipeline
+    swaps the char-sum kernel for an FFT/mel Pandas UDF in the same
+    mapInPandas position as `decode_media`, while THIS fan-out (sequence →
+    explode → windowed fold) is the scalable JVM-side part that survives
+    the swap: no Python, no shuffle, output rows ≈ units/hop per doc,
+    partition-local.
+    """
+    sig = F.expr("decode(media, 'utf-8')")
+    df = media.select(
+        "doc_id", sig.alias("_sig"), F.length(sig).cast("long").alias("n_units")
+    )
+    n_win = (F.floor((F.col("n_units") - window_units) / hop_units) + 1).cast("long")
+    return (
+        df.filter(F.col("n_units") >= window_units)
+        .select(
+            "doc_id",
+            "_sig",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), n_win - 1)
+            ).alias("win_idx"),
+        )
+        .select(
+            "doc_id",
+            "win_idx",
+            (F.col("win_idx") * hop_units + 1).alias("start_unit"),
+            F.expr(
+                f"aggregate(sequence(win_idx * {hop_units} + 1, "
+                f"win_idx * {hop_units} + {window_units}), 0L, "
+                "(acc, i) -> acc + ascii(substring(_sig, cast(i as int), 1)))"
+            ).alias("energy"),
+        )
+    )
+
+
 def frame_sample(decoded: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling analog: deterministic 1-in-N selection by id (stands in
     for video frame sampling; selection logic is the real, scalable part)."""

@@ -1865,6 +1865,70 @@ FROM clipped
 """
 
 
+# ---------------------------------------------------------------- signal windows (audio analog)
+def q_signal_windows(spark, sf_dir):
+    """Audio STFT-frame analog over the opaque media column: overlapped
+    64-unit windows at 32-unit hop, each with its integer energy proxy
+    (operators/multimodal.window_signal — JVM-side fan-out + windowed
+    fold; the FFT kernel a real deployment slots in is stubbed, the
+    partition-local fan-out shape is the tested part)."""
+    from ..operators import multimodal
+
+    d = _docs_par(spark, sf_dir)
+    media = multimodal.to_media_table(d)
+    return multimodal.window_signal(media, window_units=64, hop_units=32)
+
+
+ORACLE_SIGNAL_WINDOWS = """
+WITH m AS (SELECT doc_id, text, length(text) AS n_units FROM documents),
+w AS (
+  SELECT doc_id, text, unnest(range(0, ((n_units - 64) // 32) + 1)) AS win_idx
+  FROM m WHERE n_units >= 64
+)
+SELECT doc_id, win_idx, win_idx * 32 + 1 AS start_unit,
+       list_sum(list_transform(range(win_idx * 32 + 1, win_idx * 32 + 65),
+                               i -> ord(substr(text, i::INT, 1))))::BIGINT AS energy
+FROM w
+"""
+
+
+# ---------------------------------------------------------------- temperature mixing
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-scaled language mixing (the multilingual-pretraining
+    standard, p_l ∝ n_l^α with α = 0.5): per-language corpus counts →
+    integer sqrt-weights on the 1e-4 grid → normalized target shares by
+    integer division. sqrt of an exact integer is the same IEEE double in
+    both engines, so the floored weight grid is bit-identical (repo float
+    rule). One hash aggregate + a broadcast scalar — the language table is
+    tiny at any corpus size."""
+    d = _docs_par(spark, sf_dir)
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = F.floor(F.sqrt(F.col("n_docs")) * 10000).cast("bigint")
+    weighted = counts.withColumn("w_frac", w)
+    total = weighted.agg(F.sum("w_frac").alias("_tw"))
+    return (
+        weighted.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "n_docs",
+            "w_frac",
+            (F.expr("(w_frac * 10000) div _tw") / F.lit(10000.0)).alias(
+                "target_share"
+            ),
+        )
+    )
+
+
+ORACLE_TEMPERATURE_MIX = """
+WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+w AS (SELECT lang, n_docs, floor(sqrt(n_docs) * 10000)::BIGINT AS w_frac FROM c),
+t AS (SELECT sum(w_frac)::BIGINT AS tw FROM w)
+SELECT lang, n_docs, w_frac,
+       ((w_frac * 10000) // tw) / 10000.0 AS target_share
+FROM w CROSS JOIN t
+"""
+
+
 # ---------------------------------------------------------------- DSIR importance resampling
 def q_dsir_resample(spark, sf_dir):
     """DSIR-style importance resampling (Xie et al. 2023, "Data Selection
@@ -2171,4 +2235,10 @@ SPECS = [
     QuerySpec("x_lsh_tune", q_lsh_tune, ORACLE_LSH_TUNE,
               doc="LSH band-config sweep: candidate volume + verified yield per (bands x rows)",
               tags=("llm", "dedup")),
+    QuerySpec("x_signal_windows", q_signal_windows, ORACLE_SIGNAL_WINDOWS,
+              doc="audio STFT-frame analog: overlapped windows + integer energy fold",
+              tags=("llm", "multimodal")),
+    QuerySpec("x_temperature_mix", q_temperature_mix, ORACLE_TEMPERATURE_MIX,
+              doc="temperature-scaled (alpha=0.5) language sampling shares from corpus counts",
+              tags=("llm", "sampling")),
 ]

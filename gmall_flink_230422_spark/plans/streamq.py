@@ -682,6 +682,85 @@ FROM events GROUP BY 1
 """
 
 
+def q_stream_dim_incremental(spark, sf_dir):
+    """S4 incremental config semantics through the STREAMING engine: the
+    user_info CDC stream replays as two micro-batches (inserts, then the
+    every-4th-key updates — write_chunks_by pins the order), a checkpointed
+    foreachBatch applies the config-changelog DELTA for each batch's
+    watermark to the broadcast map state (generation 1 with user_name for
+    batch 1; generation 2 pruned to id,create_time for batch 2) and runs
+    the shared route+prune+MERGE body. The final store shows the
+    generation-dependent state the batch twin s4_dim_app_sync_incremental
+    proves: updated rows lose user_name, untouched rows keep it."""
+    from ..apps import _dim_sync_batch
+    from .dwd import _materialize, _user_info_branches
+
+    _clamp_shuffle(spark)
+    tmp = tempfile.mkdtemp(prefix="streamq_s4i_")
+    src = os.path.join(tmp, "src")
+    base = os.path.join(tmp, "dim")
+    ck = os.path.join(tmp, "ck")
+    c = load_table(spark, sf_dir, "customer")
+    ins, upd = _user_info_branches(c)
+    cdc = _materialize([ins, upd], via_json=True)
+    chunked = cdc.withColumn(
+        "_chunk", F.when(F.col("type") == "insert", 0).otherwise(1)
+    )
+    files.write_chunks_by(chunked, "_chunk", src, 2)
+    schema = spark.read.parquet(src).schema
+    stream = files.stream_parquet(spark, src, schema, files_per_trigger=1)
+
+    changelog = spark.createDataFrame(
+        [
+            ("user_info", "dim_user_info", "id,create_time,user_name", "id", 1, "u"),
+            ("user_info", "dim_user_info", "id,create_time", "id", 2, "u"),
+        ],
+        ["source_table", "sink_table", "sink_columns", "sink_pk", "config_seq", "op"],
+    )
+    holder = {"last_wm": -(1 << 62), "state": {}}
+
+    def _sync(batch: DataFrame, batch_id: int) -> None:
+        wm = batch_id + 1
+        delta = (
+            changelog.filter(
+                (F.col("config_seq") > holder["last_wm"])
+                & (F.col("config_seq") <= wm)
+            )
+            .orderBy("config_seq")
+            .collect()
+        )
+        for r in delta:
+            if r["op"] == "d":
+                holder["state"].pop(r["source_table"], None)
+            else:
+                holder["state"][r["source_table"]] = r.asDict()
+        holder["last_wm"] = wm
+        _dim_sync_batch(spark, batch, holder["state"], base)
+
+    q = (
+        stream.writeStream.foreachBatch(_sync)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(base, "dim_user_info")).select(
+        F.col("id").cast("bigint").alias("id"), "create_time", "user_name"
+    )
+
+
+ORACLE_STREAM_DIM_INCR = """
+SELECT c_custkey AS id,
+       strftime(DATE '2024-01-01'
+                + to_days((c_custkey % 365)::INT
+                          + CASE WHEN c_custkey % 4 = 0 THEN 1 ELSE 0 END),
+                '%Y-%m-%d %H:%M:%S') AS create_time,
+       CASE WHEN c_custkey % 4 = 0 THEN NULL
+            ELSE 'cust_' || c_custkey::VARCHAR END AS user_name
+FROM customer
+"""
+
+
 SPECS = (
     QuerySpec(
         "s_stream_dedup", q_stream_dedup, ORACLE_STREAM_DEDUP,
@@ -757,5 +836,10 @@ SPECS = (
         "s_stream_union_preagg", q_stream_union_preagg, ORACLE_UNION_PREAGG,
         doc="A4+T8 executed via Structured Streaming (AvailableNow replay), batch-equal",
         tags=("A4", "T8", "T1", "S1", "streaming"),
+    ),
+    QuerySpec(
+        "s_stream_dim_incremental", q_stream_dim_incremental, ORACLE_STREAM_DIM_INCR,
+        doc="S4 incremental config deltas applied per micro-batch in a checkpointed foreachBatch",
+        tags=("S4", "T10", "S11", "T11", "streaming"),
     ),
 )
