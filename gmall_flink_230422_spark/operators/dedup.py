@@ -496,3 +496,46 @@ def contamination_scores(
             F.floor((F.col("n_overlap") / F.col("n_shingles")) * 10000) / 10000,
         )
     )
+
+
+def dup_ngram_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    drop_threshold_milli: int = 300,
+) -> DataFrame:
+    """Approximate substring-dedup signal: per document, the fraction of its
+    distinct k-gram (k=8 word) shingles that also occur in at least one OTHER
+    document — the per-doc duplicated-n-gram rate used to drop boilerplate-
+    heavy pages (the aggregate form of exact-substring dedup a la
+    "Deduplicating Training Data Makes Language Models Better": instead of
+    excising the repeated spans, documents past a duplication threshold are
+    dropped whole).
+
+    Scale design: one explode → one hash-aggregate on the shingle (count of
+    distinct docs per shingle, partial-agg applies) → join back on shingle →
+    per-doc aggregate. Both shuffles key on the shingle/doc id; no pairwise
+    comparison ever materializes, so this is strictly cheaper than any
+    candidate-pair stage and safe at corpus scale. Docs with fewer than k
+    tokens have no k-grams and are vacuously clean (absent), matching the
+    other shingle operators.
+    """
+    sh = shingles(docs, id_col, text_col, k)
+    counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_ndocs"))
+    rate = F.floor(F.lit(1000) * F.col("n_dup") / F.col("n_shingles")).cast("bigint")
+    return (
+        sh.join(counts, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("_ndocs") >= 2).cast("bigint")).alias("n_dup"),
+        )
+        .select(
+            F.col(id_col),
+            "n_shingles",
+            "n_dup",
+            rate.alias("dup_rate_milli"),
+            (rate >= drop_threshold_milli).alias("drop_doc"),
+        )
+    )

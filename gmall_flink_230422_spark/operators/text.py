@@ -98,6 +98,56 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def quality_classifier(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Model-based quality filter: a fixed-weight linear classifier over
+    engineered integer features (the fasttext-style quality-classifier stage
+    of web-corpus pipelines, e.g. CCNet/LLaMA data prep — here with a frozen,
+    published weight vector instead of a trained binary blob).
+
+    Everything stays on an integer milli-grid so the score is bit-exact
+    cross-engine and the decision boundary has no float ambiguity:
+
+      ttr_milli   = floor(1000 * distinct_tokens / n_tokens)   (type-token ratio)
+      stop_milli  = floor(1000 * stopword_hits / n_tokens)
+      len_term    = 10 * least(n_tokens, 100)                  (saturating length)
+      logit_milli = -2500 + len_term + 2 * stop_milli + ttr_milli
+
+    keep = logit_milli >= 0; quality_band buckets the logit for routing
+    (reject / low / mid / high). Pure projection + per-doc array ops: no
+    shuffle, whole-stage codegen end-to-end — at 100 TB this is a map-only
+    pass over the corpus scan.
+    """
+    toks = whitespace_tokens(normalize_text(F.col(text_col)))
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    stop_hits = stopword_hits(toks, _EN_STOP)
+    ttr_milli = F.when(
+        n_tokens > 0, F.floor(F.lit(1000) * n_distinct / n_tokens)
+    ).otherwise(F.lit(0)).cast("bigint")
+    stop_milli = F.when(
+        n_tokens > 0, F.floor(F.lit(1000) * stop_hits / n_tokens)
+    ).otherwise(F.lit(0)).cast("bigint")
+    len_term = (F.lit(10) * F.least(n_tokens, F.lit(100))).cast("bigint")
+    logit = (F.lit(-2500) + len_term + F.lit(2) * stop_milli + ttr_milli).cast("bigint")
+    band = (
+        F.when(logit < 0, F.lit("reject"))
+        .when(logit < 300, F.lit("low"))
+        .when(logit < 700, F.lit("mid"))
+        .otherwise(F.lit("high"))
+    )
+    return docs.select(
+        F.col(id_col),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        ttr_milli.alias("ttr_milli"),
+        stop_milli.alias("stop_milli"),
+        logit.alias("logit_milli"),
+        (logit >= 0).alias("keep"),
+        band.alias("quality_band"),
+    )
+
+
 def rolling_fingerprint(text: Column, window: int = 8) -> Column:
     """Document fingerprint: md5 over normalized text (winnowing-style rolling
     fingerprints reduce to content-defined sampling of shingle hashes; the

@@ -2141,6 +2141,82 @@ SELECT 8, 2,
 """
 
 
+# ------------------------------------------------- quality classifier (frozen)
+def q_quality_classifier(spark, sf_dir):
+    """Fixed-weight linear quality classifier on the integer milli-grid —
+    the model-based (fasttext-style) corpus filter stage; map-only pass."""
+    return text.quality_classifier(_docs_par(spark, sf_dir))
+
+
+ORACLE_QUALITY_CLASSIFIER = rf"""
+WITH f AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct,
+         len(list_filter(toks, t -> list_contains({_EN_STOP_SQL}, t))) AS stop_hits
+  FROM f
+), g AS (
+  SELECT doc_id, n_tokens,
+         (CASE WHEN n_tokens > 0 THEN floor(1000 * n_distinct * 1.0 / n_tokens) ELSE 0 END)::BIGINT AS ttr_milli,
+         (CASE WHEN n_tokens > 0 THEN floor(1000 * stop_hits * 1.0 / n_tokens) ELSE 0 END)::BIGINT AS stop_milli
+  FROM m
+), l AS (
+  SELECT doc_id, n_tokens::BIGINT AS n_tokens, ttr_milli, stop_milli,
+         (-2500 + 10 * least(n_tokens, 100) + 2 * stop_milli + ttr_milli)::BIGINT AS logit_milli
+  FROM g
+)
+SELECT doc_id, n_tokens, ttr_milli, stop_milli, logit_milli,
+       logit_milli >= 0 AS keep,
+       CASE WHEN logit_milli < 0 THEN 'reject'
+            WHEN logit_milli < 300 THEN 'low'
+            WHEN logit_milli < 700 THEN 'mid'
+            ELSE 'high' END AS quality_band
+FROM l
+"""
+
+
+# ------------------------------------------- duplicated-n-gram rate (k=8)
+def q_dup_ngram_rate(spark, sf_dir):
+    """Per-doc duplicated 8-gram fraction + drop verdict — the aggregate
+    form of exact-substring dedup (drop boilerplate-heavy docs whole)."""
+    return dedup.dup_ngram_stats(_docs_par(spark, sf_dir))
+
+
+def _shingles8_cte(src: str = "documents") -> str:
+    leads = " || ' ' || ".join(f"lead(tok, {j}) OVER w" for j in range(1, 8))
+    return rf"""
+toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok, generate_subscripts({_TOKS}, 1) AS pos
+  FROM {src}
+),
+sh AS (
+  SELECT DISTINCT doc_id, tok || ' ' || {leads} AS shingle
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(tok, 7) OVER w IS NOT NULL
+)
+"""
+
+
+ORACLE_DUP_NGRAM = rf"""
+WITH {_shingles8_cte()},
+cnt AS (SELECT shingle, count(*) AS ndocs FROM sh GROUP BY 1),
+per AS (
+  SELECT doc_id, count(*)::BIGINT AS n_shingles,
+         sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+  FROM sh JOIN cnt USING (shingle)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_shingles, n_dup,
+       floor(1000 * n_dup * 1.0 / n_shingles)::BIGINT AS dup_rate_milli,
+       floor(1000 * n_dup * 1.0 / n_shingles)::BIGINT >= 300 AS drop_doc
+FROM per
+"""
+
+
+
 SPECS = [
     QuerySpec("x_dedup_exact", q_dedup_exact, ORACLE_DEDUP_EXACT, tags=("llm", "dedup")),
     QuerySpec("x_fingerprint", q_fingerprint, ORACLE_FINGERPRINT, tags=("llm", "text")),
@@ -2241,4 +2317,10 @@ SPECS = [
     QuerySpec("x_temperature_mix", q_temperature_mix, ORACLE_TEMPERATURE_MIX,
               doc="temperature-scaled (alpha=0.5) language sampling shares from corpus counts",
               tags=("llm", "sampling")),
+    QuerySpec("x_quality_classifier", q_quality_classifier, ORACLE_QUALITY_CLASSIFIER,
+              doc="frozen-weight linear quality classifier, integer milli-grid logit + band",
+              tags=("llm", "text", "quality")),
+    QuerySpec("x_dup_ngram_rate", q_dup_ngram_rate, ORACLE_DUP_NGRAM,
+              doc="per-doc duplicated 8-gram rate: aggregate exact-substring-dedup signal",
+              tags=("llm", "dedup")),
 ]

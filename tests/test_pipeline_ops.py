@@ -240,3 +240,42 @@ def test_gap_fill_emits_zero_slots(spark, tmp_path):
     base = int(dt.datetime(2024, 1, 1).timestamp())
     assert got == {("view", base): 1, ("view", base + 3600): 0,
                    ("view", base + 7200): 0, ("view", base + 10800): 1}
+
+
+# --------------------------------------------------------- quality classifier
+def test_quality_classifier_grid_and_bands(spark):
+    docs = _df(spark, [
+        (1, "the cat sat on the mat"),   # 6 toks, 5 distinct, 2 stopword hits
+        (2, "word word word word"),      # ttr 250, no stopwords
+        (3, ""),                         # empty: all feature terms zero
+    ])
+    out = {r["doc_id"]: r for r in text.quality_classifier(docs).collect()}
+    r1 = out[1]
+    assert r1["n_tokens"] == 6 and r1["ttr_milli"] == 833  # floor(1000*5/6)
+    assert r1["stop_milli"] == 333  # floor(1000*2/6)
+    assert r1["logit_milli"] == -2500 + 60 + 2 * 333 + 833
+    assert r1["keep"] is False and r1["quality_band"] == "reject"
+    r2 = out[2]
+    assert r2["ttr_milli"] == 250 and r2["stop_milli"] == 0
+    assert r2["logit_milli"] == -2500 + 40 + 250
+    r3 = out[3]
+    assert r3["n_tokens"] == 0 and r3["logit_milli"] == -2500
+    assert r3["quality_band"] == "reject"
+
+
+# ------------------------------------------------------- duplicated-ngram rate
+def test_dup_ngram_rate_counts(spark):
+    shared = "a b c d e f g h"            # exactly one 8-gram, shared by 1 and 2
+    docs = _df(spark, [
+        (1, shared + " unique1 tail1"),   # 3 8-grams, 1 duplicated
+        (2, shared),                      # 1 8-gram, duplicated
+        (3, "q r s t u v w x y"),         # 2 8-grams, none duplicated
+        (4, "too short"),                 # <8 tokens: absent
+    ])
+    out = {r["doc_id"]: r for r in dedup.dup_ngram_stats(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_shingles"] == 3 and out[1]["n_dup"] == 1
+    assert out[1]["dup_rate_milli"] == 333 and out[1]["drop_doc"] is True
+    assert out[2]["n_shingles"] == 1 and out[2]["n_dup"] == 1
+    assert out[2]["dup_rate_milli"] == 1000 and out[2]["drop_doc"] is True
+    assert out[3]["n_dup"] == 0 and out[3]["drop_doc"] is False
