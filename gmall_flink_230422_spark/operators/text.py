@@ -846,3 +846,40 @@ def stratified_sample(
         .withColumn("weight", F.floor((F.lit(10000.0) / F.col("_thr")) * 10000) / 10000)
         .drop("_thr")
     )
+
+
+def feature_hash_vectors(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 16,
+    salt: str = "fh",
+) -> DataFrame:
+    """Feature hashing (the "hashing trick", Weinberger et al. 2009): embed
+    each document as a sparse integer vector WITHOUT building a vocabulary —
+    bucket = portable_hash(salt:token) mod n_buckets, sign = ±1 from the next
+    hash bit, weight[bucket] += sign per occurrence.
+
+    Output is the sparse long form (doc_id, bucket, weight int) — exactly
+    what a downstream distributed learner or similarity join consumes, and
+    integer-exact cross-engine. Scale: tokenize→explode→one hash aggregate;
+    no vocab table, no broadcast, no second pass — the property that makes
+    feature hashing the standard at corpus scale where a vocab build would
+    itself be a 100 TB shuffle. Empty docs vanish (no tokens → no rows).
+    """
+    from ..functions.hashing import portable_hash64
+
+    tok = F.explode(whitespace_tokens(normalize_text(F.col(text_col)))).alias("tok")
+    h = portable_hash64(F.concat(F.lit(f"{salt}:"), F.col("tok")))
+    # two independent hashes (Weinberger's ξ): bucket from one, sign from the
+    # other — avoids bit-extraction on a 60-bit value (double division would
+    # lose mantissa precision) and keeps both expressions oracle-portable
+    hs = portable_hash64(F.concat(F.lit(f"{salt}s:"), F.col("tok")))
+    bucket = F.pmod(h, F.lit(n_buckets)).cast("int")
+    sign = F.when(F.pmod(hs, F.lit(2)) == 0, F.lit(1)).otherwise(F.lit(-1))
+    return (
+        docs.select(F.col(id_col), tok)
+        .select(F.col(id_col), bucket.alias("bucket"), sign.alias("_s"))
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("_s").cast("bigint").alias("weight"))
+    )

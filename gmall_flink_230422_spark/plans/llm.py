@@ -2217,6 +2217,101 @@ FROM per
 
 
 
+# ---------------------------------------------------------- feature hashing
+def q_feature_hash(spark, sf_dir):
+    """Hashing-trick doc vectors: sparse (doc_id, bucket, weight) rows from
+    two independent portable hashes — vocabulary-free embedding, one explode
+    + one hash aggregate."""
+    return text.feature_hash_vectors(_docs_par(spark, sf_dir))
+
+
+_FH_HASH = "(('0x' || substr(md5('fh:' || tok), 1, 15)))::BIGINT"
+_FHS_HASH = "(('0x' || substr(md5('fhs:' || tok), 1, 15)))::BIGINT"
+
+ORACLE_FEATURE_HASH = rf"""
+WITH t AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+), h AS (
+  SELECT doc_id,
+         ({_FH_HASH} % 16)::INT AS bucket,
+         CASE WHEN {_FHS_HASH} % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM t
+)
+SELECT doc_id, bucket, sum(s)::BIGINT AS weight
+FROM h GROUP BY doc_id, bucket
+"""
+
+
+# ------------------------------------------------- product quantization ANN
+def q_pq_ann(spark, sf_dir):
+    """PQ asymmetric-distance top-10 for the 3 query vectors: 8 subspaces x
+    16 codewords seeded from the lowest vec_ids; scoring touches only the
+    32x-compressed code table plus a broadcast query-to-codeword distance
+    evaluation."""
+    e = _embs_par(spark, sf_dir)
+    q = e.filter(F.col("vec_id").isin(*_QUERY_IDS))
+    return similarity.pq_adc_topk(e, q, k=10)
+
+
+def _pq_d2_sql(a: str, b: str, s: str) -> str:
+    """Subspace-s squared L2 between 64-dim arrays, ascending-component fold,
+    floored to 1e-6 — textually mirrors similarity._sub_d2."""
+    return f"({_pq_d2_micro_sql(a, b, s)} / 1e6)"
+
+
+def _pq_d2_micro_sql(a: str, b: str, s: str) -> str:
+    """Same distance in integer micro-units (floor(raw * 1e6) as BIGINT) —
+    mirrors similarity._sub_d2_micro, so the cross-subspace ADC sum is an
+    exact integer sum in both engines regardless of aggregation order."""
+    return (
+        f"floor(list_sum(list_transform(range(8), i -> "
+        f"({a}[{s} * 8 + i + 1]::DOUBLE - {b}[{s} * 8 + i + 1]::DOUBLE)"
+        f" * ({a}[{s} * 8 + i + 1]::DOUBLE - {b}[{s} * 8 + i + 1]::DOUBLE))) * 1e6)::BIGINT"
+    )
+
+
+ORACLE_PQ_ANN = rf"""
+WITH cb AS (
+  SELECT vec_id::INT AS cid, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+subs AS (SELECT unnest(range(8)) AS s),
+d AS (
+  SELECT e.vec_id, subs.s, cb.cid,
+         {_pq_d2_sql('e.embedding', 'cb.cvec', 'subs.s')} AS d2
+  FROM embeddings e CROSS JOIN subs CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, s, cid
+  FROM (SELECT vec_id, s, cid,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rk
+        FROM d)
+  WHERE rk = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings WHERE vec_id IN {_QUERY_IDS}
+),
+adc AS (
+  SELECT q.query_id, c.vec_id,
+         sum({_pq_d2_micro_sql('q.qvec', 'cb.cvec', 'c.s')}) AS approx_micro
+  FROM codes c
+  JOIN cb ON cb.cid = c.cid
+  CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+  GROUP BY q.query_id, c.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, floor(approx_micro * 1.0 / 100) / 10000 AS approx_d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY floor(approx_micro * 1.0 / 100) / 10000, vec_id) AS rk
+  FROM adc
+)
+SELECT query_id, vec_id, approx_d2 FROM ranked WHERE rk <= 10
+"""
+
+
+
 SPECS = [
     QuerySpec("x_dedup_exact", q_dedup_exact, ORACLE_DEDUP_EXACT, tags=("llm", "dedup")),
     QuerySpec("x_fingerprint", q_fingerprint, ORACLE_FINGERPRINT, tags=("llm", "text")),
@@ -2323,4 +2418,10 @@ SPECS = [
     QuerySpec("x_dup_ngram_rate", q_dup_ngram_rate, ORACLE_DUP_NGRAM,
               doc="per-doc duplicated 8-gram rate: aggregate exact-substring-dedup signal",
               tags=("llm", "dedup")),
+    QuerySpec("x_feature_hash", q_feature_hash, ORACLE_FEATURE_HASH,
+              doc="hashing-trick sparse doc vectors: vocabulary-free, one explode + one agg",
+              tags=("llm", "text", "similarity")),
+    QuerySpec("x_pq_ann", q_pq_ann, ORACLE_PQ_ANN,
+              doc="product-quantization ADC top-10: 8x16 codebook, 32x-compressed scoring",
+              tags=("llm", "similarity", "ann")),
 ]

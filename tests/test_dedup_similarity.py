@@ -213,3 +213,65 @@ def test_stop_shingles_filters_common(spark):
     kept = {r["shingle"] for r in filtered.collect()}
     assert "common boiler plate" not in kept  # df=4 > 2
     assert any(s.startswith("plate unique") for s in kept)  # df=1 survives
+
+
+# ------------------------------------------------------ product quantization
+def _toy_vectors(spark, n=40, dim=64):
+    """Deterministic synthetic vectors: two well-separated groups so PQ codes
+    must separate them."""
+    rows = []
+    for i in range(n):
+        base = 1.0 if i % 2 == 0 else -1.0
+        vec = [base + ((i * 31 + j * 7) % 97) * 0.01 for j in range(dim)]
+        rows.append((i, vec))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_pq_encode_shapes_and_determinism(spark):
+    corpus = _toy_vectors(spark)
+    cb = similarity.pq_codebook(corpus)
+    enc = similarity.pq_encode(corpus, cb)
+    rows = {r["vec_id"]: r["code"] for r in enc.collect()}
+    assert len(rows) == 40 and all(len(c) == 8 for c in rows.values())
+    # codewords come from the 16 lowest ids
+    assert all(0 <= cid < 16 for c in rows.values() for cid in c)
+    # codebook members encode to themselves in every subspace (d2 = 0)
+    for cid in range(16):
+        assert rows[cid] == [cid] * 8
+    # deterministic across evaluations
+    rows2 = {r["vec_id"]: r["code"] for r in similarity.pq_encode(corpus, cb).collect()}
+    assert rows == rows2
+
+
+def test_pq_adc_topk_separates_groups(spark):
+    corpus = _toy_vectors(spark)
+    q = corpus.filter(F.col("vec_id") == 0)  # positive-group query
+    out = similarity.pq_adc_topk(corpus, q, k=10).collect()
+    assert len(out) == 10
+    # every approx-nearest neighbor of a positive vector is positive-group
+    assert all(r["vec_id"] % 2 == 0 for r in out)
+    # distances ascend with the (approx_d2, vec_id) tiebreak order
+    ds = [(r["approx_d2"], r["vec_id"]) for r in out]
+    assert ds == sorted(ds)
+
+
+# ------------------------------------------------------------ feature hashing
+def test_feature_hash_sparse_form(spark):
+    from gmall_flink_230422_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "alpha"), (3, "")], ["doc_id", "text"]
+    )
+    out = text_ops.feature_hash_vectors(docs).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["bucket"]] = r["weight"]
+    # empty doc yields no rows
+    assert set(by_doc) == {1, 2}
+    # same token hashes identically across docs: doc1's alpha weight is
+    # exactly 2x doc2's
+    (b2, w2), = by_doc[2].items()
+    assert by_doc[1][b2] == 2 * w2 and abs(w2) == 1
+    # total L1 mass = token count (no collisions among 2 distinct tokens
+    # or the assertion below catches it)
+    assert sum(abs(w) for w in by_doc[1].values()) in (1, 3)  # 3 if no collision
