@@ -124,6 +124,27 @@ def minhash_signatures(shingle_df: DataFrame, id_col: str = "doc_id", num_hashes
     )
 
 
+def band_signatures(
+    sigs: DataFrame, id_col: str = "doc_id", rows_per_band: int = 4
+) -> DataFrame:
+    """(id, band, band_sig) — ordered concat of each band's minhashes; the
+    bucketing key for every LSH consumer (pair generation, incremental
+    probes). One hash aggregate over the signature rows."""
+    return (
+        sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+                ",",
+            ).alias("band_sig")
+        )
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -144,19 +165,7 @@ def lsh_candidate_pairs(
     are dropped, trading recall for bounded quadratic blowup — leave None
     for exact LSH semantics.
     """
-    banded = (
-        sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                    lambda s: s["minhash"].cast("string"),
-                ),
-                ",",
-            ).alias("band_sig")
-        )
-    )
+    banded = band_signatures(sigs, id_col, rows_per_band)
     buckets = (
         banded.groupBy("band", "band_sig")
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))

@@ -761,6 +761,114 @@ FROM customer
 """
 
 
+def q_stream_lsh_incremental(spark, sf_dir):
+    """Incremental corpus near-dup detection through the STREAMING engine —
+    the nightly-ingest dedup shape: each new crawl increment is probed
+    against the signature store of everything ingested before it, never
+    rescanning the corpus.
+
+    Documents replay in doc_id order as 4 micro-batches. Per batch, a
+    checkpointed foreachBatch (a) computes MinHash band signatures for the
+    batch, (b) flags a doc as dup iff it shares any (band, band_sig) bucket
+    with a PRIOR document — earlier batch via the parquet signature store,
+    or earlier doc_id within the same batch via a self semi-join, (c) lands
+    the flags and appends the batch's signatures to the store. At scale the
+    store is written partitioned by band, so the probe is a bucket-pruned
+    join against an increment that is tiny relative to the corpus.
+
+    Semantics = "duplicate of ANY earlier doc", which is batching-invariant
+    and therefore oracle-checkable: the batch twin is a single self-join on
+    band buckets with a doc_id < comparison.
+    """
+    from ..operators import dedup
+
+    _clamp_shuffle(spark)
+    tmp = tempfile.mkdtemp(prefix="streamq_lshinc_")
+    src = os.path.join(tmp, "docs")
+    store = os.path.join(tmp, "sig_store")
+    flags_dir = os.path.join(tmp, "flags")
+    ck = os.path.join(tmp, "ck")
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = d.count()
+    chunked = d.withColumn(
+        "_chunk", F.floor(F.col("doc_id") * 4 / F.lit(n_docs)).cast("int")
+    )
+    files.write_chunks_by(chunked, "_chunk", src, 4)
+    schema = spark.read.parquet(src).schema
+    stream = files.stream_parquet(spark, src, schema, files_per_trigger=1)
+
+    def _probe_and_merge(batch: DataFrame, batch_id: int) -> None:
+        docs = batch.select("doc_id", "text")
+        banded = dedup.band_signatures(
+            dedup.minhash_signatures(dedup.shingles(docs))
+        )
+        a, b = banded.alias("a"), banded.alias("b")
+        intra = a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") > F.col("b.doc_id")),
+            "left_semi",
+        ).select("doc_id")
+        if os.path.exists(store):
+            prior = spark.read.parquet(store).select("band", "band_sig")
+            inter = banded.join(prior, ["band", "band_sig"], "left_semi").select(
+                "doc_id"
+            )
+            dup_ids = intra.union(inter).distinct()
+        else:
+            dup_ids = intra.distinct()
+        flags = docs.select("doc_id").join(
+            dup_ids.withColumn("_dup", F.lit(True)), "doc_id", "left"
+        ).select(
+            "doc_id", F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup")
+        )
+        flags.write.mode("append").parquet(flags_dir)
+        banded.select("band", "band_sig").write.mode("append").parquet(store)
+
+    q = (
+        stream.writeStream.foreachBatch(_probe_and_merge)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(flags_dir)
+
+
+def _oracle_lsh_incremental() -> str:
+    from ..operators.dedup import minhash_base_sql, minhash_value_sql
+    from .llm import _shingles_cte
+
+    base = minhash_base_sql("shingle")
+    value = minhash_value_sql("seed", "hp")
+    return f"""
+WITH {_shingles_cte()},
+hashed AS (SELECT doc_id, {base} AS hp FROM sh),
+seeded AS (
+  SELECT doc_id, seed, min({value}) AS minhash
+  FROM hashed CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+  GROUP BY doc_id, seed
+),
+banded AS (
+  SELECT doc_id, (seed // 4)::INT AS band,
+         string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_sig
+  FROM seeded GROUP BY doc_id, band
+),
+dup AS (
+  SELECT DISTINCT b.doc_id
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+)
+SELECT d.doc_id, (dup.doc_id IS NOT NULL) AS is_dup
+FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+"""
+
+
+ORACLE_STREAM_LSH_INCR = _oracle_lsh_incremental()
+
+
 SPECS = (
     QuerySpec(
         "s_stream_dedup", q_stream_dedup, ORACLE_STREAM_DEDUP,
@@ -841,5 +949,10 @@ SPECS = (
         "s_stream_dim_incremental", q_stream_dim_incremental, ORACLE_STREAM_DIM_INCR,
         doc="S4 incremental config deltas applied per micro-batch in a checkpointed foreachBatch",
         tags=("S4", "T10", "S11", "T11", "streaming"),
+    ),
+    QuerySpec(
+        "s_stream_lsh_incremental", q_stream_lsh_incremental, ORACLE_STREAM_LSH_INCR,
+        doc="incremental LSH near-dup: per-batch probe vs the growing signature store",
+        tags=("T11", "streaming", "dedup", "llm"),
     ),
 )
