@@ -109,7 +109,19 @@ def write_bucketed(
     )
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register all tables as temp views (bare names, like the DuckDB oracle)."""
-    for name in TABLES:
-        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+def zorder_key(cols: list[Column], bits: int = 8) -> Column:
+    """Morton (Z-order) interleave of ``len(cols)`` non-negative integer
+    columns, ``bits`` bits each — the multi-dimensional clustering key
+    Delta/Iceberg-style OPTIMIZE ZORDER uses: sorting by it keeps rows close
+    in EVERY dimension, so per-file min/max stats prune scans on any of the
+    interleaved columns (a plain sort clusters only its leading column).
+
+    Pure integer bit arithmetic (shift/and/or), identical in Spark and any
+    SQL oracle; values must already be reduced to [0, 2^bits)."""
+    out = F.lit(0).cast("bigint")
+    n = len(cols)
+    for b in range(bits):
+        for d, c in enumerate(cols):
+            bit = F.shiftright(c.cast("bigint"), b).bitwiseAND(F.lit(1))
+            out = out + F.shiftleft(bit, b * n + d)
+    return out

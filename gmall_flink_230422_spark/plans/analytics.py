@@ -1457,6 +1457,60 @@ GROUP BY 1, 2
 """
 
 
+def q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) clustering audit: events keyed by the interleaved
+    (user bucket, time-of-day bucket) code, grouped into 16x16 tiles (the
+    top 8 interleaved bits). Each tile's min/max span in BOTH dimensions is
+    bounded at 15 — the property that makes a Z-ordered file layout prune
+    scans on either column's min/max stats, where a plain sort would only
+    prune its leading column. The write-time recipe at 100 TB is
+    sort-within-partitions by z_key before landing files; this query is the
+    layout-quality check that runs after.
+    """
+    from ..io import load_table, zorder_key
+
+    ev = load_table(spark, sf_dir, "events")
+    u = F.pmod(F.col("user_id"), F.lit(256))
+    t8 = F.floor(F.pmod(F.unix_timestamp("ts"), F.lit(86400)) / F.lit(338)).cast(
+        "bigint"
+    )
+    z = zorder_key([u, t8], bits=8)
+    return (
+        ev.select(u.alias("u"), t8.alias("t8"), z.alias("z"))
+        .groupBy(F.shiftright(F.col("z"), 8).alias("tile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("u").alias("u_min"),
+            F.max("u").alias("u_max"),
+            F.min("t8").alias("t8_min"),
+            F.max("t8").alias("t8_max"),
+        )
+    )
+
+
+def _zorder_sql(u: str, t: str) -> str:
+    terms = []
+    for b in range(8):
+        terms.append(f"((({u} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({t} >> {b}) & 1) << {2 * b + 1})")
+    return " + ".join(terms)
+
+
+ORACLE_ZORDER = f"""
+WITH base AS (
+  SELECT user_id % 256 AS u,
+         ((floor(epoch(ts))::BIGINT % 86400) // 338) AS t8
+  FROM events
+), coded AS (
+  SELECT u, t8, ({_zorder_sql('u', 't8')}) AS z FROM base
+)
+SELECT (z >> 8) AS tile, count(*) AS n_rows,
+       min(u) AS u_min, max(u) AS u_max,
+       min(t8) AS t8_min, max(t8) AS t8_max
+FROM coded GROUP BY 1
+"""
+
+
 SPECS = [
     QuerySpec("e_asof_tolerance", q_asof_tolerance, ORACLE_ASOF_TOLERANCE,
               doc="as-of join with 7-day tolerance: stale matches nulled post-window",
@@ -1541,4 +1595,7 @@ SPECS = [
     QuerySpec("e_hist_quantile", q_hist_quantile, ORACLE_HIST_QUANTILE,
               doc="mergeable histogram-quantile sketch: global p50/p90/p99 from fixed bins",
               tags=("ext", "agg", "sketch")),
+    QuerySpec("e_zorder_layout", q_zorder_layout, ORACLE_ZORDER,
+              doc="Z-order clustering audit: per-tile spans bounded in both interleaved dims",
+              tags=("ext", "layout", "scale")),
 ]

@@ -357,3 +357,25 @@ def test_epoch_shuffle_uses_window_group_limit(spark):
     )
     assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_zorder_key_interleave_and_tile_bound(spark):
+    from gmall_flink_230422_spark.io import zorder_key
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(u, t) for u in (0, 1, 5, 255) for t in (0, 2, 17, 255)], ["u", "t"]
+    )
+    out = df.select(
+        "u", "t", zorder_key([F.col("u"), F.col("t")], bits=8).alias("z")
+    ).collect()
+    for r in out:
+        # independent reference interleave
+        z = sum((((r["u"] >> b) & 1) << (2 * b)) + (((r["t"] >> b) & 1) << (2 * b + 1))
+                for b in range(8))
+        assert r["z"] == z
+        # top-8-bit tile is exactly the 16x16 cell (u>>4, t>>4) interleaved
+        tile = r["z"] >> 8
+        u_hi = sum(((r["u"] >> (4 + b)) & 1) << (2 * b) for b in range(4))
+        t_hi = sum(((r["t"] >> (4 + b)) & 1) << (2 * b + 1) for b in range(4))
+        assert tile == u_hi + t_hi
