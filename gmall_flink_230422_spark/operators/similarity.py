@@ -444,3 +444,65 @@ def pq_adc_topk(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def random_projection_signs(
+    spark, n_dirs: int = 16, dim: int = 64, salt: str = "rp"
+) -> DataFrame:
+    """Deterministic ±1 projection matrix as (r, j, sign) rows: sign from the
+    portable hash of "salt:r:j" — both engines derive the identical matrix,
+    no RNG state to ship. n_dirs × dim rows (1024 here): a broadcast-size
+    table at any corpus scale."""
+    from ..functions.hashing import portable_hash64
+
+    return (
+        spark.range(n_dirs)
+        .withColumnRenamed("id", "r")
+        .crossJoin(spark.range(dim).withColumnRenamed("id", "j"))
+        .select(
+            F.col("r").cast("int").alias("r"),
+            F.col("j").cast("int").alias("j"),
+            (
+                F.pmod(
+                    portable_hash64(
+                        F.concat_ws(":", F.lit("rp"), F.col("r"), F.col("j"))
+                    ),
+                    F.lit(2),
+                )
+                * 2
+                - 1
+            ).cast("int").alias("sign"),
+        )
+    )
+
+
+def random_projection(
+    corpus: DataFrame,
+    signs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign random projection (Achlioptas-style database-friendly JL
+    transform): reduce each vector to n_dirs signed sums of its components.
+    Components are quantized to integer milli-units FIRST, so every
+    projection is an exact bigint sum — order-free, bit-identical across
+    engines — rather than an aggregation-order-dependent float fold.
+
+    Scale shape: posexplode components → broadcast-join the 1024-row sign
+    matrix → one hash aggregate keyed (vec_id, r). The component matrix
+    shuffles once, keyed by vector id — no pairwise stage, and downstream
+    similarity runs in the 4×-smaller projected space.
+    Output: (vec_id, r, proj_milli bigint).
+    """
+    comps = corpus.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("jpos", "val")
+    ).select(
+        id_col,
+        F.col("jpos").cast("int").alias("j"),
+        F.floor(F.col("val").cast("double") * 1000).cast("bigint").alias("milli"),
+    )
+    return (
+        comps.join(F.broadcast(signs), "j")
+        .groupBy(id_col, "r")
+        .agg(F.sum(F.col("sign") * F.col("milli")).alias("proj_milli"))
+    )

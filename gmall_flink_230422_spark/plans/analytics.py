@@ -1511,6 +1511,65 @@ FROM coded GROUP BY 1
 """
 
 
+def q_zorder_prune(spark, sf_dir):
+    """File-skipping simulation over the Z-order layout: treat each Morton
+    tile as one data file with min/max column stats (what a parquet footer /
+    Iceberg manifest stores) and plan the scan for the predicate
+    ``u BETWEEN 100 AND 115`` — a tile is read iff its [u_min, u_max] range
+    overlaps the predicate. Reports how many tiles/rows the pruned scan
+    touches vs the full table: the concrete number the Z-order layout buys
+    at 100 TB, where every skipped tile is a skipped file.
+    """
+    from ..io import load_table, zorder_key
+
+    ev = load_table(spark, sf_dir, "events")
+    u = F.pmod(F.col("user_id"), F.lit(256))
+    t8 = F.floor(F.pmod(F.unix_timestamp("ts"), F.lit(86400)) / F.lit(338)).cast(
+        "bigint"
+    )
+    z = zorder_key([u, t8], bits=8)
+    tiles = (
+        ev.select(u.alias("u"), z.alias("z"))
+        .groupBy(F.shiftright(F.col("z"), 8).alias("tile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("u").alias("u_min"),
+            F.max("u").alias("u_max"),
+            F.sum((F.col("u").between(100, 115)).cast("bigint")).alias("n_match"),
+        )
+    )
+    touched = (F.col("u_min") <= 115) & (F.col("u_max") >= 100)
+    return tiles.agg(
+        F.count(F.lit(1)).alias("tiles_total"),
+        F.sum(touched.cast("bigint")).alias("tiles_read"),
+        F.sum("n_rows").alias("rows_total"),
+        F.sum(F.when(touched, F.col("n_rows")).otherwise(F.lit(0))).alias("rows_read"),
+        F.sum("n_match").alias("rows_match"),
+    )
+
+
+ORACLE_ZORDER_PRUNE = f"""
+WITH base AS (
+  SELECT user_id % 256 AS u,
+         ((floor(epoch(ts))::BIGINT % 86400) // 338) AS t8
+  FROM events
+), coded AS (
+  SELECT u, ({_zorder_sql('u', 't8')}) AS z FROM base
+), tiles AS (
+  SELECT (z >> 8) AS tile, count(*) AS n_rows,
+         min(u) AS u_min, max(u) AS u_max,
+         sum(CASE WHEN u BETWEEN 100 AND 115 THEN 1 ELSE 0 END)::BIGINT AS n_match
+  FROM coded GROUP BY 1
+)
+SELECT count(*) AS tiles_total,
+       sum(CASE WHEN u_min <= 115 AND u_max >= 100 THEN 1 ELSE 0 END)::BIGINT AS tiles_read,
+       sum(n_rows)::BIGINT AS rows_total,
+       sum(CASE WHEN u_min <= 115 AND u_max >= 100 THEN n_rows ELSE 0 END)::BIGINT AS rows_read,
+       sum(n_match)::BIGINT AS rows_match
+FROM tiles
+"""
+
+
 SPECS = [
     QuerySpec("e_asof_tolerance", q_asof_tolerance, ORACLE_ASOF_TOLERANCE,
               doc="as-of join with 7-day tolerance: stale matches nulled post-window",
@@ -1597,5 +1656,8 @@ SPECS = [
               tags=("ext", "agg", "sketch")),
     QuerySpec("e_zorder_layout", q_zorder_layout, ORACLE_ZORDER,
               doc="Z-order clustering audit: per-tile spans bounded in both interleaved dims",
+              tags=("ext", "layout", "scale")),
+    QuerySpec("e_zorder_prune", q_zorder_prune, ORACLE_ZORDER_PRUNE,
+              doc="manifest-stats scan planning over Morton tiles: rows read vs full scan",
               tags=("ext", "layout", "scale")),
 ]

@@ -2312,6 +2312,35 @@ SELECT query_id, vec_id, approx_d2 FROM ranked WHERE rk <= 10
 
 
 
+# ---------------------------------------------------- random projection (JL)
+def q_rp_project(spark, sf_dir):
+    """Sign random projection 64 -> 16 dims (database-friendly JL transform):
+    deterministic ±1 matrix from the portable hash, components quantized to
+    milli-units so every projection is an exact bigint sum."""
+    e = _embs_par(spark, sf_dir)
+    signs = similarity.random_projection_signs(spark)
+    return similarity.random_projection(e, signs)
+
+
+_RP_SIGN = "((('0x' || substr(md5('rp:' || r::VARCHAR || ':' || j::VARCHAR), 1, 15))::BIGINT % 2) * 2 - 1)"
+
+ORACLE_RP_PROJECT = rf"""
+WITH signs AS (
+  SELECT r, j, {_RP_SIGN}::INT AS sign
+  FROM (SELECT unnest(range(16))::INT AS r) rr
+  CROSS JOIN (SELECT unnest(range(64))::INT AS j) jj
+),
+comps AS (
+  SELECT vec_id, (generate_subscripts(embedding, 1) - 1)::INT AS j,
+         floor(unnest(embedding)::DOUBLE * 1000)::BIGINT AS milli
+  FROM embeddings
+)
+SELECT c.vec_id, s.r, sum(s.sign * c.milli)::BIGINT AS proj_milli
+FROM comps c JOIN signs s ON c.j = s.j
+GROUP BY c.vec_id, s.r
+"""
+
+
 SPECS = [
     QuerySpec("x_dedup_exact", q_dedup_exact, ORACLE_DEDUP_EXACT, tags=("llm", "dedup")),
     QuerySpec("x_fingerprint", q_fingerprint, ORACLE_FINGERPRINT, tags=("llm", "text")),
@@ -2424,4 +2453,7 @@ SPECS = [
     QuerySpec("x_pq_ann", q_pq_ann, ORACLE_PQ_ANN,
               doc="product-quantization ADC top-10: 8x16 codebook, 32x-compressed scoring",
               tags=("llm", "similarity", "ann")),
+    QuerySpec("x_rp_project", q_rp_project, ORACLE_RP_PROJECT,
+              doc="sign random projection 64->16 (JL): exact bigint sums over milli components",
+              tags=("llm", "similarity")),
 ]

@@ -275,3 +275,22 @@ def test_feature_hash_sparse_form(spark):
     # total L1 mass = token count (no collisions among 2 distinct tokens
     # or the assertion below catches it)
     assert sum(abs(w) for w in by_doc[1].values()) in (1, 3)  # 3 if no collision
+
+
+def test_random_projection_linearity_and_signs(spark):
+    signs = similarity.random_projection_signs(spark)
+    rows = signs.collect()
+    assert len(rows) == 16 * 64
+    assert all(r["sign"] in (-1, 1) for r in rows)
+    # deterministic: same matrix on re-evaluation
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, signs.collect()))
+    # exact-binary components => exact milli quantization => projections
+    # scale exactly with the input
+    v1 = [0.5 if j % 3 else -0.5 for j in range(64)]
+    v2 = [2 * x for x in v1]
+    corpus = spark.createDataFrame([(1, v1), (2, v2)], ["vec_id", "embedding"])
+    out = similarity.random_projection(corpus, signs).collect()
+    p1 = {r["r"]: r["proj_milli"] for r in out if r["vec_id"] == 1}
+    p2 = {r["r"]: r["proj_milli"] for r in out if r["vec_id"] == 2}
+    assert set(p1) == set(range(16))
+    assert all(p2[r] == 2 * p1[r] for r in p1)
