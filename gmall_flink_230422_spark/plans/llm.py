@@ -2341,6 +2341,192 @@ GROUP BY c.vec_id, s.r
 """
 
 
+# ------------------------------------------------------- cluster-size profile
+def q_cluster_stats(spark, sf_dir):
+    """Duplicate-cluster size histogram: how big near-dup clusters get — the
+    dedup-policy sizing number (a corpus where the top cluster holds 10% of
+    docs needs boilerplate handling, not pairwise dedup). Same verified-pair
+    + connected-components chain as x_dedup_clusters, one extra two-level
+    aggregate."""
+    d = _docs_par(spark, sf_dir)
+    sh = dedup.shingles(d).cache()
+    sigs = dedup.minhash_signatures(sh, num_hashes=16)
+    cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    near = dedup.jaccard_pairs(sh, threshold=0.5, candidates=cands)
+    members = dedup.connected_components(near)
+    sizes = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size")).alias("n_docs"),
+    )
+
+
+ORACLE_CLUSTER_STATS = f"""
+WITH members AS ({ORACLE_DEDUP_CLUSTERS}),
+csize AS (
+  SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM members GROUP BY 1
+)
+SELECT cluster_size, count(*) AS n_clusters,
+       (count(*) * cluster_size)::BIGINT AS n_docs
+FROM csize GROUP BY cluster_size
+"""
+
+
+def q_pq_recall(spark, sf_dir):
+    """PQ index-quality audit: recall@10 of the ADC top-10 against the EXACT
+    squared-L2 top-10 (same integer micro-unit grid) for the 3 query
+    vectors — the acceptance number you track when tuning n_sub/n_codes.
+    The exact side is query-set-bounded (3 broadcast rows x corpus), never
+    corpus x corpus."""
+    from ..operators.similarity import _sub_d2_micro
+    from pyspark.sql import Window
+
+    e = _embs_par(spark, sf_dir)
+    q = e.filter(F.col("vec_id").isin(*_QUERY_IDS))
+    pq = similarity.pq_adc_topk(e, q, k=10)
+    qq = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    exact_micro = None
+    for sub in range(8):
+        t = _sub_d2_micro(F.col("qvec"), F.col("embedding"), sub, 8)
+        exact_micro = t if exact_micro is None else exact_micro + t
+    scored = e.join(F.broadcast(qq), F.col("vec_id") != F.col("query_id")).select(
+        "query_id", "vec_id", exact_micro.alias("d2_micro")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d2_micro").asc(), F.col("vec_id"))
+    exact = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 10)
+        .select("query_id", "vec_id")
+    )
+    hits = pq.join(exact, ["query_id", "vec_id"], "left_semi")
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) * 100).cast("bigint").alias("recall_milli"),
+        )
+    )
+
+
+def _pq_exact_micro_sql(a: str, b: str) -> str:
+    return " + ".join(_pq_d2_micro_sql(a, b, str(s_)) for s_ in range(8))
+
+
+ORACLE_PQ_RECALL = rf"""
+WITH cb AS (
+  SELECT vec_id::INT AS cid, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+subs AS (SELECT unnest(range(8)) AS s),
+d AS (
+  SELECT e.vec_id, subs.s, cb.cid,
+         {_pq_d2_micro_sql('e.embedding', 'cb.cvec', 'subs.s')} AS d2m
+  FROM embeddings e CROSS JOIN subs CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, s, cid
+  FROM (SELECT vec_id, s, cid,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d2m, cid) AS rk
+        FROM d)
+  WHERE rk = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings WHERE vec_id IN {_QUERY_IDS}
+),
+adc AS (
+  SELECT q.query_id, c.vec_id,
+         sum({_pq_d2_micro_sql('q.qvec', 'cb.cvec', 'c.s')}) AS approx_micro
+  FROM codes c JOIN cb ON cb.cid = c.cid CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+  GROUP BY q.query_id, c.vec_id
+),
+pq_top AS (
+  SELECT query_id, vec_id
+  FROM (SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY floor(approx_micro * 1.0 / 100) / 10000, vec_id) AS rk
+        FROM adc)
+  WHERE rk <= 10
+),
+exact AS (
+  SELECT q.query_id, e.vec_id,
+         ({_pq_exact_micro_sql('q.qvec', 'e.embedding')}) AS d2_micro
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+exact_top AS (
+  SELECT query_id, vec_id
+  FROM (SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY d2_micro, vec_id) AS rk
+        FROM exact)
+  WHERE rk <= 10
+)
+SELECT x.query_id,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       (coalesce(h.n_hits, 0) * 100)::BIGINT AS recall_milli
+FROM (SELECT query_id, count(*) AS n FROM exact_top GROUP BY 1) x
+LEFT JOIN (
+  SELECT p.query_id, count(*) AS n_hits
+  FROM pq_top p JOIN exact_top t ON p.query_id = t.query_id AND p.vec_id = t.vec_id
+  GROUP BY 1
+) h ON x.query_id = h.query_id
+"""
+
+
+# ----------------------------------------------------------- shard manifest
+def q_shard_manifest(spark, sf_dir):
+    """Training-shard manifest: deterministic hash assignment of docs to 64
+    output shards plus per-shard row/token/byte totals — the manifest a
+    training loader consumes. Hash sharding is the scale answer (greedy
+    bin-packing is inherently sequential): with millions of docs per shard
+    the hash balance is within fractions of a percent, and assignment is a
+    pure projection — no shuffle until the one manifest aggregate."""
+    from ..functions.hashing import portable_hash64
+
+    d = _docs_par(spark, sf_dir)
+    shard = F.pmod(
+        portable_hash64(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+        F.lit(64),
+    ).cast("int")
+    toks = F.size(tokenize.whitespace_tokens(F.col("text")))
+    return (
+        d.select(
+            shard.alias("shard"),
+            toks.cast("bigint").alias("_t"),
+            F.length("text").cast("bigint").alias("_b"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_t").alias("token_sum"),
+            F.sum("_b").alias("byte_sum"),
+        )
+    )
+
+
+ORACLE_SHARD_MANIFEST = rf"""
+WITH t AS (
+  SELECT (('0x' || substr(md5('shard:' || doc_id::VARCHAR), 1, 15))::BIGINT % 64)::INT AS shard,
+         len({_RAW_TOKS})::BIGINT AS toks,
+         length(text)::BIGINT AS bytes
+  FROM documents
+)
+SELECT shard, count(*) AS n_docs, sum(toks)::BIGINT AS token_sum,
+       sum(bytes)::BIGINT AS byte_sum
+FROM t GROUP BY shard
+"""
+
+
 SPECS = [
     QuerySpec("x_dedup_exact", q_dedup_exact, ORACLE_DEDUP_EXACT, tags=("llm", "dedup")),
     QuerySpec("x_fingerprint", q_fingerprint, ORACLE_FINGERPRINT, tags=("llm", "text")),
@@ -2456,4 +2642,13 @@ SPECS = [
     QuerySpec("x_rp_project", q_rp_project, ORACLE_RP_PROJECT,
               doc="sign random projection 64->16 (JL): exact bigint sums over milli components",
               tags=("llm", "similarity")),
+    QuerySpec("x_cluster_stats", q_cluster_stats, ORACLE_CLUSTER_STATS,
+              doc="near-dup cluster-size histogram: the dedup-policy sizing profile",
+              tags=("llm", "dedup")),
+    QuerySpec("x_pq_recall", q_pq_recall, ORACLE_PQ_RECALL,
+              doc="PQ recall@10 vs exact L2 on the micro grid: index-quality acceptance",
+              tags=("llm", "similarity", "ann")),
+    QuerySpec("x_shard_manifest", q_shard_manifest, ORACLE_SHARD_MANIFEST,
+              doc="deterministic 64-shard training manifest: per-shard doc/token/byte totals",
+              tags=("llm", "text", "sampling")),
 ]
