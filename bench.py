@@ -79,6 +79,13 @@ HEADLINE = [
     "x_lsh_tune",
     "e_hist_quantile",
     "x_signal_windows",
+    # round-3 batch 2: compressed ANN, substring-dedup signal, JL projection,
+    # layout pruning, cluster profiling
+    "x_pq_ann",
+    "x_dup_ngram_rate",
+    "x_rp_project",
+    "e_zorder_prune",
+    "x_cluster_stats",
 ]
 
 

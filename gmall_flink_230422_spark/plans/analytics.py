@@ -1570,6 +1570,81 @@ FROM tiles
 """
 
 
+def q_mv_merge(spark, sf_dir):
+    """Incremental materialized-view maintenance: the daily-revenue MV is
+    kept as mergeable partials — a base aggregate (historical partitions)
+    plus a delta aggregate (the newly arrived slice) re-aggregated, never a
+    full recompute. count/sum partials merge exactly; the money grid is
+    rounded once, at the END (round2 on the merged sum — rounding the
+    partials first would double-round). The oracle is the full recompute,
+    so the query IS the proof that merge == recompute. At 100 TB this is
+    the difference between touching one day's partition and re-scanning
+    the table."""
+    from ..io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    dt = F.date_format("ts", "yyyy-MM-dd").alias("dt")
+    base = ev.filter(F.pmod(F.col("event_id"), F.lit(10)) < 8)
+    delta = ev.filter(F.pmod(F.col("event_id"), F.lit(10)) >= 8)
+
+    def partial(df):
+        return df.groupBy(dt, "event_type").agg(
+            F.count(F.lit(1)).alias("_n"), F.sum("value").alias("_s")
+        )
+
+    return (
+        partial(base)
+        .unionByName(partial(delta))
+        .groupBy("dt", "event_type")
+        .agg(
+            F.sum("_n").alias("n_events"),
+            F.round(F.sum("_s"), 2).alias("value_sum"),
+        )
+    )
+
+
+ORACLE_MV_MERGE = """
+SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS value_sum
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_group_quantiles(spark, sf_dir):
+    """Exact per-group quantiles by nearest-rank selection (rank =
+    ceil(q*n)): p50/p90 of event value per type. No float interpolation —
+    the emitted values are actual data points, so parity is exact. The
+    grouped complement of the global e_quantiles; the sketch-based
+    alternative for unsorted 100 TB inputs is e_hist_quantile."""
+    from ..io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").asc(), F.col("event_id"))
+    ranked = ev.select(
+        "event_type", "value", F.row_number().over(w).alias("_rk")
+    ).withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
+    p50 = F.max(F.when(F.col("_rk") == F.ceil(F.col("_n") * 0.5), F.col("value")))
+    p90 = F.max(F.when(F.col("_rk") == F.ceil(F.col("_n") * 0.9), F.col("value")))
+    return ranked.groupBy("event_type").agg(
+        p50.alias("p50"), p90.alias("p90"), F.max("_n").cast("bigint").alias("n")
+    )
+
+
+ORACLE_GROUP_QUANTILES = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       max(CASE WHEN rk = ceil(n * 0.5) THEN value END) AS p50,
+       max(CASE WHEN rk = ceil(n * 0.9) THEN value END) AS p90,
+       max(n)::BIGINT AS n
+FROM ranked GROUP BY event_type
+"""
+
+
 SPECS = [
     QuerySpec("e_asof_tolerance", q_asof_tolerance, ORACLE_ASOF_TOLERANCE,
               doc="as-of join with 7-day tolerance: stale matches nulled post-window",
@@ -1660,4 +1735,10 @@ SPECS = [
     QuerySpec("e_zorder_prune", q_zorder_prune, ORACLE_ZORDER_PRUNE,
               doc="manifest-stats scan planning over Morton tiles: rows read vs full scan",
               tags=("ext", "layout", "scale")),
+    QuerySpec("e_mv_merge", q_mv_merge, ORACLE_MV_MERGE,
+              doc="incremental MV maintenance: mergeable partials == full recompute",
+              tags=("ext", "agg", "scale")),
+    QuerySpec("e_group_quantiles", q_group_quantiles, ORACLE_GROUP_QUANTILES,
+              doc="exact per-group nearest-rank quantiles (p50/p90), zero interpolation",
+              tags=("ext", "agg")),
 ]
