@@ -1645,6 +1645,30 @@ FROM ranked GROUP BY event_type
 """
 
 
+def q_skew_distinct(spark, sf_dir):
+    """Skew-safe exact distinct: count distinct users per event_type with the
+    two-stage expansion — stage 1 dedups on (event_type, user_id) with the
+    full composite key spread across all reducers, stage 2 counts the
+    deduped rows per type. A direct countDistinct on 5 types would route
+    every row through 5 reducers and hold a per-type hash set; the two-stage
+    form is the standard rewrite when group cardinality is tiny and group
+    sizes are huge (the definition of skew). Result is identical — the
+    oracle computes the direct form."""
+    from ..io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    stage1 = ev.select("event_type", "user_id").distinct()
+    return stage1.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+ORACLE_SKEW_DISTINCT = """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 SPECS = [
     QuerySpec("e_asof_tolerance", q_asof_tolerance, ORACLE_ASOF_TOLERANCE,
               doc="as-of join with 7-day tolerance: stale matches nulled post-window",
@@ -1741,4 +1765,7 @@ SPECS = [
     QuerySpec("e_group_quantiles", q_group_quantiles, ORACLE_GROUP_QUANTILES,
               doc="exact per-group nearest-rank quantiles (p50/p90), zero interpolation",
               tags=("ext", "agg")),
+    QuerySpec("e_skew_distinct", q_skew_distinct, ORACLE_SKEW_DISTINCT,
+              doc="two-stage exact distinct under group skew: composite-key dedup then count",
+              tags=("ext", "agg", "skew")),
 ]

@@ -44,6 +44,7 @@ from ..streaming import stateful as sstate
 from . import QuerySpec
 from .analytics import (
     ORACLE_CUMULATE,
+    ORACLE_MV_MERGE,
     ORACLE_SESSION,
     ORACLE_SLIDING,
     SESSION_GAP_S,
@@ -869,6 +870,54 @@ FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
 ORACLE_STREAM_LSH_INCR = _oracle_lsh_incremental()
 
 
+def q_stream_mv_merge(spark, sf_dir):
+    """Incremental MV maintenance through the STREAMING engine: each
+    micro-batch's (dt, event_type) partials are MERGEd into the stored MV by
+    partial-sum addition — the upsert-aggregate a lakehouse streaming job
+    runs instead of recomputing the view. The money grid is rounded ONCE at
+    read time, so merge order never double-rounds. Batch twin / oracle: the
+    full recompute (e_mv_merge's oracle verbatim) — the green row proves
+    stream-merge == recompute end-to-end."""
+    _clamp_shuffle(spark)
+    tmp = tempfile.mkdtemp(prefix="streamq_mv_")
+    mv = os.path.join(tmp, "mv")
+    ck = os.path.join(tmp, "ck")
+    stream = _events_stream(spark, sf_dir)
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        partial = batch.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("dt"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("_n"), F.sum("value").alias("_s"))
+        if os.path.exists(mv):
+            partial = spark.read.parquet(mv).unionByName(partial)
+        merged = partial.groupBy("dt", "event_type").agg(
+            F.sum("_n").alias("_n"), F.sum("_s").alias("_s")
+        )
+        # parquet source dirs cannot be overwritten mid-read: land to a
+        # fresh generation dir then swap the pointer file-free via rename
+        gen = mv + ".next"
+        merged.write.mode("overwrite").parquet(gen)
+        import shutil
+
+        if os.path.exists(mv):
+            shutil.rmtree(mv)
+        os.rename(gen, mv)
+
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(mv).select(
+        "dt",
+        "event_type",
+        F.col("_n").cast("bigint").alias("n_events"),
+        F.round(F.col("_s"), 2).alias("value_sum"),
+    )
+
+
 SPECS = (
     QuerySpec(
         "s_stream_dedup", q_stream_dedup, ORACLE_STREAM_DEDUP,
@@ -954,5 +1003,10 @@ SPECS = (
         "s_stream_lsh_incremental", q_stream_lsh_incremental, ORACLE_STREAM_LSH_INCR,
         doc="incremental LSH near-dup: per-batch probe vs the growing signature store",
         tags=("T11", "streaming", "dedup", "llm"),
+    ),
+    QuerySpec(
+        "s_stream_mv_merge", q_stream_mv_merge, ORACLE_MV_MERGE,
+        doc="streaming MV upsert: per-batch partials merged into the stored view",
+        tags=("T11", "streaming", "agg", "scale"),
     ),
 )
