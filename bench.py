@@ -86,6 +86,14 @@ HEADLINE = [
     "x_rp_project",
     "e_zorder_prune",
     "x_cluster_stats",
+    # round-3 batch 3: iterative graph, index build, containment dedup,
+    # robust aggregation (x_ccnet_bucket / x_index_intersect excluded: their
+    # windows run over bounded value-histogram/vocab axes, which compiles to
+    # a single-partition exchange by design — documented in PLANS.md)
+    "x_pagerank",
+    "x_inverted_index",
+    "x_containment",
+    "e_winsorize",
 ]
 
 

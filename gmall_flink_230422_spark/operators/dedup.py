@@ -548,3 +548,55 @@ def dup_ngram_stats(
             (rate >= drop_threshold_milli).alias("drop_doc"),
         )
     )
+
+
+def containment_pairs(
+    shingle_df: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric shingle containment C(A→B) = |A∩B| / |A| — the
+    subset/quote-duplication signal Jaccard misses: a short doc quoted
+    whole inside a much longer one has low Jaccard (union is huge) but
+    containment ≈ 1.0 from the short side. Emits (doc_a, doc_b, cont_a,
+    cont_b) where either direction ≥ ``threshold``; containment ≥ Jaccard
+    always, so every Jaccard-dup pair survives too.
+
+    Same candidate-first scale shape as :func:`jaccard_pairs`: with an LSH
+    ``candidates`` frame both shingle sides are left-semi pruned before the
+    quadratic co-shingle join. (MinHash LSH under-recalls asymmetric pairs
+    by construction — at production scale the candidate index for
+    containment would band the SHORTER side's signature; the verify stage
+    here is index-agnostic.) Ratios are floor-truncated onto the 1e-4 grid
+    from exact integer counts, so cross-engine parity is exact.
+    """
+    sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    if candidates is not None:
+        docs_a = candidates.select(F.col("doc_a").alias(id_col)).distinct()
+        docs_b = candidates.select(F.col("doc_b").alias(id_col)).distinct()
+        side_a = shingle_df.join(docs_a, id_col, "left_semi")
+        side_b = shingle_df.join(docs_b, id_col, "left_semi")
+    else:
+        side_a = side_b = shingle_df
+    a = side_a.alias("a")
+    b = side_b.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    grid = lambda c: F.floor(c * 10000) / 10000  # noqa: E731
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("cont_a", grid(F.col("inter") / F.col("sz_a")))
+        .withColumn("cont_b", grid(F.col("inter") / F.col("sz_b")))
+        .filter((F.col("cont_a") >= threshold) | (F.col("cont_b") >= threshold))
+        .select("doc_a", "doc_b", "cont_a", "cont_b")
+    )

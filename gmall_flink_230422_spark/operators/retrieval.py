@@ -240,3 +240,70 @@ JOIN uni b ON bi.tok_b = b.tok
 CROSS JOIN totals t
 ORDER BY pmi DESC, bi.bigram LIMIT {k}
 """
+
+
+def inverted_index(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", top_terms: int = 20,
+                   postings_cap: int = 8) -> DataFrame:
+    """Inverted-index build: (term, df, postings) for the ``top_terms``
+    highest-df terms, postings capped to the ``postings_cap`` lowest doc ids.
+
+    The index behind decontamination-by-retrieval and corpus search. Scale
+    shape: the per-(doc, term) distinct and the df aggregate are plain hash
+    shuffles on term; the postings ARRAY is bounded BEFORE collection — a
+    row_number-over-term window (Spark compiles the rn≤cap filter to
+    WindowGroupLimit, a per-partition top-k that never sorts whole posting
+    lists) feeds collect_list, so no executor ever materializes an unbounded
+    list for a stop-word term. Full postings at 100 TB would stay exploded
+    as (term, doc_id) rows — the capped array form here is the index-summary
+    artifact.
+    """
+    from pyspark.sql import Window
+
+    toks = whitespace_tokens(normalize_text(F.col(text_col)))
+    dt = docs.select(F.col(id_col), F.explode(toks).alias("term")).distinct()
+    dfs = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("term").orderBy(id_col)
+    capped = (
+        dt.select("term", id_col, F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= postings_cap)
+        .groupBy("term")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("postings"))
+    )
+    return (
+        dfs.join(capped, "term")
+        .orderBy(F.col("df").desc(), "term")
+        .limit(top_terms)
+    )
+
+
+def conjunctive_topdf_query(docs: DataFrame, ranks: tuple[int, ...] = (2, 3),
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Conjunctive (AND) retrieval via posting intersection, with the query
+    terms picked data-dependently: the terms at df ranks ``ranks`` (df desc,
+    term asc — deterministic in both engines, no fixture-term hardcoding).
+
+    The picked-term table is a ≤|ranks|-row broadcast; the intersection is
+    one semi-ish equi-join plus a per-doc count — the AND of posting lists
+    without ever materializing them. The df-rank window runs over the term
+    VOCABULARY (bounded, Heaps-law sublinear in corpus size), not over rows.
+    """
+    from pyspark.sql import Window
+
+    toks = whitespace_tokens(normalize_text(F.col(text_col)))
+    dt = docs.select(F.col(id_col), F.explode(toks).alias("term")).distinct()
+    dfs = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.orderBy(F.col("df").desc(), "term")
+    pick = (
+        dfs.select("term", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk").isin(*ranks))
+        .select("term")
+    )
+    return (
+        dt.join(F.broadcast(pick), "term")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_terms"))
+        .filter(F.col("n_terms") == len(ranks))
+        .select(id_col)
+    )

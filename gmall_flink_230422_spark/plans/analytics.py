@@ -1769,3 +1769,92 @@ SPECS = [
               doc="two-stage exact distinct under group skew: composite-key dedup then count",
               tags=("ext", "agg", "skew")),
 ]
+
+
+# ------------------------------------------------- winsorized robust mean
+def q_winsorize(spark, sf_dir):
+    """Winsorized (p05/p95-clamped) mean order value per priority class —
+    the robust-mean screen that survives fat-tailed value columns where a
+    plain mean is one outlier away from useless.
+
+    Scale shape: thresholds come from a VALUE HISTOGRAM (one hash-agg to
+    (priority, cents) counts — bounded by the price grid, not the row
+    count), a cumulative window over the histogram, then nearest-rank
+    selection (smallest value whose cumulative count reaches ceil(p·n) via
+    integer cross-multiplication, no float quantiles). The 5-row threshold
+    table broadcasts back onto the raw scan for the clamp; the final mean
+    is an exact integer cents sum + one integer division on the 1e-2 grid.
+    Never a per-group sort of raw rows — the window runs over distinct
+    values only.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    hist = o.groupBy("o_orderpriority", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "o_orderpriority", "cents", "cnt", F.sum("cnt").over(wcum).alias("cum")
+    )
+    tot = hist.groupBy("o_orderpriority").agg(F.sum("cnt").alias("n"))
+    thr = (
+        cum.join(tot, "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("n").alias("n_orders"),
+            F.min(F.when(F.col("cum") * 20 >= F.col("n"), F.col("cents"))).alias("lo_c"),
+            F.min(F.when(F.col("cum") * 20 >= 19 * F.col("n"), F.col("cents"))).alias("hi_c"),
+        )
+    )
+    clamped = o.join(F.broadcast(thr), "o_orderpriority").select(
+        "o_orderpriority", "n_orders", "lo_c", "hi_c",
+        F.least(F.greatest(F.col("cents"), F.col("lo_c")), F.col("hi_c")).alias("wc"),
+    )
+    return clamped.groupBy("o_orderpriority").agg(
+        F.max("n_orders").alias("n_orders"),
+        (F.max("lo_c") / 100.0).alias("p05"),
+        (F.max("hi_c") / 100.0).alias("p95"),
+        (F.expr("sum(wc) div count(*)") / 100.0).alias("winsor_mean"),
+    )
+
+
+ORACLE_WINSORIZE = """
+WITH o AS (
+  SELECT o_orderpriority, floor(o_totalprice * 100 + 0.5)::BIGINT AS cents
+  FROM orders
+),
+hist AS (
+  SELECT o_orderpriority, cents, count(*) AS cnt FROM o GROUP BY 1, 2
+),
+cum AS (
+  SELECT o_orderpriority, cents, cnt,
+         sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY cents) AS cum
+  FROM hist
+),
+tot AS (SELECT o_orderpriority, sum(cnt) AS n FROM hist GROUP BY 1),
+thr AS (
+  SELECT c.o_orderpriority, max(t.n) AS n_orders,
+         min(CASE WHEN c.cum * 20 >= t.n THEN c.cents END) AS lo_c,
+         min(CASE WHEN c.cum * 20 >= 19 * t.n THEN c.cents END) AS hi_c
+  FROM cum c JOIN tot t USING (o_orderpriority)
+  GROUP BY 1
+)
+SELECT o.o_orderpriority,
+       max(thr.n_orders)::BIGINT AS n_orders,
+       max(thr.lo_c) / 100.0 AS p05,
+       max(thr.hi_c) / 100.0 AS p95,
+       (sum(least(greatest(o.cents, thr.lo_c), thr.hi_c))
+        // count(*)) / 100.0 AS winsor_mean
+FROM o JOIN thr USING (o_orderpriority)
+GROUP BY 1
+"""
+
+SPECS.append(
+    QuerySpec("e_winsorize", q_winsorize, ORACLE_WINSORIZE,
+              doc="p05/p95-winsorized mean per priority via value-histogram nearest-rank thresholds",
+              tags=("ext", "agg", "robust"))
+)

@@ -2652,3 +2652,212 @@ SPECS = [
               doc="deterministic 64-shard training manifest: per-shard doc/token/byte totals",
               tags=("llm", "text", "sampling")),
 ]
+
+
+# ----------------------------------------------- inverted index + retrieval
+from ..functions.hashing import portable_hash64, portable_hash64_sql  # noqa: E402
+from ..operators import retrieval as _retrieval  # noqa: E402
+
+
+def q_inverted_index(spark, sf_dir):
+    """Inverted-index build (operators/retrieval.inverted_index): top-20
+    highest-df terms with df and the 8 lowest doc ids as a capped posting
+    array — postings are bounded BEFORE collection via a WindowGroupLimit
+    top-k per term, never an unbounded collect_list."""
+    return _retrieval.inverted_index(_docs_par(spark, sf_dir))
+
+
+ORACLE_INVERTED_INDEX = f"""
+WITH dt AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents),
+dfs AS (SELECT term, count(*) AS df FROM dt GROUP BY 1),
+capped AS (
+  SELECT term, doc_id,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+  FROM dt
+),
+p AS (
+  SELECT term, list(doc_id ORDER BY doc_id) AS postings
+  FROM capped WHERE rn <= 8 GROUP BY 1
+)
+SELECT d.term, d.df::BIGINT AS df, p.postings
+FROM dfs d JOIN p USING (term)
+ORDER BY df DESC, term LIMIT 20
+"""
+
+
+def q_index_intersect(spark, sf_dir):
+    """Conjunctive (AND) retrieval by posting intersection
+    (operators/retrieval.conjunctive_topdf_query): query terms picked
+    data-dependently as df-ranks 2 and 3, so no fixture terms are
+    hardcoded; the picked-term table is a 2-row broadcast."""
+    return _retrieval.conjunctive_topdf_query(_docs_par(spark, sf_dir), ranks=(2, 3))
+
+
+ORACLE_INDEX_INTERSECT = f"""
+WITH dt AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents),
+dfs AS (SELECT term, count(*) AS df FROM dt GROUP BY 1),
+pick AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY df DESC, term) AS rk FROM dfs
+  ) WHERE rk IN (2, 3)
+)
+SELECT d.doc_id
+FROM dt d JOIN pick USING (term)
+GROUP BY 1 HAVING count(*) = 2
+"""
+
+
+# ------------------------------------------------- contrastive negative mining
+def q_negative_sample(spark, sf_dir):
+    """Deterministic negative mining for contrastive training: for the 5
+    lowest-id anchor docs, 4 pseudo-random negatives drawn from OTHER
+    sources by portable-hash order — reproducible across engines and runs
+    (no rand()). The anchor table is a 5-row broadcast; per-anchor top-4 is
+    a WindowGroupLimit, so the shuffle carries anchors x corpus rows only
+    for the broadcast-filtered frame."""
+    d = load_table(spark, sf_dir, "documents")
+    anchors = (
+        d.orderBy("doc_id").limit(5)
+        .select(F.col("doc_id").alias("anchor_id"), F.col("source").alias("anchor_source"))
+    )
+    cand = (
+        d.select("doc_id", "source")
+        .join(F.broadcast(anchors), F.col("source") != F.col("anchor_source"))
+        .select(
+            "anchor_id",
+            F.col("doc_id").alias("neg_id"),
+            portable_hash64(
+                F.concat(F.lit("neg:"), F.col("anchor_id").cast("string"),
+                         F.lit(":"), F.col("doc_id").cast("string"))
+            ).alias("h"),
+        )
+    )
+    from pyspark.sql import Window as _W
+    w = _W.partitionBy("anchor_id").orderBy("h", "neg_id")
+    return (
+        cand.select("anchor_id", "neg_id", F.row_number().over(w).cast("bigint").alias("rk"))
+        .filter(F.col("rk") <= 4)
+    )
+
+
+_NEG_HASH = portable_hash64_sql("'neg:' || a.anchor_id::VARCHAR || ':' || d.doc_id::VARCHAR")
+
+ORACLE_NEGATIVE_SAMPLE = f"""
+WITH anchors AS (
+  SELECT doc_id AS anchor_id, source AS anchor_source
+  FROM documents ORDER BY doc_id LIMIT 5
+),
+cand AS (
+  SELECT a.anchor_id, d.doc_id AS neg_id, {_NEG_HASH} AS h
+  FROM anchors a JOIN documents d ON d.source <> a.anchor_source
+)
+SELECT anchor_id, neg_id,
+       row_number() OVER (PARTITION BY anchor_id ORDER BY h, neg_id) AS rk
+FROM cand QUALIFY rk <= 4
+"""
+
+
+# ------------------------------------------------- CCNet perplexity buckets
+def q_ccnet_bucket(spark, sf_dir):
+    """CCNet-style perplexity bucketing: split the corpus into head/middle/
+    tail terciles by bigram-LM surprisal (the published CCNet pipeline keeps
+    'head', samples 'middle', drops 'tail'). Tercile thresholds come from a
+    VALUE HISTOGRAM of the 1e-4-grid scores (bounded distinct values — the
+    cumulative window never sees raw rows), then broadcast back for the
+    bucket tag. Per-bucket count + score range, all grid-exact."""
+    scores = text.lm_surprisal_score(_docs_par(spark, sf_dir)).select(
+        "doc_id", "avg_surprisal"
+    )
+    hist = scores.groupBy("avg_surprisal").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window as _W
+    wcum = _W.orderBy("avg_surprisal").rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    cum = hist.select("avg_surprisal", "cnt", F.sum("cnt").over(wcum).alias("cum"))
+    tot = hist.agg(F.sum("cnt").alias("n"))
+    thr = cum.join(F.broadcast(tot)).agg(
+        F.min(F.when(F.col("cum") * 3 >= F.col("n"), F.col("avg_surprisal"))).alias("t1"),
+        F.min(F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("avg_surprisal"))).alias("t2"),
+    )
+    tagged = scores.join(F.broadcast(thr)).select(
+        F.when(F.col("avg_surprisal") <= F.col("t1"), F.lit("head"))
+        .when(F.col("avg_surprisal") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+        "avg_surprisal",
+    )
+    return tagged.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("avg_surprisal").alias("min_surprisal"),
+        F.max("avg_surprisal").alias("max_surprisal"),
+    )
+
+
+ORACLE_CCNET_BUCKET = f"""
+WITH scores AS ({ORACLE_LM_SCORE}),
+hist AS (SELECT avg_surprisal, count(*) AS cnt FROM scores GROUP BY 1),
+cum AS (
+  SELECT avg_surprisal, cnt, sum(cnt) OVER (ORDER BY avg_surprisal) AS cum
+  FROM hist
+),
+tot AS (SELECT sum(cnt) AS n FROM hist),
+thr AS (
+  SELECT min(CASE WHEN c.cum * 3 >= t.n THEN c.avg_surprisal END) AS t1,
+         min(CASE WHEN c.cum * 3 >= 2 * t.n THEN c.avg_surprisal END) AS t2
+  FROM cum c CROSS JOIN tot t
+)
+SELECT CASE WHEN s.avg_surprisal <= thr.t1 THEN 'head'
+            WHEN s.avg_surprisal <= thr.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       count(*)::BIGINT AS n_docs,
+       min(s.avg_surprisal) AS min_surprisal,
+       max(s.avg_surprisal) AS max_surprisal
+FROM scores s CROSS JOIN thr
+GROUP BY 1
+"""
+
+
+# ------------------------------------------------- asymmetric containment
+def q_containment(spark, sf_dir):
+    """Shingle containment pairs |A∩B|/|A| at ≥0.8 either direction
+    (operators/dedup.containment_pairs) — the subset/quote-duplication
+    signal Jaccard misses. Candidates from the same MinHash/LSH banding as
+    x_minhash_lsh; verification is left-semi pruned to candidate docs."""
+    d = _docs_par(spark, sf_dir)
+    sh = dedup.shingles(d).cache()
+    sigs = dedup.minhash_signatures(sh, num_hashes=16)
+    cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4).cache()
+    return dedup.containment_pairs(sh, threshold=0.8, candidates=cands)
+
+
+ORACLE_CONTAINMENT = f"""
+WITH {_SHINGLES_CTE},
+{_minhash_lsh_ctes()},
+cont AS (
+  SELECT i.doc_a, i.doc_b,
+         floor((i.i * 1.0 / x.sz) * 10000) / 10000 AS cont_a,
+         floor((i.i * 1.0 / y.sz) * 10000) / 10000 AS cont_b
+  FROM inter i
+  JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
+)
+SELECT doc_a, doc_b, cont_a, cont_b FROM cont
+WHERE cont_a >= 0.8 OR cont_b >= 0.8
+"""
+
+
+SPECS += [
+    QuerySpec("x_inverted_index", q_inverted_index, ORACLE_INVERTED_INDEX,
+              doc="inverted-index build: top-df terms with capped, bounded-before-collect postings",
+              tags=("llm", "retrieval")),
+    QuerySpec("x_index_intersect", q_index_intersect, ORACLE_INDEX_INTERSECT,
+              doc="conjunctive AND retrieval via posting intersection, data-picked query terms",
+              tags=("llm", "retrieval")),
+    QuerySpec("x_negative_sample", q_negative_sample, ORACLE_NEGATIVE_SAMPLE,
+              doc="deterministic hash-ordered negative mining for contrastive pairs",
+              tags=("llm", "sampling")),
+    QuerySpec("x_ccnet_bucket", q_ccnet_bucket, ORACLE_CCNET_BUCKET,
+              doc="CCNet head/middle/tail perplexity terciles via value-histogram thresholds",
+              tags=("llm", "text", "sampling")),
+    QuerySpec("x_containment", q_containment, ORACLE_CONTAINMENT,
+              doc="asymmetric shingle containment ≥0.8 — subset/quote dup signal beyond Jaccard",
+              tags=("llm", "dedup")),
+]
