@@ -94,6 +94,12 @@ HEADLINE = [
     "x_inverted_index",
     "x_containment",
     "e_winsorize",
+    # round-3 batch 4: PIT features, robust stats, VAD segments
+    # (e_data_profile excluded: a global aggregate's final stage is a
+    # single-partition exchange by construction)
+    "e_pit_features",
+    "e_mad_outliers",
+    "x_energy_segments",
 ]
 
 

@@ -1858,3 +1858,202 @@ SPECS.append(
               doc="p05/p95-winsorized mean per priority via value-histogram nearest-rank thresholds",
               tags=("ext", "agg", "robust"))
 )
+
+
+# ------------------------------------------- point-in-time trailing features
+def q_pit_features(spark, sf_dir):
+    """Point-in-time feature generation (the feature-store contract): for
+    every purchase event, the user's trailing-24h activity count and value
+    sum over STRICTLY EARLIER events — no leakage of the current row or
+    same-second peers, reproducible as-of training time.
+
+    Scale shape: one keyed window (partition by user, RANGE frame over
+    epoch seconds) — per-user event counts are bounded at any corpus size,
+    so partition sort memory is flat; no self-join, no driver calendar.
+    Value sums ride the exact integer cents grid.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.floor(F.col("ts").cast("double")).cast("long").alias("epoch"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch")
+        .rangeBetween(-86400, -1)
+    )
+    feats = ev.select(
+        "event_id", "user_id", "event_type", "epoch",
+        F.count(F.lit(1)).over(w).alias("trail_cnt"),
+        F.coalesce(F.sum("cents").over(w), F.lit(0)).alias("trail_cents"),
+    )
+    return feats.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id",
+        "trail_cnt",
+        (F.col("trail_cents") / 100.0).alias("trail_value"),
+    )
+
+
+ORACLE_PIT_FEATURES = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type,
+         floor(epoch(ts))::BIGINT AS epoch,
+         floor(value * 100 + 0.5)::BIGINT AS cents
+  FROM events
+),
+feats AS (
+  SELECT event_id, user_id, event_type,
+         count(*) OVER w AS trail_cnt,
+         coalesce(sum(cents) OVER w, 0) AS trail_cents
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch
+               RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, trail_cnt::BIGINT AS trail_cnt,
+       trail_cents / 100.0 AS trail_value
+FROM feats WHERE event_type = 'purchase'
+"""
+
+
+# ------------------------------------------------- robust MAD outlier screen
+def q_mad_outliers(spark, sf_dir):
+    """Median/MAD robust outlier screen per event type: |v − median| >
+    3·MAD flags rows a mean/σ screen would let a single spike poison.
+
+    Both the median and the MAD come from VALUE HISTOGRAMS (distinct cents
+    values, not raw rows) with nearest-rank selection (smallest value whose
+    cumulative count doubles past n) — the same bounded-axis shape as
+    e_winsorize, twice. Thresholds broadcast back for the flag count; all
+    arithmetic integer cents.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+
+    def _nearest_rank_median(vals, key_col):
+        hist = vals.groupBy(key_col, "v").agg(F.count(F.lit(1)).alias("cnt"))
+        wc = (
+            Window.partitionBy(key_col).orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = hist.select(key_col, "v", "cnt", F.sum("cnt").over(wc).alias("cum"))
+        tot = hist.groupBy(key_col).agg(F.sum("cnt").alias("n"))
+        return (
+            cum.join(tot, key_col)
+            .groupBy(key_col)
+            .agg(F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("v"))).alias("med"))
+        )
+
+    med = _nearest_rank_median(ev.select("event_type", F.col("cents").alias("v")), "event_type")
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "cents", F.abs(F.col("cents") - F.col("med")).alias("v")
+    )
+    mad = _nearest_rank_median(dev.select("event_type", "v"), "event_type") \
+        .withColumnRenamed("med", "mad")
+    flagged = (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type", "med", "mad",
+            (F.abs(F.col("cents") - F.col("med")) > 3 * F.col("mad")).cast("int").alias("is_out"),
+        )
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.max("med") / 100.0).alias("median_value"),
+        (F.max("mad") / 100.0).alias("mad_value"),
+        F.sum("is_out").alias("n_outliers"),
+    )
+
+
+ORACLE_MAD_OUTLIERS = """
+WITH ev AS (
+  SELECT event_type, floor(value * 100 + 0.5)::BIGINT AS cents FROM events
+),
+h1 AS (SELECT event_type, cents AS v, count(*) AS cnt FROM ev GROUP BY 1, 2),
+c1 AS (
+  SELECT event_type, v, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum
+  FROM h1
+),
+t1 AS (SELECT event_type, sum(cnt) AS n FROM h1 GROUP BY 1),
+med AS (
+  SELECT c.event_type,
+         min(CASE WHEN c.cum * 2 >= t.n THEN c.v END) AS med
+  FROM c1 c JOIN t1 t USING (event_type) GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, abs(e.cents - m.med) AS v
+  FROM ev e JOIN med m USING (event_type)
+),
+h2 AS (SELECT event_type, v, count(*) AS cnt FROM dev GROUP BY 1, 2),
+c2 AS (
+  SELECT event_type, v, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum
+  FROM h2
+),
+t2 AS (SELECT event_type, sum(cnt) AS n FROM h2 GROUP BY 1),
+mad AS (
+  SELECT c.event_type,
+         min(CASE WHEN c.cum * 2 >= t.n THEN c.v END) AS mad
+  FROM c2 c JOIN t2 t USING (event_type) GROUP BY 1
+)
+SELECT e.event_type,
+       count(*)::BIGINT AS n_rows,
+       max(m.med) / 100.0 AS median_value,
+       max(d.mad) / 100.0 AS mad_value,
+       sum(CASE WHEN abs(e.cents - m.med) > 3 * d.mad THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+FROM ev e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------- one-pass data profiler
+def q_data_profile(spark, sf_dir):
+    """Column-level data-quality profile of the events table — null count
+    and exact distinct cardinality per column, the screen you run before
+    trusting a new feed. ONE pass over the data: a single aggregate
+    computes every per-column statistic (Spark plans multi-distinct via
+    expand, still one scan), then the 1-row result unpivots to one row per
+    column — never N scans for N columns."""
+    ev = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type", "value"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"{c}__nn"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__nd"))
+    one = ev.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', n_rows - {c}__nn, {c}__nd" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_expr}) AS (column_name, n_null, n_distinct)"
+    )
+
+
+ORACLE_DATA_PROFILE = """
+SELECT 'event_id' AS column_name, (count(*) - count(event_id))::BIGINT AS n_null,
+       count(DISTINCT event_id)::BIGINT AS n_distinct FROM events
+UNION ALL
+SELECT 'user_id', (count(*) - count(user_id))::BIGINT,
+       count(DISTINCT user_id)::BIGINT FROM events
+UNION ALL
+SELECT 'event_type', (count(*) - count(event_type))::BIGINT,
+       count(DISTINCT event_type)::BIGINT FROM events
+UNION ALL
+SELECT 'value', (count(*) - count(value))::BIGINT,
+       count(DISTINCT value)::BIGINT FROM events
+"""
+
+SPECS += [
+    QuerySpec("e_pit_features", q_pit_features, ORACLE_PIT_FEATURES,
+              doc="point-in-time trailing-24h features per purchase, leakage-free RANGE frame",
+              tags=("ext", "window", "feature")),
+    QuerySpec("e_mad_outliers", q_mad_outliers, ORACLE_MAD_OUTLIERS,
+              doc="median/MAD robust outlier screen via double value-histogram rank selection",
+              tags=("ext", "agg", "robust")),
+    QuerySpec("e_data_profile", q_data_profile, ORACLE_DATA_PROFILE,
+              doc="one-pass per-column null/distinct profile (multi-distinct expand, then unpivot)",
+              tags=("ext", "profile")),
+]

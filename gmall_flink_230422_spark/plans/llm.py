@@ -2861,3 +2861,166 @@ SPECS += [
               doc="asymmetric shingle containment ≥0.8 — subset/quote dup signal beyond Jaccard",
               tags=("llm", "dedup")),
 ]
+
+
+# ------------------------------------------------- per-shard token budgeting
+_TB_SHARDS = 8
+_TB_BUDGET = 4000  # tokens per shard
+
+
+def q_token_budget(spark, sf_dir):
+    """Token-budgeted shard trim: deterministic hash order within each of 8
+    hash shards, keep the greedy prefix of docs whose cumulative token count
+    stays within the per-shard budget — how a training mix hits an exact
+    token target without a driver-side pass. The cumulative window is KEYED
+    by shard (embarrassingly parallel); emits a per-shard audit row, all
+    integer counts."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        text.token_count(F.col("text")).cast("bigint").alias("nt"),
+        (portable_hash64(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))) % _TB_SHARDS).cast("int").alias("shard"),
+        portable_hash64(F.concat(F.lit("tb:"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    from pyspark.sql import Window as _W
+    w = (
+        _W.partitionBy("shard").orderBy("h", "doc_id")
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    cum = t.select("shard", "nt", F.sum("nt").over(w).alias("cum"))
+    kept = F.when(F.col("cum") <= _TB_BUDGET, 1).otherwise(0)
+    return cum.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("tokens_total"),
+        F.sum(kept).cast("bigint").alias("n_kept"),
+        F.coalesce(F.sum(F.when(F.col("cum") <= _TB_BUDGET, F.col("nt"))), F.lit(0)).alias("tokens_kept"),
+    )
+
+
+_TB_SHARD_H = "(('0x' || substr(md5('shard:' || doc_id::VARCHAR), 1, 15)))::BIGINT"
+_TB_ORDER_H = "(('0x' || substr(md5('tb:' || doc_id::VARCHAR), 1, 15)))::BIGINT"
+
+ORACLE_TOKEN_BUDGET = rf"""
+WITH t AS (
+  SELECT doc_id, len({_RAW_TOKS})::BIGINT AS nt,
+         ({_TB_SHARD_H} % {_TB_SHARDS})::INT AS shard,
+         {_TB_ORDER_H} AS h
+  FROM documents
+),
+cum AS (
+  SELECT shard, nt,
+         sum(nt) OVER (PARTITION BY shard ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT shard, count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS tokens_total,
+       sum(CASE WHEN cum <= {_TB_BUDGET} THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       coalesce(sum(CASE WHEN cum <= {_TB_BUDGET} THEN nt END), 0)::BIGINT AS tokens_kept
+FROM cum GROUP BY 1
+"""
+
+
+# ------------------------------------------- deterministic weighted sampling
+def q_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    exponential race, derandomized): each doc draws u from its portable
+    hash and races with key −ln(u)/weight (weight = n_chars); the 20
+    smallest keys win. One ln per row over identical doubles in both
+    engines, then pure integer floor/divide — and the top-k compiles to
+    TakeOrdered, never a global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    h = portable_hash64(F.concat(F.lit("ws:"), F.col("doc_id").cast("string")))
+    u = ((h % 1_000_000) + 1) / F.lit(1_000_001.0)
+    key_num = F.floor(-F.log(u) * 1e8).cast("bigint")
+    scored = d.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        key_num.alias("kn"),
+        F.greatest(F.col("n_chars"), F.lit(1)).cast("bigint").alias("w"),
+    ).select(
+        "doc_id", "n_chars", F.expr("kn div w").alias("race_key")
+    )
+    return scored.orderBy("race_key", "doc_id").limit(20)
+
+
+_WS_H = "(('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 15)))::BIGINT"
+
+ORACLE_WEIGHTED_SAMPLE = f"""
+SELECT doc_id, n_chars::BIGINT AS n_chars,
+       floor(-ln((({_WS_H} % 1000000) + 1) / 1000001.0) * 1e8)::BIGINT
+         // greatest(n_chars, 1) AS race_key
+FROM documents
+ORDER BY race_key, doc_id LIMIT 20
+"""
+
+
+# ------------------------------------------------- active-signal segments
+def q_energy_segments(spark, sf_dir):
+    """Voice-activity-style segment extraction over the windowed signal
+    frames (x_signal_windows): frames at or above their doc's mean energy
+    are 'active'; consecutive active frames merge into segments via the
+    gaps-and-islands pattern (win_idx − row_number — one keyed window, no
+    self-join). The audio-pipeline step between framing and transcription;
+    all-integer energies keep it grid-exact."""
+    from ..operators import multimodal
+
+    d = _docs_par(spark, sf_dir)
+    frames = multimodal.window_signal(
+        multimodal.to_media_table(d), window_units=64, hop_units=32
+    ).select("doc_id", "win_idx", "energy")
+    stats = frames.groupBy("doc_id").agg(
+        F.sum("energy").alias("tot"), F.count(F.lit(1)).alias("nf")
+    )
+    act = frames.join(stats, "doc_id").filter(
+        F.col("energy") * F.col("nf") >= F.col("tot")
+    )
+    from pyspark.sql import Window as _W
+    w = _W.partitionBy("doc_id").orderBy("win_idx")
+    grp = act.select(
+        "doc_id", "win_idx", "energy",
+        (F.col("win_idx") - F.row_number().over(w)).alias("g"),
+    )
+    return (
+        grp.groupBy("doc_id", "g")
+        .agg(
+            F.min("win_idx").alias("seg_start"),
+            F.max("win_idx").alias("seg_end"),
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("energy").alias("seg_energy"),
+        )
+        .select("doc_id", "seg_start", "seg_end", "n_frames", "seg_energy")
+    )
+
+
+ORACLE_ENERGY_SEGMENTS = f"""
+WITH frames AS ({ORACLE_SIGNAL_WINDOWS}),
+stats AS (
+  SELECT doc_id, sum(energy) AS tot, count(*) AS nf FROM frames GROUP BY 1
+),
+act AS (
+  SELECT f.doc_id, f.win_idx, f.energy
+  FROM frames f JOIN stats s USING (doc_id)
+  WHERE f.energy * s.nf >= s.tot
+),
+grp AS (
+  SELECT doc_id, win_idx, energy,
+         win_idx - row_number() OVER (PARTITION BY doc_id ORDER BY win_idx) AS g
+  FROM act
+)
+SELECT doc_id, min(win_idx) AS seg_start, max(win_idx) AS seg_end,
+       count(*)::BIGINT AS n_frames, sum(energy)::BIGINT AS seg_energy
+FROM grp GROUP BY doc_id, g
+"""
+
+
+SPECS += [
+    QuerySpec("x_token_budget", q_token_budget, ORACLE_TOKEN_BUDGET,
+              doc="greedy per-shard token-budget trim via keyed cumulative window",
+              tags=("llm", "sampling", "packing")),
+    QuerySpec("x_weighted_sample", q_weighted_sample, ORACLE_WEIGHTED_SAMPLE,
+              doc="derandomized Efraimidis–Spirakis weighted sampling, TakeOrdered top-k",
+              tags=("llm", "sampling")),
+    QuerySpec("x_energy_segments", q_energy_segments, ORACLE_ENERGY_SEGMENTS,
+              doc="VAD-style active-segment merge over signal frames (gaps-and-islands)",
+              tags=("llm", "multimodal")),
+]
