@@ -100,6 +100,10 @@ HEADLINE = [
     "e_pit_features",
     "e_mad_outliers",
     "x_energy_segments",
+    # round-3 batch 5: basket mining, transition matrix, RAG chunking
+    "e_basket_rules",
+    "e_markov_transitions",
+    "x_rag_chunks",
 ]
 
 

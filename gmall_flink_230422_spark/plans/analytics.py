@@ -2057,3 +2057,186 @@ SPECS += [
               doc="one-pass per-column null/distinct profile (multi-distinct expand, then unpivot)",
               tags=("ext", "profile")),
 ]
+
+
+# -------------------------------------------------- market-basket rules
+def q_basket_rules(spark, sf_dir):
+    """Association-rule mining over order baskets: support / confidence /
+    lift for part pairs co-ordered ≥2 times. The pair generation is a
+    self-join WITHIN an order — baskets are bounded (≤7 items at any TPC-H
+    scale), so the quadratic step is per-basket constant work, never a
+    corpus-level cartesian. Item counts broadcast back onto the pair
+    frame; every ratio is an integer cross-multiplication on a fixed grid.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select(F.countDistinct("l_orderkey").alias("n"))
+    c_item = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("part_a"),
+                 F.col("b.l_partkey").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 2)
+    )
+    return (
+        pairs.join(F.broadcast(c_item.selectExpr("l_partkey AS part_a", "c AS c_a")), "part_a")
+        .join(F.broadcast(c_item.selectExpr("l_partkey AS part_b", "c AS c_b")), "part_b")
+        .join(F.broadcast(n_orders))
+        .select(
+            "part_a", "part_b", "c_ab",
+            (F.expr("(c_ab * 1000000) div n") / 1e6).alias("support"),
+            (F.expr("(c_ab * 10000) div c_a") / 1e4).alias("confidence"),
+            (F.expr("(c_ab * n * 10000) div (c_a * c_b)") / 1e4).alias("lift"),
+        )
+    )
+
+
+ORACLE_BASKET_RULES = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey) AS n FROM items),
+c_item AS (SELECT l_partkey, count(*) AS c FROM items GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS c_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT p.part_a, p.part_b, p.c_ab::BIGINT AS c_ab,
+       ((p.c_ab * 1000000) // n.n) / 1e6 AS support,
+       ((p.c_ab * 10000) // ca.c) / 1e4 AS confidence,
+       ((p.c_ab * n.n * 10000) // (ca.c * cb.c)) / 1e4 AS lift
+FROM pairs p
+JOIN c_item ca ON p.part_a = ca.l_partkey
+JOIN c_item cb ON p.part_b = cb.l_partkey
+CROSS JOIN n
+"""
+
+
+# ---------------------------------------------- event transition matrix
+def q_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of user event streams: counts
+    and probabilities for event_type → next event_type, the session-flow
+    fingerprint behind funnel design. One keyed lead window (per-user
+    streams are bounded) + one hash aggregate; probabilities by integer
+    cross-multiplication per from-state."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select("event_type", F.lead("event_type").over(w).alias("next_type"))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    tot = trans.groupBy("event_type").agg(F.sum("n_trans").alias("tot"))
+    return trans.join(F.broadcast(tot), "event_type").select(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+        "n_trans",
+        (F.expr("(n_trans * 10000) div tot") / 1e4).alias("prob"),
+    )
+
+
+ORACLE_MARKOV = """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+trans AS (
+  SELECT event_type, next_type, count(*) AS n_trans
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT event_type, sum(n_trans) AS tot FROM trans GROUP BY 1)
+SELECT t.event_type AS from_type, t.next_type AS to_type,
+       t.n_trans::BIGINT AS n_trans,
+       ((t.n_trans * 10000) // o.tot) / 1e4 AS prob
+FROM trans t JOIN tot o USING (event_type)
+"""
+
+
+# -------------------------------------------------- as-of snapshot diff
+_SNAP_T1 = "2024-01-02 00:00:00"
+_SNAP_T2 = "2024-01-02 12:00:00"
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot diff of derived state between two as-of cutoffs — the
+    reconciliation op for incremental pipelines: latest event value per
+    user as-of T1 vs as-of T2, classified added / changed / unchanged
+    (cutoffs chosen so the fixtures exercise ALL THREE branches at
+    sf0.01/sf0.1 — a wide gap makes every user 'changed' and the
+    classifier is never really tested).
+    Each snapshot is one keyed latest-row window (WindowGroupLimit);
+    the diff is a single outer join on the state key — no row-level
+    history replay. Values compared on the exact cents grid."""
+
+    def snapshot(cut: str):
+        ev = load_table(spark, sf_dir, "events").filter(
+            F.col("ts") < F.lit(cut).cast("timestamp")
+        )
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            ev.select(
+                "user_id",
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+                F.row_number().over(w).alias("rn"),
+            )
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    s1 = snapshot(_SNAP_T1).withColumnRenamed("cents", "c1")
+    s2 = snapshot(_SNAP_T2).withColumnRenamed("cents", "c2")
+    diff = s2.join(s1, "user_id", "left").select(
+        F.when(F.col("c1").isNull(), "added")
+        .when(F.col("c1") != F.col("c2"), "changed")
+        .otherwise("unchanged")
+        .alias("status")
+    )
+    return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+ORACLE_SNAPSHOT_DIFF = f"""
+WITH s1 AS (
+  SELECT user_id, floor(value * 100 + 0.5)::BIGINT AS c1
+  FROM (
+    SELECT user_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts < TIMESTAMP '{_SNAP_T1}'
+  ) WHERE rn = 1
+),
+s2 AS (
+  SELECT user_id, floor(value * 100 + 0.5)::BIGINT AS c2
+  FROM (
+    SELECT user_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts < TIMESTAMP '{_SNAP_T2}'
+  ) WHERE rn = 1
+)
+SELECT CASE WHEN s1.c1 IS NULL THEN 'added'
+            WHEN s1.c1 <> s2.c2 THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       count(*)::BIGINT AS n_users
+FROM s2 LEFT JOIN s1 USING (user_id)
+GROUP BY 1
+"""
+
+SPECS += [
+    QuerySpec("e_basket_rules", q_basket_rules, ORACLE_BASKET_RULES,
+              doc="market-basket support/confidence/lift; per-basket bounded pair self-join",
+              tags=("ext", "mining")),
+    QuerySpec("e_markov_transitions", q_markov_transitions, ORACLE_MARKOV,
+              doc="first-order event transition matrix with integer-grid probabilities",
+              tags=("ext", "mining", "window")),
+    QuerySpec("e_snapshot_diff", q_snapshot_diff, ORACLE_SNAPSHOT_DIFF,
+              doc="as-of T1 vs T2 derived-state diff: added/changed/unchanged via one outer join",
+              tags=("ext", "cdc")),
+]

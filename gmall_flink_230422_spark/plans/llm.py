@@ -3024,3 +3024,75 @@ SPECS += [
               doc="VAD-style active-segment merge over signal frames (gaps-and-islands)",
               tags=("llm", "multimodal")),
 ]
+
+
+# ---------------------------------------------------- PMI collocations
+def q_pmi_collocations(spark, sf_dir):
+    """Top-100 collocations by PMI (operators/retrieval.pmi_bigrams) — the
+    vocabulary-construction signal for multi-word tokens. Bigram arrays are
+    built per-row with higher-order functions (zero shuffle until the
+    counts); unigram/total stats broadcast into the scorer."""
+    return _retrieval.pmi_bigrams(_docs_par(spark, sf_dir), min_count=5, k=100)
+
+
+ORACLE_PMI = _retrieval.pmi_oracle_sql(min_count=5, k=100, toks_expr=_TOKS)
+
+
+# ---------------------------------------------------- RAG chunking
+_RC_WIN = 64
+_RC_HOP = 32
+
+
+def q_rag_chunks(spark, sf_dir):
+    """RAG chunk extraction: overlapping 64-token windows at 32-token hop
+    per document, each chunk fingerprinted (portable hash of its joined
+    text) for downstream chunk-level dedup/embedding. Pure array
+    expressions — sequence → explode → slice — entirely JVM-side and
+    partition-local, the text analog of the x_signal_windows audio frames
+    (and the overlapping counterpart of x_chunk_dedup's disjoint chunks)."""
+    d = _docs_par(spark, sf_dir)
+    toks = tokenize.whitespace_tokens(dedup.normalize_text(F.col("text")))
+    base = d.select(
+        "doc_id", toks.alias("toks"), F.size(toks).cast("long").alias("n_toks")
+    ).filter(F.col("n_toks") >= _RC_WIN)
+    n_chunks = (F.floor((F.col("n_toks") - _RC_WIN) / _RC_HOP) + 1).cast("long")
+    chunks = base.select(
+        "doc_id", "toks",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_idx"),
+    )
+    chunk_text = F.array_join(
+        F.slice(F.col("toks"), (F.col("chunk_idx") * _RC_HOP + 1).cast("int"), _RC_WIN), " "
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        (F.col("chunk_idx") * _RC_HOP + 1).alias("start_tok"),
+        portable_hash64(chunk_text).alias("chunk_hash"),
+    )
+
+
+ORACLE_RAG_CHUNKS = rf"""
+WITH base AS (
+  SELECT doc_id, {_TOKS} AS toks, len({_TOKS})::BIGINT AS n_toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, toks,
+         unnest(range(0, ((n_toks - {_RC_WIN}) // {_RC_HOP}) + 1)) AS chunk_idx
+  FROM base WHERE n_toks >= {_RC_WIN}
+)
+SELECT doc_id, chunk_idx, chunk_idx * {_RC_HOP} + 1 AS start_tok,
+       (('0x' || substr(md5(array_to_string(
+          toks[(chunk_idx * {_RC_HOP} + 1)::INT : (chunk_idx * {_RC_HOP} + {_RC_WIN})::INT], ' ')), 1, 15)))::BIGINT AS chunk_hash
+FROM c
+"""
+
+
+SPECS += [
+    QuerySpec("x_pmi_collocations", q_pmi_collocations, ORACLE_PMI,
+              doc="top-100 PMI collocations: multi-word vocabulary signal, broadcast corpus stats",
+              tags=("llm", "text")),
+    QuerySpec("x_rag_chunks", q_rag_chunks, ORACLE_RAG_CHUNKS,
+              doc="overlapping 64/32 token RAG chunks with portable fingerprints, JVM-side fan-out",
+              tags=("llm", "text", "retrieval")),
+]
