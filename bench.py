@@ -104,6 +104,7 @@ HEADLINE = [
     "e_basket_rules",
     "e_markov_transitions",
     "x_rag_chunks",
+    "x_bpe_apply",
 ]
 
 

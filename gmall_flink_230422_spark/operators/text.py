@@ -718,13 +718,25 @@ def bpe_train_merges(
 
     Returns the learned merge table: (step, p1, p2, pair_count).
     """
+    merges, _ = _bpe_train(docs, n_merges, text_col)
+    return docs.sparkSession.createDataFrame(
+        merges, "step int, p1 string, p2 string, pair_count bigint"
+    )
+
+
+def _bpe_train(docs: DataFrame, n_merges: int, text_col: str = "text"):
+    """Shared BPE training loop: returns (merges, encoded_vocab) where
+    ``merges`` is the bounded [(step, p1, p2, ct)] model artifact and
+    ``encoded_vocab`` is the (word, freq, sym) frame AFTER all folds — the
+    already-encoded vocabulary the apply stage joins against (training
+    necessarily produces it, so apply pays no second fold)."""
     toks = whitespace_tokens(normalize_text(F.col(text_col)))
     words = (
         docs.select(F.explode(toks).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    rep = words.select("freq", F.split("word", "").alias("sym"))
+    rep = words.select("word", "freq", F.split("word", "").alias("sym"))
     merges = []
     for step in range(1, n_merges + 1):
         pairs = rep.select(
@@ -759,8 +771,44 @@ def bpe_train_merges(
             "sym",
             F.aggregate(F.col("sym"), F.array().cast("array<string>"), _fold()),
         )
-    return docs.sparkSession.createDataFrame(
-        merges, "step int, p1 string, p2 string, pair_count bigint"
+    return merges, rep
+
+
+def bpe_encoded_length(
+    docs: DataFrame,
+    n_merges: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer APPLY at corpus scale — the production-hot stage: encode
+    every document with the merges :func:`bpe_train_merges` learns and
+    report per-document symbol counts (raw chars vs post-merge), i.e. the
+    compression the tokenizer actually achieves per doc.
+
+    Scale shape: the merge fold runs ONCE PER DISTINCT WORD — training
+    already folds the vocabulary table, so apply reuses that encoded vocab
+    and only JOINS it back to the exploded corpus token stream on the word
+    key (Heaps-law vocab ≪ corpus tokens), then one per-doc aggregate.
+    Never a per-corpus-token fold, never Python. The merge list itself is
+    the bounded model artifact (one argmax row per step — the IVF-centroid
+    pattern).
+    """
+    _, vocab = _bpe_train(docs, n_merges, text_col)
+    enc = vocab.select(
+        "word",
+        F.length("word").cast("bigint").alias("n_raw"),
+        F.size("sym").cast("bigint").alias("n_sym"),
+    )
+    toks = whitespace_tokens(normalize_text(F.col(text_col)))
+    corpus = docs.select(F.col(id_col), F.explode(toks).alias("word"))
+    return (
+        corpus.join(enc, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n_raw").alias("n_sym_raw"),
+            F.sum("n_sym").alias("n_sym_enc"),
+        )
     )
 
 

@@ -3096,3 +3096,72 @@ SPECS += [
               doc="overlapping 64/32 token RAG chunks with portable fingerprints, JVM-side fan-out",
               tags=("llm", "text", "retrieval")),
 ]
+
+
+# ---------------------------------------------------- BPE apply (encode)
+def q_bpe_apply(spark, sf_dir):
+    """Tokenizer apply at corpus scale (operators/text.bpe_encoded_length):
+    encode every doc with the 3 learned merges — the encoded VOCABULARY
+    joins back to the corpus token stream (Heaps-law small side), never a
+    per-corpus-token fold. Output: per-doc raw vs encoded symbol counts."""
+    return text.bpe_encoded_length(_docs_par(spark, sf_dir), n_merges=3)
+
+
+def _bpe_apply_oracle(n_merges: int = 3) -> str:
+    """DuckDB twin of bpe_encoded_length: the training CTE chain with the
+    word column carried through every fold, ending in a vocab join back to
+    the per-doc token stream."""
+
+    def _reduce(top: str) -> str:
+        acc_list = "string_split(acc, chr(1))"
+        return f"""string_split(list_reduce(s, (acc, x) ->
+      CASE WHEN list_extract({acc_list}, len({acc_list})) = {top}.a AND x = {top}.b
+           THEN CASE WHEN len({acc_list}) = 1 THEN {top}.a || {top}.b
+                ELSE array_to_string(list_slice({acc_list}, 1, len({acc_list}) - 1), chr(1))
+                     || chr(1) || {top}.a || {top}.b END
+           ELSE acc || chr(1) || x END), chr(1))"""
+
+    blocks = [
+        f"""W AS (
+  SELECT tok AS word, count(*)::BIGINT AS freq FROM (
+    SELECT unnest({_TOKS}) AS tok FROM documents
+  ) GROUP BY 1
+),
+rep0 AS (SELECT word, freq, string_split(word, '') AS s FROM W)"""
+    ]
+    for i in range(1, n_merges + 1):
+        blocks.append(f"""pairs{i} AS (
+  SELECT freq, s[i] AS a, s[i + 1] AS b
+  FROM (SELECT freq, s, unnest(generate_series(1, len(s) - 1)) AS i FROM rep{i - 1})
+),
+top{i} AS (
+  SELECT a, b, sum(freq)::BIGINT AS ct FROM pairs{i} GROUP BY 1, 2
+  ORDER BY ct DESC, a, b LIMIT 1
+)""")
+        blocks.append(
+            f"rep{i} AS (SELECT word, freq, {_reduce(f'top{i}')} AS s FROM rep{i - 1}, top{i})"
+        )
+    blocks.append(f"""enc AS (
+  SELECT word, length(word)::BIGINT AS n_raw, len(s)::BIGINT AS n_sym
+  FROM rep{n_merges}
+),
+corpus AS (SELECT doc_id, unnest({_TOKS}) AS word FROM documents)""")
+    return (
+        "WITH " + ",\n".join(blocks)
+        + """
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       sum(e.n_raw)::BIGINT AS n_sym_raw,
+       sum(e.n_sym)::BIGINT AS n_sym_enc
+FROM corpus c JOIN enc e USING (word)
+GROUP BY doc_id"""
+    )
+
+
+ORACLE_BPE_APPLY = _bpe_apply_oracle()
+
+
+SPECS += [
+    QuerySpec("x_bpe_apply", q_bpe_apply, ORACLE_BPE_APPLY,
+              doc="BPE encode at corpus scale: encoded-vocab join-back, per-doc raw vs merged symbol counts",
+              tags=("llm", "text", "tokenizer")),
+]

@@ -82,3 +82,18 @@ def test_rag_chunks_overlap_and_fingerprint(spark):
             assert c["start_tok"] == c["chunk_idx"] * _RC_HOP + 1
             assert c["chunk_hash"] >= 0
     assert _RC_WIN == 2 * _RC_HOP  # 50% overlap contract of the chunker
+
+
+def test_bpe_apply_compresses(spark):
+    from gmall_flink_230422_spark.operators.text import bpe_encoded_length
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab aaab"), (2, "xyz")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bpe_encoded_length(docs, n_merges=2).collect()}
+    # 'aaab' (freq 3) drives the merges: 'a a'->'aa' then 'aa a'->'aaa';
+    # each 4-char word encodes to 2 symbols
+    assert out[1]["n_sym_raw"] == 12
+    assert out[1]["n_sym_enc"] == 6
+    # untouched word: encoded length == raw length
+    assert out[2]["n_sym_enc"] == out[2]["n_sym_raw"] == 3
