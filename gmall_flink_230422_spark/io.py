@@ -125,3 +125,44 @@ def zorder_key(cols: list[Column], bits: int = 8) -> Column:
             bit = F.shiftright(c.cast("bigint"), b).bitwiseAND(F.lit(1))
             out = out + F.shiftleft(bit, b * n + d)
     return out
+
+
+def prune_files_by_stats(path: str, column: str, lo, hi) -> tuple[list[str], int]:
+    """File-skipping from parquet footer statistics — the open-format half
+    of what e_zorder_prune simulates with a manifest table: read ONLY the
+    row-group min/max stats (a few KB per file, never data pages), keep the
+    files whose [min, max] range for ``column`` overlaps [lo, hi], and
+    return (kept_file_paths, total_files).
+
+    Feed the kept list straight to ``spark.read.parquet(*kept)``: combined
+    with a Z-order layout (io.zorder_key) this is manifest-level partition
+    pruning for engines/layouts where Spark's own row-group filtering can't
+    see the clustering. At cluster scale the footer reads parallelize over
+    the driver's listing (cheap: one ~8 KB footer per file); here they run
+    serially over the local listing.
+    """
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    files = sorted(str(p) for p in Path(path).glob("*.parquet"))
+    kept = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        overlap = False
+        for rg in range(md.num_row_groups):
+            col_idx = {md.row_group(rg).column(i).path_in_schema: i
+                       for i in range(md.row_group(rg).num_columns)}
+            if column not in col_idx:
+                overlap = True  # no stats for the column: cannot skip
+                break
+            st = md.row_group(rg).column(col_idx[column]).statistics
+            if st is None or not st.has_min_max:
+                overlap = True
+                break
+            if not (st.max < lo or st.min > hi):
+                overlap = True
+                break
+        if overlap:
+            kept.append(f)
+    return kept, len(files)

@@ -186,3 +186,43 @@ def jdbc_sink(
         .option("batchsize", str(batch_size))
         .jdbc(url, table, properties=properties or {})
     )
+
+
+def snapshot_write(df: DataFrame, table_dir: str) -> int:
+    """Versioned snapshot write (poor-man's table format): each call lands
+    a new immutable ``v=N`` directory under ``table_dir`` and then commits
+    it by atomically renaming a manifest tempfile over ``_latest`` — the
+    Iceberg/Delta commit protocol reduced to its load-bearing move (data
+    first, single-file pointer swap last, so readers either see the old
+    version or the new one, never a partial write). Returns the new
+    version number."""
+    import json
+    import os
+
+    os.makedirs(table_dir, exist_ok=True)
+    versions = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(table_dir)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    ]
+    v = max(versions, default=0) + 1
+    df.write.mode("overwrite").parquet(os.path.join(table_dir, f"v={v}"))
+    tmp = os.path.join(table_dir, f"_latest.tmp.{v}")
+    with open(tmp, "w") as fh:
+        json.dump({"version": v}, fh)
+    os.replace(tmp, os.path.join(table_dir, "_latest"))
+    return v
+
+
+def snapshot_read(spark, table_dir: str, version: int | None = None) -> DataFrame:
+    """Read a snapshot table written by :func:`snapshot_write` — the
+    committed latest by default, or time-travel to any retained ``version``.
+    Uncommitted/partial version dirs are invisible: the reader trusts only
+    the ``_latest`` pointer (or the explicit version argument)."""
+    import json
+    import os
+
+    if version is None:
+        with open(os.path.join(table_dir, "_latest")) as fh:
+            version = json.load(fh)["version"]
+    return spark.read.parquet(os.path.join(table_dir, f"v={version}"))
