@@ -105,6 +105,7 @@ HEADLINE = [
     "e_markov_transitions",
     "x_rag_chunks",
     "x_bpe_apply",
+    "x_ngram_diversity",
 ]
 
 

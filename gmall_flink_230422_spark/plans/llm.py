@@ -3165,3 +3165,89 @@ SPECS += [
               doc="BPE encode at corpus scale: encoded-vocab join-back, per-doc raw vs merged symbol counts",
               tags=("llm", "text", "tokenizer")),
 ]
+
+
+# ------------------------------------------------ length-bucketed batching
+def q_length_buckets(spark, sf_dir):
+    """Inference-serving length bucketing: docs grouped into 64-token
+    buckets, per-bucket count, max length, and padding waste (what batching
+    to the bucket max costs vs true lengths) — the number that justifies
+    bucketed batching over naive global padding. One hash aggregate over
+    per-row array lengths; waste = n·max − Σlen, all integers."""
+    d = load_table(spark, sf_dir, "documents")
+    nt = text.token_count(F.col("text")).cast("bigint")
+    b = d.select(nt.alias("nt"), F.floor(nt / 64).cast("bigint").alias("bucket"))
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("nt").alias("max_len"),
+        (F.max("nt") * F.count(F.lit(1)) - F.sum("nt")).alias("padding_waste"),
+    )
+
+
+ORACLE_LENGTH_BUCKETS = rf"""
+WITH t AS (
+  SELECT len({_RAW_TOKS})::BIGINT AS nt,
+         (len({_RAW_TOKS}) // 64)::BIGINT AS bucket
+  FROM documents
+)
+SELECT bucket, count(*)::BIGINT AS n_docs, max(nt)::BIGINT AS max_len,
+       (max(nt) * count(*) - sum(nt))::BIGINT AS padding_waste
+FROM t GROUP BY 1
+"""
+
+
+# ------------------------------------------------ n-gram diversity score
+def q_ngram_diversity(spark, sf_dir):
+    """Corpus diversity audit (the anti-mode-collapse gauge for synthetic
+    data): per source, distinct trigrams / total trigrams on the 1e-4 grid.
+    Degenerate repetitive corpora score near 0, diverse ones near 1. Two
+    narrow aggregates — trigram spans stay inside the per-row array until
+    the count."""
+    d = _docs_par(spark, sf_dir)
+    toks = tokenize.whitespace_tokens(dedup.normalize_text(F.col("text")))
+    tri = F.expr(
+        "filter(transform(toks, (t, i) -> IF(i + 2 < size(toks),"
+        " concat(t, ' ', element_at(toks, i + 2), ' ', element_at(toks, i + 3)),"
+        " NULL)), x -> x IS NOT NULL)"
+    )
+    rows = d.select("source", toks.alias("toks")).select(
+        "source", F.explode(tri).alias("tri")
+    )
+    agg = rows.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.countDistinct("tri").alias("n_distinct"),
+    )
+    return agg.select(
+        "source", "n_trigrams", "n_distinct",
+        (F.expr("(n_distinct * 10000) div n_trigrams") / 1e4).alias("diversity"),
+    )
+
+
+ORACLE_NGRAM_DIVERSITY = rf"""
+WITH toks AS (
+  SELECT source, doc_id, unnest({_TOKS}) AS tok,
+         generate_subscripts({_TOKS}, 1) AS pos
+  FROM documents
+),
+tri AS (
+  SELECT source,
+         tok || ' ' || lead(tok) OVER w || ' ' || lead(tok, 2) OVER w AS tri
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+)
+SELECT source, count(*)::BIGINT AS n_trigrams,
+       count(DISTINCT tri)::BIGINT AS n_distinct,
+       ((count(DISTINCT tri) * 10000) // count(*)) / 1e4 AS diversity
+FROM tri GROUP BY 1
+"""
+
+
+SPECS += [
+    QuerySpec("x_length_buckets", q_length_buckets, ORACLE_LENGTH_BUCKETS,
+              doc="64-token length buckets with padding-waste audit for bucketed batching",
+              tags=("llm", "packing")),
+    QuerySpec("x_ngram_diversity", q_ngram_diversity, ORACLE_NGRAM_DIVERSITY,
+              doc="per-source distinct-trigram diversity ratio — mode-collapse gauge",
+              tags=("llm", "text", "stats")),
+]
