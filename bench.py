@@ -106,6 +106,7 @@ HEADLINE = [
     "x_rag_chunks",
     "x_bpe_apply",
     "x_ngram_diversity",
+    "x_select_pipeline",
 ]
 
 

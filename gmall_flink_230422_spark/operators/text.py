@@ -112,7 +112,7 @@ def quality_classifier(
       ttr_milli   = floor(1000 * distinct_tokens / n_tokens)   (type-token ratio)
       stop_milli  = floor(1000 * stopword_hits / n_tokens)
       len_term    = 10 * least(n_tokens, 100)                  (saturating length)
-      logit_milli = -2500 + len_term + 2 * stop_milli + ttr_milli
+      logit_milli = -1100 + len_term + 2 * stop_milli + ttr_milli
 
     keep = logit_milli >= 0; quality_band buckets the logit for routing
     (reject / low / mid / high). Pure projection + per-doc array ops: no
@@ -130,11 +130,11 @@ def quality_classifier(
         n_tokens > 0, F.floor(F.lit(1000) * stop_hits / n_tokens)
     ).otherwise(F.lit(0)).cast("bigint")
     len_term = (F.lit(10) * F.least(n_tokens, F.lit(100))).cast("bigint")
-    logit = (F.lit(-2500) + len_term + F.lit(2) * stop_milli + ttr_milli).cast("bigint")
+    logit = (F.lit(-1100) + len_term + F.lit(2) * stop_milli + ttr_milli).cast("bigint")
     band = (
         F.when(logit < 0, F.lit("reject"))
-        .when(logit < 300, F.lit("low"))
-        .when(logit < 700, F.lit("mid"))
+        .when(logit < 100, F.lit("low"))
+        .when(logit < 200, F.lit("mid"))
         .otherwise(F.lit("high"))
     )
     return docs.select(

@@ -2164,14 +2164,14 @@ WITH f AS (
   FROM m
 ), l AS (
   SELECT doc_id, n_tokens::BIGINT AS n_tokens, ttr_milli, stop_milli,
-         (-2500 + 10 * least(n_tokens, 100) + 2 * stop_milli + ttr_milli)::BIGINT AS logit_milli
+         (-1100 + 10 * least(n_tokens, 100) + 2 * stop_milli + ttr_milli)::BIGINT AS logit_milli
   FROM g
 )
 SELECT doc_id, n_tokens, ttr_milli, stop_milli, logit_milli,
        logit_milli >= 0 AS keep,
        CASE WHEN logit_milli < 0 THEN 'reject'
-            WHEN logit_milli < 300 THEN 'low'
-            WHEN logit_milli < 700 THEN 'mid'
+            WHEN logit_milli < 100 THEN 'low'
+            WHEN logit_milli < 200 THEN 'mid'
             ELSE 'high' END AS quality_band
 FROM l
 """
@@ -3250,4 +3250,142 @@ SPECS += [
     QuerySpec("x_ngram_diversity", q_ngram_diversity, ORACLE_NGRAM_DIVERSITY,
               doc="per-source distinct-trigram diversity ratio — mode-collapse gauge",
               tags=("llm", "text", "stats")),
+]
+
+
+# -------------------------------------------- selection-pipeline capstone
+def q_select_pipeline(spark, sf_dir):
+    """Data-SELECTION capstone (the dedup-free complement of
+    x_curate_funnel): repetition filter → frozen-weight quality classifier
+    → CCNet perplexity terciles (keep head+middle, thresholds computed over
+    the SURVIVORS) → per-shard token-budget trim — reported as a funnel of
+    (stage, n_docs, n_tokens).
+
+    Plan shape: every stage contributes a FLAG COLUMN to one per-doc frame
+    (repetition/classifier/LM frames join once on doc_id), the budget stage
+    is a conditional cumulative window over that same frame, and the funnel
+    is a single aggregate unpivoted to stage rows — never a per-stage
+    union that re-evaluates uncached subplans (the r2 x_curate_funnel
+    lesson, BENCHNOTES.md)."""
+    d = _docs_par(spark, sf_dir)
+    nt = text.token_count(F.col("text")).cast("bigint")
+    base = d.select("doc_id", nt.alias("nt"))
+    rep = text.repetition_features(d).select("doc_id", F.col("keep").alias("k_rep"))
+    clf = text.quality_classifier(d).select("doc_id", F.col("keep").alias("k_clf"))
+    lm = text.lm_surprisal_score(d).select("doc_id", "avg_surprisal")
+    flags = (
+        base.join(rep, "doc_id")
+        .join(clf, "doc_id")
+        .join(lm, "doc_id", "left")
+        .select(
+            "doc_id", "nt", "avg_surprisal",
+            F.col("k_rep").alias("k1"),
+            (F.col("k_rep") & F.col("k_clf")).alias("k2"),
+        )
+    )
+    # CCNet t2 (head+middle boundary) over stage-2 survivors with a score
+    surv = flags.filter(F.col("k2") & F.col("avg_surprisal").isNotNull())
+    hist = surv.groupBy("avg_surprisal").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window as _W
+    wcum = _W.orderBy("avg_surprisal").rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    cum = hist.select("avg_surprisal", "cnt", F.sum("cnt").over(wcum).alias("cum"))
+    tot = hist.agg(F.sum("cnt").alias("n"))
+    thr = cum.join(F.broadcast(tot)).agg(
+        F.min(F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("avg_surprisal"))).alias("t2")
+    )
+    f3 = flags.join(F.broadcast(thr)).withColumn(
+        "k3",
+        F.col("k2") & F.col("avg_surprisal").isNotNull()
+        & (F.col("avg_surprisal") <= F.col("t2")),
+    )
+    # per-shard token budget over stage-3 survivors (conditional cumsum)
+    f3 = f3.withColumn(
+        "shard",
+        (portable_hash64(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))) % _TB_SHARDS).cast("int"),
+    ).withColumn(
+        "h", portable_hash64(F.concat(F.lit("tb:"), F.col("doc_id").cast("string")))
+    )
+    wb = (
+        _W.partitionBy("shard").orderBy("h", "doc_id")
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    f4 = f3.withColumn("cum3", F.sum(F.when(F.col("k3"), F.col("nt")).otherwise(0)).over(wb)) \
+        .withColumn("k4", F.col("k3") & (F.col("cum3") <= _TB_BUDGET))
+    one = f4.agg(
+        F.count(F.lit(1)).alias("n0"), F.sum("nt").alias("t0"),
+        F.sum(F.when(F.col("k1"), 1).otherwise(0)).alias("n1"),
+        F.coalesce(F.sum(F.when(F.col("k1"), F.col("nt"))), F.lit(0)).alias("t1"),
+        F.sum(F.when(F.col("k2"), 1).otherwise(0)).alias("n2"),
+        F.coalesce(F.sum(F.when(F.col("k2"), F.col("nt"))), F.lit(0)).alias("t2_"),
+        F.sum(F.when(F.col("k3"), 1).otherwise(0)).alias("n3"),
+        F.coalesce(F.sum(F.when(F.col("k3"), F.col("nt"))), F.lit(0)).alias("t3"),
+        F.sum(F.when(F.col("k4"), 1).otherwise(0)).alias("n4"),
+        F.coalesce(F.sum(F.when(F.col("k4"), F.col("nt"))), F.lit(0)).alias("t4"),
+    )
+    return one.selectExpr(
+        "stack(5, '0_all', n0, t0, '1_repetition', n1, t1, '2_classifier', n2, t2_,"
+        " '3_ccnet', n3, t3, '4_budget', n4, t4) AS (stage, n_docs, n_tokens)"
+    )
+
+
+ORACLE_SELECT_PIPELINE = rf"""
+WITH rep AS ({ORACLE_REPETITION}),
+clf AS ({ORACLE_QUALITY_CLASSIFIER}),
+lm AS ({ORACLE_LM_SCORE}),
+base AS (SELECT doc_id, len({_RAW_TOKS})::BIGINT AS nt FROM documents),
+flags AS (
+  SELECT b.doc_id, b.nt, lm.avg_surprisal,
+         rep.keep AS k1,
+         (rep.keep AND clf.keep) AS k2
+  FROM base b
+  JOIN rep ON b.doc_id = rep.doc_id
+  JOIN clf ON b.doc_id = clf.doc_id
+  LEFT JOIN lm ON b.doc_id = lm.doc_id
+),
+hist AS (
+  SELECT avg_surprisal, count(*) AS cnt FROM flags
+  WHERE k2 AND avg_surprisal IS NOT NULL GROUP BY 1
+),
+cum AS (SELECT avg_surprisal, cnt, sum(cnt) OVER (ORDER BY avg_surprisal) AS cum FROM hist),
+tot AS (SELECT sum(cnt) AS n FROM hist),
+thr AS (
+  SELECT min(CASE WHEN c.cum * 3 >= 2 * t.n THEN c.avg_surprisal END) AS t2
+  FROM cum c CROSS JOIN tot t
+),
+f3 AS (
+  SELECT f.*, ({_TB_SHARD_H} % {_TB_SHARDS})::INT AS shard, {_TB_ORDER_H} AS h,
+         (f.k2 AND f.avg_surprisal IS NOT NULL AND f.avg_surprisal <= thr.t2) AS k3
+  FROM flags f CROSS JOIN thr
+),
+f4 AS (
+  SELECT *,
+         (k3 AND sum(CASE WHEN k3 THEN nt ELSE 0 END)
+             OVER (PARTITION BY shard ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= {_TB_BUDGET}) AS k4
+  FROM f3
+),
+one AS (
+  SELECT count(*)::BIGINT AS n0, sum(nt)::BIGINT AS t0,
+         sum(CASE WHEN k1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+         coalesce(sum(CASE WHEN k1 THEN nt END), 0)::BIGINT AS t1,
+         sum(CASE WHEN k2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+         coalesce(sum(CASE WHEN k2 THEN nt END), 0)::BIGINT AS t2_,
+         sum(CASE WHEN k3 THEN 1 ELSE 0 END)::BIGINT AS n3,
+         coalesce(sum(CASE WHEN k3 THEN nt END), 0)::BIGINT AS t3,
+         sum(CASE WHEN k4 THEN 1 ELSE 0 END)::BIGINT AS n4,
+         coalesce(sum(CASE WHEN k4 THEN nt END), 0)::BIGINT AS t4
+  FROM f4
+)
+SELECT '0_all' AS stage, n0 AS n_docs, t0 AS n_tokens FROM one
+UNION ALL SELECT '1_repetition', n1, t1 FROM one
+UNION ALL SELECT '2_classifier', n2, t2_ FROM one
+UNION ALL SELECT '3_ccnet', n3, t3 FROM one
+UNION ALL SELECT '4_budget', n4, t4 FROM one
+"""
+
+
+SPECS += [
+    QuerySpec("x_select_pipeline", q_select_pipeline, ORACLE_SELECT_PIPELINE,
+              doc="selection capstone funnel: repetition -> classifier -> CCNet terciles -> token budget, one flags frame",
+              tags=("llm", "pipeline")),
 ]

@@ -253,13 +253,13 @@ def test_quality_classifier_grid_and_bands(spark):
     r1 = out[1]
     assert r1["n_tokens"] == 6 and r1["ttr_milli"] == 833  # floor(1000*5/6)
     assert r1["stop_milli"] == 333  # floor(1000*2/6)
-    assert r1["logit_milli"] == -2500 + 60 + 2 * 333 + 833
-    assert r1["keep"] is False and r1["quality_band"] == "reject"
+    assert r1["logit_milli"] == -1100 + 60 + 2 * 333 + 833
+    assert r1["keep"] is True and r1["quality_band"] == "high"  # 459 >= 200
     r2 = out[2]
     assert r2["ttr_milli"] == 250 and r2["stop_milli"] == 0
-    assert r2["logit_milli"] == -2500 + 40 + 250
+    assert r2["logit_milli"] == -1100 + 40 + 250  # -810: boilerplate rejected
     r3 = out[3]
-    assert r3["n_tokens"] == 0 and r3["logit_milli"] == -2500
+    assert r3["n_tokens"] == 0 and r3["logit_milli"] == -1100
     assert r3["quality_band"] == "reject"
 
 
