@@ -233,3 +233,89 @@ def test_changelog_retract_reconstructs_state(spark, rows):
         if k not in want or (s, i) > want[k][:2]:
             want[k] = (s, i, v)
     assert state == {k: v for k, (s, i, v) in want.items()}
+
+
+@SLOW
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=15,
+    ),
+)
+def test_pagerank_matches_python_fold(spark, edges):
+    """Integer-grid PageRank == a dict-based Python reference running the
+    identical integer recurrence on the same (deduped, undirected) edges."""
+    from gmall_flink_230422_spark.operators import graph
+
+    und = sorted({(f"n{a}", f"n{b}") for a, b in edges} | {(f"n{b}", f"n{a}") for a, b in edges})
+    df = spark.createDataFrame(und, "src string, dst string")
+    got = {r["node"]: r["rank_micro"] for r in graph.pagerank(df, iterations=3).collect()}
+
+    nodes = sorted({s for s, _ in und} | {d for _, d in und})
+    out = {}
+    for s, d in und:
+        out.setdefault(s, []).append(d)
+    rank = {n: 1_000_000 for n in nodes}
+    for _ in range(3):
+        contrib = {n: 0 for n in nodes}
+        for s, ds in out.items():
+            c = rank[s] // len(ds)
+            for d in ds:
+                contrib[d] += c
+        rank = {n: 150_000 + (85 * contrib[n]) // 100 for n in nodes}
+    assert got == rank
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=5, max_size=40), min_size=2, max_size=8
+    ),
+)
+def test_containment_dominates_jaccard(spark, texts):
+    """For every pair: max(cont_a, cont_b) >= jaccard (containment divides by
+    one set, jaccard by the union), and containment <= 1."""
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    sh = dedup.shingles(docs)
+    jac = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in dedup.jaccard_pairs(sh, threshold=0.0).collect()}
+    cont = {(r["doc_a"], r["doc_b"]): (r["cont_a"], r["cont_b"])
+            for r in dedup.containment_pairs(sh, threshold=0.0).collect()}
+    assert set(jac) == set(cont)
+    for pair, j in jac.items():
+        ca, cb = cont[pair]
+        assert max(ca, cb) >= j
+        assert ca <= 1.0 and cb <= 1.0
+
+
+@SLOW
+@given(
+    vals=st.lists(st.integers(0, 10_000), min_size=1, max_size=40),
+)
+def test_winsorize_thresholds_match_nearest_rank(spark, vals):
+    """e_winsorize's histogram rank selection == sorting and indexing at
+    ceil(p*n) in plain Python; the clamped mean sits inside [p05, p95]."""
+    import gmall_flink_230422_spark.plans.analytics as an
+
+    rows = [(f"P{i % 2}", v / 100.0) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "o_orderpriority string, o_totalprice double")
+    an_load = an.load_table
+    try:
+        an.load_table = lambda spark, sf, name: df
+        out = {r["o_orderpriority"]: r for r in an.q_winsorize(spark, "unused").collect()}
+    finally:
+        an.load_table = an_load
+
+    groups: dict[str, list[int]] = {}
+    for i, v in enumerate(vals):
+        groups.setdefault(f"P{i % 2}", []).append(v)
+    for g, cents in groups.items():
+        cents.sort()
+        n = len(cents)
+        lo = cents[-(-n * 1 // 20) - 1]   # ceil(0.05n)-th value, 1-indexed
+        hi = cents[-(-n * 19 // 20) - 1]  # ceil(0.95n)-th
+        r = out[g]
+        assert r["p05"] == lo / 100.0
+        assert r["p95"] == hi / 100.0
+        assert r["p05"] <= r["winsor_mean"] <= r["p95"]
