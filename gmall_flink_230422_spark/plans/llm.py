@@ -3266,7 +3266,11 @@ def q_select_pipeline(spark, sf_dir):
     is a conditional cumulative window over that same frame, and the funnel
     is a single aggregate unpivoted to stage rows — never a per-stage
     union that re-evaluates uncached subplans (the r2 x_curate_funnel
-    lesson, BENCHNOTES.md)."""
+    lesson, BENCHNOTES.md). Deliberately NOT cached: A/B at sf0.1 showed
+    caching the doc frame 1.4× SLOWER (2.8 s → 3.9 s warm) — the
+    InMemoryRelation breaks per-stage column pruning and scan fusion,
+    while re-scanning the parquet is cheap; at 100 TB the same logic says
+    cache derived SMALL frames (flags, thresholds), never the corpus."""
     d = _docs_par(spark, sf_dir)
     nt = text.token_count(F.col("text")).cast("bigint")
     base = d.select("doc_id", nt.alias("nt"))
