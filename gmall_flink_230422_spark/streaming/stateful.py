@@ -128,3 +128,65 @@ def bounce_stream(
             fn, out_schema, _BOUNCE_STATE, "append", GroupStateTimeout.EventTimeTimeout
         )
     )
+
+
+_TTL_STATE = T.StructType([T.StructField("last_value", T.StringType())])
+
+
+def ttl_latest_stream(
+    df: DataFrame, key: str, val_col: str, ttl_seconds: int
+) -> DataFrame:
+    """WALL-CLOCK state TTL — the true processing-time analog of Flink's
+    ``StateTtlConfig`` / join-state TTL (DwdTradePayDetailSuc.java:19 sets
+    905 s; DwdTradeOrderPreProcess.java:20), closing the documented J7
+    divergence where this repo otherwise maps TTLs onto event-time
+    watermarks: here expiry follows the processing clock, independent of
+    event timestamps, exactly like the reference.
+
+    Keeps the latest value per key in GroupState with a
+    ProcessingTimeTimeout; every update re-arms the timer (sliding TTL —
+    Flink's OnCreateAndWrite semantics). When the wall clock passes the
+    TTL with no new data for the key (and a later micro-batch gives the
+    engine a chance to fire timers), the state is emitted as an
+    ``expired`` record and REMOVED — the observable contract of TTL'd
+    join state: a subsequent probe misses.
+
+    Output: (key, value, event) with event ∈ {updated, expired}. By
+    construction nondeterministic against wall time, so this op is
+    pytest-verified with generous margins rather than DuckDB-oracled —
+    the reason the rest of the repo prefers the watermark mapping.
+
+    Driver caveat: do NOT wait on such a query with
+    ``processAllAvailable()`` — re-arming processing-time timers mean the
+    engine always considers work pending, so that call never returns
+    (observed on Spark 4.1); poll the sink until the expected records
+    land (tests/test_ttl_state.py).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(key, T.StringType()),
+            T.StructField("value", T.StringType()),
+            T.StructField("event", T.StringType()),
+        ]
+    )
+
+    def fn(
+        key_tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (kv,) = key_tuple
+        if state.hasTimedOut:
+            last = state.get[0] if state.exists else None
+            state.remove()
+            yield pd.DataFrame({key: [kv], "value": [last], "event": ["expired"]})
+            return
+        last = state.get[0] if state.exists else None
+        for pdf in batches:
+            if len(pdf):
+                last = str(pdf[val_col].iloc[-1])
+        state.update((last,))
+        state.setTimeoutDuration(ttl_seconds * 1000)
+        yield pd.DataFrame({key: [kv], "value": [last], "event": ["updated"]})
+
+    return df.groupBy(key).applyInPandasWithState(
+        fn, out_schema, _TTL_STATE, "append", GroupStateTimeout.ProcessingTimeTimeout
+    )
