@@ -107,6 +107,13 @@ def main():
             rec["err"] = f"spark error: {e}"
             failures.append(name)
             continue
+        finally:
+            # queries cache() intermediates (shingles, candidates, graph
+            # frames) and rightly never unpersist inside a composable plan
+            # fn; across a 196-query run in the driver-like vanilla session
+            # (default 1g heap) the accumulation OOMs at sf0.1 — drop all
+            # cached data between queries, it belongs to the finished one
+            spark.catalog.clearCache()
         rec["spark_rows"] = len(srows)
         if spec.oracle is None:
             print(f"ok   {name}: rows-only ({len(srows)} rows) [{time.time()-t0:.1f}s]")
