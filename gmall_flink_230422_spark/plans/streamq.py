@@ -1010,3 +1010,52 @@ SPECS = (
         tags=("T11", "streaming", "agg", "scale"),
     ),
 )
+
+
+def q_stream_markov(spark, sf_dir):
+    """Markov transition matrix through the STREAMING engine: per-user
+    transitions extracted by a cross-batch stateful operator
+    (streaming/stateful.transitions_stream — one (last_type, ts, id) triple
+    of GroupState per user so pairs straddling micro-batch boundaries are
+    not lost), then counted and normalized at read time. Batch twin /
+    oracle: e_markov_transitions' lead()-window form VERBATIM — the green
+    row proves the one-batch-at-a-time state walk reproduces the
+    all-history window exactly on an ordered replay."""
+    src = _ordered_events_source(
+        spark, sf_dir, ["user_id", "event_type", "ts", "event_id"]
+    )
+    schema = spark.read.parquet(src).schema
+    stream = files.stream_parquet(spark, src, schema, files_per_trigger=1)
+    trans = sstate.transitions_stream(stream, key="user_id")
+    tmp = tempfile.mkdtemp(prefix="streamq_markov_")
+    out_dir = os.path.join(tmp, "out")
+    ck = os.path.join(tmp, "ck")
+    q = (
+        trans.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    pairs = spark.read.parquet(out_dir)
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    tot = counts.groupBy("from_type").agg(F.sum("n_trans").alias("tot"))
+    return counts.join(F.broadcast(tot), "from_type").select(
+        "from_type", "to_type", "n_trans",
+        (F.expr("(n_trans * 10000) div tot") / 1e4).alias("prob"),
+    )
+
+
+from .analytics import ORACLE_MARKOV  # noqa: E402
+
+SPECS = SPECS + (
+    QuerySpec(
+        "s_stream_markov", q_stream_markov, ORACLE_MARKOV,
+        doc="cross-batch stateful transition extraction == batch lead() window",
+        tags=("T2", "T11", "streaming", "mining"),
+    ),
+)

@@ -190,3 +190,59 @@ def ttl_latest_stream(
     return df.groupBy(key).applyInPandasWithState(
         fn, out_schema, _TTL_STATE, "append", GroupStateTimeout.ProcessingTimeTimeout
     )
+
+
+_TRANS_STATE = T.StructType(
+    [
+        T.StructField("last_type", T.StringType()),
+        T.StructField("last_ts", T.DoubleType()),
+        T.StructField("last_eid", T.LongType()),
+    ]
+)
+
+
+def transitions_stream(df: DataFrame, key: str = "user_id") -> DataFrame:
+    """Per-key event-transition extraction with CROSS-BATCH state: emits one
+    (from_type, to_type) row per consecutive event pair in a user's stream,
+    carrying the last event of every user in GroupState so pairs that
+    straddle a micro-batch boundary are not lost — the stateful half of the
+    Markov transition matrix (e_markov_transitions is the batch twin; the
+    lead() window sees all history at once, this sees it one batch at a
+    time and must remember one row per key).
+
+    In-batch rows are ordered by (ts, event_id) — the same deterministic
+    order as the batch oracle — so with a time-ordered replay source the
+    streamed pair multiset equals the batch lead() pairs exactly. State is
+    exactly one (type, ts, id) triple per user: O(keys), watermark-free.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("from_type", T.StringType()),
+            T.StructField("to_type", T.StringType()),
+        ]
+    )
+
+    def fn(
+        key_tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last_type, last_ts, last_eid = (
+            state.get if state.exists else (None, None, None)
+        )
+        frm, to = [], []
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, row in pdf.iterrows():
+                cur = row["event_type"]
+                if last_type is not None:
+                    frm.append(last_type)
+                    to.append(cur)
+                last_type = cur
+                last_ts = row["ts"].timestamp()
+                last_eid = int(row["event_id"])
+        if last_type is not None:
+            state.update((last_type, last_ts, last_eid))
+        yield pd.DataFrame({"from_type": frm, "to_type": to})
+
+    return df.groupBy(key).applyInPandasWithState(
+        fn, out_schema, _TRANS_STATE, "append", GroupStateTimeout.NoTimeout
+    )
