@@ -1059,3 +1059,48 @@ SPECS = SPECS + (
         tags=("T2", "T11", "streaming", "mining"),
     ),
 )
+
+
+def q_stream_pit_features(spark, sf_dir):
+    """Point-in-time trailing-24h features through the STREAMING engine
+    (streaming/stateful.trailing_features_stream): per-user sliding-buffer
+    GroupState pruned as event time advances, emitting each purchase's
+    leakage-free trailing count/value online. Oracle: e_pit_features'
+    batch RANGE-frame form VERBATIM."""
+    src = _ordered_events_source(
+        spark, sf_dir, ["user_id", "event_id", "event_type", "ts", "value"]
+    )
+    schema = spark.read.parquet(src).schema
+    stream = files.stream_parquet(spark, src, schema, files_per_trigger=1).select(
+        "user_id", "event_id", "event_type",
+        F.floor(F.col("ts").cast("double")).cast("long").alias("epoch"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    feats = sstate.trailing_features_stream(stream, key="user_id")
+    tmp = tempfile.mkdtemp(prefix="streamq_pit_")
+    out_dir = os.path.join(tmp, "out")
+    ck = os.path.join(tmp, "ck")
+    q = (
+        feats.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "event_id", "user_id", "trail_cnt",
+        (F.col("trail_cents") / 100.0).alias("trail_value"),
+    )
+
+
+from .analytics import ORACLE_PIT_FEATURES  # noqa: E402
+
+SPECS = SPECS + (
+    QuerySpec(
+        "s_stream_pit_features", q_stream_pit_features, ORACLE_PIT_FEATURES,
+        doc="online PIT features: pruned sliding-buffer state == batch RANGE frame",
+        tags=("T2", "T11", "streaming", "feature"),
+    ),
+)

@@ -246,3 +246,77 @@ def transitions_stream(df: DataFrame, key: str = "user_id") -> DataFrame:
     return df.groupBy(key).applyInPandasWithState(
         fn, out_schema, _TRANS_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+_PIT_STATE = T.StructType(
+    [
+        T.StructField("ts_buf", T.ArrayType(T.LongType())),
+        T.StructField("cents_buf", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def trailing_features_stream(
+    df: DataFrame,
+    key: str = "user_id",
+    horizon_s: int = 86400,
+    emit_type: str = "purchase",
+) -> DataFrame:
+    """Point-in-time trailing features through streaming state: for every
+    ``emit_type`` event, the count and cents-sum of the user's STRICTLY
+    EARLIER events within the trailing horizon — the online-serving form of
+    e_pit_features' batch RANGE frame (its oracle verifies this op
+    verbatim on an ordered replay).
+
+    State per key is the sliding buffer itself: (epoch, cents) pairs inside
+    the horizon, PRUNED as event time advances — the honest bound of any
+    sliding aggregation (Flink's over-window state is the same shape), so
+    state is O(events per user per horizon), never whole history.
+    Same-second peers are excluded exactly like the batch frame's
+    ``RANGE … 1 PRECEDING`` (frame compares epoch seconds, not arrival).
+
+    Input must carry integer ``epoch`` and ``cents`` columns (pre-computed
+    JVM-side); rows are walked in (epoch, event_id) order — the oracle's
+    deterministic order.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField(key, T.LongType()),
+            T.StructField("trail_cnt", T.LongType()),
+            T.StructField("trail_cents", T.LongType()),
+        ]
+    )
+
+    def fn(
+        key_tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (kv,) = key_tuple
+        ts_buf, cents_buf = (
+            (list(state.get[0]), list(state.get[1])) if state.exists else ([], [])
+        )
+        eids, cnts, sums = [], [], []
+        for pdf in batches:
+            pdf = pdf.sort_values(["epoch", "event_id"])
+            for _, row in pdf.iterrows():
+                ep = int(row["epoch"])
+                lo = ep - horizon_s
+                while ts_buf and ts_buf[0] < lo:
+                    ts_buf.pop(0)
+                    cents_buf.pop(0)
+                if row["event_type"] == emit_type:
+                    n = sum(1 for t in ts_buf if t <= ep - 1)
+                    s = sum(c for t, c in zip(ts_buf, cents_buf) if t <= ep - 1)
+                    eids.append(int(row["event_id"]))
+                    cnts.append(n)
+                    sums.append(s)
+                ts_buf.append(ep)
+                cents_buf.append(int(row["cents"]))
+        state.update((ts_buf, cents_buf))
+        yield pd.DataFrame(
+            {"event_id": eids, key: kv, "trail_cnt": cnts, "trail_cents": sums}
+        )
+
+    return df.groupBy(key).applyInPandasWithState(
+        fn, out_schema, _PIT_STATE, "append", GroupStateTimeout.NoTimeout
+    )
