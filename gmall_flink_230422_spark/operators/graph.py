@@ -56,6 +56,7 @@ def pagerank(
     damping_num: int = 85,
     damping_den: int = 100,
     base_micro: int = 150_000,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Integer-grid PageRank: (node, rank_micro) after ``iterations`` steps.
 
@@ -64,6 +65,12 @@ def pagerank(
     at 1.0 (1_000_000 micro) per node; one hash-aggregate shuffle per
     iteration; all arithmetic is BIGINT so results are order-independent
     and bit-identical across engines (see module docstring).
+
+    With ``seeds`` (a 1-column frame of ``node_col`` values) this becomes
+    PERSONALIZED PageRank: initial mass and the restart term live only on
+    the seed set, so rank measures proximity to the seeds (the
+    recommendation / related-entity signal) instead of global authority.
+    The seed table rides as a broadcast flag join — same shuffle count.
     """
     # nodes and the (src, dst, odeg) edge frame are static across iterations
     # but referenced by every one — cache them, or each iteration re-runs
@@ -76,7 +83,19 @@ def pagerank(
     )
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
     ed = edges.join(out_deg, "src").cache()
-    ranks = nodes.select(node_col, F.lit(1_000_000).cast("bigint").alias("rank_micro"))
+    if seeds is not None:
+        seed_flag = seeds.select(node_col).distinct().withColumn("_seed", F.lit(1))
+        nodes = (
+            nodes.join(F.broadcast(seed_flag), node_col, "left")
+            .select(node_col, F.coalesce("_seed", F.lit(0)).alias("_seed"))
+            .cache()
+        )
+    else:
+        nodes = nodes.withColumn("_seed", F.lit(1))
+    ranks = nodes.select(
+        node_col, (F.lit(1_000_000) * F.col("_seed")).cast("bigint").alias("rank_micro")
+    )
+    base_term = F.lit(base_micro) * F.col("_seed")
     for _ in range(iterations):
         contribs = (
             ed.join(ranks.withColumnRenamed(node_col, "src"), "src")
@@ -90,7 +109,7 @@ def pagerank(
         ranks = nodes.join(contribs, node_col, "left").select(
             node_col,
             (
-                F.lit(base_micro)
+                base_term
                 + F.expr(f"({damping_num} * coalesce(s, 0L)) div {damping_den}")
             ).cast("bigint").alias("rank_micro"),
         )
@@ -103,16 +122,30 @@ def pagerank_oracle_sql(
     damping_num: int = 85,
     damping_den: int = 100,
     base_micro: int = 150_000,
+    seeded: bool = False,
 ) -> str:
     """DuckDB oracle for :func:`pagerank` — the identical integer-grid
     iterations unrolled as CTEs. ``edges_cte`` must define ``edges(src,
-    dst)`` (already distinct)."""
+    dst)`` (already distinct); with ``seeded`` it must also define
+    ``seeds(node)``, and the init/restart mass lives only on the seeds
+    (personalized PageRank)."""
+    if seeded:
+        nodes_cte = (
+            "nodes AS (SELECT n.node, CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS _seed"
+            " FROM (SELECT DISTINCT src AS node FROM edges"
+            " UNION SELECT DISTINCT dst FROM edges) n"
+            " LEFT JOIN (SELECT DISTINCT node FROM seeds) s USING (node))"
+        )
+    else:
+        nodes_cte = (
+            "nodes AS (SELECT node, 1 AS _seed FROM (SELECT DISTINCT src AS node"
+            " FROM edges UNION SELECT DISTINCT dst FROM edges))"
+        )
     blocks = [
         edges_cte,
-        "nodes AS (SELECT DISTINCT src AS node FROM edges"
-        " UNION SELECT DISTINCT dst FROM edges)",
+        nodes_cte,
         "outdeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY 1)",
-        "r0 AS (SELECT node, 1000000::BIGINT AS rank_micro FROM nodes)",
+        "r0 AS (SELECT node, (1000000 * _seed)::BIGINT AS rank_micro FROM nodes)",
     ]
     for i in range(1, iterations + 1):
         blocks.append(
@@ -127,7 +160,7 @@ def pagerank_oracle_sql(
         blocks.append(
             f"""r{i} AS (
   SELECT n.node,
-         ({base_micro} + ({damping_num} * coalesce(c.s, 0)) // {damping_den})::BIGINT AS rank_micro
+         ({base_micro} * n._seed + ({damping_num} * coalesce(c.s, 0)) // {damping_den})::BIGINT AS rank_micro
   FROM nodes n LEFT JOIN c{i} c USING (node)
 )"""
         )

@@ -88,3 +88,36 @@ SPECS = [
               doc="trade-graph degree histogram by node class — iterative-algorithm skew gauge",
               tags=("llm", "graph", "stats")),
 ]
+
+
+def q_ppr(spark, sf_dir):
+    """Personalized PageRank from nation-1 customers: restart mass lives
+    only on the seed set, so rank measures trade-graph PROXIMITY to those
+    customers (the related-supplier / recommendation signal) rather than
+    global authority. Non-zero ranks only — at scale the reachable
+    frontier, not the node universe. Same one-shuffle-per-iteration shape
+    and bit-exact unrolled-CTE oracle as x_pagerank."""
+    from ..io import load_table as _lt
+
+    edges = _trade_edges(spark, sf_dir).cache()
+    cust = _lt(spark, sf_dir, "customer")
+    seeds = cust.filter(F.col("c_nationkey") == 1).select(
+        F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias("node")
+    )
+    r = graph.pagerank(edges, iterations=3, seeds=seeds)
+    return r.filter(F.col("rank_micro") > 0)
+
+
+_PPR_CTE = _EDGES_CTE + """,
+seeds AS (
+  SELECT 'c:' || c_custkey::VARCHAR AS node FROM customer WHERE c_nationkey = 1
+)"""
+
+ORACLE_PPR = graph.pagerank_oracle_sql(_PPR_CTE, iterations=3, seeded=True) + \
+    "\nWHERE rank_micro > 0"
+
+SPECS.append(
+    QuerySpec("x_ppr", q_ppr, ORACLE_PPR,
+              doc="personalized PageRank from nation-1 customers — trade-graph proximity signal",
+              tags=("llm", "graph", "scale"))
+)
