@@ -57,6 +57,7 @@ def pagerank(
     damping_den: int = 100,
     base_micro: int = 150_000,
     seeds: DataFrame | None = None,
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """Integer-grid PageRank: (node, rank_micro) after ``iterations`` steps.
 
@@ -71,32 +72,42 @@ def pagerank(
     the seed set, so rank measures proximity to the seeds (the
     recommendation / related-entity signal) instead of global authority.
     The seed table rides as a broadcast flag join — same shuffle count.
+    The node universe is edge endpoints UNION seeds (ADVICE r3: an
+    isolated seed — no edges at all — still carries its restart mass and
+    appears in the output at rank base_micro, instead of being silently
+    dropped). The oracle builds the same union.
+
+    ``checkpoint_every=N`` truncates the lineage every N iterations with
+    an eager localCheckpoint — without it, a 100-iteration run re-analyzes
+    a plan that grows linearly per iteration (and would overflow the
+    planner long before the data hurts). The default (None) is right for
+    the registry's fixed 3 iterations; set it (e.g. 10) for long runs.
     """
     # nodes and the (src, dst, odeg) edge frame are static across iterations
     # but referenced by every one — cache them, or each iteration re-runs
     # the node distinct and the degree join (measured 3× slower at sf0.1)
-    nodes = (
-        edges.select(F.col("src").alias(node_col))
-        .union(edges.select(F.col("dst").alias(node_col)))
-        .distinct()
-        .cache()
+    edge_nodes = edges.select(F.col("src").alias(node_col)).union(
+        edges.select(F.col("dst").alias(node_col))
     )
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
-    ed = edges.join(out_deg, "src").cache()
     if seeds is not None:
-        seed_flag = seeds.select(node_col).distinct().withColumn("_seed", F.lit(1))
+        seed_nodes = seeds.select(node_col).distinct()
+        seed_flag = seed_nodes.withColumn("_seed", F.lit(1))
         nodes = (
-            nodes.join(F.broadcast(seed_flag), node_col, "left")
+            edge_nodes.union(seed_nodes)
+            .distinct()
+            .join(F.broadcast(seed_flag), node_col, "left")
             .select(node_col, F.coalesce("_seed", F.lit(0)).alias("_seed"))
             .cache()
         )
     else:
-        nodes = nodes.withColumn("_seed", F.lit(1))
+        nodes = edge_nodes.distinct().withColumn("_seed", F.lit(1)).cache()
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
+    ed = edges.join(out_deg, "src").cache()
     ranks = nodes.select(
         node_col, (F.lit(1_000_000) * F.col("_seed")).cast("bigint").alias("rank_micro")
     )
     base_term = F.lit(base_micro) * F.col("_seed")
-    for _ in range(iterations):
+    for i in range(iterations):
         contribs = (
             ed.join(ranks.withColumnRenamed(node_col, "src"), "src")
             .select(
@@ -113,6 +124,8 @@ def pagerank(
                 + F.expr(f"({damping_num} * coalesce(s, 0L)) div {damping_den}")
             ).cast("bigint").alias("rank_micro"),
         )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
@@ -130,10 +143,13 @@ def pagerank_oracle_sql(
     ``seeds(node)``, and the init/restart mass lives only on the seeds
     (personalized PageRank)."""
     if seeded:
+        # node universe includes isolated seeds (UNION seeds) — mirrors
+        # pagerank()'s ADVICE-r3 fix exactly
         nodes_cte = (
             "nodes AS (SELECT n.node, CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS _seed"
             " FROM (SELECT DISTINCT src AS node FROM edges"
-            " UNION SELECT DISTINCT dst FROM edges) n"
+            " UNION SELECT DISTINCT dst FROM edges"
+            " UNION SELECT DISTINCT node FROM seeds) n"
             " LEFT JOIN (SELECT DISTINCT node FROM seeds) s USING (node))"
         )
     else:

@@ -286,17 +286,26 @@ def conjunctive_topdf_query(docs: DataFrame, ranks: tuple[int, ...] = (2, 3),
 
     The picked-term table is a ≤|ranks|-row broadcast; the intersection is
     one semi-ish equi-join plus a per-doc count — the AND of posting lists
-    without ever materializing them. The df-rank window runs over the term
-    VOCABULARY (bounded, Heaps-law sublinear in corpus size), not over rows.
+    without ever materializing them. The df-rank is a distributed
+    TakeOrderedAndProject of the top-``max(ranks)`` terms (r4: replaces
+    the global row_number window over the whole vocabulary, whose Sort
+    was a single-partition exchange — the one the r3 audit flagged);
+    ranks within that ≤max(ranks)-row cached frame come from a broadcast
+    ordering self-join, not a window.
     """
-    from pyspark.sql import Window
-
     toks = whitespace_tokens(normalize_text(F.col(text_col)))
     dt = docs.select(F.col(id_col), F.explode(toks).alias("term")).distinct()
     dfs = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.orderBy(F.col("df").desc(), "term")
+    top = dfs.orderBy(F.col("df").desc(), "term").limit(max(ranks)).cache()
+    t2 = top.select(F.col("df").alias("df2"), F.col("term").alias("term2"))
     pick = (
-        dfs.select("term", F.row_number().over(w).alias("rk"))
+        top.join(
+            F.broadcast(t2),
+            (F.col("df2") > F.col("df"))
+            | ((F.col("df2") == F.col("df")) & (F.col("term2") <= F.col("term"))),
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("rk"))
         .filter(F.col("rk").isin(*ranks))
         .select("term")
     )

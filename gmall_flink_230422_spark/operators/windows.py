@@ -213,3 +213,58 @@ def one_hot_branches(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cum",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Distributed prefix (cumulative) sum over a global ordering — the
+    scale-safe replacement for ``Window.orderBy(...)`` running sums, which
+    compile to an Exchange SinglePartition + global Sort (the round-3 plan
+    audit's one real violation class).
+
+    Three declarative stages, no driver collect:
+      1. range-partition by the order key (``repartitionByRange`` — the
+         RangePartitioner assigns contiguous key ranges to ascending
+         partition ids, so partition id IS the coarse position);
+      2. per-partition totals (``num_partitions`` rows, bounded by CONFIG
+         not data) self-joined with a ``pid2 < pid`` broadcast non-equi
+         join to produce each partition's prefix offset;
+      3. a KEYED window (partitionBy the partition id) for the
+         within-partition running sum, plus the broadcast offset.
+
+    The input is cached: it is consumed by both the totals aggregate and
+    the final window, and this helper is meant for SMALL derived frames
+    (value histograms, vocabularies, day grids — the playbook's "cache
+    derived small frames, never the corpus" rule). Rows with equal order
+    keys land in one partition (RangePartitioner invariant), so ties are
+    ordered exactly as the keyed window orders them.
+    """
+    from pyspark.sql import Window
+
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .cache()
+    )
+    ptot = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_ptot"))
+    p2 = ptot.select(F.col("_pid").alias("_pid2"), F.col("_ptot").alias("_ptot2"))
+    offs = (
+        ptot.join(F.broadcast(p2), F.col("_pid2") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_ptot2"), F.lit(0)).alias("_off"))
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.join(F.broadcast(offs), "_pid")
+        .withColumn(out_col, F.sum(value_col).over(w) + F.col("_off"))
+        .drop("_pid", "_off")
+    )

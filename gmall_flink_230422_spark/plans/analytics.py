@@ -1260,26 +1260,41 @@ def q_rolling_window(spark, sf_dir):
     """Time-RANGE window frame: 7-day rolling order revenue per day — the
     range-interval frame (`RANGE BETWEEN INTERVAL 6 DAYS PRECEDING`)
     rows-based frames can't express over a sparse day grid. Pre-aggregate
-    to the day grid first (the 100 TB discipline: the window runs over
-    ~days rows, not raw orders), then one rangeBetween window on the epoch
-    axis. The window is deliberately unpartitioned — the frame needs the
-    global day axis — but its input is the calendar grid (rows grow with
-    TIME, not data volume; ~365/year at any SF), so the single-partition
-    sort is bounded, unlike a global window over a data-sized key (the
-    q15 anti-pattern this repo removed). Roll sums re-round to the money
-    grid."""
+    to the day grid first (the 100 TB discipline: the rolling pass runs
+    over ~days rows, not raw orders), then — r4, replacing the
+    unpartitioned rangeBetween window the r3 audit flagged — EXPLODE each
+    day's contribution to the 6 following target days and hash-aggregate
+    by target day: every stage is a keyed shuffle, no global sort, and
+    the 7x expansion is of the tiny cached day grid. The rolling sum runs
+    on the integer cent grid (playbook: integer-grid arithmetic for
+    anything whose float summation order would otherwise differ between
+    engines); the true sum is ON the money grid, so the final round(,2)
+    agrees with the oracle's float window sum."""
     o = load_table(spark, sf_dir, "orders")
     daily = (
         o.groupBy(F.to_date("o_orderdate").alias("dt"))
         .agg(F.round(F.sum("o_totalprice"), 2).alias("day_rev"))
         .withColumn("epoch_d", F.unix_date("dt"))
+        .withColumn("day_cents", F.round(F.col("day_rev") * 100).cast("bigint"))
+        .cache()
     )
-    w = Window.orderBy("epoch_d").rangeBetween(-6, 0)
-    return daily.select(
+    contrib = daily.select(
+        F.explode(
+            F.sequence(F.col("epoch_d"), F.col("epoch_d") + F.lit(6))
+        ).alias("tgt"),
+        "day_cents",
+    )
+    rolled = contrib.groupBy("tgt").agg(
+        F.sum("day_cents").alias("roll_cents"),
+        F.count(F.lit(1)).alias("days_in_frame"),
+    )
+    return daily.join(
+        F.broadcast(rolled), F.col("epoch_d") == F.col("tgt")
+    ).select(
         F.date_format("dt", "yyyy-MM-dd").alias("dt"),
         "day_rev",
-        F.round(F.sum("day_rev").over(w), 2).alias("rolling_7d_rev"),
-        F.count(F.lit(1)).over(w).alias("days_in_frame"),
+        F.round(F.col("roll_cents") / 100.0, 2).alias("rolling_7d_rev"),
+        "days_in_frame",
     )
 
 
@@ -1925,6 +1940,13 @@ def q_mad_outliers(spark, sf_dir):
     cumulative count doubles past n) — the same bounded-axis shape as
     e_winsorize, twice. Thresholds broadcast back for the flag count; all
     arithmetic integer cents.
+
+    The per-type med/mad frames are CACHED (r4, the r3 verdict's named
+    fix): med feeds dev, mad, AND flagged — uncached, the same
+    scan->histogram->window->agg chain compiled three times (17 shuffles,
+    the registry's worst; three full fact scans at 100 TB where one
+    suffices per pass). Cached, the plan is the inherent three passes:
+    med histogram, deviation histogram, flag count.
     """
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
@@ -1945,12 +1967,14 @@ def q_mad_outliers(spark, sf_dir):
             .agg(F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("v"))).alias("med"))
         )
 
-    med = _nearest_rank_median(ev.select("event_type", F.col("cents").alias("v")), "event_type")
+    med = _nearest_rank_median(
+        ev.select("event_type", F.col("cents").alias("v")), "event_type"
+    ).cache()
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type", "cents", F.abs(F.col("cents") - F.col("med")).alias("v")
     )
     mad = _nearest_rank_median(dev.select("event_type", "v"), "event_type") \
-        .withColumnRenamed("med", "mad")
+        .withColumnRenamed("med", "mad").cache()
     flagged = (
         ev.join(F.broadcast(med), "event_type")
         .join(F.broadcast(mad), "event_type")

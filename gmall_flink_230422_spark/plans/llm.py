@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from ..functions import tokenize
 from ..io import ensure_parallelism, load_table
 from ..operators import dedup, similarity, text
+from ..operators.windows import distributed_cumsum
 from . import QuerySpec
 
 
@@ -2763,16 +2764,17 @@ def q_ccnet_bucket(spark, sf_dir):
     tail terciles by bigram-LM surprisal (the published CCNet pipeline keeps
     'head', samples 'middle', drops 'tail'). Tercile thresholds come from a
     VALUE HISTOGRAM of the 1e-4-grid scores (bounded distinct values — the
-    cumulative window never sees raw rows), then broadcast back for the
-    bucket tag. Per-bucket count + score range, all grid-exact."""
+    cumulative sum never sees raw rows), then broadcast back for the
+    bucket tag. Per-bucket count + score range, all grid-exact. The
+    cumulative sum is the r4 distributed_cumsum (range-partition + keyed
+    window + broadcast prefix offsets) — no single-partition exchange,
+    unlike the unpartitioned Window.orderBy the r3 audit flagged."""
     scores = text.lm_surprisal_score(_docs_par(spark, sf_dir)).select(
         "doc_id", "avg_surprisal"
     )
     hist = scores.groupBy("avg_surprisal").agg(F.count(F.lit(1)).alias("cnt"))
-    from pyspark.sql import Window as _W
-    wcum = _W.orderBy("avg_surprisal").rowsBetween(_W.unboundedPreceding, _W.currentRow)
-    cum = hist.select("avg_surprisal", "cnt", F.sum("cnt").over(wcum).alias("cum"))
-    tot = hist.agg(F.sum("cnt").alias("n"))
+    cum = distributed_cumsum(hist, ["avg_surprisal"], "cnt", "cum")
+    tot = cum.agg(F.sum("cnt").alias("n"))
     thr = cum.join(F.broadcast(tot)).agg(
         F.min(F.when(F.col("cum") * 3 >= F.col("n"), F.col("avg_surprisal"))).alias("t1"),
         F.min(F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("avg_surprisal"))).alias("t2"),
@@ -2927,7 +2929,15 @@ def q_weighted_sample(spark, sf_dir):
     hash and races with key −ln(u)/weight (weight = n_chars); the 20
     smallest keys win. One ln per row over identical doubles in both
     engines, then pure integer floor/divide — and the top-k compiles to
-    TakeOrdered, never a global sort."""
+    TakeOrdered, never a global sort.
+
+    Parity note (ADVICE r3): this is the one registry query whose
+    cross-engine parity is not pure integer arithmetic — it assumes JVM
+    Math.log and DuckDB ln agree after floor(-ln(u)*1e8). Since u lives
+    on the fixed 1e6-point grid, the assumption is PINNED by
+    tests/test_properties.py::test_weighted_sample_ln_floor_parity, which
+    enumerates every grid point near a floor boundary and asserts both
+    engines floor identically there."""
     d = load_table(spark, sf_dir, "documents")
     h = portable_hash64(F.concat(F.lit("ws:"), F.col("doc_id").cast("string")))
     u = ((h % 1_000_000) + 1) / F.lit(1_000_001.0)
@@ -3290,10 +3300,13 @@ def q_select_pipeline(spark, sf_dir):
     # CCNet t2 (head+middle boundary) over stage-2 survivors with a score
     surv = flags.filter(F.col("k2") & F.col("avg_surprisal").isNotNull())
     hist = surv.groupBy("avg_surprisal").agg(F.count(F.lit(1)).alias("cnt"))
+    # r4: distributed prefix sum over the (bounded) score histogram —
+    # replaces the unpartitioned Window.orderBy cum-sum the r3 audit
+    # flagged; the cached frame inside the helper is the tiny histogram,
+    # not the corpus, so the no-corpus-cache A/B above still holds.
     from pyspark.sql import Window as _W
-    wcum = _W.orderBy("avg_surprisal").rowsBetween(_W.unboundedPreceding, _W.currentRow)
-    cum = hist.select("avg_surprisal", "cnt", F.sum("cnt").over(wcum).alias("cum"))
-    tot = hist.agg(F.sum("cnt").alias("n"))
+    cum = distributed_cumsum(hist, ["avg_surprisal"], "cnt", "cum")
+    tot = cum.agg(F.sum("cnt").alias("n"))
     thr = cum.join(F.broadcast(tot)).agg(
         F.min(F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("avg_surprisal"))).alias("t2")
     )

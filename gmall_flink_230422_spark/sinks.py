@@ -195,7 +195,15 @@ def snapshot_write(df: DataFrame, table_dir: str) -> int:
     Iceberg/Delta commit protocol reduced to its load-bearing move (data
     first, single-file pointer swap last, so readers either see the old
     version or the new one, never a partial write). Returns the new
-    version number."""
+    version number.
+
+    Concurrency (ADVICE r3): the version number is CLAIMED atomically —
+    ``os.mkdir(v=N)`` either creates the directory or raises
+    FileExistsError, in which case the writer retries with N+1 — so two
+    concurrent writers can never both land in the same ``v=N`` and
+    silently clobber one commit. Last pointer swap still wins the
+    ``_latest`` race, which is the Iceberg/Delta last-committer-wins
+    semantic, but both versions' data survive."""
     import json
     import os
 
@@ -206,6 +214,12 @@ def snapshot_write(df: DataFrame, table_dir: str) -> int:
         if d.startswith("v=") and d.split("=", 1)[1].isdigit()
     ]
     v = max(versions, default=0) + 1
+    while True:
+        try:
+            os.mkdir(os.path.join(table_dir, f"v={v}"))
+            break
+        except FileExistsError:
+            v += 1
     df.write.mode("overwrite").parquet(os.path.join(table_dir, f"v={v}"))
     tmp = os.path.join(table_dir, f"_latest.tmp.{v}")
     with open(tmp, "w") as fh:

@@ -214,6 +214,13 @@ def transitions_stream(df: DataFrame, key: str = "user_id") -> DataFrame:
     order as the batch oracle — so with a time-ordered replay source the
     streamed pair multiset equals the batch lead() pairs exactly. State is
     exactly one (type, ts, id) triple per user: O(keys), watermark-free.
+
+    Out-of-order protection (ADVICE r3: the stored (ts, eid) used to be
+    dead fields): a row whose (ts, event_id) is <= the state's committed
+    last pair arrived LATE relative to already-emitted transitions and is
+    DROPPED — emitting it would fabricate a backwards transition the
+    batch lead() window never produces. On an ordered replay the guard
+    never fires, so batch parity is unchanged.
     """
     out_schema = T.StructType(
         [
@@ -231,14 +238,21 @@ def transitions_stream(df: DataFrame, key: str = "user_id") -> DataFrame:
         frm, to = [], []
         for pdf in batches:
             pdf = pdf.sort_values(["ts", "event_id"])
-            for _, row in pdf.iterrows():
-                cur = row["event_type"]
+            for row in pdf.itertuples(index=False):
+                cur_ts = row.ts.timestamp()
+                cur_eid = int(row.event_id)
+                if last_ts is not None and (cur_ts, cur_eid) <= (
+                    last_ts,
+                    last_eid,
+                ):
+                    continue  # late arrival vs committed state: drop
+                cur = row.event_type
                 if last_type is not None:
                     frm.append(last_type)
                     to.append(cur)
                 last_type = cur
-                last_ts = row["ts"].timestamp()
-                last_eid = int(row["event_id"])
+                last_ts = cur_ts
+                last_eid = cur_eid
         if last_type is not None:
             state.update((last_type, last_ts, last_eid))
         yield pd.DataFrame({"from_type": frm, "to_type": to})
@@ -291,28 +305,52 @@ def trailing_features_stream(
     def fn(
         key_tuple, batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        # O(1) amortized per row (ADVICE r3: the old list.pop(0) +
+        # full-buffer comprehension per emit was quadratic per key per
+        # batch): a deque with running (count, cents) totals, plus a
+        # trailing same-second subtotal so the STRICTLY-EARLIER frame
+        # (t <= ep-1) is total minus current-second — initialized from
+        # restored state so same-second pairs straddling a batch boundary
+        # stay excluded exactly like the batch RANGE frame.
+        from collections import deque
+
         (kv,) = key_tuple
-        ts_buf, cents_buf = (
-            (list(state.get[0]), list(state.get[1])) if state.exists else ([], [])
+        buf: deque[tuple[int, int]] = (
+            deque(zip(state.get[0], state.get[1])) if state.exists else deque()
         )
+        buf_cnt = len(buf)
+        buf_cents = sum(c for _, c in buf)
+        sec_ts, sec_cnt, sec_cents = None, 0, 0
+        if buf:
+            sec_ts = buf[-1][0]
+            for t, c in reversed(buf):
+                if t != sec_ts:
+                    break
+                sec_cnt += 1
+                sec_cents += c
         eids, cnts, sums = [], [], []
         for pdf in batches:
             pdf = pdf.sort_values(["epoch", "event_id"])
-            for _, row in pdf.iterrows():
-                ep = int(row["epoch"])
+            for row in pdf.itertuples(index=False):
+                ep = int(row.epoch)
                 lo = ep - horizon_s
-                while ts_buf and ts_buf[0] < lo:
-                    ts_buf.pop(0)
-                    cents_buf.pop(0)
-                if row["event_type"] == emit_type:
-                    n = sum(1 for t in ts_buf if t <= ep - 1)
-                    s = sum(c for t, c in zip(ts_buf, cents_buf) if t <= ep - 1)
-                    eids.append(int(row["event_id"]))
-                    cnts.append(n)
-                    sums.append(s)
-                ts_buf.append(ep)
-                cents_buf.append(int(row["cents"]))
-        state.update((ts_buf, cents_buf))
+                while buf and buf[0][0] < lo:
+                    _, c = buf.popleft()
+                    buf_cnt -= 1
+                    buf_cents -= c
+                if sec_ts != ep:
+                    sec_ts, sec_cnt, sec_cents = ep, 0, 0
+                if row.event_type == emit_type:
+                    eids.append(int(row.event_id))
+                    cnts.append(buf_cnt - sec_cnt)
+                    sums.append(buf_cents - sec_cents)
+                c = int(row.cents)
+                buf.append((ep, c))
+                buf_cnt += 1
+                buf_cents += c
+                sec_cnt += 1
+                sec_cents += c
+        state.update(([t for t, _ in buf], [c for _, c in buf]))
         yield pd.DataFrame(
             {"event_id": eids, key: kv, "trail_cnt": cnts, "trail_cents": sums}
         )

@@ -86,3 +86,31 @@ def test_winsorize_invariants(spark):
         assert r["p05"] <= r["p95"]
         assert r["p05"] <= r["winsor_mean"] <= r["p95"]
         assert r["n_orders"] > 0
+
+
+def test_ppr_isolated_seed_keeps_restart_mass(spark):
+    """ADVICE r3: a seed with no edges must surface as an isolated node at
+    the pure restart rank (base_micro), not silently vanish from the
+    personalized PageRank output."""
+    e = graph.undirected(_edges(spark, [("a", "b")]))
+    seeds = spark.createDataFrame([("z",), ("a",)], "node string")
+    rows = {r["node"]: r["rank_micro"]
+            for r in graph.pagerank(e, iterations=3, seeds=seeds).collect()}
+    assert "z" in rows
+    assert rows["z"] == 150_000  # base term only: no in-edges, no decay
+    assert rows["a"] > rows["z"]
+
+
+def test_pagerank_checkpoint_bounds_plan_depth(spark):
+    """checkpoint_every truncates iterative lineage: at iterations=10 the
+    checkpointed plan must be MUCH shallower than the uncheckpointed one
+    (a LogicalRDD scan replaces the 8-iterations-deep join tree), and the
+    ranks must be identical."""
+    e = graph.undirected(_edges(spark, [("a", "b"), ("b", "c"), ("c", "d")]))
+    e = e.cache()
+    free = graph.pagerank(e, iterations=10)
+    ckpt = graph.pagerank(e, iterations=10, checkpoint_every=3)
+    depth_free = free._jdf.queryExecution().analyzed().treeString().count("\n")
+    depth_ckpt = ckpt._jdf.queryExecution().analyzed().treeString().count("\n")
+    assert depth_ckpt < depth_free / 2
+    assert sorted(map(tuple, ckpt.collect())) == sorted(map(tuple, free.collect()))

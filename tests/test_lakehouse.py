@@ -49,3 +49,22 @@ def test_snapshot_versioning_and_time_travel(spark, tmp_path):
 
     os.makedirs(os.path.join(table, "v=3"))
     assert snapshot_read(spark, table).count() == 8
+
+
+def test_snapshot_version_claim_skips_existing_dir(spark, tmp_path):
+    """ADVICE r3: the version number is claimed with an atomic os.mkdir —
+    a concurrently-claimed (but not yet committed) v=N dir must push this
+    writer to N+1 instead of overwriting the other writer's data."""
+    import os
+
+    table = str(tmp_path / "tbl")
+    v1 = snapshot_write(spark.range(0, 3), table)
+    assert v1 == 1
+    # another writer has claimed v=2 but not committed yet
+    os.mkdir(os.path.join(table, "v=2"))
+    v3 = snapshot_write(spark.range(0, 7), table)
+    assert v3 == 3
+    assert snapshot_read(spark, table).count() == 7
+    # the claimed-but-uncommitted v=2 is untouched and invisible to readers
+    assert os.listdir(os.path.join(table, "v=2")) == []
+    assert snapshot_read(spark, table, version=1).count() == 3

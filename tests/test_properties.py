@@ -319,3 +319,45 @@ def test_winsorize_thresholds_match_nearest_rank(spark, vals):
         assert r["p05"] == lo / 100.0
         assert r["p95"] == hi / 100.0
         assert r["p05"] <= r["winsor_mean"] <= r["p95"]
+
+
+def test_weighted_sample_ln_floor_parity(spark):
+    """ADVICE r3 pin: x_weighted_sample's oracle parity rests on
+    floor(-ln(u)*1e8) agreeing between JVM Math.log (Spark) and libm ln
+    (DuckDB) — neither guaranteed correctly rounded. u lives on the fixed
+    (m+1)/1000001 grid, m in [0, 1e6), so the ONLY places a sub-ulp ln
+    difference could flip the floor are grid points where -ln(u)*1e8 sits
+    within ~5e-7 (the double error budget at 1e9 magnitude) of an integer.
+    Enumerate every point within 1e-5 of a boundary — a 20x safety margin —
+    and assert both engines produce identical floors on exactly those."""
+    import math
+
+    import duckdb
+
+    danger = []
+    for m in range(1_000_000):
+        x = -math.log((m + 1) / 1_000_001.0) * 1e8
+        fr = x - math.floor(x)
+        if fr < 1e-5 or fr > 1 - 1e-5:
+            danger.append(m)
+    assert danger, "u grid unexpectedly has no near-boundary points"
+
+    sdf = spark.createDataFrame([(m,) for m in danger], "m bigint")
+    spark_floors = {
+        r["m"]: r["f"]
+        for r in sdf.select(
+            "m",
+            F.floor(-F.log((F.col("m") + 1) / F.lit(1_000_001.0)) * 1e8)
+            .cast("bigint")
+            .alias("f"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    duck_floors = dict(
+        con.execute(
+            "SELECT m, floor(-ln((m + 1) / 1000001.0) * 1e8)::BIGINT"
+            " FROM (SELECT unnest(?::BIGINT[]) AS m)",
+            [danger],
+        ).fetchall()
+    )
+    assert spark_floors == duck_floors

@@ -62,3 +62,43 @@ def test_ttl_state_expires_on_wall_clock(spark, tmp_path):
         assert ("A", "2", "updated") in got
     finally:
         q.stop()
+
+
+def test_transitions_stream_drops_late_rows(spark, tmp_path):
+    """ADVICE r3: transitions_stream's stored (last_ts, last_eid) must
+    actually protect against out-of-order arrivals — a batch-2 row OLDER
+    than the committed state is dropped, not emitted as a fabricated
+    backwards transition."""
+    import datetime as dt
+
+    from gmall_flink_230422_spark.streaming.stateful import transitions_stream
+
+    schema = "user_id bigint, event_type string, ts timestamp, event_id bigint"
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 10, m)
+
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "A", t(0), 1), (1, "B", t(5), 2)], schema
+    ).coalesce(1).write.parquet(str(src / "c1"))
+    time.sleep(1.1)  # distinct mtimes: c1 is its own micro-batch before c2
+    spark.createDataFrame(
+        [(1, "C", t(1), 3), (1, "D", t(10), 4)], schema
+    ).coalesce(1).write.parquet(str(src / "c2"))
+
+    stream = stream_parquet(spark, f"{src}/*", schema, files_per_trigger=1)
+    out = transitions_stream(stream, key="user_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("trans_late_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(tuple(r) for r in spark.sql("SELECT * FROM trans_late_sink").collect())
+    # late C (ts 10:01 < committed 10:05) dropped: no (B, C) / (C, D)
+    assert rows == [("A", "B"), ("B", "D")]
