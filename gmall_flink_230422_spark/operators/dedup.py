@@ -522,19 +522,31 @@ def dup_ngram_stats(
     excising the repeated spans, documents past a duplication threshold are
     dropped whole).
 
-    Scale design: one explode → one hash-aggregate on the shingle (count of
-    distinct docs per shingle, partial-agg applies) → join back on shingle →
-    per-doc aggregate. Both shuffles key on the shingle/doc id; no pairwise
-    comparison ever materializes, so this is strictly cheaper than any
-    candidate-pair stage and safe at corpus scale. Docs with fewer than k
-    tokens have no k-grams and are vacuously clean (absent), matching the
-    other shingle operators.
+    Scale design (r4 rewrite of the 4.4x SCALING outlier): one explode →
+    hash each shingle to the portable 60-bit int (8-byte shuffle keys
+    instead of ~56-byte 8-word strings) → ONE count-window partitioned by
+    the hash → per-doc aggregate. The previous agg+join shape compiled
+    the corpus-wide shingle explode TWICE (both the counts aggregate and
+    the join probe re-derived it) and, under AQE, broadcast a
+    multi-million-row counts table; the window form explodes once and
+    never builds a counts table at all (A/B at sf0.1: 1.70 s → 1.00 s
+    warm). Hash collisions are result-identical across engines because
+    the oracle counts over the SAME md5-derived hash. Docs with fewer
+    than k tokens have no k-grams and are vacuously clean (absent),
+    matching the other shingle operators.
     """
-    sh = shingles(docs, id_col, text_col, k)
-    counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_ndocs"))
+    from pyspark.sql import Window
+
+    from ..functions.hashing import portable_hash64
+
+    sh = shingles(docs, id_col, text_col, k).select(
+        F.col(id_col),
+        portable_hash64(F.concat(F.lit("dng:"), F.col("shingle"))).alias("sh64"),
+    )
+    w = Window.partitionBy("sh64")
     rate = F.floor(F.lit(1000) * F.col("n_dup") / F.col("n_shingles")).cast("bigint")
     return (
-        sh.join(counts, "shingle")
+        sh.withColumn("_ndocs", F.count(F.lit(1)).over(w))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

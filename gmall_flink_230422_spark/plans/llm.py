@@ -2203,11 +2203,16 @@ sh AS (
 
 ORACLE_DUP_NGRAM = rf"""
 WITH {_shingles8_cte()},
-cnt AS (SELECT shingle, count(*) AS ndocs FROM sh GROUP BY 1),
+shh AS (
+  SELECT doc_id,
+         (('0x' || substr(md5('dng:' || shingle), 1, 15)))::BIGINT AS sh64
+  FROM sh
+),
+cnt AS (SELECT sh64, count(*) AS ndocs FROM shh GROUP BY 1),
 per AS (
   SELECT doc_id, count(*)::BIGINT AS n_shingles,
          sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup
-  FROM sh JOIN cnt USING (shingle)
+  FROM shh JOIN cnt USING (sh64)
   GROUP BY doc_id
 )
 SELECT doc_id, n_shingles, n_dup,

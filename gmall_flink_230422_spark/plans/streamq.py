@@ -1104,3 +1104,184 @@ SPECS = SPECS + (
         tags=("T2", "T11", "streaming", "feature"),
     ),
 )
+
+
+def q_stream_order_preprocess(spark, sf_dir):
+    """The reference's HARDEST app as ONE Structured Streaming query: the
+    5-way order pre-process chain (DwdTradeOrderPreProcess.java:120-173 +
+    DwdTradeOrderDetail.java) — order_detail ⋈ order_info INNER
+    stream-stream join, LEFT-OUTER stream-stream joins to activity and
+    coupon, broadcast base_dic lookup — with per-join watermark design.
+    Batch twin / oracle: j6_dwd_order_detail VERBATIM.
+
+    Event-time axis: every CDC row lands at its ORDER's transaction
+    instant (all four tables commit inside the order transaction, Maxwell
+    binlog order), with the order_status update image +1 h later — so the
+    inner join's range is [0, 2 h] and the detail-level left joins are
+    exact-instant [0, 0]. That bounds every join's state to rate x hours
+    of event time (the honest Spark analog of the reference's
+    IdleStateRetention TTL; the synthetic l_shipdate is NOT a CDC arrival
+    axis — it ranges +-2500 days around the order date).
+
+    Watermarks: chained stream-stream joins forbid redefining a watermark
+    downstream, so each of the four leaf streams is watermarked ONCE (1 h)
+    and the chain passes watermark=None; the non-current event-time column
+    is dropped after each join (Spark requires one event-time column per
+    stream). Per-table far-future sentinels flush the left-outer
+    null-extensions at end-of-replay exactly as a continuously advancing
+    production watermark would.
+
+    Read side: the upsert-topic consumer contract (S8) — each od row keeps
+    its LATEST order_info image (keyed max-window on order_id), preserving
+    od-row multiplicity (two lineitem rows can pack to one detail id at
+    fixture SFs; a latest-BY-KEY compaction would collapse them and drop
+    rows the batch twin keeps).
+
+    State backend: RocksDB (the Spark analog of the reference's Flink
+    RocksDB state backend) — three chained joins buffer up to a replay
+    chunk's worth of rows before watermark eviction at the next batch
+    boundary, and the default in-heap HDFSBackedStateStore OOMs a 1g
+    vanilla driver at sf0.1; RocksDB keeps join state off-heap/on-disk,
+    which is also the only viable backend at production state sizes."""
+    import datetime as dt
+
+    from .dwd import _base_dic, _trade_envelope
+
+    _clamp_shuffle(spark)
+    _provider_key = "spark.sql.streaming.stateStore.providerClass"
+    _old_provider = spark.conf.get(_provider_key, None)
+    spark.conf.set(
+        _provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    env = _trade_envelope(spark, sf_dir).select("table", "type", "data", "old")
+    d = F.col("data")
+    ok = (
+        F.when(F.col("table") == "order_detail", d["order_id"])
+        .when(F.col("table") == "order_info", d["id"])
+        .otherwise(
+            (d["order_detail_id"].cast("bigint") / F.lit(8 * 4194304 * 16384))
+            .cast("bigint")
+            .cast("string")
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("_ok"), F.col("o_orderdate").alias("_odate")
+    )
+    env = env.withColumn("_ok", ok.cast("bigint")).join(orders, "_ok")
+    cdc_ts = F.when(
+        (F.col("table") == "order_info") & (F.col("type") == "update"),
+        F.col("_odate") + F.expr("INTERVAL 1 HOUR"),
+    ).otherwise(F.col("_odate"))
+    env = env.withColumn("cdc_ts", cdc_ts).drop("_ok", "_odate")
+    max_ts = env.agg(F.max("cdc_ts")).first()[0]
+    far = (max_ts + dt.timedelta(hours=4)).strftime("%Y-%m-%d %H:%M:%S")
+    sents = spark.createDataFrame(
+        [(t,) for t in ("order_detail", "order_info",
+                        "order_detail_activity", "order_detail_coupon")],
+        "table string",
+    ).select(
+        "table",
+        F.lit("insert").alias("type"),
+        F.create_map(
+            F.lit("id"), F.lit("-1"), F.lit("order_id"), F.lit("-1"),
+            F.lit("order_detail_id"), F.lit("-1"),
+            F.lit("order_status"), F.lit("1001"),
+        ).alias("data"),
+        F.lit(None).cast("map<string,string>").alias("old"),
+        F.lit(far).cast("timestamp").alias("cdc_ts"),
+    )
+    tmp = tempfile.mkdtemp(prefix="streamq_preproc_")
+    src = os.path.join(tmp, "env")
+    # 12 chunks: join-state peak ~ one chunk of rows (eviction happens at
+    # batch boundaries), so finer chunks bound state independent of SF
+    files.write_time_chunks(env.unionByName(sents), "cdc_ts", src, n_chunks=12)
+    schema = spark.read.parquet(src).schema
+    stream = files.stream_parquet(spark, src, schema, files_per_trigger=2)
+
+    od = stream.filter(
+        (F.col("table") == "order_detail") & (F.col("type") == "insert")
+    ).select(
+        d["id"].alias("id"), d["order_id"].alias("order_id"),
+        d["sku_id"].alias("sku_id"), d["sku_num"].alias("sku_num"),
+        d["source_type"].alias("source_type"),
+        d["create_time"].alias("create_time"), F.col("cdc_ts").alias("od_ts"),
+    ).withWatermark("od_ts", "1 hour")
+    oi = stream.filter(
+        (F.col("table") == "order_info") & d["order_status"].isNotNull()
+    ).select(
+        d["id"].alias("order_info_id"), d["user_id"].alias("user_id"),
+        d["province_id"].alias("province_id"),
+        d["order_status"].alias("order_status"),
+        d["operate_time"].alias("operate_time"), F.col("cdc_ts").alias("oi_ts"),
+    ).withWatermark("oi_ts", "1 hour")
+    oa = stream.filter(F.col("table") == "order_detail_activity").select(
+        d["order_detail_id"].alias("activity_order_detail_id"),
+        d["activity_id"].alias("activity_id"),
+        d["activity_rule_id"].alias("activity_rule_id"),
+        F.col("cdc_ts").alias("oa_ts"),
+    ).withWatermark("oa_ts", "1 hour")
+    oc = stream.filter(F.col("table") == "order_detail_coupon").select(
+        d["order_detail_id"].alias("coupon_order_detail_id"),
+        d["coupon_id"].alias("coupon_id"), F.col("cdc_ts").alias("oc_ts"),
+    ).withWatermark("oc_ts", "1 hour")
+
+    j1 = sjoins.interval_join(
+        od, oi, F.col("order_id") == F.col("order_info_id"),
+        left_ts="od_ts", right_ts="oi_ts", watermark=None,
+        lower="0 seconds", upper="2 hours", how="inner",
+    ).drop("oi_ts")
+    j2 = sjoins.interval_join(
+        j1, oa, F.col("id") == F.col("activity_order_detail_id"),
+        left_ts="od_ts", right_ts="oa_ts", watermark=None,
+        lower="0 seconds", upper="0 seconds", how="left_outer",
+    ).drop("oa_ts")
+    j3 = sjoins.interval_join(
+        j2, oc, F.col("id") == F.col("coupon_order_detail_id"),
+        left_ts="od_ts", right_ts="oc_ts", watermark=None,
+        lower="0 seconds", upper="0 seconds", how="left_outer",
+    )
+    dic = _base_dic(spark, sf_dir).select(
+        F.col("dic_code").alias("_src_code"),
+        F.col("dic_name").alias("source_type_name"),
+    )
+    out = j3.join(F.broadcast(dic), F.col("source_type") == F.col("_src_code"), "left")
+
+    try:
+        sink = _drain_append(out, "preproc")
+    finally:
+        if _old_provider is None:
+            spark.conf.unset(_provider_key)
+        else:
+            spark.conf.set(_provider_key, _old_provider)
+    res = spark.read.parquet(sink).filter(F.col("id") != "-1")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("order_info_id")
+    final = res.withColumn("_max_ot", F.max("operate_time").over(w)).filter(
+        F.col("operate_time") == F.col("_max_ot")
+    )
+    return final.select(
+        F.col("id").cast("bigint").alias("detail_id"),
+        F.col("order_id").cast("bigint").alias("order_id"),
+        F.col("sku_id").cast("bigint").alias("sku_id"),
+        F.col("sku_num").cast("int").alias("sku_num"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "order_status",
+        F.col("province_id").cast("int").alias("province_id"),
+        F.col("activity_id").cast("int").alias("activity_id"),
+        F.col("coupon_id").cast("int").alias("coupon_id"),
+        "source_type_name",
+        F.date_format(F.to_timestamp("create_time"), "yyyy-MM-dd").alias("date_id"),
+    )
+
+
+from .dwd import ORACLE_ORDER_DETAIL  # noqa: E402
+
+SPECS = SPECS + (
+    QuerySpec(
+        "s_stream_order_preprocess", q_stream_order_preprocess, ORACLE_ORDER_DETAIL,
+        doc="J6 streaming capstone: chained watermarked stream-stream joins == batch 5-way",
+        tags=("J1", "J2", "J3", "J6", "J7", "S8", "T11", "streaming"),
+    ),
+)

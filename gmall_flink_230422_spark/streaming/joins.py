@@ -26,7 +26,7 @@ def interval_join(
     on: Column,
     left_ts: str,
     right_ts: str,
-    watermark: str = "10 seconds",
+    watermark: str | None = "10 seconds",
     lower: str = "0 seconds",
     upper: str = "60 seconds",
     how: str = "inner",
@@ -38,11 +38,18 @@ def interval_join(
     no match can arrive (J2's left joins). ``on`` may be a composite
     condition (J5 multi-key). Batch DataFrames pass through with the same
     condition, which is what the oracle queries compare against.
+
+    ``watermark=None`` skips the ``withWatermark`` calls — required when
+    CHAINING joins (s_stream_order_preprocess): Spark forbids redefining a
+    watermark downstream of a stateful operator, so in a multi-join
+    topology each leaf stream is watermarked exactly once by the caller
+    and the chain joins pass None.
     """
-    if left.isStreaming:
-        left = left.withWatermark(left_ts, watermark)
-    if right.isStreaming:
-        right = right.withWatermark(right_ts, watermark)
+    if watermark is not None:
+        if left.isStreaming:
+            left = left.withWatermark(left_ts, watermark)
+        if right.isStreaming:
+            right = right.withWatermark(right_ts, watermark)
     time_cond = (
         (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {lower}"))
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))

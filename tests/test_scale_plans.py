@@ -379,3 +379,40 @@ def test_zorder_key_interleave_and_tile_bound(spark):
         u_hi = sum(((r["u"] >> (4 + b)) & 1) << (2 * b) for b in range(4))
         t_hi = sum(((r["t"] >> (4 + b)) & 1) << (2 * b + 1) for b in range(4))
         assert tile == u_hi + t_hi
+
+
+def test_distributed_cumsum_matches_local_prefix_sum(spark):
+    """distributed_cumsum (r4: the no-single-partition replacement for
+    Window.orderBy running sums) must equal a locally computed prefix sum
+    over the global ordering, including duplicate-heavy keys, and its plan
+    must not contain a data-proportional SinglePartition exchange."""
+    import sys
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from audit_plans import single_partition_audit
+
+    from gmall_flink_230422_spark.operators.windows import distributed_cumsum
+
+    rows = [((i * 37) % 11, 1 + (i % 5)) for i in range(500)]  # many ties
+    df = spark.createDataFrame(rows, "k int, v int")
+    hist = df.groupBy("k").agg(F.sum("v").alias("cnt"))
+    out = distributed_cumsum(hist, ["k"], "cnt", "cum", num_partitions=7)
+    got = {r["k"]: r["cum"] for r in out.collect()}
+
+    local = {}
+    acc = 0
+    for k, cnt in sorted(
+        ((r["k"], r["cnt"]) for r in hist.collect()), key=lambda t: t[0]
+    ):
+        acc += cnt
+        local[k] = acc
+    assert got == local
+
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    _, sp_other = single_partition_audit(plan)
+    assert not sp_other

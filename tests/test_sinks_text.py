@@ -174,3 +174,44 @@ def test_compact_parquet_recovers_from_prior_crash(spark, tmp_path):
     assert sorted(r["id"] for r in spark.read.parquet(out).collect()) == rows
     assert not os.path.exists(out + ".old")
     assert not os.path.exists(out + ".compact")
+
+
+def test_jdbc_sink_contract(spark, monkeypatch):
+    """S10 integration-shape contract (r3 verdict item 7): without a live
+    database, assert everything jdbc_sink hands to Spark's JDBC writer —
+    the ordered-column contract (MyClickHouseUtil.java:97-110's
+    positional PreparedStatement binding) and the 5-row batch option
+    (the reference's JdbcExecutionOptions batch of 5,
+    MyClickHouseUtil.java:121-124) — by intercepting the terminal
+    DataFrameWriter.jdbc call."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    captured = {}
+
+    def fake_jdbc(self, url, table, mode=None, properties=None):
+        captured["columns"] = self._df.columns
+        captured["url"] = url
+        captured["table"] = table
+        captured["properties"] = properties
+        opts = self._jwrite.extraOptions()
+        captured["batchsize"] = opts.get("batchsize").get()
+
+    monkeypatch.setattr(DataFrameWriter, "jdbc", fake_jdbc)
+    df = spark.createDataFrame(
+        [(2.0, 1, "a")], "v double, id bigint, name string"
+    )
+    sinks.jdbc_sink(
+        df,
+        "jdbc:clickhouse://host:8123/db",
+        "dws_table",
+        ["id", "name"],
+        batch_size=5,
+        properties={"driver": "com.clickhouse.jdbc.ClickHouseDriver"},
+    )
+    # ordered-column contract: exactly the declared columns, in order,
+    # regardless of the input frame's own column order
+    assert captured["columns"] == ["id", "name"]
+    assert captured["batchsize"] == "5"
+    assert captured["url"] == "jdbc:clickhouse://host:8123/db"
+    assert captured["table"] == "dws_table"
+    assert captured["properties"]["driver"].endswith("ClickHouseDriver")
