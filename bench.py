@@ -107,6 +107,9 @@ HEADLINE = [
     "x_bpe_apply",
     "x_ngram_diversity",
     "x_select_pipeline",
+    # round-4 additions: substring-span excision + incremental delta dedup
+    "x_dup_spans",
+    "x_dedup_incremental",
 ]
 
 

@@ -612,3 +612,79 @@ def containment_pairs(
         .filter((F.col("cont_a") >= threshold) | (F.col("cont_b") >= threshold))
         .select("doc_a", "doc_b", "cont_a", "cont_b")
     )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Exact-substring dedup SPANS — the excision form of substring dedup
+    ("Deduplicating Training Data Makes Language Models Better"): instead
+    of dropping whole documents past a duplication threshold
+    (:func:`dup_ngram_stats`), emit the maximal duplicated token spans of
+    each document so a curation pass can cut the spans and keep the rest.
+
+    Semantics: a position ``p`` (1-based token index) is duplicated when
+    its k-gram occurs >= 2 times anywhere in the corpus — including a
+    second occurrence inside the SAME document (self-repeats are
+    boilerplate too, same as the suffix-array formulation). Overlapping
+    or adjacent duplicated ranges ``[p, p+k-1]`` merge into one span.
+
+    Scale shape: positional k-grams keep (doc, p) per occurrence (no
+    per-doc distinct — positions matter); grams hash to the portable
+    60-bit int before the one count-window shuffle (8-byte keys, and the
+    oracle hashes identically so collisions cancel); the span merge is
+    the gaps-and-islands pattern — a running max over PRECEDING rows per
+    doc, all keyed windows, no single-partition stage and no join.
+    Output: (doc_id, span_start, span_end, n_dup_grams) with token
+    indices inclusive.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.hashing import portable_hash64
+
+    toks = whitespace_tokens(normalize_text(F.col(text_col)))
+    parts = ", ".join(f"element_at(_toks, i + {j})" for j in range(k))
+    gram_arr = F.expr(
+        f"CASE WHEN size(_toks) >= {k} THEN "
+        f"transform(sequence(1, size(_toks) - {k - 1}), "
+        f"i -> struct(i AS p, concat_ws(' ', {parts}) AS g)) "
+        "ELSE array() END"
+    )
+    pg = (
+        docs.repartition(F.col(id_col))
+        .select(F.col(id_col), toks.alias("_toks"))
+        .select(F.col(id_col), F.explode(gram_arr).alias("pg"))
+        .select(
+            F.col(id_col),
+            F.col("pg.p").alias("p"),
+            portable_hash64(F.concat(F.lit("ds:"), F.col("pg.g"))).alias("g64"),
+        )
+    )
+    wg = Window.partitionBy("g64")
+    dup = pg.withColumn("_n", F.count(F.lit(1)).over(wg)).filter(F.col("_n") >= 2)
+    wd = Window.partitionBy(id_col).orderBy("p")
+    prev_end = F.max(F.col("p") + (k - 1)).over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = dup.select(
+        F.col(id_col),
+        "p",
+        F.when(prev_end.isNull() | (F.col("p") > prev_end + 1), 1)
+        .otherwise(0)
+        .alias("_new"),
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy(id_col, "_island")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") + (k - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .select(id_col, "span_start", "span_end", "n_dup_grams")
+    )

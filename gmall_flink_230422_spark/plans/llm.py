@@ -3411,3 +3411,208 @@ SPECS += [
               doc="selection capstone funnel: repetition -> classifier -> CCNet terciles -> token budget, one flags frame",
               tags=("llm", "pipeline")),
 ]
+
+
+# ------------------------------------------- exact-substring dedup spans
+def q_dup_spans(spark, sf_dir):
+    """Maximal duplicated 8-gram token spans per document — the EXCISION
+    form of exact-substring dedup (operators/dedup.duplicated_spans): a
+    curation pass cuts these spans and keeps the remainder, instead of
+    dropping whole docs past a duplication threshold (x_dup_ngram_rate is
+    that aggregate form). All-integer output (1-based inclusive token
+    indices), keyed windows only."""
+    return dedup.duplicated_spans(_docs_par(spark, sf_dir))
+
+
+def _pos_grams8_cte(src: str = "documents") -> str:
+    leads = " || ' ' || ".join(f"lead(tok, {j}) OVER w" for j in range(1, 8))
+    return rf"""
+toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok, generate_subscripts({_TOKS}, 1) AS pos
+  FROM {src}
+),
+grams AS (
+  SELECT doc_id, pos AS p, tok || ' ' || {leads} AS g
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(tok, 7) OVER w IS NOT NULL
+)
+"""
+
+
+ORACLE_DUP_SPANS = rf"""
+WITH {_pos_grams8_cte()},
+h AS (
+  SELECT doc_id, p,
+         (('0x' || substr(md5('ds:' || g), 1, 15)))::BIGINT AS g64
+  FROM grams
+),
+dup AS (
+  SELECT doc_id, p FROM (
+    SELECT doc_id, p, count(*) OVER (PARTITION BY g64) AS n FROM h
+  ) WHERE n >= 2
+),
+isl AS (
+  SELECT doc_id, p,
+         CASE WHEN max(p + 7) OVER prev IS NULL
+                OR p > max(p + 7) OVER prev + 1
+              THEN 1 ELSE 0 END AS newf
+  FROM dup
+  WINDOW prev AS (PARTITION BY doc_id ORDER BY p
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+isl2 AS (
+  SELECT doc_id, p,
+         sum(newf) OVER (PARTITION BY doc_id ORDER BY p) AS island
+  FROM isl
+)
+SELECT doc_id, min(p)::BIGINT AS span_start, (max(p) + 7)::BIGINT AS span_end,
+       count(*)::BIGINT AS n_dup_grams
+FROM isl2 GROUP BY doc_id, island
+"""
+
+
+SPECS += [
+    QuerySpec("x_dup_spans", q_dup_spans, ORACLE_DUP_SPANS,
+              doc="exact-substring dedup spans: maximal duplicated 8-gram token ranges per doc",
+              tags=("llm", "dedup")),
+]
+
+
+# --------------------------------------------- incremental (delta) dedup
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental-ingest dedup: each INCOMING doc (doc_id % 5 == 0, the
+    new snapshot) is checked against the BASE corpus (% 5 != 0) — 'exact'
+    on a fingerprint match, else 'near' on an LSH-candidate pair that
+    verifies at Jaccard >= 0.5 against a base doc, else 'new'. The
+    production shape for continuous corpus ingestion: in a deployment the
+    base side's band signatures are a PRECOMPUTED persisted index and
+    only the incoming delta is shingled/hashed per batch; candidates come
+    from the (band, band_sig) bucket join — never incoming x base
+    all-pairs — and the quadratic verify sees candidate docs only.
+    max_jaccard is 4dp floor-truncated (grid-exact both engines), null
+    unless the verdict is 'near'."""
+    d = _docs_par(spark, sf_dir)
+    inc_pred = F.col("doc_id") % 5 == 0
+    incoming = d.filter(inc_pred)
+    base_fp = (
+        d.filter(~inc_pred)
+        .select(dedup.fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    exact = (
+        incoming.select("doc_id", dedup.fingerprint(F.col("text")).alias("fp"))
+        .join(base_fp, "fp", "left_semi")
+        .select("doc_id")
+        .withColumn("_e", F.lit(1))
+    )
+    sh = dedup.shingles(d).cache()
+    bands = dedup.band_signatures(
+        dedup.minhash_signatures(sh, num_hashes=16), rows_per_band=4
+    )
+    bi = bands.filter(F.col("doc_id") % 5 == 0).select(
+        "band", "band_sig", F.col("doc_id").alias("_i")
+    )
+    bb = bands.filter(F.col("doc_id") % 5 != 0).select(
+        "band", "band_sig", F.col("doc_id").alias("_b")
+    )
+    candidates = (
+        bi.join(bb, ["band", "band_sig"])
+        .select(
+            F.least("_i", "_b").alias("doc_a"),
+            F.greatest("_i", "_b").alias("doc_b"),
+        )
+        .distinct()
+    )
+    jac = dedup.jaccard_pairs(sh, threshold=0.5, candidates=candidates)
+    near = (
+        jac.select(
+            F.when(F.col("doc_a") % 5 == 0, F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("doc_id"),
+            "jaccard",
+        )
+        .groupBy("doc_id")
+        .agg(F.max("jaccard").alias("_mj"))
+    )
+    return (
+        incoming.select("doc_id")
+        .join(F.broadcast(exact), "doc_id", "left")
+        .join(F.broadcast(near), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_e") == 1, F.lit("exact"))
+            .when(F.col("_mj").isNotNull(), F.lit("near"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+            F.when(F.col("_e").isNull(), F.col("_mj")).alias("max_jaccard"),
+        )
+    )
+
+
+ORACLE_DEDUP_INCREMENTAL = rf"""
+WITH {_SHINGLES_CTE},
+hashed AS (
+  SELECT doc_id, {dedup.minhash_base_sql("shingle")} AS hp FROM sh
+),
+seeded AS (
+  SELECT doc_id, seed, min({dedup.minhash_value_sql("seed", "hp")}) AS minhash
+  FROM hashed CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+  GROUP BY doc_id, seed
+),
+banded AS (
+  SELECT doc_id, (seed // 4)::INT AS band,
+         string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_sig
+  FROM seeded GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                  greatest(a.doc_id, b.doc_id) AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_sig = b.band_sig
+   AND a.doc_id % 5 = 0 AND b.doc_id % 5 != 0
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT i.doc_a, i.doc_b,
+         floor((i.i * 1.0 / (x.sz + y.sz - i.i)) * 10000) / 10000 AS jaccard
+  FROM inter i
+  JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
+),
+exact AS (
+  SELECT DISTINCT i.doc_id
+  FROM documents i
+  JOIN documents b
+    ON md5(lower(trim(i.text))) = md5(lower(trim(b.text)))
+   AND b.doc_id % 5 != 0
+  WHERE i.doc_id % 5 = 0
+),
+near AS (
+  SELECT CASE WHEN doc_a % 5 = 0 THEN doc_a ELSE doc_b END AS doc_id,
+         max(jaccard) AS mj
+  FROM verified WHERE jaccard >= 0.5
+  GROUP BY 1
+)
+SELECT i.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+            WHEN n.doc_id IS NOT NULL THEN 'near'
+            ELSE 'new' END AS verdict,
+       CASE WHEN e.doc_id IS NULL THEN n.mj END AS max_jaccard
+FROM documents i
+LEFT JOIN exact e ON i.doc_id = e.doc_id
+LEFT JOIN near n ON i.doc_id = n.doc_id
+WHERE i.doc_id % 5 = 0
+"""
+
+
+SPECS += [
+    QuerySpec("x_dedup_incremental", q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL,
+              doc="incremental-ingest dedup: incoming delta vs base corpus (exact/near/new verdicts)",
+              tags=("llm", "dedup")),
+]

@@ -1285,3 +1285,125 @@ SPECS = SPECS + (
         tags=("J1", "J2", "J3", "J6", "J7", "S8", "T11", "streaming"),
     ),
 )
+
+
+def q_stream_dedup_incremental(spark, sf_dir):
+    """Incremental-ingest dedup through the STREAMING engine — the
+    production topology x_dedup_incremental models in one batch: the BASE
+    corpus's artifacts (fingerprints, band-signature index, shingles) are
+    PERSISTED once (the index build), then the incoming delta streams in
+    micro-batches and each batch probes the index inside a checkpointed
+    foreachBatch — exact-fingerprint semi-join, (band, band_sig) bucket
+    join for candidates, Jaccard verify against base shingles PRUNED to
+    candidate docs only (the index read never scans the full base side).
+    Verdicts append to the sink; batch boundaries cannot change results
+    because incoming docs never pair with each other (candidates are
+    strictly incoming x base). Oracle: the batch twin's SQL VERBATIM."""
+    from ..operators import dedup
+    from .llm import _docs_par
+
+    _clamp_shuffle(spark)
+    d = _docs_par(spark, sf_dir)
+    inc_pred = F.col("doc_id") % 5 == 0
+    base = d.filter(~inc_pred)
+    tmp = tempfile.mkdtemp(prefix="streamq_incdedup_")
+    fp_dir = os.path.join(tmp, "base_fp")
+    sh_dir = os.path.join(tmp, "base_sh")
+    bands_dir = os.path.join(tmp, "base_bands")
+    src = os.path.join(tmp, "incoming")
+    sink = os.path.join(tmp, "sink")
+    ck = os.path.join(tmp, "ck")
+
+    # ---- index build (batch, once — the persisted artifacts)
+    base.select(dedup.fingerprint(F.col("text")).alias("fp")).distinct() \
+        .write.parquet(fp_dir)
+    dedup.shingles(base).write.parquet(sh_dir)
+    base_sh = spark.read.parquet(sh_dir)
+    dedup.band_signatures(
+        dedup.minhash_signatures(base_sh, num_hashes=16), rows_per_band=4
+    ).write.parquet(bands_dir)
+
+    # ---- incoming delta as a multi-file replay stream
+    d.filter(inc_pred).repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = files.stream_parquet(spark, src, schema, files_per_trigger=1)
+
+    def _probe(batch: DataFrame, _i: int) -> None:
+        s = batch.sparkSession
+        sh_i = dedup.shingles(batch)
+        bands_i = dedup.band_signatures(
+            dedup.minhash_signatures(sh_i, num_hashes=16), rows_per_band=4
+        ).select("band", "band_sig", F.col("doc_id").alias("_i"))
+        bands_b = s.read.parquet(bands_dir).select(
+            "band", "band_sig", F.col("doc_id").alias("_b")
+        )
+        cand = (
+            bands_i.join(bands_b, ["band", "band_sig"])
+            .select(
+                F.least("_i", "_b").alias("doc_a"),
+                F.greatest("_i", "_b").alias("doc_b"),
+            )
+            .distinct()
+        )
+        cand_base_ids = (
+            cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+            .filter(F.col("doc_id") % 5 != 0)
+            .distinct()
+        )
+        sh_b_pruned = s.read.parquet(sh_dir).join(
+            cand_base_ids, "doc_id", "left_semi"
+        )
+        jac = dedup.jaccard_pairs(
+            sh_i.unionByName(sh_b_pruned), threshold=0.5, candidates=cand
+        )
+        near = (
+            jac.select(
+                F.when(F.col("doc_a") % 5 == 0, F.col("doc_a"))
+                .otherwise(F.col("doc_b"))
+                .alias("doc_id"),
+                "jaccard",
+            )
+            .groupBy("doc_id")
+            .agg(F.max("jaccard").alias("_mj"))
+        )
+        exact = (
+            batch.select("doc_id", dedup.fingerprint(F.col("text")).alias("fp"))
+            .join(s.read.parquet(fp_dir), "fp", "left_semi")
+            .select("doc_id")
+            .withColumn("_e", F.lit(1))
+        )
+        out = (
+            batch.select("doc_id")
+            .join(F.broadcast(exact), "doc_id", "left")
+            .join(F.broadcast(near), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(F.col("_e") == 1, F.lit("exact"))
+                .when(F.col("_mj").isNotNull(), F.lit("near"))
+                .otherwise(F.lit("new"))
+                .alias("verdict"),
+                F.when(F.col("_e").isNull(), F.col("_mj")).alias("max_jaccard"),
+            )
+        )
+        out.write.mode("append").parquet(sink)
+
+    q = (
+        stream.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink)
+
+
+from .llm import ORACLE_DEDUP_INCREMENTAL  # noqa: E402
+
+SPECS = SPECS + (
+    QuerySpec(
+        "s_stream_dedup_incremental", q_stream_dedup_incremental,
+        ORACLE_DEDUP_INCREMENTAL,
+        doc="streaming delta-vs-index dedup: per-batch probe of persisted fingerprint/LSH index",
+        tags=("llm", "dedup", "streaming", "T11"),
+    ),
+)

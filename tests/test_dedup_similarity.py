@@ -294,3 +294,37 @@ def test_random_projection_linearity_and_signs(spark):
     p2 = {r["r"]: r["proj_milli"] for r in out if r["vec_id"] == 2}
     assert set(p1) == set(range(16))
     assert all(p2[r] == 2 * p1[r] for r in p1)
+
+
+def test_duplicated_spans_merge_and_self_repeat(spark):
+    """duplicated_spans: cross-doc shared 8-grams become merged maximal
+    spans; a within-doc self-repeat also counts (the suffix-array
+    semantics); unique text yields no spans."""
+    from gmall_flink_230422_spark.operators.dedup import duplicated_spans
+
+    boiler = "the quick brown fox jumps over the lazy dog again and more"  # 12 toks
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " unique tail one alpha beta"),
+            (2, "prefix words here " + boiler),
+            (3, "totally different text with no overlap at all whatsoever kept"),
+            # self-repeat: the same 8 tokens twice in ONE doc
+            (4, "a b c d e f g h SEP a b c d e f g h"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_dup_grams"])
+        for r in duplicated_spans(docs).collect()
+    }
+    # docs 1+2 share the 12-token boilerplate: 5 gram starts, one span
+    assert out[1] == (1, 12, 5)       # boilerplate at doc start
+    assert out[2] == (4, 15, 5)       # shifted by the 3-token prefix
+    assert 3 not in out               # unique doc: no duplicated span
+    # doc 4: positions 1 and 10 share 'a b c d e f g h' -> two spans
+    # (ranges [1,8] and [10,17] are not adjacent: 10 > 8 + 1)
+    rows4 = sorted(
+        (r["span_start"], r["span_end"])
+        for r in duplicated_spans(docs).filter("doc_id = 4").collect()
+    )
+    assert rows4 == [(1, 8), (10, 17)]
