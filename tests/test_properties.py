@@ -361,3 +361,58 @@ def test_weighted_sample_ln_floor_parity(spark):
         ).fetchall()
     )
     assert spark_floors == duck_floors
+
+
+@SLOW
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=0, max_size=24),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.integers(2, 4),
+)
+def test_duplicated_spans_matches_brute_force(spark, docs, k):
+    """duplicated_spans == a brute-force Python reimplementation: mark
+    every position whose k-gram occurs >= 2 times corpus-wide (positions
+    kept per occurrence, within-doc repeats included), merge overlapping
+    or adjacent covered ranges, compare the exact span set. A tiny
+    4-letter token alphabet forces heavy collisions so duplication,
+    self-repeats, and merges all occur."""
+    from gmall_flink_230422_spark.operators.dedup import duplicated_spans
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_dup_grams"])
+        for r in duplicated_spans(df, k=k).collect()
+    }
+
+    from collections import Counter
+
+    grams = Counter()
+    per_doc: dict[int, list[int]] = {}
+    for i, toks in enumerate(docs):
+        for p in range(len(toks) - k + 1):
+            grams[tuple(toks[p : p + k])] += 1
+    for i, toks in enumerate(docs):
+        per_doc[i] = [
+            p + 1  # 1-based
+            for p in range(len(toks) - k + 1)
+            if grams[tuple(toks[p : p + k])] >= 2
+        ]
+    want = set()
+    for i, ps in per_doc.items():
+        span: list[int] | None = None
+        end = -1
+        for p in ps:
+            if span is None or p > end + 1:
+                if span is not None:
+                    want.add((i, span[0], end, len(span)))
+                span = [p]
+            else:
+                span.append(p)
+            end = max(end, p + k - 1)
+        if span is not None:
+            want.add((i, span[0], end, len(span)))
+    assert got == want
