@@ -110,6 +110,11 @@ HEADLINE = [
     # round-4 additions: substring-span excision + incremental delta dedup
     "x_dup_spans",
     "x_dedup_incremental",
+    # round-4 batch 2: drift monitor, boilerplate flags, MMR diverse rerank
+    "x_embedding_drift",
+    "x_boilerplate",
+    "x_mmr_rerank",
+    "x_knn_graph",
 ]
 
 

@@ -229,6 +229,28 @@ def ivf_topk(
     for _ in range(lloyd_iters):
         cents = ivf_refine_centroids(assigned, id_col, vec_col)
         assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    return ivf_probe_topk(
+        assigned, cents, query, k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col
+    )
+
+
+def ivf_probe_topk(
+    assigned: DataFrame,
+    cents: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The read-path half of IVF ANN: given a PREBUILT index — ``assigned``
+    (id, vec, list_id; at scale a table stored partitioned by list_id) and
+    ``cents`` (cid, cvec) — score each query against its n_probe nearest
+    lists only. Split out of :func:`ivf_topk` so the index can be built once
+    (write time) and probed many times (serving time / per micro-batch);
+    joining the broadcast probe frame on the partition column lets dynamic
+    partition pruning skip the unprobed lists at the scan.
+    """
     q = query.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     # Top-n_probe lists per query via a sorted slice of the broadcast
     # centroid array — same narrow-map trick as ivf_assign (no window, no
@@ -505,4 +527,207 @@ def random_projection(
         comps.join(F.broadcast(signs), "j")
         .groupBy(id_col, "r")
         .agg(F.sum(F.col("sign") * F.col("milli")).alias("proj_milli"))
+    )
+
+
+def embedding_drift(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    top_k: int = 8,
+) -> DataFrame:
+    """Per-dimension distribution drift between two embedding cohorts (the
+    "did my new encoder / new crawl shift the embedding space?" monitor a
+    production pipeline runs before mixing snapshots).
+
+    Cohorts are the deterministic id-parity split (even ids = base snapshot,
+    odd = candidate); the drift statistic per dimension is the absolute
+    difference of cohort means. Parity is pure integer arithmetic: components
+    quantize to milli-units (exact — a float24 mantissa ×1000 fits a double),
+    cohort sums are order-free bigints, and mean comparison uses
+    cross-multiplication |sum_a·cnt_b − sum_b·cnt_a| instead of division, so
+    no float rounding anywhere.
+
+    Scale shape: posexplode → one hash aggregate keyed by dimension (64
+    keys, partial/final), then TakeOrdered top-k — no window, no collect.
+    Output: (dim, cnt_a, cnt_b, sum_a, sum_b, drift_num), top_k by drift.
+    """
+    comps = corpus.select(
+        ((F.col(id_col) % 2) == 0).alias("is_base"),
+        F.posexplode(F.col(vec_col)).alias("jpos", "val"),
+    ).select(
+        "is_base",
+        F.col("jpos").cast("int").alias("dim"),
+        F.floor(F.col("val").cast("double") * 1000).cast("bigint").alias("milli"),
+    )
+    agg = comps.groupBy("dim").agg(
+        F.count(F.when(F.col("is_base"), 1)).alias("cnt_a"),
+        F.count(F.when(~F.col("is_base"), 1)).alias("cnt_b"),
+        F.sum(F.when(F.col("is_base"), F.col("milli")).otherwise(F.lit(0))).alias("sum_a"),
+        F.sum(F.when(~F.col("is_base"), F.col("milli")).otherwise(F.lit(0))).alias("sum_b"),
+    )
+    scored = agg.select(
+        "dim", "cnt_a", "cnt_b", "sum_a", "sum_b",
+        F.abs(F.col("sum_a") * F.col("cnt_b") - F.col("sum_b") * F.col("cnt_a")).alias("drift_num"),
+    )
+    return scored.orderBy(F.col("drift_num").desc(), F.col("dim")).limit(top_k)
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    query: DataFrame,
+    k_candidates: int = 16,
+    k_select: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diverse top-k (Carbonell & Goldstein '98):
+    rerank each query's relevance candidates so the selected set trades
+    relevance against redundancy — the retrieval-diversity stage RAG
+    pipelines run after ANN, and the classic fix for near-duplicate hits.
+
+    score(c) = 2·rel(c) − max_{s∈selected} sim(c, s)  (λ = 0.5, ×2 keeps the
+    arithmetic in exact decimilli integers; rank 1 is pure relevance). Both
+    rel and sim live on the floor(cos·10⁴) grid, so selection order is
+    bit-reproducible cross-engine with the (score desc, id) tiebreak.
+
+    Scale shape: the expensive part — corpus scoring — is the broadcast
+    brute-force pass (or any ANN front-end); everything after operates on
+    k_candidates rows per query: one windowed prune, one candidate×candidate
+    self-join (k² per query, never corpus²), then k_select−1 tiny joins for
+    the inherently sequential greedy loop. Candidate and pairwise frames are
+    cached — at 1000 queries × 16 candidates that is 16 k rows, driver-free.
+    Output: (query_id, sel_rank, vec_id, mmr_score).
+    """
+    q = query.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    rel = corpus.join(F.broadcast(q), F.col(id_col) != F.col("query_id")).select(
+        "query_id",
+        F.col(id_col),
+        F.col(vec_col).alias("cvec"),
+        F.floor(cosine(F.col(vec_col), F.col("qvec")) * 10000).cast("bigint").alias("rel"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col(id_col))
+    cand = (
+        rel.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k_candidates)
+        .drop("rk")
+        # k_candidates rows per query by construction — collapse to one
+        # partition so the 5 sequential greedy jobs schedule 1 task/stage
+        # instead of a full shuffle-partition fan-out of 2-row tasks
+        .coalesce(1)
+    ).cache()
+    pw = (
+        cand.alias("a")
+        .join(
+            cand.alias("b"),
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col(f"a.{id_col}").alias("cand_id"),
+            F.col(f"b.{id_col}").alias("other_id"),
+            F.floor(cosine(F.col("a.cvec"), F.col("b.cvec")) * 10000)
+            .cast("bigint")
+            .alias("sim"),
+        )
+    ).cache()
+    cand_ids = cand.select("query_id", id_col, "rel")
+    selected = (
+        cand_ids.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "query_id",
+            F.lit(1).alias("sel_rank"),
+            F.col(id_col),
+            (F.col("rel") * 2).alias("mmr_score"),
+        )
+    )
+    for step in range(2, k_select + 1):
+        sel_ids = selected.select("query_id", F.col(id_col).alias("sel_id"))
+        rem = cand_ids.join(
+            sel_ids.withColumnRenamed("sel_id", id_col), ["query_id", id_col], "left_anti"
+        )
+        ms = (
+            pw.join(
+                sel_ids,
+                (pw["query_id"] == sel_ids["query_id"]) & (pw["other_id"] == sel_ids["sel_id"]),
+            )
+            .select(pw["query_id"], pw["cand_id"], pw["sim"])
+            .groupBy("query_id", "cand_id")
+            .agg(F.max("sim").alias("max_sim"))
+        )
+        scored = rem.join(
+            ms,
+            (rem["query_id"] == ms["query_id"]) & (rem[id_col] == ms["cand_id"]),
+        ).select(
+            rem["query_id"],
+            rem[id_col],
+            (F.col("rel") * 2 - F.col("max_sim")).alias("mmr_score"),
+        )
+        ws = Window.partitionBy("query_id").orderBy(
+            F.col("mmr_score").desc(), F.col(id_col)
+        )
+        pick = (
+            scored.withColumn("rk", F.row_number().over(ws))
+            .filter(F.col("rk") == 1)
+            .select("query_id", F.lit(step).alias("sel_rank"), id_col, "mmr_score")
+        )
+        # the greedy loop is sequential by construction; truncate lineage per
+        # step (the selected frame is k_select rows/query — the eager local
+        # checkpoint is trivially cheap, and without it the self-referencing
+        # plan tree grows exponentially in k_select: measured 74 s → ~10 s
+        # for k_select=6 at sf0.01)
+        selected = selected.unionByName(pick).localCheckpoint()
+    return selected
+
+
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 3,
+    dims: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed k-NN graph over an embedding corpus: each vector's top-k
+    cosine neighbors WITHIN its sign-LSH bucket, plus the mutual flag — the
+    substrate for semantic clustering, label propagation, and
+    diversity-aware sampling. The bucket restriction is the scale contract
+    (candidate generation is corpus×bucket-mates, never corpus²) and is
+    part of the operator's semantics, so the oracle applies the same
+    predicate — recall vs the exact graph is the same trade every ANN probe
+    makes (x_ann_recall measures it for this index family).
+
+    Scale shape: one self-join keyed by the 2^dims-bucket id (skew-bounded:
+    for centered embeddings each sign bit is ~fair, so buckets are ~equal),
+    one keyed window for top-k, and one edge-set self-join on (dst, src)
+    for mutuality. Bucket ids are write-time computable ⇒ the join
+    partition-prunes on a bucketed layout.
+    Output: (src, dst, cos_sim, mutual int).
+    """
+    b = corpus.select(
+        F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col), dims).alias("bucket")
+    )
+    pairs = (
+        b.alias("a")
+        .join(b.alias("c"), "bucket")
+        .filter(F.col(f"a.{id_col}") != F.col(f"c.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("src"),
+            F.col(f"c.{id_col}").alias("dst"),
+            (F.floor(cosine(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}")) * 10000) / 10000)
+            .alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst"))
+    top = (
+        pairs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+    rev = top.select(F.col("src").alias("dst"), F.col("dst").alias("src")).withColumn(
+        "_m", F.lit(1)
+    )
+    return top.join(rev, ["src", "dst"], "left").select(
+        "src", "dst", "cos_sim", F.coalesce("_m", F.lit(0)).cast("int").alias("mutual")
     )

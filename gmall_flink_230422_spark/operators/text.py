@@ -931,3 +931,41 @@ def feature_hash_vectors(
         .groupBy(id_col, "bucket")
         .agg(F.sum("_s").cast("bigint").alias("weight"))
     )
+
+
+def boilerplate_prefixes(
+    docs: DataFrame,
+    n_tokens: int = 2,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Boilerplate-prefix detection: flag documents that open with a prefix
+    shared by >= min_docs other documents from the same source — the
+    header/banner-removal signal a web-crawl curation pass runs per domain
+    (CCNet strips repeated leading lines the same way; here the unit is the
+    normalized n-token prefix since the fixture corpus is single-line).
+
+    Scale shape: one hash aggregate keyed (source, prefix) to count sharers,
+    then an inner join back on the same key — both sides partition on the
+    identical composite key so AQE plans a single co-partitioned exchange;
+    no window, no collect, and the counts side is output-filtered (n_docs >=
+    min_docs) before the join so only boilerplate keys shuffle back.
+
+    Output: (doc_id, source, prefix, n_docs) for flagged docs only.
+    """
+    toks = whitespace_tokens(normalize_text(F.col(text_col)))
+    pref = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.concat_ws(" ", F.slice(toks, 1, n_tokens)).alias("prefix"),
+    )
+    counts = (
+        pref.groupBy(group_col, "prefix")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return pref.join(counts, [group_col, "prefix"]).select(
+        id_col, group_col, "prefix", "n_docs"
+    )

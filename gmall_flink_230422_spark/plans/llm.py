@@ -3616,3 +3616,221 @@ SPECS += [
               doc="incremental-ingest dedup: incoming delta vs base corpus (exact/near/new verdicts)",
               tags=("llm", "dedup")),
 ]
+
+
+# ---------------------------------------------------------------- r4: drift + boilerplate
+def q_embedding_drift(spark, sf_dir):
+    """Embedding-space drift monitor: per-dimension mean shift between the
+    even-id (base snapshot) and odd-id (candidate snapshot) cohorts, top-8
+    dims by cross-multiplied |mean difference| — pure integer parity
+    (milli-quantized components, order-free bigint sums, no division)."""
+    e = _embs_par(spark, sf_dir)
+    return similarity.embedding_drift(e, top_k=8)
+
+
+ORACLE_EMBEDDING_DRIFT = """
+WITH el AS (
+  SELECT (vec_id % 2 = 0) AS is_base,
+         (generate_subscripts(embedding, 1) - 1)::INT AS dim,
+         floor(unnest(embedding)::DOUBLE * 1000)::BIGINT AS milli
+  FROM embeddings
+),
+agg AS (
+  SELECT dim,
+         count(*) FILTER (is_base) AS cnt_a,
+         count(*) FILTER (NOT is_base) AS cnt_b,
+         sum(CASE WHEN is_base THEN milli ELSE 0 END) AS sum_a,
+         sum(CASE WHEN NOT is_base THEN milli ELSE 0 END) AS sum_b
+  FROM el GROUP BY dim
+)
+SELECT dim, cnt_a, cnt_b, sum_a, sum_b,
+       abs(sum_a * cnt_b - sum_b * cnt_a) AS drift_num
+FROM agg
+ORDER BY drift_num DESC, dim
+LIMIT 8
+"""
+
+
+def q_boilerplate(spark, sf_dir):
+    """Boilerplate-prefix flags: docs opening with a 2-token normalized
+    prefix shared by >=2 docs of the same source (per-domain header
+    detection; one (source, prefix) hash agg + co-partitioned join back)."""
+    d = _docs_par(spark, sf_dir)
+    return text.boilerplate_prefixes(d, n_tokens=2, min_docs=2)
+
+
+ORACLE_BOILERPLATE = f"""
+WITH p AS (
+  SELECT doc_id, source,
+         array_to_string(({_TOKS})[1:2], ' ') AS prefix
+  FROM documents
+),
+c AS (
+  SELECT source, prefix, count(*) AS n_docs
+  FROM p GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT p.doc_id, p.source, p.prefix, c.n_docs
+FROM p JOIN c ON p.source = c.source AND p.prefix = c.prefix
+"""
+
+
+SPECS += [
+    QuerySpec("x_embedding_drift", q_embedding_drift, ORACLE_EMBEDDING_DRIFT,
+              doc="per-dimension embedding drift between snapshot cohorts (integer cross-multiplied means)",
+              tags=("llm", "similarity")),
+    QuerySpec("x_boilerplate", q_boilerplate, ORACLE_BOILERPLATE,
+              doc="per-source boilerplate-prefix detection (shared normalized n-token openings)",
+              tags=("llm", "text")),
+]
+
+
+# ---------------------------------------------------------------- r4: MMR rerank
+def q_mmr_rerank(spark, sf_dir):
+    """MMR diverse top-6 from 16 relevance candidates per query (λ=0.5 on
+    the exact decimilli grid) — the post-ANN redundancy-removal rerank."""
+    e = _embs_par(spark, sf_dir)
+    q = e.filter(F.col("vec_id").isin(*_QUERY_IDS))
+    return similarity.mmr_rerank(e, q, k_candidates=16, k_select=6)
+
+
+def _mmr_oracle(k_candidates: int = 16, k_select: int = 6) -> str:
+    """Unrolled greedy-MMR CTE chain — the selection loop is inherently
+    sequential in rank, so the oracle unrolls k_select−1 identical steps."""
+    head = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id IN {_QUERY_IDS}
+),
+scored AS (
+  SELECT q.query_id, c.vec_id, c.embedding::DOUBLE[] AS cv,
+         floor(list_cosine_similarity(c.embedding::DOUBLE[], q.qv) * 10000)::BIGINT AS rel
+  FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id
+),
+cand AS (
+  SELECT query_id, vec_id, cv, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rk
+    FROM scored
+  ) WHERE rk <= {k_candidates}
+),
+pw AS (
+  SELECT a.query_id, a.vec_id AS cand_id, b.vec_id AS other_id,
+         floor(list_cosine_similarity(a.cv, b.cv) * 10000)::BIGINT AS sim
+  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+),
+sel1 AS (
+  SELECT query_id, 1 AS sel_rank, vec_id, rel * 2 AS mmr_score FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rk
+    FROM cand
+  ) WHERE rk = 1
+)"""
+    steps = []
+    for i in range(2, k_select + 1):
+        prev = f"sel{i - 1}"
+        steps.append(f""",
+sel{i} AS (
+  SELECT * FROM {prev}
+  UNION ALL
+  SELECT query_id, {i} AS sel_rank, vec_id, mmr_score FROM (
+    SELECT s.query_id, s.vec_id, s.mmr_score,
+           row_number() OVER (PARTITION BY s.query_id ORDER BY s.mmr_score DESC, s.vec_id) AS rk
+    FROM (
+      SELECT c.query_id, c.vec_id, c.rel * 2 - m.max_sim AS mmr_score
+      FROM cand c
+      JOIN (SELECT p.query_id, p.cand_id, max(p.sim) AS max_sim
+            FROM pw p JOIN {prev} s ON p.query_id = s.query_id AND p.other_id = s.vec_id
+            GROUP BY 1, 2) m
+        ON c.query_id = m.query_id AND c.vec_id = m.cand_id
+      WHERE NOT EXISTS (SELECT 1 FROM {prev} s2
+                        WHERE s2.query_id = c.query_id AND s2.vec_id = c.vec_id)
+    ) s
+  ) WHERE rk = 1
+)""")
+    return head + "".join(steps) + f"\nSELECT query_id, sel_rank, vec_id, mmr_score FROM sel{k_select}"
+
+
+ORACLE_MMR_RERANK = _mmr_oracle()
+
+
+SPECS += [
+    QuerySpec("x_mmr_rerank", q_mmr_rerank, ORACLE_MMR_RERANK,
+              doc="MMR diversity rerank of ANN candidates (greedy λ=0.5, decimilli-exact)",
+              tags=("llm", "similarity")),
+]
+
+
+# ---------------------------------------------------------------- r4: kNN graph + clusters
+_KNN_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{d + 1}] > 0 THEN {1 << d} ELSE 0 END)" for d in range(6)
+)
+
+_KNN_CTES = f"""
+b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, ({_KNN_BUCKET_SQL})::BIGINT AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS src, c.vec_id AS dst,
+         floor(list_cosine_similarity(a.v, c.v) * 10000) / 10000 AS cos_sim
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+),
+top AS (
+  SELECT src, dst, cos_sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst) AS rk
+    FROM pairs
+  ) WHERE rk <= 3
+)"""
+
+
+def q_knn_graph(spark, sf_dir):
+    """Bucketed k-NN graph: top-3 in-bucket cosine neighbors per vector +
+    mutuality flag — the clustering/label-propagation substrate."""
+    e = _embs_par(spark, sf_dir)
+    return similarity.knn_graph(e, k=3, dims=6)
+
+
+ORACLE_KNN_GRAPH = f"""
+WITH {_KNN_CTES}
+SELECT t.src, t.dst, t.cos_sim,
+       CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS mutual
+FROM top t LEFT JOIN top r ON t.src = r.dst AND t.dst = r.src
+"""
+
+
+def q_embedding_clusters(spark, sf_dir):
+    """Semantic clusters: connected components over the MUTUAL k-NN edges
+    (mutuality prunes asymmetric hub edges — the standard graph-clustering
+    cleanup) — min-label propagation, same engine as x_dedup_clusters."""
+    e = _embs_par(spark, sf_dir)
+    g = similarity.knn_graph(e, k=3, dims=6)
+    edges = (
+        g.filter((F.col("mutual") == 1) & (F.col("src") < F.col("dst")))
+        .select(F.col("src").alias("doc_a"), F.col("dst").alias("doc_b"))
+    )
+    return dedup.connected_components(edges).select(
+        F.col("doc_id").alias("vec_id"), F.col("cluster_id")
+    )
+
+
+ORACLE_EMBEDDING_CLUSTERS = f"""
+WITH RECURSIVE {_KNN_CTES},
+mut AS (
+  SELECT t.src, t.dst FROM top t JOIN top r ON t.src = r.dst AND t.dst = r.src
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM mut
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN mut e ON r.dst = e.src
+)
+SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+FROM reach GROUP BY src
+"""
+
+
+SPECS += [
+    QuerySpec("x_knn_graph", q_knn_graph, ORACLE_KNN_GRAPH,
+              doc="bucketed mutual k-NN graph over embeddings (clustering substrate)",
+              tags=("llm", "similarity", "graph")),
+    QuerySpec("x_embedding_clusters", q_embedding_clusters, ORACLE_EMBEDDING_CLUSTERS,
+              doc="semantic clusters: connected components over mutual k-NN edges",
+              tags=("llm", "similarity", "graph")),
+]

@@ -1407,3 +1407,73 @@ SPECS = SPECS + (
         tags=("llm", "dedup", "streaming", "T11"),
     ),
 )
+
+
+def q_stream_ann_probe(spark, sf_dir):
+    """ANN SERVING through the streaming engine: the IVF index is built and
+    PERSISTED once (centroids + the corpus stored partitioned by list_id —
+    the write-time step), then a query stream arrives in micro-batches and
+    each checkpointed batch probes only its queries' n_probe nearest lists
+    via similarity.ivf_probe_topk — the broadcast probe join on the
+    partition column lets dynamic partition pruning skip the unprobed lists
+    at the scan, so per-batch cost tracks the probe fan-out, not corpus
+    size. Results append to the sink; probes are per-query, so batch
+    boundaries cannot change results and the batch IVF oracle applies with
+    the same query predicate."""
+    from ..operators import similarity
+    from .llm import _embs_par
+
+    _clamp_shuffle(spark)
+    e = _embs_par(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="streamq_annprobe_")
+    cents_dir = os.path.join(tmp, "cents")
+    index_dir = os.path.join(tmp, "index")
+    src = os.path.join(tmp, "queries")
+    sink = os.path.join(tmp, "sink")
+    ck = os.path.join(tmp, "ck")
+
+    # ---- index build (batch, once — the persisted artifacts)
+    similarity.ivf_centroids(e, n_centroids=16).write.parquet(cents_dir)
+    cents = spark.read.parquet(cents_dir)
+    similarity.ivf_assign(e, cents).write.partitionBy("list_id").parquet(index_dir)
+
+    # ---- query stream as a multi-file replay
+    e.filter(F.col("vec_id") % 100 == 0).repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = files.stream_parquet(spark, src, schema, files_per_trigger=1)
+
+    def _probe(batch: DataFrame, _i: int) -> None:
+        s = batch.sparkSession
+        out = similarity.ivf_probe_topk(
+            s.read.parquet(index_dir),
+            s.read.parquet(cents_dir),
+            batch,
+            k=10,
+            n_probe=4,
+        )
+        out.write.mode("append").parquet(sink)
+
+    q = (
+        stream.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink)
+
+
+from .llm import ORACLE_ANN_IVF, _QUERY_IDS  # noqa: E402
+
+ORACLE_STREAM_ANN_PROBE = ORACLE_ANN_IVF.replace(
+    f"WHERE q.vec_id IN {_QUERY_IDS}", "WHERE q.vec_id % 100 = 0"
+)
+assert ORACLE_STREAM_ANN_PROBE != ORACLE_ANN_IVF, "query-predicate splice failed"
+
+SPECS = SPECS + (
+    QuerySpec(
+        "s_stream_ann_probe", q_stream_ann_probe, ORACLE_STREAM_ANN_PROBE,
+        doc="streaming ANN serving: micro-batched queries probing a persisted partitioned IVF index",
+        tags=("llm", "similarity", "streaming", "T11"),
+    ),
+)

@@ -328,3 +328,82 @@ def test_duplicated_spans_merge_and_self_repeat(spark):
         for r in duplicated_spans(docs).filter("doc_id = 4").collect()
     )
     assert rows4 == [(1, 8), (10, 17)]
+
+
+def test_embedding_drift_detects_shifted_dim(spark):
+    # even ids (base) and odd ids (candidate) identical except dim 2, which
+    # is shifted by +1.0 in the candidate cohort -> dim 2 must rank first
+    # with drift_num = |sum_a*cnt_b - sum_b*cnt_a| = 2*2*1000 = 4000
+    rows = [
+        (vid, [0.5, -0.25, 1.0 + (1.0 if vid % 2 else 0.0), 0.125])
+        for vid in range(4)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.embedding_drift(df, top_k=4).collect()
+    assert out[0]["dim"] == 2 and out[0]["drift_num"] == 4000
+    # undrifted dims: identical cohorts -> zero cross-multiplied difference
+    assert {r["drift_num"] for r in out[1:]} == {0}
+    assert all(r["cnt_a"] == 2 and r["cnt_b"] == 2 for r in out)
+
+
+def test_mmr_rerank_prefers_diversity(spark):
+    # a and a2 are exact clones; b is equally relevant to q but wobbles in
+    # an orthogonal direction. Pure top-2 relevance is a 3-way tie broken by
+    # id ({a, a2}); MMR must pick a first, then b — the clone's sim=1.0
+    # penalty (score 2*rel-10000) loses to b's partial sim even at λ=0.5.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),      # the query itself (excluded)
+        (1, [0.99, 0.14, 0.0]),    # a: most relevant (by id tiebreak)
+        (2, [0.99, 0.14, 0.0]),    # a2: exact clone of a
+        (3, [0.99, 0.0, 0.14]),    # b: same relevance, diverse direction
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") == 0)
+    out = similarity.mmr_rerank(df, q, k_candidates=3, k_select=2)
+    got = {r["sel_rank"]: r["vec_id"] for r in out.collect()}
+    assert got == {1: 1, 2: 3}
+
+
+def test_mmr_rank1_is_pure_relevance_scaled(spark):
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") == 0)
+    out = {r["sel_rank"]: r for r in similarity.mmr_rerank(df, q, k_candidates=2, k_select=2).collect()}
+    # rank 1: cos=1.0 -> rel=10000, score=2*rel
+    assert out[1]["vec_id"] == 1 and out[1]["mmr_score"] == 20000
+    # rank 2: rel=0, max_sim to selected = 0 -> score 0
+    assert out[2]["vec_id"] == 2 and out[2]["mmr_score"] == 0
+
+
+def test_knn_graph_mutual_flags(spark):
+    # bucket split on sign of dim 0: {1,2,3} share a bucket, {4} is alone
+    # (negative first component) -> 4 emits no edges (no bucket-mates).
+    # Within the bucket, 1<->2 are closest (mutual); 3's nearest is 2.
+    rows = [
+        (1, [1.0, 0.0, 0.1]),
+        (2, [1.0, 0.05, 0.1]),
+        (3, [0.2, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.knn_graph(df, k=1, dims=1)
+    got = {(r["src"], r["dst"]): r["mutual"] for r in out.collect()}
+    assert got == {(1, 2): 1, (2, 1): 1, (3, 2): 0}
+
+
+def test_embedding_clusters_via_mutual_cc(spark):
+    from gmall_flink_230422_spark.operators import dedup
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.99, 0.01]),   # clusters with 1
+        (5, [0.02, 1.0]),
+        (6, [0.01, 0.99]),   # clusters with 5 — all four share sign bucket 1
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    g = similarity.knn_graph(df, k=1, dims=1)
+    edges = g.filter((F.col("mutual") == 1) & (F.col("src") < F.col("dst"))).select(
+        F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+    )
+    labels = {r["doc_id"]: r["cluster_id"] for r in dedup.connected_components(edges).collect()}
+    assert labels == {1: 1, 2: 1, 5: 5, 6: 5}

@@ -279,3 +279,21 @@ def test_dup_ngram_rate_counts(spark):
     assert out[2]["n_shingles"] == 1 and out[2]["n_dup"] == 1
     assert out[2]["dup_rate_milli"] == 1000 and out[2]["drop_doc"] is True
     assert out[3]["n_dup"] == 0 and out[3]["drop_doc"] is False
+
+
+def test_boilerplate_prefixes_flags_shared_openings(spark):
+    from gmall_flink_230422_spark.operators.text import boilerplate_prefixes
+
+    rows = [
+        (0, "breaking news today something happened", "siteA"),
+        (1, "Breaking News today another story", "siteA"),   # same normalized prefix
+        (2, "breaking news elsewhere", "siteB"),             # same prefix, other source
+        (3, "totally original opening here", "siteA"),
+        (4, "", "siteA"),                                    # empty doc -> empty prefix
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = boilerplate_prefixes(df, n_tokens=2, min_docs=2)
+    got = {(r["doc_id"], r["prefix"], r["n_docs"]) for r in out.collect()}
+    # only siteA's shared "breaking news" prefix fires; siteB's single doc
+    # and the unique/empty openings do not
+    assert got == {(0, "breaking news", 2), (1, "breaking news", 2)}
