@@ -1477,3 +1477,153 @@ SPECS = SPECS + (
         tags=("llm", "similarity", "streaming", "T11"),
     ),
 )
+
+
+def q_stream_full_outer_join(spark, sf_dir):
+    """Completes the stream-stream join matrix (inner: s_stream_interval_
+    join; left outer: s_stream_left_outer_join): FULL OUTER interval join —
+    null-extensions on BOTH sides emitted only once the watermark proves no
+    match can arrive. Same sentinel watermark-push as the left-outer twin
+    (the two far-future sentinels cover both sides' filters; a sentinel
+    only ever joins a sentinel, and both carry user_id -1 so one filter
+    drops them). Rows grouped by the day of whichever side exists."""
+    ev = load_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinel_ts = F.lit(max_ts).cast("timestamp") + F.expr("INTERVAL 7200 SECONDS")
+    sentinels = (
+        spark.range(2)
+        .select(
+            F.lit(-1).cast("long").alias("user_id"),
+            sentinel_ts.alias("ts"),
+            F.when(F.col("id") == 0, F.lit("view")).otherwise(F.lit("click")).alias("event_type"),
+        )
+    )
+    src = _ordered_events_source(
+        spark, sf_dir, ["user_id", "ts", "event_type"], extra=sentinels
+    )
+    schema = spark.read.parquet(src).schema
+    views = (
+        files.stream_parquet(spark, src, schema, files_per_trigger=2)
+        .filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
+    )
+    clicks = (
+        files.stream_parquet(spark, src, schema, files_per_trigger=2)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+    )
+    joined = sjoins.interval_join(
+        views,
+        clicks,
+        on=F.col("v_user") == F.col("c_user"),
+        left_ts="view_ts",
+        right_ts="click_ts",
+        watermark="10 seconds",
+        lower="0 seconds",
+        upper="30 minutes",
+        how="full_outer",
+    )
+    out = spark.read.parquet(_drain_append(joined, "jfo")).filter(
+        F.coalesce("v_user", "c_user") >= 0
+    )
+    return (
+        out.withColumn(
+            "dt", F.date_format(F.coalesce("view_ts", "click_ts"), "yyyy-MM-dd")
+        )
+        .groupBy("dt")
+        .agg(
+            F.count(F.lit(1)).alias("row_ct"),
+            F.sum((F.col("view_ts").isNotNull() & F.col("click_ts").isNotNull()).cast("bigint")).alias("matched_ct"),
+            F.sum(F.col("click_ts").isNull().cast("bigint")).alias("left_only_ct"),
+            F.sum(F.col("view_ts").isNull().cast("bigint")).alias("right_only_ct"),
+        )
+    )
+
+
+ORACLE_STREAM_FULL_OUTER = """
+SELECT strftime(coalesce(v.ts, c.ts), '%Y-%m-%d') AS dt, count(*) AS row_ct,
+       sum(CASE WHEN v.ts IS NOT NULL AND c.ts IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS matched_ct,
+       sum(CASE WHEN c.ts IS NULL THEN 1 ELSE 0 END)::BIGINT AS left_only_ct,
+       sum(CASE WHEN v.ts IS NULL THEN 1 ELSE 0 END)::BIGINT AS right_only_ct
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON v.user_id = c.user_id
+  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+GROUP BY 1
+"""
+
+
+def q_stream_drift(spark, sf_dir):
+    """The embedding-drift monitor as CONTINUOUS state: each micro-batch of
+    vectors reduces to per-(cohort, dim) partial integer sums landed in a
+    ``batch_id=N`` subdir (overwrite ⇒ idempotent replay, the exactly-once
+    sink model s_stream_hll_distinct established); the read side merges
+    partials with one 64-key sum — bigint addition is associative/
+    commutative, so the merged drift equals batch x_embedding_drift
+    REGARDLESS of micro-batch boundaries or replays. Same oracle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="streamq_drift_")
+    src = os.path.join(tmp, "vectors")
+    store = os.path.join(tmp, "partials")
+    ck = os.path.join(tmp, "ck")
+    e.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = files.stream_parquet(spark, src, schema, files_per_trigger=1)
+
+    def _land(batch: DataFrame, batch_id: int) -> None:
+        comps = batch.select(
+            ((F.col("vec_id") % 2) == 0).alias("is_base"),
+            F.posexplode(F.col("embedding")).alias("jpos", "val"),
+        ).select(
+            "is_base",
+            F.col("jpos").cast("int").alias("dim"),
+            F.floor(F.col("val").cast("double") * 1000).cast("bigint").alias("milli"),
+        )
+        partial = comps.groupBy("dim").agg(
+            F.count(F.when(F.col("is_base"), 1)).alias("cnt_a"),
+            F.count(F.when(~F.col("is_base"), 1)).alias("cnt_b"),
+            F.sum(F.when(F.col("is_base"), F.col("milli")).otherwise(F.lit(0))).alias("sum_a"),
+            F.sum(F.when(~F.col("is_base"), F.col("milli")).otherwise(F.lit(0))).alias("sum_b"),
+        )
+        partial.write.mode("overwrite").parquet(
+            os.path.join(store, f"batch_id={batch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_land)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    merged = (
+        spark.read.parquet(store)
+        .groupBy("dim")
+        .agg(
+            F.sum("cnt_a").alias("cnt_a"),
+            F.sum("cnt_b").alias("cnt_b"),
+            F.sum("sum_a").alias("sum_a"),
+            F.sum("sum_b").alias("sum_b"),
+        )
+    )
+    scored = merged.select(
+        "dim", "cnt_a", "cnt_b", "sum_a", "sum_b",
+        F.abs(F.col("sum_a") * F.col("cnt_b") - F.col("sum_b") * F.col("cnt_a")).alias("drift_num"),
+    )
+    return scored.orderBy(F.col("drift_num").desc(), F.col("dim")).limit(8)
+
+
+from .llm import ORACLE_EMBEDDING_DRIFT  # noqa: E402
+
+SPECS = SPECS + (
+    QuerySpec(
+        "s_stream_full_outer_join", q_stream_full_outer_join, ORACLE_STREAM_FULL_OUTER,
+        doc="full-outer stream-stream interval join: both-side null-extensions on watermark close",
+        tags=("J2", "streaming"),
+    ),
+    QuerySpec(
+        "s_stream_drift", q_stream_drift, ORACLE_EMBEDDING_DRIFT,
+        doc="streaming drift monitor: idempotent per-batch integer partials, read-side merge == batch",
+        tags=("llm", "similarity", "streaming", "T11"),
+    ),
+)
