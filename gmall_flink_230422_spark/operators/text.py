@@ -969,3 +969,38 @@ def boilerplate_prefixes(
     return pref.join(counts, [group_col, "prefix"]).select(
         id_col, group_col, "prefix", "n_docs"
     )
+
+
+def reservoir_sample(
+    docs: DataFrame,
+    k: int = 20,
+    keys: tuple[str, ...] = ("lang",),
+    id_col: str = "doc_id",
+    salt: str = "rs",
+) -> DataFrame:
+    """Deterministic per-key reservoir sample: exactly min(k, group size)
+    rows per key, uniform without replacement under the portable-hash
+    ordering — the "inspect 20 random docs per language" primitive, and the
+    derandomized equivalent of a distributed reservoir (hash order IS a
+    random permutation, fixed by the salt, so re-runs and engines agree).
+
+    Inclusion weight rides along as (n_docs, k) so downstream estimators
+    can reweight without a float division here. One keyed window — the same
+    single-shuffle shape as any top-k — plus a window count; no collect, no
+    per-key skew issue beyond the window itself (k rows survive per key).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.hashing import portable_hash64
+
+    h = portable_hash64(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    kcols = [F.col(c) for c in keys]
+    w = Window.partitionBy(*kcols).orderBy(h.asc(), F.col(id_col))
+    wn = Window.partitionBy(*kcols)
+    return (
+        docs.select(*kcols, F.col(id_col))
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n_docs", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rk") <= k)
+        .select(*keys, id_col, "rk", "n_docs", F.lit(k).alias("k"))
+    )

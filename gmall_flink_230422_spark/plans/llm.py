@@ -3834,3 +3834,30 @@ SPECS += [
               doc="semantic clusters: connected components over mutual k-NN edges",
               tags=("llm", "similarity", "graph")),
 ]
+
+
+# ---------------------------------------------------------------- r4: reservoir sample
+def q_reservoir_sample(spark, sf_dir):
+    """Exact-k-per-language deterministic reservoir sample under the
+    portable-hash permutation, with (n_docs, k) inclusion weights."""
+    d = _docs_par(spark, sf_dir)
+    return text.reservoir_sample(d, k=20, keys=("lang",))
+
+
+_RS_HASH = portable_hash64_sql("'rs:' || doc_id::VARCHAR")
+
+ORACLE_RESERVOIR_SAMPLE = f"""
+SELECT lang, doc_id, rk, n_docs, 20 AS k FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY {_RS_HASH}, doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n_docs
+  FROM documents
+) WHERE rk <= 20
+"""
+
+
+SPECS += [
+    QuerySpec("x_reservoir_sample", q_reservoir_sample, ORACLE_RESERVOIR_SAMPLE,
+              doc="deterministic per-key reservoir sample (exact k, portable-hash permutation)",
+              tags=("llm", "sampling")),
+]

@@ -297,3 +297,23 @@ def test_boilerplate_prefixes_flags_shared_openings(spark):
     # only siteA's shared "breaking news" prefix fires; siteB's single doc
     # and the unique/empty openings do not
     assert got == {(0, "breaking news", 2), (1, "breaking news", 2)}
+
+
+def test_reservoir_sample_exact_k_and_determinism(spark):
+    from gmall_flink_230422_spark.operators.text import reservoir_sample
+
+    rows = [(i, "en" if i < 30 else "fr") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = reservoir_sample(df, k=5, keys=("lang",)).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    # exactly k per key; n_docs carries the true group size
+    assert len(by_lang["en"]) == 5 and all(r["n_docs"] == 30 for r in by_lang["en"])
+    assert len(by_lang["fr"]) == 5 and all(r["n_docs"] == 10 for r in by_lang["fr"])
+    # deterministic: same sample on re-run
+    again = {(r["lang"], r["doc_id"]) for r in reservoir_sample(df, k=5, keys=("lang",)).collect()}
+    assert again == {(r["lang"], r["doc_id"]) for r in out}
+    # k larger than the group -> whole group, no fabricated rows
+    tiny = reservoir_sample(df.filter("doc_id >= 30"), k=99, keys=("lang",))
+    assert tiny.count() == 10
