@@ -115,6 +115,8 @@ HEADLINE = [
     "x_boilerplate",
     "x_mmr_rerank",
     "x_knn_graph",
+    "x_reservoir_sample",
+    "x_ann_multiprobe",
 ]
 
 

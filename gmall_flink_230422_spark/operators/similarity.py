@@ -731,3 +731,45 @@ def knn_graph(
     return top.join(rev, ["src", "dst"], "left").select(
         "src", "dst", "cos_sim", F.coalesce("_m", F.lit(0)).cast("int").alias("mutual")
     )
+
+
+def lsh_multiprobe_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    dims: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe sign-LSH ANN (Lv et al. '07): besides the query's own
+    bucket, probe every hamming-1 neighbor bucket (one sign bit flipped) —
+    the standard recall repair for the cheapest failure mode, a query
+    sitting just across one hyperplane from its neighbors. dims+1 probes
+    per query ⇒ candidate volume is (dims+1)/2^dims of the corpus, still
+    bucket-pruned and partition-prunable at the scan; each corpus vector
+    lives in exactly one bucket and probe buckets are distinct, so no
+    candidate is scored twice.
+    """
+    c = corpus.withColumn("bucket", sign_bucket(F.col(vec_col), dims))
+    home = sign_bucket(F.col(vec_col), dims)
+    probe_arr = F.array(
+        home, *[home.bitwiseXOR(F.lit(1 << d)) for d in range(dims)]
+    )
+    q = query.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(probe_arr).alias("bucket"),
+    )
+    scored = c.join(F.broadcast(q), "bucket").filter(
+        F.col(id_col) != F.col("query_id")
+    ).select(
+        "query_id",
+        id_col,
+        (F.floor((cosine(F.col(vec_col), F.col("qvec"))) * 10000) / 10000).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

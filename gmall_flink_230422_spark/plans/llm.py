@@ -3861,3 +3861,44 @@ SPECS += [
               doc="deterministic per-key reservoir sample (exact k, portable-hash permutation)",
               tags=("llm", "sampling")),
 ]
+
+
+# ---------------------------------------------------------------- r4: multiprobe LSH
+def q_ann_multiprobe(spark, sf_dir):
+    """Multi-probe sign-LSH ANN: home bucket + all hamming-1 buckets per
+    query — the recall repair between x_ann_lsh (1 probe) and brute force."""
+    e = _embs_par(spark, sf_dir)
+    q = e.filter(F.col("vec_id").isin(*_QUERY_IDS))
+    return similarity.lsh_multiprobe_topk(e, q, k=10, dims=8)
+
+
+_MP_PROBES = ", ".join(["b.bucket"] + [f"xor(b.bucket, {1 << d})" for d in range(8)])
+
+ORACLE_ANN_MULTIPROBE = f"""
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, ({_BUCKET_SQL})::BIGINT AS bucket
+  FROM embeddings
+),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, unnest([{_MP_PROBES}]) AS bucket
+  FROM b WHERE vec_id IN {_QUERY_IDS}
+),
+scored AS (
+  SELECT p.query_id, c.vec_id,
+         floor(list_cosine_similarity(c.v, p.qv) * 10000) / 10000 AS cos_sim
+  FROM b c JOIN probes p ON c.bucket = p.bucket
+  WHERE c.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim FROM ranked WHERE rk <= 10
+"""
+
+
+SPECS += [
+    QuerySpec("x_ann_multiprobe", q_ann_multiprobe, ORACLE_ANN_MULTIPROBE,
+              doc="multi-probe sign-LSH ANN: hamming-1 bucket fan-out recall repair",
+              tags=("llm", "similarity")),
+]

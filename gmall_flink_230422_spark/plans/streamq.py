@@ -1627,3 +1627,41 @@ SPECS = SPECS + (
         tags=("llm", "similarity", "streaming", "T11"),
     ),
 )
+
+
+def q_stream_funnel(spark, sf_dir):
+    """Multi-step CEP through the streaming engine: the view → click →
+    purchase conversion funnel as a per-user GroupState machine
+    (streaming/stateful.funnel_stream) over the time-ordered replay —
+    first qualifying event per stage sets its set-once timestamp, so with
+    ordered arrival the stage tuples equal e_funnel's chained
+    conditional-min windows exactly. Snapshots append per batch; the read
+    side max-merges them per user (set-once ⇒ max = final) and aggregates
+    the same stage counts as the batch twin — oracle VERBATIM."""
+    from ..streaming.stateful import funnel_stream
+
+    src = _ordered_events_source(spark, sf_dir, ["user_id", "ts", "event_type"])
+    schema = spark.read.parquet(src).schema
+    stream = files.stream_parquet(spark, src, schema, files_per_trigger=2)
+    staged = funnel_stream(stream, key="user_id", ts_col="ts", type_col="event_type")
+    out = spark.read.parquet(_drain_append(staged, "funnel"))
+    per_user = out.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("t1").isNotNull().cast("bigint")).alias("stage_view"),
+        F.sum(F.col("t2").isNotNull().cast("bigint")).alias("stage_click"),
+        F.sum(F.col("t3").isNotNull().cast("bigint")).alias("stage_purchase"),
+    )
+
+
+from .analytics import ORACLE_FUNNEL  # noqa: E402
+
+SPECS = SPECS + (
+    QuerySpec(
+        "s_stream_funnel", q_stream_funnel, ORACLE_FUNNEL,
+        doc="multi-step CEP funnel through GroupState: set-once stage timestamps, max-merged snapshots",
+        tags=("T5", "streaming", "llm"),
+    ),
+)

@@ -358,3 +358,74 @@ def trailing_features_stream(
     return df.groupBy(key).applyInPandasWithState(
         fn, out_schema, _PIT_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+_FUNNEL_STATE = T.StructType(
+    [
+        T.StructField("t1", T.DoubleType()),
+        T.StructField("t2", T.DoubleType()),
+        T.StructField("t3", T.DoubleType()),
+    ]
+)
+
+
+def funnel_stream(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Multi-step CEP through streaming state: the ordered conversion funnel
+    stage1 → stage2 → stage3 (e_funnel's chained conditional-min windows)
+    as a per-key state machine — first qualifying stage-1 event sets t1,
+    the first stage-2 event strictly after t1 sets t2, the first stage-3
+    event strictly after t2 sets t3. With a time-ordered replay source,
+    "first qualifying in processing order" == "min qualifying ts", so the
+    streamed stage tuples equal the batch window result exactly.
+
+    Stage timestamps are SET-ONCE (never overwritten), so the read side may
+    merge per-batch snapshots with a plain max per key — no ordering
+    metadata needed. Every key emits at least one row (first sight emits
+    even an all-null tuple) so stage-0 users are counted like the batch
+    twin counts them. State: 3 nullable doubles per key, O(keys), bounded.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(key, T.LongType()),
+            T.StructField("t1", T.DoubleType()),
+            T.StructField("t2", T.DoubleType()),
+            T.StructField("t3", T.DoubleType()),
+        ]
+    )
+    s1, s2, s3 = stages
+
+    def fn(
+        key_tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (kv,) = key_tuple
+        existed = state.exists
+        t1, t2, t3 = state.get if existed else (None, None, None)
+        before = (t1, t2, t3)
+        for pdf in batches:
+            pdf = pdf.sort_values(ts_col)
+            for row in pdf.itertuples(index=False):
+                tsec = getattr(row, ts_col).timestamp()
+                etype = getattr(row, type_col)
+                if t1 is None:
+                    if etype == s1:
+                        t1 = tsec
+                elif t2 is None:
+                    if etype == s2 and tsec > t1:
+                        t2 = tsec
+                elif t3 is None and etype == s3 and tsec > t2:
+                    t3 = tsec
+        state.update((t1, t2, t3))
+        if not existed or (t1, t2, t3) != before:
+            yield pd.DataFrame({key: [kv], "t1": [t1], "t2": [t2], "t3": [t3]})
+        else:
+            yield pd.DataFrame({key: [], "t1": [], "t2": [], "t3": []})
+
+    return df.groupBy(key).applyInPandasWithState(
+        fn, out_schema, _FUNNEL_STATE, "append", GroupStateTimeout.NoTimeout
+    )

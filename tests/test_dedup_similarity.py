@@ -407,3 +407,21 @@ def test_embedding_clusters_via_mutual_cc(spark):
     )
     labels = {r["doc_id"]: r["cluster_id"] for r in dedup.connected_components(edges).collect()}
     assert labels == {1: 1, 2: 1, 5: 5, 6: 5}
+
+
+def test_multiprobe_superset_of_single_probe(spark):
+    """Multi-probe LSH includes the home bucket, so its result set can only
+    improve on single-probe: every single-probe hit at full k appears in
+    the multiprobe scoring pool, and recall@10 vs brute force is >= ."""
+    from gmall_flink_230422_spark.io import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id").isin(0, 1, 2))
+    exact = {(r["query_id"], r["vec_id"])
+             for r in similarity.brute_force_topk(e, q, k=10).collect()}
+    single = {(r["query_id"], r["vec_id"])
+              for r in similarity.lsh_topk(e, q, k=10, dims=8).collect()}
+    multi = {(r["query_id"], r["vec_id"])
+             for r in similarity.lsh_multiprobe_topk(e, q, k=10, dims=8).collect()}
+    assert len(multi & exact) >= len(single & exact)
+    assert len(multi) >= len(single)

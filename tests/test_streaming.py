@@ -226,3 +226,54 @@ def test_streamq_registry_batch_equal(spark):
     got = {tuple(r) for r in q_stream_tumble_keyed(spark, sf).collect()}
     want = {tuple(r) for r in q_tumble_keyed(spark, sf).collect()}
     assert got == want
+
+
+def test_funnel_stream_cross_batch_state(spark):
+    """Stage machine carries state across micro-batches: the view lands in
+    batch 1, the qualifying click in batch 2, the purchase in batch 3; a
+    click-only user still emits (stage-0 counted); pre-view clicks never
+    qualify."""
+    import shutil
+    from gmall_flink_230422_spark.streaming.stateful import funnel_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    rows = [
+        # user 1 converts fully, one stage per batch
+        (1, T0, "view"),
+        (1, T0 + dt.timedelta(seconds=60), "click"),
+        (1, T0 + dt.timedelta(seconds=600), "purchase"),
+        # user 2: click BEFORE any view (never qualifies), then view only
+        (2, T0, "click"),
+        (2, T0 + dt.timedelta(seconds=60), "view"),
+        # user 3: other events only -> all-null tuple, still counted
+        (3, T0, "other"),
+    ]
+    d = tempfile.mkdtemp(prefix="gmall_funnel_")
+    df = spark.createDataFrame(rows, schema)
+    df.filter(F.col("ts") == T0).coalesce(1).write.parquet(f"{d}/in/f1")
+    df.filter(F.col("ts") == T0 + dt.timedelta(seconds=60)).coalesce(1).write.parquet(f"{d}/in/f2")
+    df.filter(F.col("ts") == T0 + dt.timedelta(seconds=600)).coalesce(1).write.parquet(f"{d}/in/f3")
+    try:
+        src = stream_parquet(spark, f"{d}/in/*", schema, files_per_trigger=1)
+        got = run_stream(
+            spark, funnel_stream(src, "user_id", "ts", "event_type"), "t_funnel"
+        )
+        per_user = {
+            r["user_id"]: (r["t1"], r["t2"], r["t3"])
+            for r in got.groupBy("user_id")
+            .agg(F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3"))
+            .collect()
+        }
+        assert set(per_user) == {1, 2, 3}
+        t1, t2, t3 = per_user[1]
+        assert t1 is not None and t2 is not None and t3 is not None and t1 < t2 < t3
+        assert per_user[2][0] is not None and per_user[2][1] is None  # click pre-view
+        assert per_user[3] == (None, None, None)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
