@@ -550,6 +550,11 @@ def embedding_drift(
 
     Scale shape: posexplode → one hash aggregate keyed by dimension (64
     keys, partial/final), then TakeOrdered top-k — no window, no collect.
+    Exactness bound: |sum|·cnt < 2⁶³ requires cohorts under ~3·10⁹ vectors
+    (milli-components ≤ |v|·1000 ≈ 1e3 ⇒ n²·10³ < 9.2e18). Past that,
+    pre-aggregate per shard and compare on a coarser shared grid (divide
+    both sums by a common 2^s before the cross-multiply) — the monitor's
+    ranking only needs the coarse grid once counts are that large.
     Output: (dim, cnt_a, cnt_b, sum_a, sum_b, drift_num), top_k by drift.
     """
     comps = corpus.select(
@@ -580,6 +585,7 @@ def mmr_rerank(
     k_select: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_partitions: int = 1,
 ) -> DataFrame:
     """Maximal-marginal-relevance diverse top-k (Carbonell & Goldstein '98):
     rerank each query's relevance candidates so the selected set trades
@@ -611,10 +617,12 @@ def mmr_rerank(
         rel.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k_candidates)
         .drop("rk")
-        # k_candidates rows per query by construction — collapse to one
-        # partition so the 5 sequential greedy jobs schedule 1 task/stage
-        # instead of a full shuffle-partition fan-out of 2-row tasks
-        .coalesce(1)
+        # k_candidates rows per query by construction — collapse the pruned
+        # frame so the k_select-1 sequential greedy jobs schedule a handful
+        # of tasks/stage instead of a full shuffle-partition fan-out of
+        # 2-row tasks. probe_partitions=1 fits up to ~10^5 queries (k·|Q|
+        # rows, all post-prune); size it ≈ k·|Q| / 1e6 for larger batches
+        .coalesce(max(1, probe_partitions))
     ).cache()
     pw = (
         cand.alias("a")
@@ -697,6 +705,13 @@ def knn_graph(
     part of the operator's semantics, so the oracle applies the same
     predicate — recall vs the exact graph is the same trade every ANN probe
     makes (x_ann_recall measures it for this index family).
+
+    ``dims`` is the scale knob: per-bucket pair work is (N/2^dims)² per
+    bucket × 2^dims buckets = N²/2^dims total, so hold expected bucket
+    size N/2^dims constant by choosing dims ≈ log2(N / target_bucket)
+    (64-dim embeddings give headroom to dims≈30, i.e. corpora of ~10¹³ at
+    bucket 10³); pathological skew is bounded the same way LSH banding is —
+    centered components make each sign bit ~fair.
 
     Scale shape: one self-join keyed by the 2^dims-bucket id (skew-bounded:
     for centered embeddings each sign bit is ~fair, so buckets are ~equal),
