@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from gmall_flink_230422_spark.functions.hashing import portable_hash64
 from gmall_flink_230422_spark.operators import dedup
+from gmall_flink_230422_spark.operators import similarity as similarity_mod
 from gmall_flink_230422_spark.operators.stateful import detect_bounces, latest_by_key
 from gmall_flink_230422_spark.streaming.joins import session_agg
 
@@ -415,4 +416,69 @@ def test_duplicated_spans_matches_brute_force(spark, docs, k):
             end = max(end, p + k - 1)
         if span is not None:
             want.add((i, span[0], end, len(span)))
+    assert got == want
+
+
+@SLOW
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(-4, 4), min_size=3, max_size=3),
+        min_size=2,
+        max_size=8,
+        unique_by=tuple,
+    ),
+    k_select=st.integers(1, 3),
+)
+def test_mmr_rerank_matches_brute_force(spark, vecs, k_select):
+    """mmr_rerank == a direct Python reimplementation of greedy MMR on the
+    same floor(cos*1e4) integer grid: candidates = all non-query vectors
+    (k_candidates >= n), rank 1 = max relevance, then argmax of
+    2*rel - max_sim_to_selected with (score desc, id) tiebreak. Small
+    integer grids make ties common — exactly the cases where a tiebreak
+    bug or grid mismatch would diverge."""
+    import math
+
+    # skip all-zero vectors (cosine undefined); query is vec id 0
+    vecs = [v for v in vecs if any(x != 0 for x in v)]
+    if len(vecs) < 2:
+        return
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 0)
+    k_sel = min(k_select, len(vecs) - 1)
+    got = {
+        (r["sel_rank"], r["vec_id"], r["mmr_score"])
+        for r in similarity_mod.mmr_rerank(
+            df, q, k_candidates=len(vecs), k_select=k_sel
+        ).collect()
+    }
+
+    def fcos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return math.floor(dot / (na * nb) * 10000)
+
+    qv = vecs[0]
+    cands = {i: fcos([float(x) for x in v], [float(x) for x in qv])
+             for i, v in enumerate(vecs) if i != 0}
+    want = set()
+    selected: list[int] = []
+    for rank in range(1, k_sel + 1):
+        best = None
+        for i, rel in cands.items():
+            if i in selected:
+                continue
+            if rank == 1:
+                score = 2 * rel
+            else:
+                score = 2 * rel - max(
+                    fcos([float(x) for x in vecs[i]], [float(x) for x in vecs[s]])
+                    for s in selected
+                )
+            key = (-score, i)
+            if best is None or key < best[0]:
+                best = (key, i, score)
+        want.add((rank, best[1], best[2]))
+        selected.append(best[1])
     assert got == want
