@@ -688,3 +688,41 @@ def duplicated_spans(
         )
         .select(id_col, "span_start", "span_end", "n_dup_grams")
     )
+
+
+def soft_dedup_weights(
+    docs: DataFrame, members: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Soft deduplication: instead of DROPPING near-duplicates (keep-one,
+    dedup_corpus_cc above), keep every document and DOWNWEIGHT each by its
+    duplicate-cluster size — the SoftDeDup / D4-style reweighting used when
+    a training pipeline wants the sampling distribution corrected without
+    losing coverage (a cluster of n near-identical docs contributes total
+    mass ~1 instead of n).
+
+    ``members`` is a (doc_id, cluster_id) frame from connected_components;
+    docs absent from it are singletons (weight 1.0). Weights live on an
+    integer 1e-6 grid (1_000_000 div cluster_size) so cross-engine parity
+    is exact.
+
+    Scale shape: one hash agg over the members frame (tiny — only docs in
+    ≥1 near-dup pair), one broadcast-size join back, one left join against
+    the corpus keyed by doc_id. The corpus itself is never shuffled beyond
+    that join; at cluster scale with the corpus bucketed by doc_id the
+    left join is co-located.
+    """
+    sizes = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    m = members.join(sizes, "cluster_id").select(id_col, "cluster_size")
+    return (
+        docs.select(id_col)
+        .join(m, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster_size"), F.lit(1)).cast("long").alias("cluster_size"),
+            F.expr("CAST(1000000 DIV coalesce(cluster_size, 1) AS BIGINT)").alias(
+                "weight_micro"
+            ),
+        )
+    )

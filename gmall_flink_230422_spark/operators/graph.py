@@ -184,3 +184,98 @@ def pagerank_oracle_sql(
         "WITH " + ",\n".join(blocks)
         + f"\nSELECT node, rank_micro FROM r{iterations}"
     )
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over an
+    undirected edge list — the corpus-clumpiness audit for a semantic
+    (k-NN) graph: a node whose neighbors all know each other sits inside a
+    dense near-duplicate clique, while lcc≈0 marks hub-like boundary docs.
+    The reference has no graph operator; this extends the engine the same
+    way PageRank (above) does.
+
+    Algorithm: degree-ordered edge orientation (the MapReduce triangle
+    scheme of Suri & Vassilvitskii, "Counting Triangles and the Curse of
+    the Last Reducer", WWW'11) — orient every edge from the
+    (degree, node)-smaller endpoint to the larger, enumerate wedges only at
+    each edge's LOW endpoint, and close each wedge against the oriented
+    edge set. Orientation bounds every node's out-degree by O(sqrt(m)), so
+    wedge generation is O(m^1.5) worst-case instead of Σ deg² — the
+    difference between "dies on the first hub" and "survives a power-law
+    graph". The triangle SET is orientation-invariant, so the DuckDB
+    oracle can use plain lexicographic closure and still match exactly.
+
+    Scale shape: two hash aggregates (canonical-pair distinct, degree),
+    one skew-bounded self-join keyed by the low endpoint, one join against
+    oriented edges for closure, one explode(3)+agg for per-node counts.
+    All arithmetic is BIGINT (lcc on a 1e-6 grid via integer DIV), so
+    shuffle order cannot move a result bit.
+
+    Output: (node, degree, n_triangles, lcc_micro) — lcc_micro =
+    (2T * 1e6) div (d(d-1)), 0 for degree < 2.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # Orient a→b when (deg_a, a) < (deg_b, b); ties cannot happen (a != b).
+    ed = (
+        e.join(deg.select(F.col("node").alias("a"), F.col("degree").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("degree").alias("db")), "b")
+    )
+    fwd = (F.col("da") < F.col("db")) | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    oriented = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("hi_deg"),
+    )
+    x, y = oriented.alias("x"), oriented.alias("y")
+    wedges = (
+        x.join(y, F.col("x.lo") == F.col("y.lo"))
+        .filter(
+            (F.col("x.hi_deg") < F.col("y.hi_deg"))
+            | ((F.col("x.hi_deg") == F.col("y.hi_deg")) & (F.col("x.hi") < F.col("y.hi")))
+        )
+        .select(
+            F.col("x.lo").alias("u"), F.col("x.hi").alias("v"), F.col("y.hi").alias("w")
+        )
+    )
+    closure = oriented.select(F.col("lo").alias("v"), F.col("hi").alias("w"))
+    tri = wedges.join(closure, ["v", "w"])
+    per_node = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.expr(
+                    "CAST((2 * coalesce(n_triangles, 0) * 1000000)"
+                    " DIV (degree * (degree - 1)) AS BIGINT)"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("lcc_micro"),
+        )
+    )

@@ -1004,3 +1004,162 @@ def reservoir_sample(
         .filter(F.col("rk") <= k)
         .select(*keys, id_col, "rk", "n_docs", F.lit(k).alias("k"))
     )
+
+
+def backoff_trigram_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    heldout_buckets: int = 100,
+    salt: str = "lmsplit",
+) -> DataFrame:
+    """Stupid-Backoff trigram LM scoring of a HELD-OUT split (Brants et al.
+    2007, "Large Language Models in Machine Translation" — the
+    count-based backoff score Google used at web scale precisely because it
+    needs no normalization and distributes as plain count joins):
+
+        S(w3|w1w2) = c3(w1w2w3)/c2(w1w2)            if the trigram was seen
+                   = 0.4 * c2(w2w3)/c1(w2)          else if the bigram was
+                   = 0.4^2 * c1(w3)/N               else (0 for OOV)
+
+    The model trains on the ~90% hash-split complement and scores the ~10%
+    held-out docs (same portable md5 bucket construction as
+    :func:`hash_split`), so the backoff branches actually fire — scoring a
+    corpus with its own counts never leaves the first branch. This is the
+    held-out-perplexity eval shape of a data pipeline's LM-quality gate,
+    complementing :func:`lm_surprisal_score` (self-scored bigram surprisal).
+
+    EXACT parity: scores live on an integer 1e-6 grid — branch ratios are
+    (1e6*c3) div c2, (4e5*c2) div c1, (16e4*c1) div N — so the per-doc sum
+    is an order-independent BIGINT sum and the mean one integer division.
+
+    Scale shape: trigram/bigram streams come from array slices zipped
+    in-place (zero shuffle before the count aggregates); the three model
+    tables are hash aggregates joined back to the held-out trigram stream
+    on their natural keys — the standard distributed LM-scoring join chain.
+    Only the ~10% held-out stream is re-shuffled per join; N is a broadcast
+    scalar. Nothing collects; no Python touches a row.
+
+    Output: (doc_id, n_trigrams, sum_score_micro, avg_score_micro), one row
+    per held-out doc with ≥3 tokens.
+    """
+    from ..functions.hashing import portable_hash64
+
+    toks = whitespace_tokens(normalize_text(F.col(text_col)))
+    bucket = F.pmod(
+        portable_hash64(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+        F.lit(1000),
+    )
+    base = docs.select(
+        F.col(id_col), toks.alias("_toks"), (bucket < heldout_buckets).alias("_held")
+    )
+    train = base.filter(~F.col("_held"))
+    held = base.filter(F.col("_held"))
+
+    def _grams(df: DataFrame, n: int) -> DataFrame:
+        sz = F.size("_toks")
+        cols = [F.slice("_toks", i + 1, sz - (n - 1)).alias(f"w{i + 1}") for i in range(n)]
+        t = (
+            df.filter(sz >= n)
+            .select(F.col(id_col), F.explode(F.arrays_zip(*cols)).alias("_g"))
+        )
+        return t.select(
+            id_col, *[F.col(f"_g.w{i + 1}").alias(f"w{i + 1}") for i in range(n)]
+        )
+
+    c3 = _grams(train, 3).groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
+    c2 = _grams(train, 2).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = (
+        train.select(F.explode("_toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    n_train = train.agg(F.sum(F.size("_toks")).alias("n_train"))
+
+    ht = _grams(held, 3)
+    scored = (
+        ht.join(c3, ["w1", "w2", "w3"], "left")
+        .join(c2.withColumnRenamed("c2", "c2_ctx"), ["w1", "w2"], "left")
+        .join(
+            c2.select(
+                F.col("w1").alias("b1"), F.col("w2").alias("b2"),
+                F.col("c2").alias("c2_bg"),
+            ),
+            (F.col("w2") == F.col("b1")) & (F.col("w3") == F.col("b2")),
+            "left",
+        )
+        .join(c1.select(F.col("w").alias("w2"), F.col("c1").alias("c1_w2")), "w2", "left")
+        .join(c1.select(F.col("w").alias("w3"), F.col("c1").alias("c1_w3")), "w3", "left")
+        .crossJoin(F.broadcast(n_train))
+    )
+    score = (
+        F.when(F.col("c3").isNotNull(), F.expr("CAST((1000000 * c3) DIV c2_ctx AS BIGINT)"))
+        .when(F.col("c2_bg").isNotNull(), F.expr("CAST((400000 * c2_bg) DIV c1_w2 AS BIGINT)"))
+        .otherwise(F.expr("CAST((160000 * coalesce(c1_w3, 0)) DIV n_train AS BIGINT)"))
+    )
+    return (
+        scored.select(F.col(id_col), score.alias("_s"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum("_s").alias("sum_score_micro"),
+        )
+        .select(
+            id_col,
+            "n_trigrams",
+            "sum_score_micro",
+            F.expr("CAST(sum_score_micro DIV n_trigrams AS BIGINT)").alias(
+                "avg_score_micro"
+            ),
+        )
+    )
+
+
+def curriculum_phases(
+    docs: DataFrame,
+    warmup_pct: int = 20,
+    anneal_pct: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Curriculum data ordering: assign each document to a training phase
+    (warmup / main / anneal) by cumulative TOKEN budget over a quality
+    ordering — cleanest docs (highest classifier logit) fill the warmup
+    budget, the tail of hardest docs lands in anneal. The phase column is
+    what a curriculum dataloader shards on (easy-to-hard scheduling,
+    Bengio et al. 2009, as practiced in LLM data pipelines).
+
+    Scale design: the corpus is NEVER globally sorted. Difficulty is the
+    integer milli-grid logit of :func:`quality_classifier`, so the
+    cumulative-token sweep runs over the tiny per-logit histogram (bounded
+    by the grid, a few thousand rows regardless of corpus size) via
+    ``distributed_cumsum``, and phases broadcast-join back to the corpus by
+    logit bucket — the same grid-histogram trick as the selection capstone
+    (plans/llm.py select_pipeline). Phase boundaries therefore land on
+    difficulty-grid bucket edges: every doc with the same logit gets the
+    same phase — a deterministic, engine-exact semantic (no hash
+    tie-breaking inside a bucket).
+
+    Output: (doc_id, logit_milli, n_tokens, phase).
+    """
+    from .windows import distributed_cumsum
+
+    feats = quality_classifier(docs, id_col, text_col).select(
+        id_col, "n_tokens", "logit_milli"
+    )
+    hist = feats.groupBy("logit_milli").agg(F.sum("n_tokens").alias("_bt"))
+    cum = distributed_cumsum(
+        hist.withColumn("_neg", -F.col("logit_milli")), ["_neg"], "_bt", out_col="_ct"
+    )
+    tot = hist.agg(F.sum("_bt").alias("_t"))
+    main_pct = 100 - anneal_pct
+    ph = cum.crossJoin(F.broadcast(tot)).select(
+        "logit_milli",
+        F.when(F.expr(f"_ct * 100 <= _t * {warmup_pct}"), F.lit("warmup"))
+        .when(F.expr(f"_ct * 100 <= _t * {main_pct}"), F.lit("main"))
+        .otherwise(F.lit("anneal"))
+        .alias("phase"),
+    )
+    return feats.join(F.broadcast(ph), "logit_milli").select(
+        id_col, "logit_milli", "n_tokens", "phase"
+    )

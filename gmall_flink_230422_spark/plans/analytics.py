@@ -2294,3 +2294,74 @@ SPECS += [
               doc="as-of T1 vs T2 derived-state diff: added/changed/unchanged via one outer join",
               tags=("ext", "cdc")),
 ]
+
+
+# ---------------------------------------------------------------- r4: dyadic EWMA
+def q_ewma(spark, sf_dir):
+    """Per-user exponentially-weighted moving average of event values with
+    a DYADIC kernel truncated to the trailing 8 events: weights 2^7..2^0
+    over lags 0..7, normalized by the weight mass actually available
+    (256 - 2^(8-k) for k observed lags). The dyadic choice is deliberate:
+    every term is an integer product on the cent grid, so the smoother is
+    BIGINT-exact cross-engine — the float-recursive EWMA
+    (e_t = αv + (1-α)e_{t-1}) accumulates engine-dependent rounding and
+    needs unbounded history, while the truncated kernel is one KEYED
+    window with 8 lags (keyed by user_id: no global sort, ROWS-bounded
+    O(8) state per key). The monitoring smoother for per-entity metric
+    streams."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("v_cents"),
+    )
+    rn = F.row_number().over(w)
+    wsum = None
+    for j in range(8):
+        term = F.coalesce(F.lag("v_cents", j).over(w), F.lit(0)) * F.lit(1 << (7 - j))
+        wsum = term if wsum is None else wsum + term
+    return (
+        base.select(
+            "user_id",
+            "event_id",
+            "v_cents",
+            F.least(rn, F.lit(8)).cast("long").alias("n_in_frame"),
+            wsum.alias("_wsum"),
+        )
+        .withColumn(
+            "ewma_cents",
+            F.expr("CAST(_wsum DIV (256 - shiftleft(1, 8 - n_in_frame)) AS BIGINT)"),
+        )
+        .drop("_wsum")
+    )
+
+
+_EWMA_LAGS = " + ".join(
+    f"coalesce(lag(v_cents, {j}) OVER w, 0) * {1 << (7 - j)}" for j in range(8)
+)
+
+ORACLE_EWMA = f"""
+WITH base AS (
+  SELECT user_id, event_id, round(value * 100)::BIGINT AS v_cents, ts
+  FROM events
+),
+lagged AS (
+  SELECT user_id, event_id, v_cents,
+         least(row_number() OVER w, 8)::BIGINT AS n_in_frame,
+         ({_EWMA_LAGS}) AS wsum
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id, v_cents, n_in_frame,
+       (wsum // (256 - (1 << (8 - n_in_frame))))::BIGINT AS ewma_cents
+FROM lagged
+"""
+
+
+SPECS += [
+    QuerySpec("e_ewma", q_ewma, ORACLE_EWMA,
+              doc="per-user dyadic-kernel EWMA over trailing 8 events, BIGINT-exact on the cent grid",
+              tags=("ext", "window")),
+]

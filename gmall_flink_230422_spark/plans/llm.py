@@ -3902,3 +3902,196 @@ SPECS += [
               doc="multi-probe sign-LSH ANN: hamming-1 bucket fan-out recall repair",
               tags=("llm", "similarity")),
 ]
+
+
+# ---------------------------------------------------------------- r4: triangle count / clustering coefficient
+def q_triangle_count(spark, sf_dir):
+    """Per-node triangles + local clustering coefficient over the MUTUAL
+    k-NN semantic graph (operators/graph.triangle_count): the clumpiness
+    audit that separates dense near-duplicate cliques (lcc→1e6) from
+    hub-like boundary vectors (lcc→0). Degree-ordered orientation bounds
+    wedge work by O(m^1.5) — hub-safe where the naive neighbor self-join
+    is not. The triangle set is orientation-invariant, so the lexicographic
+    DuckDB closure matches bit-for-bit; lcc is integer-DIV on a 1e-6 grid."""
+    from ..operators import graph as _graph
+
+    e = _embs_par(spark, sf_dir)
+    g = similarity.knn_graph(e, k=3, dims=6)
+    edges = g.filter((F.col("mutual") == 1) & (F.col("src") < F.col("dst"))).select(
+        "src", "dst"
+    )
+    return _graph.triangle_count(edges).withColumnRenamed("node", "vec_id")
+
+
+ORACLE_TRIANGLE_COUNT = f"""
+WITH {_KNN_CTES},
+mut AS (
+  SELECT t.src, t.dst FROM top t JOIN top r ON t.src = r.dst AND t.dst = r.src
+  WHERE t.src < t.dst
+),
+e AS (SELECT DISTINCT src AS a, dst AS b FROM mut),
+deg AS (
+  SELECT node, count(*)::BIGINT AS degree FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY 1
+),
+tri AS (
+  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tn AS (
+  SELECT node, count(*)::BIGINT AS n FROM (
+    SELECT u AS node FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri
+  ) GROUP BY 1
+)
+SELECT d.node AS vec_id, d.degree,
+       coalesce(tn.n, 0)::BIGINT AS n_triangles,
+       (CASE WHEN d.degree >= 2
+             THEN (2 * coalesce(tn.n, 0) * 1000000) // (d.degree * (d.degree - 1))
+             ELSE 0 END)::BIGINT AS lcc_micro
+FROM deg d LEFT JOIN tn ON d.node = tn.node
+"""
+
+
+SPECS += [
+    QuerySpec("x_triangle_count", q_triangle_count, ORACLE_TRIANGLE_COUNT,
+              doc="per-node triangles + clustering coefficient on the mutual k-NN graph (degree-ordered orientation)",
+              tags=("llm", "similarity", "graph")),
+]
+
+
+# ---------------------------------------------------------------- r4: soft dedup (reweight, not drop)
+def q_soft_dedup(spark, sf_dir):
+    """SoftDeDup: keep every doc, downweight by near-dup cluster size
+    (operators/dedup.soft_dedup_weights) — the reweighting alternative to
+    the keep-one policies (x_dedup_corpus*). Same MinHash/LSH → verified
+    pairs → connected-components chain as x_dedup_clusters, then one tiny
+    size agg + a doc_id-keyed left join back to the corpus; weights on an
+    integer 1e-6 grid."""
+    d = _docs_par(spark, sf_dir)
+    sh = dedup.shingles(d).cache()
+    sigs = dedup.minhash_signatures(sh, num_hashes=16)
+    cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4).cache()
+    near = dedup.jaccard_pairs(sh, threshold=0.5, candidates=cands)
+    members = dedup.connected_components(near)
+    return dedup.soft_dedup_weights(d, members)
+
+
+ORACLE_SOFT_DEDUP = f"""
+WITH members AS ({ORACLE_DEDUP_CLUSTERS}),
+sizes AS (SELECT cluster_id, count(*) AS n FROM members GROUP BY 1),
+m AS (SELECT doc_id, n FROM members JOIN sizes USING (cluster_id))
+SELECT d.doc_id,
+       coalesce(m.n, 1)::BIGINT AS cluster_size,
+       (1000000 // coalesce(m.n, 1))::BIGINT AS weight_micro
+FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+"""
+
+
+SPECS += [
+    QuerySpec("x_soft_dedup", q_soft_dedup, ORACLE_SOFT_DEDUP,
+              doc="soft dedup: per-doc 1/cluster-size sampling weights instead of dropping near-dups",
+              tags=("llm", "dedup")),
+]
+
+
+# ---------------------------------------------------------------- r4: stupid-backoff trigram LM
+def q_backoff_lm(spark, sf_dir):
+    """Stupid-Backoff trigram scoring of the ~10% held-out hash split
+    against counts from the ~90% complement (operators/
+    text.backoff_trigram_score) — the held-out LM-quality eval where the
+    backoff branches genuinely fire, complementing the self-scored bigram
+    surprisal (x_lm_score). Integer 1e-6-grid scores, order-independent
+    BIGINT sums."""
+    return text.backoff_trigram_score(_docs_par(spark, sf_dir))
+
+
+_LM_SPLIT_HASH = portable_hash64_sql("'lmsplit:' || doc_id::VARCHAR")
+
+ORACLE_BACKOFF_LM = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS} AS toks, (({_LM_SPLIT_HASH} % 1000) < 100) AS held
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, held, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+  FROM d
+),
+tr3 AS (
+  SELECT a.doc_id, a.held, a.tok AS w1, b.tok AS w2, c.tok AS w3
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+),
+c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tr3 WHERE NOT held GROUP BY 1, 2, 3),
+bg AS (
+  SELECT a.tok AS w1, b.tok AS w2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE NOT a.held
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT tok AS w, count(*) AS c1 FROM toks WHERE NOT held GROUP BY 1),
+n AS (SELECT count(*) AS n_train FROM toks WHERE NOT held),
+scored AS (
+  SELECT t.doc_id,
+         CASE WHEN c3.c3 IS NOT NULL THEN (1000000 * c3.c3) // cctx.c2
+              WHEN cbg.c2 IS NOT NULL THEN (400000 * cbg.c2) // c1w2.c1
+              ELSE (160000 * coalesce(c1w3.c1, 0)) // n.n_train END AS s
+  FROM tr3 t
+  LEFT JOIN c3 ON t.w1 = c3.w1 AND t.w2 = c3.w2 AND t.w3 = c3.w3
+  LEFT JOIN c2 cctx ON t.w1 = cctx.w1 AND t.w2 = cctx.w2
+  LEFT JOIN c2 cbg ON t.w2 = cbg.w1 AND t.w3 = cbg.w2
+  LEFT JOIN c1 c1w2 ON t.w2 = c1w2.w
+  LEFT JOIN c1 c1w3 ON t.w3 = c1w3.w
+  CROSS JOIN n
+  WHERE t.held
+)
+SELECT doc_id, count(*)::BIGINT AS n_trigrams, sum(s)::BIGINT AS sum_score_micro,
+       (sum(s) // count(*))::BIGINT AS avg_score_micro
+FROM scored GROUP BY 1
+"""
+
+
+SPECS += [
+    QuerySpec("x_backoff_lm", q_backoff_lm, ORACLE_BACKOFF_LM,
+              doc="stupid-backoff trigram LM: held-out split scored against the complement's counts",
+              tags=("llm", "text")),
+]
+
+
+# ---------------------------------------------------------------- r4: curriculum ordering
+def q_curriculum_order(spark, sf_dir):
+    """Curriculum phase assignment (operators/text.curriculum_phases):
+    warmup/main/anneal by cumulative token budget over the quality-logit
+    grid — the corpus is never globally sorted; the cum-sweep runs on the
+    bounded per-logit histogram and phases broadcast back."""
+    return text.curriculum_phases(_docs_par(spark, sf_dir))
+
+
+ORACLE_CURRICULUM_ORDER = f"""
+WITH cls AS ({ORACLE_QUALITY_CLASSIFIER}),
+feats AS (SELECT doc_id, n_tokens, logit_milli FROM cls),
+hist AS (SELECT logit_milli, sum(n_tokens) AS bt FROM feats GROUP BY 1),
+cum AS (
+  SELECT logit_milli, sum(bt) OVER (ORDER BY logit_milli DESC) AS ct FROM hist
+),
+tot AS (SELECT sum(bt) AS t FROM hist),
+ph AS (
+  SELECT logit_milli,
+         CASE WHEN ct * 100 <= t * 20 THEN 'warmup'
+              WHEN ct * 100 <= t * 80 THEN 'main'
+              ELSE 'anneal' END AS phase
+  FROM cum, tot
+)
+SELECT f.doc_id, f.logit_milli, f.n_tokens, ph.phase
+FROM feats f JOIN ph USING (logit_milli)
+"""
+
+
+SPECS += [
+    QuerySpec("x_curriculum_order", q_curriculum_order, ORACLE_CURRICULUM_ORDER,
+              doc="curriculum warmup/main/anneal phases by cumulative token budget on the quality-logit grid",
+              tags=("llm", "text", "scale")),
+]
