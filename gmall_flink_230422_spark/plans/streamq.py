@@ -1665,3 +1665,36 @@ SPECS = SPECS + (
         tags=("T5", "streaming", "llm"),
     ),
 )
+
+
+def q_stream_ewma(spark, sf_dir):
+    """Dyadic EWMA through the STREAMING engine: per-user trailing-8
+    weighted average maintained in a bounded BIGINT-array GroupState
+    (streaming/stateful.ewma_stream) — the online metric smoother. The
+    cent conversion happens JVM-side before the stateful operator; every
+    score is integer arithmetic, so the online walk reproduces e_ewma's
+    batch 8-lag keyed window bit-for-bit on an ordered replay. Oracle:
+    e_ewma VERBATIM."""
+    from ..streaming.stateful import ewma_stream
+
+    src = _ordered_events_source(spark, sf_dir, ["user_id", "event_id", "ts", "value"])
+    schema = spark.read.parquet(src).schema
+    stream = files.stream_parquet(spark, src, schema, files_per_trigger=2).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("v_cents"),
+    )
+    scored = ewma_stream(stream, key="user_id")
+    return spark.read.parquet(_drain_append(scored, "ewma"))
+
+
+from .analytics import ORACLE_EWMA  # noqa: E402
+
+SPECS = SPECS + (
+    QuerySpec(
+        "s_stream_ewma", q_stream_ewma, ORACLE_EWMA,
+        doc="online dyadic EWMA: bounded trailing-8 GroupState == batch 8-lag keyed window",
+        tags=("T2", "T11", "streaming", "window"),
+    ),
+)

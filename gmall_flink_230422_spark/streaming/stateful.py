@@ -429,3 +429,74 @@ def funnel_stream(
     return df.groupBy(key).applyInPandasWithState(
         fn, out_schema, _FUNNEL_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+_EWMA_STATE = T.StructType([T.StructField("tail", T.ArrayType(T.LongType()))])
+
+
+def ewma_stream(df: DataFrame, key: str = "user_id", depth: int = 8) -> DataFrame:
+    """Online dyadic EWMA through streaming state: for every event, the
+    trailing-``depth`` exponentially-weighted average of the key's values
+    (weights 2^(depth-1)..2^0, normalized by the weight mass of the lags
+    actually observed) — the serving form of e_ewma's batch 8-lag keyed
+    window, verified verbatim by its oracle on an ordered replay.
+
+    State per key is EXACTLY the trailing ``depth`` cent values (a bounded
+    BIGINT array — the smallest possible sliding-window state; compare the
+    pruned-buffer trailing_features_stream above whose state is
+    horizon-bounded, not count-bounded). All arithmetic is integer, so the
+    online scores are bit-identical to the batch window's.
+
+    Input must carry integer ``v_cents`` (pre-computed JVM-side), ``ts``
+    and ``event_id``; rows are walked in (ts, event_id) order — the batch
+    window's deterministic order.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(key, T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("v_cents", T.LongType()),
+            T.StructField("n_in_frame", T.LongType()),
+            T.StructField("ewma_cents", T.LongType()),
+        ]
+    )
+    full_mass = 1 << depth  # 256 for depth 8
+
+    def fn(
+        key_tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        from collections import deque
+
+        (kv,) = key_tuple
+        buf: deque[int] = deque(state.get[0], maxlen=depth) if state.exists else deque(
+            maxlen=depth
+        )
+        eids, vals, ks, ew = [], [], [], []
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for row in pdf.itertuples(index=False):
+                c = int(row.v_cents)
+                buf.append(c)  # maxlen evicts the 9th-oldest automatically
+                k = len(buf)
+                wsum = 0
+                for j in range(k):  # j=0 is the current row
+                    wsum += buf[-1 - j] * (1 << (depth - 1 - j))
+                mass = full_mass - (1 << (depth - k))
+                eids.append(int(row.event_id))
+                vals.append(c)
+                ks.append(k)
+                ew.append(wsum // mass)
+        state.update((list(buf),))
+        yield pd.DataFrame(
+            {
+                key: kv,
+                "event_id": eids,
+                "v_cents": vals,
+                "n_in_frame": ks,
+                "ewma_cents": ew,
+            }
+        )
+
+    return df.groupBy(key).applyInPandasWithState(
+        fn, out_schema, _EWMA_STATE, "append", GroupStateTimeout.NoTimeout
+    )
