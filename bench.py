@@ -117,6 +117,13 @@ HEADLINE = [
     "x_knn_graph",
     "x_reservoir_sample",
     "x_ann_multiprobe",
+    # round-4 batch 3: triangle counting, soft dedup, held-out backoff LM,
+    # curriculum phases, dyadic EWMA
+    "x_triangle_count",
+    "x_soft_dedup",
+    "x_backoff_lm",
+    "x_curriculum_order",
+    "e_ewma",
 ]
 
 

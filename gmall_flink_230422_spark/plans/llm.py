@@ -4095,3 +4095,166 @@ SPECS += [
               doc="curriculum warmup/main/anneal phases by cumulative token budget on the quality-logit grid",
               tags=("llm", "text", "scale")),
 ]
+
+
+# ---------------------------------------------------------------- r4: cluster label purity
+def q_cluster_purity(spark, sf_dir):
+    """Label purity of the semantic clusters (x_embedding_clusters members
+    ⋈ embedding labels): per cluster, size, majority label (smallest label
+    wins ties) and purity on a 1e-6 integer grid — the audit that tells you
+    whether unsupervised near-dup/semantic clustering agrees with known
+    labels before you trust it for stratified sampling. Shape: the CC
+    member frame (tiny — only clustered vectors) joins labels by vec_id,
+    one (cluster,label) hash agg, one KEYED window for the majority row."""
+    from pyspark.sql import Window as W
+
+    e = _embs_par(spark, sf_dir)
+    g = similarity.knn_graph(e, k=3, dims=6)
+    edges = (
+        g.filter((F.col("mutual") == 1) & (F.col("src") < F.col("dst")))
+        .select(F.col("src").alias("doc_a"), F.col("dst").alias("doc_b"))
+    )
+    members = dedup.connected_components(edges).select(
+        F.col("doc_id").alias("vec_id"), F.col("cluster_id")
+    )
+    lab = members.join(e.select("vec_id", "label"), "vec_id")
+    counts = lab.groupBy("cluster_id", "label").agg(F.count(F.lit(1)).alias("n_lab"))
+    w = W.partitionBy("cluster_id").orderBy(F.col("n_lab").desc(), F.col("label"))
+    top = counts.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1)
+    sizes = counts.groupBy("cluster_id").agg(F.sum("n_lab").alias("cluster_size"))
+    return top.join(sizes, "cluster_id").select(
+        "cluster_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.col("label").alias("majority_label"),
+        F.col("n_lab").cast("long").alias("majority_n"),
+        F.expr("CAST((n_lab * 1000000) DIV cluster_size AS BIGINT)").alias(
+            "purity_micro"
+        ),
+    )
+
+
+ORACLE_CLUSTER_PURITY = f"""
+WITH members AS ({ORACLE_EMBEDDING_CLUSTERS}),
+lab AS (
+  SELECT m.cluster_id, e.label FROM members m JOIN embeddings e USING (vec_id)
+),
+counts AS (SELECT cluster_id, label, count(*) AS n_lab FROM lab GROUP BY 1, 2),
+top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY n_lab DESC, label) AS rk
+    FROM counts
+  ) WHERE rk = 1
+),
+sizes AS (SELECT cluster_id, sum(n_lab) AS cluster_size FROM counts GROUP BY 1)
+SELECT t.cluster_id, s.cluster_size::BIGINT AS cluster_size,
+       t.label AS majority_label, t.n_lab::BIGINT AS majority_n,
+       ((t.n_lab * 1000000) // s.cluster_size)::BIGINT AS purity_micro
+FROM top t JOIN sizes s USING (cluster_id)
+"""
+
+
+# ---------------------------------------------------------------- r4: source-overlap matrix
+def q_source_overlap(spark, sf_dir):
+    """Source×source near-duplicate overlap matrix: LSH-verified pairs
+    (jaccard ≥ 0.5 — the x_dedup_clusters edge set) joined to each
+    endpoint's source, counted per UNORDERED source pair — the corpus
+    governance view that localizes duplication (mirror sites show up as
+    hot off-diagonal cells; boilerplate as a hot diagonal). The pair frame
+    is the tiny LSH-verified set, so the source joins are trivially
+    broadcast-able; no new corpus scan beyond the shared shingle frame."""
+    d = _docs_par(spark, sf_dir)
+    sh = dedup.shingles(d).cache()
+    sigs = dedup.minhash_signatures(sh, num_hashes=16)
+    cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4).cache()
+    near = dedup.jaccard_pairs(sh, threshold=0.5, candidates=cands)
+    src = d.select("doc_id", "source")
+    pairs = (
+        near.join(src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("_sa")), "doc_a")
+        .join(src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("_sb")), "doc_b")
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+ORACLE_SOURCE_OVERLAP = f"""
+WITH {_SHINGLES_CTE},
+{_minhash_lsh_ctes()},
+near AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5)
+SELECT least(x.source, y.source) AS source_a,
+       greatest(x.source, y.source) AS source_b,
+       count(*)::BIGINT AS n_pairs
+FROM near n
+JOIN documents x ON n.doc_a = x.doc_id
+JOIN documents y ON n.doc_b = y.doc_id
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------- r4: tokenizer fertility
+def q_token_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility: docs, tokens, token characters,
+    chars-per-token and tokens-per-doc on integer milli-grids — the
+    pre-training budget planner's table (how many tokens a language's
+    bytes buy). Pure projection + one hash agg; map-only at 100 TB."""
+    d = _docs_par(spark, sf_dir)
+    toks = tokenize.whitespace_tokens(F.lower(F.trim(F.col("text"))))
+    per = d.select(
+        "lang",
+        F.size(toks).alias("_nt"),
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).alias(
+            "_tc"
+        ),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").alias("n_tokens"),
+        F.sum("_tc").alias("tok_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "tok_chars",
+        F.expr("CAST((tok_chars * 1000) DIV n_tokens AS BIGINT)").alias(
+            "chars_per_tok_milli"
+        ),
+        F.expr("CAST((n_tokens * 1000) DIV n_docs AS BIGINT)").alias(
+            "toks_per_doc_milli"
+        ),
+    )
+
+
+ORACLE_TOKEN_FERTILITY = f"""
+WITH per AS (
+  SELECT lang, len({_TOKS}) AS nt,
+         len(replace(lower(trim(text)), ' ', '')) AS tc
+  FROM documents
+),
+agg AS (
+  SELECT lang, count(*) AS n_docs, sum(nt) AS n_tokens, sum(tc) AS tok_chars
+  FROM per GROUP BY 1
+)
+SELECT lang, n_docs::BIGINT AS n_docs, n_tokens::BIGINT AS n_tokens,
+       tok_chars::BIGINT AS tok_chars,
+       ((tok_chars * 1000) // n_tokens)::BIGINT AS chars_per_tok_milli,
+       ((n_tokens * 1000) // n_docs)::BIGINT AS toks_per_doc_milli
+FROM agg
+"""
+
+
+SPECS += [
+    QuerySpec("x_cluster_purity", q_cluster_purity, ORACLE_CLUSTER_PURITY,
+              doc="label purity of semantic clusters: majority label + 1e-6-grid purity per cluster",
+              tags=("llm", "similarity", "graph")),
+    QuerySpec("x_source_overlap", q_source_overlap, ORACLE_SOURCE_OVERLAP,
+              doc="source x source near-dup overlap matrix from LSH-verified pairs",
+              tags=("llm", "dedup")),
+    QuerySpec("x_token_fertility", q_token_fertility, ORACLE_TOKEN_FERTILITY,
+              doc="per-language tokenizer fertility: chars/token and tokens/doc on milli-grids",
+              tags=("llm", "text", "stats")),
+]
