@@ -4258,3 +4258,46 @@ SPECS += [
               doc="per-language tokenizer fertility: chars/token and tokens/doc on milli-grids",
               tags=("llm", "text", "stats")),
 ]
+
+
+# ---------------------------------------------------------------- r4: multiprobe recall audit
+def q_multiprobe_recall(spark, sf_dir):
+    """Recall@10 of the multi-probe sign-LSH ANN against exact brute
+    force, per query — completing the recall-audit family (x_ann_recall
+    for IVF, x_lsh_recall for MinHash banding, x_pq_recall for PQ): the
+    number that justifies the hamming-1 fan-out's extra probe cost over
+    x_ann_lsh's single bucket. Same join-count shape as x_ann_recall."""
+    e = _embs_par(spark, sf_dir)
+    q = e.filter(F.col("vec_id").isin(*_QUERY_IDS))
+    exact = similarity.brute_force_topk(e, q, k=10).select("query_id", "vec_id")
+    mp = (
+        similarity.lsh_multiprobe_topk(e, q, k=10, dims=8)
+        .select("query_id", "vec_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        exact.join(mp, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("_hit").alias("n_hits"),
+            (F.count("_hit") / 10.0).alias("recall_at_10"),
+        )
+    )
+
+
+ORACLE_MULTIPROBE_RECALL = f"""
+WITH exact AS ({ORACLE_COSINE_TOPK}),
+mp AS ({ORACLE_ANN_MULTIPROBE})
+SELECT e.query_id, count(m.vec_id) AS n_hits,
+       count(m.vec_id) / 10.0 AS recall_at_10
+FROM exact e
+LEFT JOIN mp m ON e.query_id = m.query_id AND e.vec_id = m.vec_id
+GROUP BY 1
+"""
+
+
+SPECS += [
+    QuerySpec("x_multiprobe_recall", q_multiprobe_recall, ORACLE_MULTIPROBE_RECALL,
+              doc="recall@10 of hamming-1 multi-probe LSH vs brute force, per query",
+              tags=("llm", "similarity", "audit")),
+]
