@@ -4301,3 +4301,251 @@ SPECS += [
               doc="recall@10 of hamming-1 multi-probe LSH vs brute force, per query",
               tags=("llm", "similarity", "audit")),
 ]
+
+
+# ------------------------------------------- r4: classifier evaluation suite
+def q_classifier_auc(spark, sf_dir):
+    """ROC-AUC of the frozen quality classifier treated as an English
+    detector (weak label: ``lang = 'en'``) — the Mann-Whitney rank-sum
+    audit every model-based corpus filter needs before its threshold is
+    trusted (reference parity: the ref ships filters but no filter audit;
+    this is the missing evaluation layer).
+
+    Scale shape: the classifier logit lives on a bounded milli-grid
+    (one hash-agg collapses the corpus to <= ~4k (logit, n_pos, n_neg)
+    rows), the strictly-below-negative prefix runs through
+    ``distributed_cumsum`` (range-partition + keyed window + broadcast
+    offsets — no single-partition exchange over data), and the final
+    1-row reduce is a scalar aggregate.  AUC uses the tie-corrected U
+    statistic kept entirely in BIGINTs: 2U = sum_s n_pos(s) *
+    (2*neg_below(s) + n_neg(s)); auc_ppm = 1e6 * 2U DIV (2 * P * N).
+    """
+    d = _docs_par(spark, sf_dir)
+    feats = text.quality_classifier(d).join(
+        d.select("doc_id", (F.col("lang") == "en").alias("is_pos")), "doc_id"
+    )
+    hist = feats.groupBy("logit_milli").agg(
+        F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).cast("bigint").alias("n_pos"),
+        F.sum(F.when(F.col("is_pos"), 0).otherwise(1)).cast("bigint").alias("n_neg"),
+    )
+    cum = distributed_cumsum(hist, ["logit_milli"], "n_neg", "cum_neg")
+    return (
+        cum.withColumn("neg_below", F.col("cum_neg") - F.col("n_neg"))
+        .agg(
+            F.sum("n_pos").alias("n_pos"),
+            F.sum("n_neg").alias("n_neg"),
+            F.sum(
+                F.col("n_pos") * (F.lit(2) * F.col("neg_below") + F.col("n_neg"))
+            ).alias("u2"),
+        )
+        .select(
+            "n_pos",
+            "n_neg",
+            F.expr("CAST(u2 * 1000000 DIV (2 * n_pos * n_neg) AS BIGINT)").alias(
+                "auc_ppm"
+            ),
+        )
+    )
+
+
+ORACLE_CLASSIFIER_AUC = f"""
+WITH cls AS ({ORACLE_QUALITY_CLASSIFIER}),
+lab AS (
+  SELECT c.logit_milli, (d.lang = 'en') AS is_pos
+  FROM cls c JOIN documents d USING (doc_id)
+),
+hist AS (
+  SELECT logit_milli,
+         sum(CASE WHEN is_pos THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+         sum(CASE WHEN is_pos THEN 0 ELSE 1 END)::BIGINT AS n_neg
+  FROM lab GROUP BY 1
+),
+cum AS (
+  SELECT n_pos, n_neg,
+         (sum(n_neg) OVER (ORDER BY logit_milli) - n_neg) AS neg_below
+  FROM hist
+),
+agg AS (
+  SELECT sum(n_pos)::BIGINT AS n_pos, sum(n_neg)::BIGINT AS n_neg,
+         sum(n_pos * (2 * neg_below + n_neg))::BIGINT AS u2
+  FROM cum
+)
+SELECT n_pos, n_neg, (u2 * 1000000 // (2 * n_pos * n_neg))::BIGINT AS auc_ppm
+FROM agg
+"""
+
+
+def q_calibration_bins(spark, sf_dir):
+    """Reliability-diagram table for the frozen quality classifier against
+    the weak English label: fixed-width logit bins (width 200 milli, no
+    global sort, no quantile pass), per-bin support, mean logit and
+    empirical positive rate, and the absolute calibration gap between the
+    bin's saturated probability proxy (logit clamped to [0,1000] / 1000)
+    and the observed rate — the per-bin rows that an ECE or a reliability
+    plot is built from.  One hash-agg over the corpus; all milli-grid
+    BIGINTs."""
+    d = _docs_par(spark, sf_dir)
+    feats = text.quality_classifier(d).join(
+        d.select("doc_id", (F.col("lang") == "en").alias("is_pos")), "doc_id"
+    )
+    binned = feats.select(
+        F.expr(
+            "CAST(least(greatest(logit_milli, -1200), 1399) DIV 200 AS BIGINT)"
+        ).alias("bin_id"),
+        "logit_milli",
+        F.expr(
+            "CAST(least(greatest(logit_milli, 0), 1000) AS BIGINT)"
+        ).alias("p_proxy_milli"),
+        F.col("is_pos").cast("long").alias("pos"),
+    )
+    return (
+        binned.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("pos").cast("bigint").alias("n_pos"),
+            F.expr("CAST(sum(logit_milli) DIV count(*) AS BIGINT)").alias(
+                "mean_logit_milli"
+            ),
+            F.expr("CAST(sum(p_proxy_milli) DIV count(*) AS BIGINT)").alias(
+                "mean_proxy_milli"
+            ),
+            F.expr("CAST(sum(pos) * 1000 DIV count(*) AS BIGINT)").alias(
+                "pos_rate_milli"
+            ),
+        )
+        .withColumn(
+            "gap_milli",
+            F.abs(F.col("mean_proxy_milli") - F.col("pos_rate_milli")),
+        )
+    )
+
+
+ORACLE_CALIBRATION_BINS = f"""
+WITH cls AS ({ORACLE_QUALITY_CLASSIFIER}),
+lab AS (
+  SELECT c.logit_milli, (d.lang = 'en') AS is_pos
+  FROM cls c JOIN documents d USING (doc_id)
+),
+binned AS (
+  SELECT (least(greatest(logit_milli, -1200), 1399) // 200)::BIGINT AS bin_id,
+         logit_milli,
+         least(greatest(logit_milli, 0), 1000)::BIGINT AS p_proxy_milli,
+         (CASE WHEN is_pos THEN 1 ELSE 0 END)::BIGINT AS pos
+  FROM lab
+),
+g AS (
+  SELECT bin_id, count(*)::BIGINT AS n_docs, sum(pos)::BIGINT AS n_pos,
+         (sum(logit_milli) // count(*))::BIGINT AS mean_logit_milli,
+         (sum(p_proxy_milli) // count(*))::BIGINT AS mean_proxy_milli,
+         (sum(pos) * 1000 // count(*))::BIGINT AS pos_rate_milli
+  FROM binned GROUP BY 1
+)
+SELECT bin_id, n_docs, n_pos, mean_logit_milli, mean_proxy_milli,
+       pos_rate_milli, abs(mean_proxy_milli - pos_rate_milli) AS gap_milli
+FROM g
+"""
+
+
+SPECS += [
+    QuerySpec("x_classifier_auc", q_classifier_auc, ORACLE_CLASSIFIER_AUC,
+              doc="tie-corrected Mann-Whitney ROC-AUC of the quality classifier vs the weak en label",
+              tags=("llm", "eval", "audit")),
+    QuerySpec("x_calibration_bins", q_calibration_bins, ORACLE_CALIBRATION_BINS,
+              doc="reliability-diagram bins: per-bin support, mean logit, empirical rate, calibration gap",
+              tags=("llm", "eval", "audit")),
+]
+
+
+def q_chi2_terms(spark, sf_dir):
+    """Chi-square term selection: the tokens whose document frequency most
+    discriminates English from non-English docs (the feature-selection
+    pass that seeds a fasttext-style filter's vocabulary, or flags
+    label-leaking boilerplate).  Presence-based 2x2 contingency per token:
+    n11/n10 = en / non-en docs containing it, margins from a broadcast
+    1-row totals frame.
+
+    Scale shape: one distinct (doc, token) explode (Heaps-sublinear
+    vocabulary), one hash-agg to per-token counts, broadcast scalar
+    totals, and a distributed TakeOrdered top-50 — no global sort, no
+    single-partition exchange over data.  The chi2 statistic itself runs
+    in DOUBLE on exact BIGINT counts with an identical expression tree on
+    both engines: every op (*, -, /) is IEEE correctly rounded, so the
+    milli-floor is engine-stable (same argument class as x_weighted_sample,
+    pinned by the boundary reasoning in its docstring)."""
+    d = _docs_par(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_pos"),
+        F.explode(
+            F.array_distinct(tokenize.whitespace_tokens(dedup.normalize_text(F.col("text"))))
+        ).alias("token"),
+    )
+    per_tok = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).cast("bigint").alias("n11"),
+        F.sum(F.when(F.col("is_pos"), 0).otherwise(1)).cast("bigint").alias("n10"),
+    )
+    totals = d.agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("lang") == "en", 0).otherwise(1)).cast("bigint").alias("n0"),
+    )
+    scored = (
+        per_tok.crossJoin(F.broadcast(totals))
+        .withColumn("n01", F.col("n1") - F.col("n11"))
+        .withColumn("n00", F.col("n0") - F.col("n10"))
+        .filter((F.col("n11") + F.col("n10")) >= 5)
+        .withColumn(
+            "chi2_milli",
+            F.expr(
+                """CAST(floor(
+                     1000.0 * (n1 + n0)
+                     * (CAST(n11 AS DOUBLE) * n00 - CAST(n10 AS DOUBLE) * n01)
+                     * (CAST(n11 AS DOUBLE) * n00 - CAST(n10 AS DOUBLE) * n01)
+                     / (CAST(n1 AS DOUBLE) * n0 * (n11 + n10) * (n01 + n00))
+                   ) AS BIGINT)"""
+            ),
+        )
+    )
+    return (
+        scored.select("token", "n11", "n10", "chi2_milli")
+        .orderBy(F.desc("chi2_milli"), "token")
+        .limit(50)
+    )
+
+
+ORACLE_CHI2_TERMS = rf"""
+WITH toks AS (
+  SELECT doc_id, (lang = 'en') AS is_pos, unnest(list_distinct({_TOKS})) AS token
+  FROM documents
+),
+per_tok AS (
+  SELECT token,
+         sum(CASE WHEN is_pos THEN 1 ELSE 0 END)::BIGINT AS n11,
+         sum(CASE WHEN is_pos THEN 0 ELSE 1 END)::BIGINT AS n10
+  FROM toks GROUP BY 1
+),
+totals AS (
+  SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n1,
+         sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)::BIGINT AS n0
+  FROM documents
+),
+scored AS (
+  SELECT token, n11, n10,
+         floor(
+           1000.0 * (n1 + n0)
+           * (n11::DOUBLE * (n0 - n10) - n10::DOUBLE * (n1 - n11))
+           * (n11::DOUBLE * (n0 - n10) - n10::DOUBLE * (n1 - n11))
+           / (n1::DOUBLE * n0 * (n11 + n10) * ((n1 - n11) + (n0 - n10)))
+         )::BIGINT AS chi2_milli
+  FROM per_tok, totals
+  WHERE n11 + n10 >= 5
+)
+SELECT token, n11, n10, chi2_milli
+FROM scored ORDER BY chi2_milli DESC, token LIMIT 50
+"""
+
+
+SPECS += [
+    QuerySpec("x_chi2_terms", q_chi2_terms, ORACLE_CHI2_TERMS,
+              doc="chi-square feature selection: top-50 tokens discriminating en vs non-en by doc frequency",
+              tags=("llm", "eval", "text")),
+]
