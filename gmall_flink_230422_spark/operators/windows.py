@@ -218,8 +218,8 @@ def one_hot_branches(
 def distributed_cumsum(
     df: DataFrame,
     order_cols: list[str],
-    value_col: str,
-    out_col: str = "cum",
+    value_col: str | list[str],
+    out_col: str | list[str] = "cum",
     num_partitions: int = 32,
 ) -> DataFrame:
     """Distributed prefix (cumulative) sum over a global ordering — the
@@ -246,25 +246,41 @@ def distributed_cumsum(
     """
     from pyspark.sql import Window
 
+    # Accept parallel value/out column lists: one range shuffle serves N
+    # prefix sums (the two-CDF KS comparison needs both sides aligned on
+    # one value grid — two helper calls would range-partition twice).
+    vcols = [value_col] if isinstance(value_col, str) else list(value_col)
+    ocols = [out_col] if isinstance(out_col, str) else list(out_col)
+    assert len(vcols) == len(ocols)
+
     ranged = (
         df.repartitionByRange(num_partitions, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
         .cache()
     )
-    ptot = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_ptot"))
-    p2 = ptot.select(F.col("_pid").alias("_pid2"), F.col("_ptot").alias("_ptot2"))
+    ptot = ranged.groupBy("_pid").agg(
+        *[F.sum(v).alias(f"_ptot{i}") for i, v in enumerate(vcols)]
+    )
+    p2 = ptot.select(
+        F.col("_pid").alias("_pid2"),
+        *[F.col(f"_ptot{i}").alias(f"_ptot2{i}") for i in range(len(vcols))],
+    )
     offs = (
         ptot.join(F.broadcast(p2), F.col("_pid2") < F.col("_pid"), "left")
         .groupBy("_pid")
-        .agg(F.coalesce(F.sum("_ptot2"), F.lit(0)).alias("_off"))
+        .agg(
+            *[
+                F.coalesce(F.sum(f"_ptot2{i}"), F.lit(0)).alias(f"_off{i}")
+                for i in range(len(vcols))
+            ]
+        )
     )
     w = (
         Window.partitionBy("_pid")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        ranged.join(F.broadcast(offs), "_pid")
-        .withColumn(out_col, F.sum(value_col).over(w) + F.col("_off"))
-        .drop("_pid", "_off")
-    )
+    out = ranged.join(F.broadcast(offs), "_pid")
+    for i, (v, o) in enumerate(zip(vcols, ocols)):
+        out = out.withColumn(o, F.sum(v).over(w) + F.col(f"_off{i}"))
+    return out.drop("_pid", *[f"_off{i}" for i in range(len(vcols))])

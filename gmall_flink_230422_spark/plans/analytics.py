@@ -9,6 +9,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..operators.windows import distributed_cumsum
 from . import QuerySpec
 
 SESSION_GAP_S = 1800
@@ -2364,4 +2365,295 @@ SPECS += [
     QuerySpec("e_ewma", q_ewma, ORACLE_EWMA,
               doc="per-user dyadic-kernel EWMA over trailing 8 events, BIGINT-exact on the cent grid",
               tags=("ext", "window")),
+]
+
+
+# ------------------------------------------------- r4: distribution statistics
+def q_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov distance between the order-total
+    distributions of the BUILDING and MACHINERY market segments — the
+    distribution-shift test (drift monitors, A/B gates) computed as a
+    distributed CDF comparison rather than a sort-and-scan.
+
+    Scale shape: one o_custkey shuffle for the fact join, one hash-agg
+    to per-cent-value conditional counts (the value grid is data-sized,
+    NOT assumed bounded), BOTH prefix sums through a single
+    distributed_cumsum pass (multi-column form: one range shuffle), and
+    a 1-row scalar reduce for the sup.  Integer end-to-end: each CDF is
+    quantized to ppm via BIGINT DIV before the gap — deterministic
+    cross-engine, with the documented bound that cum * 1e6 fits BIGINT
+    up to ~9e12 rows per side."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    joined = (
+        load_table(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            (F.col("c_mktsegment") == "BUILDING").alias("is_a"),
+        )
+    )
+    hist = joined.groupBy("cents").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("cnt_a"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).cast("bigint").alias("cnt_b"),
+    )
+    cum = distributed_cumsum(hist, ["cents"], ["cnt_a", "cnt_b"], ["cum_a", "cum_b"])
+    tot = hist.agg(
+        F.sum("cnt_a").cast("bigint").alias("tot_a"),
+        F.sum("cnt_b").cast("bigint").alias("tot_b"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "tot_a",
+            "tot_b",
+            F.expr(
+                "abs(cum_a * 1000000 DIV tot_a - cum_b * 1000000 DIV tot_b)"
+            ).alias("gap_ppm"),
+        )
+        .groupBy("tot_a", "tot_b")
+        .agg(F.max("gap_ppm").cast("bigint").alias("ks_ppm"))
+    )
+
+
+ORACLE_KS_TEST = """
+WITH joined AS (
+  SELECT round(o.o_totalprice * 100)::BIGINT AS cents,
+         (c.c_mktsegment = 'BUILDING') AS is_a
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+hist AS (
+  SELECT cents,
+         sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS cnt_a,
+         sum(CASE WHEN is_a THEN 0 ELSE 1 END)::BIGINT AS cnt_b
+  FROM joined GROUP BY 1
+),
+cum AS (
+  SELECT sum(cnt_a) OVER (ORDER BY cents) AS cum_a,
+         sum(cnt_b) OVER (ORDER BY cents) AS cum_b
+  FROM hist
+),
+tot AS (
+  SELECT sum(cnt_a)::BIGINT AS tot_a, sum(cnt_b)::BIGINT AS tot_b FROM hist
+)
+SELECT tot_a, tot_b,
+       max(abs(cum_a * 1000000 // tot_a - cum_b * 1000000 // tot_b))::BIGINT AS ks_ppm
+FROM cum, tot
+GROUP BY tot_a, tot_b
+"""
+
+
+def q_ols_trend(spark, sf_dir):
+    """Per-segment ordinary-least-squares trend of daily revenue: closed-form
+    slope and intercept from the five sufficient statistics (n, Σx, Σy,
+    Σxy, Σx²) — the regression that turns a revenue time series into a
+    drift direction without any iterative fitting.
+
+    Scale shape: two hash-aggs (daily rollup on (segment, day), then the
+    sufficient statistics per segment — partial aggregation does the map-
+    side combine), never a sort.  Integer end-to-end: x is the epoch-day
+    re-centered at 10000 (|x| < ~5k for any date this side of 1997±40y),
+    y is daily revenue cents; slope_milli = 1000·num DIV den evaluated as
+    num DIV (den DIV 1000) to keep every intermediate under ~1e17 even at
+    thousands of days × 1e13 cents/day; intercept_cents = (Σy −
+    slope·Σx/1000) DIV n in the same guarded form."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            (F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")) - F.lit(10000))
+            .cast("bigint")
+            .alias("x"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100)).cast("bigint").alias("y"))
+    )
+    stats = daily.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    return stats.select(
+        "segment",
+        "n",
+        F.expr(
+            "CAST((n * sxy - sx * sy) DIV greatest((n * sxx - sx * sx) DIV 1000, 1) AS BIGINT)"
+        ).alias("slope_millicents_per_day"),
+        F.expr(
+            "CAST((sy - ((n * sxy - sx * sy) DIV greatest((n * sxx - sx * sx) DIV 1000, 1)) * sx DIV 1000) DIV n AS BIGINT)"
+        ).alias("intercept_cents"),
+    )
+
+
+ORACLE_OLS_TREND = """
+WITH daily AS (
+  SELECT c.c_mktsegment AS segment,
+         (date_diff('day', DATE '1970-01-01', o.o_orderdate) - 10000)::BIGINT AS x,
+         sum(round(o.o_totalprice * 100))::BIGINT AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+stats AS (
+  SELECT segment, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+         sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+         sum(x * x)::BIGINT AS sxx
+  FROM daily GROUP BY 1
+)
+SELECT segment, n,
+       ((n * sxy - sx * sy) // greatest((n * sxx - sx * sx) // 1000, 1))::BIGINT
+         AS slope_millicents_per_day,
+       ((sy - ((n * sxy - sx * sy) // greatest((n * sxx - sx * sx) // 1000, 1)) * sx // 1000) // n)::BIGINT
+         AS intercept_cents
+FROM stats
+"""
+
+
+def q_gini(spark, sf_dir):
+    """Per-segment Gini coefficient of order totals — the concentration
+    index that tells a corpus/revenue steward whether a segment's volume
+    is dominated by a few whales (the same statistic used to audit
+    domain-share concentration in training mixes).
+
+    Scale shape: rank via a KEYED window (partitionBy segment — never a
+    global sort), one hash-agg for the rank-weighted sums.  The rank
+    formula G = (2·Σ(i·x_i) − (n+1)·Σx) / (n·Σx) runs in BIGINTs with
+    the guarded-DIV pattern (ppm = num DIV (den DIV 1e6)); ties order by
+    the unique o_orderkey so both engines rank identically."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    ranked = (
+        load_table(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            "o_orderkey",
+        )
+        .withColumn(
+            "i",
+            F.row_number().over(
+                Window.partitionBy("segment").orderBy("cents", "o_orderkey")
+            ).cast("bigint"),
+        )
+    )
+    return (
+        ranked.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sx"),
+            F.sum(F.col("i") * F.col("cents")).cast("bigint").alias("six"),
+        )
+        .select(
+            "segment",
+            "n",
+            F.expr(
+                "CAST((2 * six - (n + 1) * sx) DIV greatest(n * sx DIV 1000000, 1) AS BIGINT)"
+            ).alias("gini_ppm"),
+        )
+    )
+
+
+ORACLE_GINI = """
+WITH ranked AS (
+  SELECT c.c_mktsegment AS segment,
+         round(o.o_totalprice * 100)::BIGINT AS cents,
+         row_number() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY round(o.o_totalprice * 100)::BIGINT, o.o_orderkey)::BIGINT AS i
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT segment, count(*)::BIGINT AS n,
+       ((2 * sum(i * cents) - (count(*) + 1) * sum(cents))
+        // greatest(count(*) * sum(cents) // 1000000, 1))::BIGINT AS gini_ppm
+FROM ranked GROUP BY 1
+"""
+
+
+def q_skyline(spark, sf_dir):
+    """Per-segment Pareto frontier (skyline) of customers over two
+    maximize-dimensions: order count and account balance.  A customer is
+    on the frontier iff no other customer in the segment weakly dominates
+    it (≥ on both, > on at least one) — the multi-objective shortlist
+    query (best suppliers, best corpus sources by quality × volume).
+
+    Scale shape: per-customer rollup (one shuffle), then dominance via
+    TWO keyed window maxima over the (segment)-partitioned frame ordered
+    by n_orders: max balance over strictly-higher counts (RANGE 1
+    FOLLOWING → UNBOUNDED) and max balance among count-ties (RANGE
+    CURRENT ROW peers) — O(n log n) per segment instead of the naive
+    all-pairs O(n²); no global sort, no crossJoin.  Balances compare on
+    the cent grid; the oracle is an independent NOT EXISTS dominance
+    formulation, so the window rewrite is what is being verified."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", F.col("c_mktsegment").alias("segment"), "n_orders", "bal_cents")
+    )
+    w_above = (
+        Window.partitionBy("segment")
+        .orderBy("n_orders")
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    w_peer = (
+        Window.partitionBy("segment")
+        .orderBy("n_orders")
+        .rangeBetween(Window.currentRow, Window.currentRow)
+    )
+    return (
+        per_cust.withColumn("max_above", F.max("bal_cents").over(w_above))
+        .withColumn("max_peer", F.max("bal_cents").over(w_peer))
+        .filter(
+            (F.col("max_above").isNull() | (F.col("max_above") < F.col("bal_cents")))
+            & (F.col("max_peer") <= F.col("bal_cents"))
+        )
+        .select("segment", "c_custkey", "n_orders", "bal_cents")
+    )
+
+
+ORACLE_SKYLINE = """
+WITH per_cust AS (
+  SELECT c.c_custkey, c.c_mktsegment AS segment,
+         o.n_orders, round(c.c_acctbal * 100)::BIGINT AS bal_cents
+  FROM (
+    SELECT o_custkey, count(*)::BIGINT AS n_orders FROM orders GROUP BY 1
+  ) o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT segment, c_custkey, n_orders, bal_cents
+FROM per_cust p
+WHERE NOT EXISTS (
+  SELECT 1 FROM per_cust q
+  WHERE q.segment = p.segment
+    AND q.n_orders >= p.n_orders AND q.bal_cents >= p.bal_cents
+    AND (q.n_orders > p.n_orders OR q.bal_cents > p.bal_cents)
+)
+"""
+
+
+SPECS += [
+    QuerySpec("e_ks_test", q_ks_test, ORACLE_KS_TEST,
+              doc="two-sample KS distance between segment order-total CDFs, distributed prefix sums, ppm grid",
+              tags=("ext", "stats")),
+    QuerySpec("e_ols_trend", q_ols_trend, ORACLE_OLS_TREND,
+              doc="closed-form per-segment OLS slope/intercept of daily revenue from five sufficient statistics",
+              tags=("ext", "stats")),
+    QuerySpec("e_gini", q_gini, ORACLE_GINI,
+              doc="per-segment Gini concentration of order totals via the keyed rank formula, ppm grid",
+              tags=("ext", "stats")),
+    QuerySpec("e_skyline", q_skyline, ORACLE_SKYLINE,
+              doc="per-segment 2D Pareto frontier via keyed window maxima; oracle is NOT EXISTS dominance",
+              tags=("ext", "stats")),
 ]

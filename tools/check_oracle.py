@@ -73,6 +73,14 @@ def main():
         spark = (
             SparkSession.builder.master("local[8]")
             .appName("check-oracle-vanilla")
+            # Observability-store hygiene only (cannot affect results): the
+            # SQL UI retains a plan description per execution, and across a
+            # 200+-query marathon in this default-1g driver heap those
+            # strings alone OOMed a localCheckpoint (r4 sweep,
+            # x_cluster_purity). The driver's harness runs far fewer
+            # queries per session and never hits this.
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.ui.retainedExecutions", "8")
             .getOrCreate()
         )
         spark.sparkContext.setLogLevel("ERROR")
