@@ -2657,3 +2657,155 @@ SPECS += [
               doc="per-segment 2D Pareto frontier via keyed window maxima; oracle is NOT EXISTS dominance",
               tags=("ext", "stats")),
 ]
+
+
+def q_hll_intersect(spark, sf_dir):
+    """Audience-overlap estimate from mergeable sketches: distinct users
+    who 'click' vs who 'purchase', their union via register max-merge, and
+    the inclusion-exclusion intersection estimate — alongside the exact
+    counts so the estimator error is visible.  This is the sketch algebra
+    that lets a 100 TB engine answer overlap questions from KBs of state:
+    the union sketch comes from merging the two groups' registers, never
+    from rescanning the data.
+
+    Scale shape: one scan feeds the per-type register agg (<=2*256 rows
+    survive), the union is a second tiny agg over those registers, exact
+    counts are hash-aggs; the final frame is 1 row.  The estimate
+    arithmetic is the module's integer-exact harmonic sum with identical
+    expression trees cross-engine."""
+    from ..operators import sketches
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    regs = sketches.hll_buckets(
+        ev, F.col("user_id").cast("string"), ["event_type"]
+    ).cache()
+    est = sketches.hll_estimate(regs, ["event_type"])
+    union_regs = regs.groupBy("_bucket").agg(F.max("_max_rho").alias("_max_rho"))
+    est_union = sketches.hll_estimate(
+        union_regs.withColumn("_g", F.lit(1)), ["_g"]
+    ).select(F.col("hll_est").alias("est_union"))
+    users = ev.select("event_type", "user_id").distinct()
+    exact = users.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("_nt")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_any"),
+        F.sum(F.when(F.col("_nt") == 2, 1).otherwise(0)).cast("bigint").alias("exact_both"),
+    )
+    wide = (
+        est.groupBy()
+        .pivot("event_type", ["click", "purchase"])
+        .agg(F.first("hll_est"))
+        .select(
+            F.col("click").alias("est_a"), F.col("purchase").alias("est_b")
+        )
+    )
+    return (
+        wide.crossJoin(F.broadcast(est_union))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "exact_any",
+            "exact_both",
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "est_intersect"
+            ),
+        )
+    )
+
+
+def _oracle_hll_intersect() -> str:
+    from ..functions.hashing import portable_hash64_sql
+    from ..operators import sketches
+
+    return f"""
+WITH ev AS (
+  SELECT event_type, user_id FROM events
+  WHERE event_type IN ('click', 'purchase')
+),
+h AS (
+  SELECT event_type, {portable_hash64_sql("CAST(user_id AS VARCHAR)")} AS _h
+  FROM ev
+),
+r AS (SELECT event_type, {sketches.hll_rho_sql("_h")} FROM h),
+reg AS (
+  SELECT event_type, _bucket, max(_rho) AS _max_rho FROM r GROUP BY 1, 2
+),
+est AS (
+  SELECT event_type, {sketches.hll_estimate_sql()} AS hll_est
+  FROM reg GROUP BY 1
+),
+ureg AS (SELECT _bucket, max(_max_rho) AS _max_rho FROM reg GROUP BY 1),
+uest AS (SELECT {sketches.hll_estimate_sql()} AS est_union FROM ureg),
+users AS (SELECT DISTINCT event_type, user_id FROM ev),
+exact AS (
+  SELECT count(*)::BIGINT AS exact_any,
+         sum(CASE WHEN nt = 2 THEN 1 ELSE 0 END)::BIGINT AS exact_both
+  FROM (SELECT user_id, count(*) AS nt FROM users GROUP BY 1)
+),
+wide AS (
+  SELECT max(CASE WHEN event_type = 'click' THEN hll_est END) AS est_a,
+         max(CASE WHEN event_type = 'purchase' THEN hll_est END) AS est_b
+  FROM est
+)
+SELECT exact_any, exact_both, est_a, est_b, est_union,
+       est_a + est_b - est_union AS est_intersect
+FROM wide, uest, exact
+"""
+
+
+def q_record_linkage(spark, sf_dir):
+    """Sorted-neighborhood record linkage: candidate duplicate customer
+    records per nation, found by sorting names within each nation block
+    and comparing each record to its next 3 sort-neighbors with an edit
+    distance <= 2 — the scalable entity-resolution pattern (block, sort,
+    slide a window) that replaces the quadratic all-pairs compare.
+
+    Scale shape: one shuffle on the block key, a KEYED window for the
+    3 leads (never a global sort), and JVM-side levenshtein on the
+    candidate pairs only — per-block cost O(b·W) instead of O(b²).
+    Levenshtein is exact integer cross-engine.  The oracle is an
+    INDEPENDENT formulation: rank + self-join on rank distance <= 3,
+    so the window-lead rewrite is what is being verified."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nationkey"), "c_name"
+    )
+    w = Window.partitionBy("nationkey").orderBy("c_name")
+    pairs = None
+    base = cust.withColumn("name_a", F.col("c_name"))
+    for j in (1, 2, 3):
+        p = base.withColumn("name_b", F.lead("c_name", j).over(w))
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.filter(F.col("name_b").isNotNull())
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("dist") <= 2)
+        .select("nationkey", "name_a", "name_b", "dist")
+    )
+
+
+ORACLE_RECORD_LINKAGE = """
+WITH ranked AS (
+  SELECT c_nationkey::BIGINT AS nationkey, c_name,
+         row_number() OVER (PARTITION BY c_nationkey ORDER BY c_name) AS rk
+  FROM customer
+)
+SELECT a.nationkey, a.c_name AS name_a, b.c_name AS name_b,
+       levenshtein(a.c_name, b.c_name)::BIGINT AS dist
+FROM ranked a JOIN ranked b
+  ON a.nationkey = b.nationkey AND b.rk - a.rk BETWEEN 1 AND 3
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+"""
+
+
+SPECS += [
+    QuerySpec("e_hll_intersect", q_hll_intersect, _oracle_hll_intersect(),
+              doc="sketch-algebra audience overlap: HLL union via register merge + inclusion-exclusion intersect",
+              tags=("ext", "sketch")),
+    QuerySpec("e_record_linkage", q_record_linkage, ORACLE_RECORD_LINKAGE,
+              doc="sorted-neighborhood entity resolution: blocked 3-neighbor levenshtein<=2 candidate pairs",
+              tags=("ext", "dedup")),
+]

@@ -4549,3 +4549,68 @@ SPECS += [
               doc="chi-square feature selection: top-50 tokens discriminating en vs non-en by doc frequency",
               tags=("llm", "eval", "text")),
 ]
+
+
+_WILSON_EXPR = (
+    "CAST(floor(1000000.0 * ("
+    "(CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE)"
+    " + 1.9208 / CAST(n_docs AS DOUBLE)"
+    " - 1.96 * sqrt((CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE)"
+    " * (1.0 - CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    " + 0.9604 / CAST(n_docs AS DOUBLE)) / CAST(n_docs AS DOUBLE)))"
+    " / (1.0 + 3.8416 / CAST(n_docs AS DOUBLE))"
+    ")) AS BIGINT)"
+)
+
+
+def q_wilson_rank(spark, sf_dir):
+    """Wilson-lower-bound ranking of sources by classifier keep rate — the
+    small-sample-honest way to rank corpus sources (a 3/3 source must not
+    outrank a 950/1000 source; the lower confidence bound at z=1.96
+    handles exactly that).  The decision layer on top of the quality
+    classifier when choosing which domains to crawl deeper.
+
+    Scale shape: map-only classifier pass + one hash-agg per source;
+    the Wilson bound is a per-group scalar expression.  Cross-engine
+    parity: the bound is evaluated from exact BIGINT (n_keep, n_docs)
+    through ONE shared expression string (identical AST both engines);
+    /, *, sqrt are all IEEE correctly rounded, so the micro-floor is
+    engine-stable — same argument class as x_chi2_terms, with the
+    boundary reasoning pinned in x_weighted_sample's docstring."""
+    d = _docs_par(spark, sf_dir)
+    feats = text.quality_classifier(d).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    agg = feats.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_keep"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_keep",
+        F.expr("CAST(n_keep * 1000 DIV n_docs AS BIGINT)").alias("keep_rate_milli"),
+        F.expr(_WILSON_EXPR).alias("wilson_micro"),
+    )
+
+
+ORACLE_WILSON_RANK = f"""
+WITH cls AS ({ORACLE_QUALITY_CLASSIFIER}),
+agg AS (
+  SELECT d.source, count(*)::BIGINT AS n_docs,
+         sum(CASE WHEN c.keep THEN 1 ELSE 0 END)::BIGINT AS n_keep
+  FROM cls c JOIN documents d USING (doc_id)
+  GROUP BY 1
+)
+SELECT source, n_docs, n_keep,
+       (n_keep * 1000 // n_docs)::BIGINT AS keep_rate_milli,
+       {_WILSON_EXPR.replace("DIV", "//")} AS wilson_micro
+FROM agg
+"""
+
+
+SPECS += [
+    QuerySpec("x_wilson_rank", q_wilson_rank, ORACLE_WILSON_RANK,
+              doc="Wilson lower-bound (z=1.96) ranking of sources by classifier keep rate, micro grid",
+              tags=("llm", "eval", "audit")),
+]
