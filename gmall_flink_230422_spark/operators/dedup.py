@@ -310,11 +310,19 @@ def connected_components(
     stays flat across rounds. At 100 TB the label table holds only docs
     that occur in a pair — tiny next to the corpus.
     """
+    # localCheckpoint (eager), not cache: every round's plan references
+    # edges twice, so with plain cache() the UPSTREAM pair-generation
+    # lineage (LSH self-joins, grid-cell neighbor joins, knn graphs — all
+    # self-referencing trees) is re-printed 2^rounds times in the plan
+    # string between the periodic label checkpoints; at r4 the dbscan
+    # chain OOMed the driver building that explain string before any data
+    # moved. Truncating edges' lineage to a leaf makes each round's plan
+    # O(1) regardless of how the caller produced the pairs.
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
-        .cache()
+        .localCheckpoint()
     )
     # seed labels with the one-hop min (self ∪ neighbors) — one aggregate,
     # no join; cliques (the common LSH-bucket case) then converge in a
@@ -350,7 +358,11 @@ def connected_components(
         prev.unpersist()
         if changed == 0:
             break
-    edges.unpersist()
+    # no explicit unpersist: the final labels frame's lineage still ends at
+    # the checkpointed edges leaf, which is NOT recomputable — freeing its
+    # blocks while a lazily-cached labels frame can still be evicted would
+    # make the result unrecoverable; the ContextCleaner frees the blocks
+    # once the RDD is unreachable.
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

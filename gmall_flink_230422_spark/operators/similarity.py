@@ -788,3 +788,144 @@ def lsh_multiprobe_topk(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+# ------------------------------------------------------------------- DBSCAN
+def dbscan_2d(
+    corpus: DataFrame,
+    eps_milli: int = 150,
+    min_pts: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Density clustering (DBSCAN) over the deterministic 2-D sign-random
+    projection of the embedding space — the density view of a corpus that
+    centroid methods (IVF/Lloyd) miss: arbitrary-shape clusters plus an
+    explicit NOISE class, the right tool for "find the dense boilerplate
+    blobs and the isolated junk" corpus forensics.
+
+    The metric is exact over the PROJECTED integer-milli plane (the JL
+    projection is the documented approximation; everything after it is
+    exact BIGINT arithmetic — d² = dx² + dy², no floats anywhere), so the
+    whole chain is oracle-checkable against a brute-force + recursive-
+    closure SQL reimplementation.
+
+    Scale shape — the textbook distributed DBSCAN decomposition:
+      1. grid cells of side eps (floor division via pmod, negative-safe):
+         every true eps-neighbor pair shares adjacent cells, so the
+         candidate join is cell ⋈ 3×3-neighborhood — per-cell work is
+         O(points-in-cell × 9 local density), never all-pairs;
+      2. neighbor counts by one hash-agg → core flags (|N(p)| ≥ min_pts,
+         self included);
+      3. clusters = min-label connected components over CORE-CORE
+         neighbor edges only (DBSCAN expansion passes through core
+         points; border points never chain) — the shared
+         `connected_components` with its bounded-lineage rounds;
+      4. border points adopt min(core-neighbor cluster); the rest is
+         labeled noise with cluster_id = -1.
+    """
+    spark = corpus.sparkSession
+    signs = random_projection_signs(spark, n_dirs=2)
+    proj = random_projection(corpus, signs, id_col=id_col, vec_col=vec_col)
+    pts = (
+        proj.groupBy(id_col)
+        .agg(
+            F.max(F.when(F.col("r") == 0, F.col("proj_milli"))).alias("x"),
+            F.max(F.when(F.col("r") == 1, F.col("proj_milli"))).alias("y"),
+        )
+        .withColumn("cx", ((F.col("x") - F.pmod(F.col("x"), F.lit(eps_milli))) / eps_milli).cast("bigint"))
+        .withColumn("cy", ((F.col("y") - F.pmod(F.col("y"), F.lit(eps_milli))) / eps_milli).cast("bigint"))
+        .cache()
+    )
+    probes = pts.select(
+        F.col(id_col).alias("ia"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.explode(F.expr("array(-1L, 0L, 1L)")).alias("dx"),
+        F.col("cx"),
+        F.col("cy"),
+    ).select(
+        "ia",
+        "ax",
+        "ay",
+        (F.col("cx") + F.col("dx")).alias("pcx"),
+        F.explode(F.expr("array(cy - 1, cy, cy + 1)")).alias("pcy"),
+    )
+    nb = (
+        probes.join(
+            pts.select(
+                F.col(id_col).alias("ib"),
+                F.col("x").alias("bx"),
+                F.col("y").alias("by"),
+                F.col("cx").alias("pcx"),
+                F.col("cy").alias("pcy"),
+            ),
+            ["pcx", "pcy"],
+        )
+        .filter(F.col("ia") != F.col("ib"))
+        .filter(
+            (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+            + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
+            <= F.lit(eps_milli * eps_milli)
+        )
+        .select("ia", "ib")
+        .cache()
+    )
+    cnt = nb.groupBy("ia").agg(F.count(F.lit(1)).alias("n_nb"))
+    flags = (
+        pts.join(cnt, pts[id_col] == cnt["ia"], "left")
+        .select(
+            id_col,
+            "x",
+            "y",
+            ((F.coalesce(F.col("n_nb"), F.lit(0)) + 1) >= min_pts).alias("is_core"),
+        )
+        .cache()
+    )
+    core_ids = flags.filter("is_core").select(F.col(id_col).alias("cid"))
+    core_edges = (
+        nb.join(core_ids, nb["ia"] == core_ids["cid"])
+        .drop("cid")
+        .join(core_ids, nb["ib"] == core_ids["cid"])
+        .filter(F.col("ia") < F.col("ib"))
+        .select(F.col("ia").alias("doc_a"), F.col("ib").alias("doc_b"))
+    )
+    from .dedup import connected_components
+
+    comp = connected_components(core_edges).select(
+        F.col("doc_id").alias("cid"), "cluster_id"
+    )
+    core_clusters = (
+        flags.filter("is_core")
+        .join(comp, flags[id_col] == comp["cid"], "left")
+        .select(
+            F.col(id_col).alias("core_id"),
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("core_cluster"),
+        )
+        .cache()
+    )
+    border = (
+        nb.join(
+            flags.filter(~F.col("is_core")).select(F.col(id_col).alias("ia")),
+            "ia",
+        )
+        .join(core_clusters, nb["ib"] == core_clusters["core_id"])
+        .groupBy("ia")
+        .agg(F.min("core_cluster").alias("border_cluster"))
+    )
+    return (
+        flags.join(core_clusters, flags[id_col] == core_clusters["core_id"], "left")
+        .join(border, flags[id_col] == border["ia"], "left")
+        .select(
+            id_col,
+            F.col("x").alias("x_milli"),
+            F.col("y").alias("y_milli"),
+            F.when(F.col("is_core"), F.lit("core"))
+            .when(F.col("border_cluster").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce(
+                F.col("core_cluster"), F.col("border_cluster"), F.lit(-1)
+            ).cast("bigint").alias("cluster_id"),
+        )
+    )

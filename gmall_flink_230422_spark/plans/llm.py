@@ -4614,3 +4614,93 @@ SPECS += [
               doc="Wilson lower-bound (z=1.96) ranking of sources by classifier keep rate, micro grid",
               tags=("llm", "eval", "audit")),
 ]
+
+
+# ----------------------------------------------------------------- r4: DBSCAN
+def q_dbscan(spark, sf_dir):
+    """Density clustering with noise over the embedding corpus
+    (operators/similarity.dbscan_2d): grid-cell DBSCAN on the
+    deterministic 2-D sign projection — eps=150 milli, min_pts=4.  The
+    oracle is an INDEPENDENT brute-force reimplementation (all-pairs
+    neighbor counts + recursive reachability closure over core-core
+    edges), so the grid-cell candidate pruning, the min-label component
+    rounds, and the border-adoption rule are all what is being
+    verified."""
+    return similarity.dbscan_2d(_embs_par(spark, sf_dir), eps_milli=150, min_pts=4)
+
+
+ORACLE_DBSCAN = rf"""
+WITH RECURSIVE signs AS (
+  SELECT r, j, {_RP_SIGN}::INT AS sign
+  FROM (SELECT unnest(range(2))::INT AS r) rr
+  CROSS JOIN (SELECT unnest(range(64))::INT AS j) jj
+),
+comps AS (
+  SELECT vec_id, (generate_subscripts(embedding, 1) - 1)::INT AS j,
+         floor(unnest(embedding)::DOUBLE * 1000)::BIGINT AS milli
+  FROM embeddings
+),
+proj AS (
+  SELECT c.vec_id, s.r, sum(s.sign * c.milli)::BIGINT AS p
+  FROM comps c JOIN signs s ON c.j = s.j
+  GROUP BY 1, 2
+),
+pts AS (
+  SELECT vec_id,
+         max(CASE WHEN r = 0 THEN p END) AS x,
+         max(CASE WHEN r = 1 THEN p END) AS y
+  FROM proj GROUP BY 1
+),
+nb AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM pts a JOIN pts b
+    ON a.vec_id <> b.vec_id
+   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 22500
+),
+cnt AS (SELECT ia AS vec_id, count(*) AS n_nb FROM nb GROUP BY 1),
+flags AS (
+  SELECT p.vec_id, p.x, p.y, (coalesce(c.n_nb, 0) + 1 >= 4) AS is_core
+  FROM pts p LEFT JOIN cnt c USING (vec_id)
+),
+core_edges AS (
+  SELECT n.ia AS src, n.ib AS dst FROM nb n
+  JOIN flags fa ON fa.vec_id = n.ia AND fa.is_core
+  JOIN flags fb ON fb.vec_id = n.ib AND fb.is_core
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM core_edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN core_edges e ON r.dst = e.src
+),
+comp AS (
+  SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+),
+core_clusters AS (
+  SELECT f.vec_id, coalesce(c.cluster_id, f.vec_id) AS core_cluster
+  FROM flags f LEFT JOIN comp c USING (vec_id)
+  WHERE f.is_core
+),
+border AS (
+  SELECT n.ia AS vec_id, min(cc.core_cluster) AS border_cluster
+  FROM nb n
+  JOIN flags fa ON fa.vec_id = n.ia AND NOT fa.is_core
+  JOIN core_clusters cc ON cc.vec_id = n.ib
+  GROUP BY 1
+)
+SELECT f.vec_id, f.x AS x_milli, f.y AS y_milli,
+       CASE WHEN f.is_core THEN 'core'
+            WHEN b.border_cluster IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       coalesce(cc.core_cluster, b.border_cluster, -1)::BIGINT AS cluster_id
+FROM flags f
+LEFT JOIN core_clusters cc USING (vec_id)
+LEFT JOIN border b USING (vec_id)
+"""
+
+
+SPECS += [
+    QuerySpec("x_dbscan", q_dbscan, ORACLE_DBSCAN,
+              doc="grid-cell DBSCAN with noise over the 2-D projected embedding plane; brute-force + recursive-closure oracle",
+              tags=("llm", "similarity", "clustering")),
+]
