@@ -206,3 +206,55 @@ def test_wilson_bound_sanity(spark):
     assert rows["big"] > rows["tiny"]  # the whole point of the bound
     assert 0 <= rows["tiny"] < 1_000_000
     assert rows["half"] < 500_000
+
+
+# ------------------------------------------------------------------- DBSCAN
+def test_dbscan_semantics_on_handmade_plane(spark):
+    """Two dense blobs + a bridge-free gap + isolated points, fed through
+    the grid-cell pipeline via a stub projection: roles and components
+    must match the textbook definition exactly."""
+    import gmall_flink_230422_spark.operators.similarity as sim
+
+    # points: blob A (4 pts within eps of each other), blob B (4 pts),
+    # 1 border point near blob A but with < min_pts neighbors, 1 noise
+    pts = {
+        1: (0, 0), 2: (10, 0), 3: (0, 10), 4: (10, 10),      # blob A
+        5: (1000, 0), 6: (1010, 0), 7: (1000, 10), 8: (1010, 10),  # blob B
+        9: (55, 0),                                           # border of A
+        10: (5000, 5000),                                     # noise
+    }
+    # embeddings such that the deterministic projection reproduces pts:
+    # use 64-dim vectors with only the first component set — proj r is
+    # sign(r, 0) * milli(v0). Instead of inverting signs, monkeypatch the
+    # projection step by building the operator chain on a fake corpus and
+    # substituting random_projection with an identity via embedding choice
+    # is fragile — so call the internals directly.
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(k, x, y) for k, (x, y) in pts.items()], "vec_id long, x long, y long"
+    )
+    eps, min_pts = 50, 4
+
+    real_rp = sim.random_projection
+
+    def fake_rp(corpus, signs, id_col="vec_id", vec_col="embedding"):
+        return corpus.selectExpr(
+            f"{id_col}", "stack(2, 0, x, 1, y) AS (r, proj_milli)"
+        )
+
+    sim.random_projection = fake_rp
+    try:
+        out = {
+            r["vec_id"]: (r["role"], r["cluster_id"])
+            for r in sim.dbscan_2d(df, eps_milli=eps, min_pts=min_pts).collect()
+        }
+    finally:
+        sim.random_projection = real_rp
+
+    for k in (1, 2, 3, 4):
+        assert out[k] == ("core", 1)
+    for k in (5, 6, 7, 8):
+        assert out[k] == ("core", 5)
+    assert out[9] == ("border", 1)
+    assert out[10] == ("noise", -1)
