@@ -1698,3 +1698,89 @@ SPECS = SPECS + (
         tags=("T2", "T11", "streaming", "window"),
     ),
 )
+
+
+def q_stream_cms_heavy(spark, sf_dir):
+    """Streaming heavy hitters via count-min sketch: each micro-batch of
+    the replayed event stream reduces to its own bounded d×w CMS grid
+    inside a checkpointed foreachBatch (landed under batch_id=N,
+    overwrite ⇒ idempotent replay — the exactly-once sink model), and the
+    read side merges grids by cell-wise SUM (CMS merge is additive,
+    unlike HLL's register max) before probing the exact top-20 users.
+    Because addition is associative/commutative and each batch lands
+    exactly once, the merged grid equals the single-pass batch grid
+    REGARDLESS of micro-batch boundaries or replays — the online heavy-
+    hitter monitor at 100 TB stream rates: KBs of state per batch, never
+    a vocabulary-sized table."""
+    from ..operators import sketches
+
+    ev = _events_stream(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="streamq_cms_")
+    store = os.path.join(tmp, "grids")
+    ck = os.path.join(tmp, "ck")
+
+    def _land(batch: DataFrame, batch_id: int) -> None:
+        grid = sketches.cms_table(
+            batch, F.col("user_id").cast("string")
+        )
+        grid.write.mode("overwrite").parquet(
+            os.path.join(store, f"batch_id={batch_id}")
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(_land)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    merged = (
+        spark.read.parquet(store)
+        .groupBy("cms_row", "cms_col")
+        .agg(F.sum("cms_count").alias("cms_count"))
+    )
+    top = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").cast("string").alias("user"))
+        .agg(F.count(F.lit(1)).alias("exact_ct"))
+        .orderBy(F.col("exact_ct").desc(), "user")
+        .limit(20)
+    )
+    return sketches.cms_lookup(merged, top, "user")
+
+
+def _oracle_stream_cms() -> str:
+    from ..functions.hashing import portable_hash64_sql
+    from ..operators import sketches
+
+    phash_user = f"({portable_hash64_sql('CAST(user_id AS VARCHAR)')} % 2147483647)"
+    return f"""
+WITH hb AS (SELECT {phash_user} AS _hb FROM events),
+rows AS (SELECT unnest([0, 1, 2, 3]) AS cms_row),
+cells AS (
+  SELECT cms_row, {sketches.cms_col_sql("cms_row", "_hb")} AS cms_col,
+         count(*)::BIGINT AS cms_count
+  FROM hb CROSS JOIN rows GROUP BY 1, 2
+),
+top AS (
+  SELECT CAST(user_id AS VARCHAR) AS "user", count(*)::BIGINT AS exact_ct
+  FROM events GROUP BY 1 ORDER BY exact_ct DESC, "user" LIMIT 20
+),
+probes AS (
+  SELECT "user", exact_ct, cms_row,
+         {sketches.cms_col_sql("cms_row", f'({portable_hash64_sql(chr(34) + "user" + chr(34))} % 2147483647)')} AS cms_col
+  FROM top CROSS JOIN rows
+)
+SELECT p."user", p.exact_ct, min(c.cms_count) AS cms_est
+FROM probes p JOIN cells c ON p.cms_row = c.cms_row AND p.cms_col = c.cms_col
+GROUP BY 1, 2
+"""
+
+
+SPECS = SPECS + (
+    QuerySpec(
+        "s_stream_cms_heavy", q_stream_cms_heavy, _oracle_stream_cms(),
+        doc="streaming heavy hitters: per-batch CMS grids, additive merge, exact top-20 probe == batch grid",
+        tags=("T11", "streaming", "sketch"),
+    ),
+)
