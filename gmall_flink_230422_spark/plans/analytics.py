@@ -2809,3 +2809,101 @@ SPECS += [
               doc="sorted-neighborhood entity resolution: blocked 3-neighbor levenshtein<=2 candidate pairs",
               tags=("ext", "dedup")),
 ]
+
+
+def q_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap confidence interval for the mean order value —
+    uncertainty quantification in ONE scan: instead of resampling passes,
+    each row draws a deterministic Poisson(1) weight per replicate from
+    the portable hash of (orderkey, replicate), so 32 bootstrap means
+    come out of a single explode + hash-agg (the MapReduce one-pass
+    bootstrap).  The Poisson(1) CDF is hard-quantized to the 1e-6 grid
+    (367879, 735759, 919699, 980979, 996340, 999406 — floor(1e6·CDF)
+    constants, integers in both engines), weights and sums stay BIGINT,
+    and each replicate mean is one guarded DIV.
+
+    Scale shape: the explode is a constant 32× amplification collapsed
+    immediately by a map-side-combined hash-agg to 32 rows; the order
+    statistics run over those 32 rows (bounded by CONFIG, a benign
+    scalar-class final agg).  lo/hi are the 2nd and 31st order statistics
+    (~[3,97]% for 32 replicates)."""
+    from ..functions.hashing import portable_hash64
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    reps = o.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("r"),
+    ).withColumn(
+        "u",
+        F.pmod(
+            portable_hash64(F.concat_ws(":", F.lit("boot"), "o_orderkey", "r")),
+            F.lit(1000000),
+        ),
+    ).withColumn(
+        "w",
+        F.expr(
+            "CASE WHEN u < 367879 THEN 0L WHEN u < 735759 THEN 1L"
+            " WHEN u < 919699 THEN 2L WHEN u < 980979 THEN 3L"
+            " WHEN u < 996340 THEN 4L WHEN u < 999406 THEN 5L ELSE 6L END"
+        ),
+    )
+    means = reps.groupBy("r").agg(
+        F.expr("CAST(sum(w * cents) DIV greatest(sum(w), 1) AS BIGINT)").alias(
+            "rep_mean_cents"
+        )
+    )
+    point = o.agg(
+        F.expr("CAST(sum(cents) DIV count(*) AS BIGINT)").alias("point_mean_cents")
+    )
+    return (
+        means.agg(F.sort_array(F.collect_list("rep_mean_cents")).alias("ms"))
+        .crossJoin(F.broadcast(point))
+        .select(
+            "point_mean_cents",
+            F.element_at("ms", 2).alias("boot_lo_cents"),
+            F.element_at("ms", 31).alias("boot_hi_cents"),
+            F.size("ms").cast("long").alias("n_replicates"),
+        )
+    )
+
+
+def _oracle_bootstrap_ci() -> str:
+    from ..functions.hashing import portable_hash64_sql
+
+    h = portable_hash64_sql("('boot:' || o_orderkey::VARCHAR || ':' || r::VARCHAR)")
+    return f"""
+WITH o AS (
+  SELECT o_orderkey, round(o_totalprice * 100)::BIGINT AS cents FROM orders
+),
+reps AS (
+  SELECT o_orderkey, cents, r, ({h} % 1000000) AS u
+  FROM o CROSS JOIN (SELECT unnest(range(32))::BIGINT AS r)
+),
+wts AS (
+  SELECT r, cents,
+         (CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+               WHEN u < 919699 THEN 2 WHEN u < 980979 THEN 3
+               WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5 ELSE 6 END)::BIGINT AS w
+  FROM reps
+),
+means AS (
+  SELECT r, (sum(w * cents) // greatest(sum(w), 1))::BIGINT AS rep_mean_cents
+  FROM wts GROUP BY 1
+),
+arr AS (SELECT list_sort(list(rep_mean_cents)) AS ms FROM means),
+point AS (SELECT (sum(cents) // count(*))::BIGINT AS point_mean_cents FROM o)
+SELECT point_mean_cents, ms[2] AS boot_lo_cents, ms[31] AS boot_hi_cents,
+       len(ms)::BIGINT AS n_replicates
+FROM arr, point
+"""
+
+
+SPECS += [
+    QuerySpec("e_bootstrap_ci", q_bootstrap_ci, _oracle_bootstrap_ci(),
+              doc="one-pass deterministic Poisson bootstrap: 32 hash-replicate means, order-statistic CI",
+              tags=("ext", "stats")),
+]

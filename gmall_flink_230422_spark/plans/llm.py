@@ -4704,3 +4704,188 @@ SPECS += [
               doc="grid-cell DBSCAN with noise over the 2-D projected embedding plane; brute-force + recursive-closure oracle",
               tags=("llm", "similarity", "clustering")),
 ]
+
+
+# ------------------------------------------------- r4: span corruption (T5)
+def q_span_corruption(spark, sf_dir):
+    """Denoising-objective target generation (T5/UL2 span corruption):
+    deterministic hash-chosen token spans are cut out of each document,
+    the input keeps one sentinel token per span, and the target pairs
+    each sentinel with the masked content — the (input_text, target_text)
+    pair generator of a seq2seq pre-training pipeline, as a pure
+    DataFrame program.
+
+    Mechanics: tokens partition into 3-token blocks; block b of doc d is
+    masked iff pmod(hash('span:d:b'), 1000) < 150 (≈15% corruption rate,
+    mean span 3 — both engines derive identical masks from the portable
+    hash).  Span index k = count of masked blocks strictly before b (a
+    KEYED window per doc over the per-block frame).  Reassembly is one
+    sort-key trick: input pieces keep key 2·pos (sentinel replaces the
+    block's first token), target pieces interleave sentinels at 2·pos−1
+    with masked tokens at 2·pos; array_sort + filter + concat_ws emits
+    both strings in one hash-agg per doc.
+
+    Scale shape: explode → two hash-aggs (block frame, doc reassembly)
+    + one keyed window, all partitioned by doc_id; no global sort, no
+    UDFs — string surgery entirely in whole-stage codegen."""
+    from pyspark.sql import Window
+
+    d = _docs_par(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            tokenize.whitespace_tokens(dedup.normalize_text(F.col("text")))
+        ).alias("pos", "token"),
+    ).withColumn("block", F.expr("pos DIV 3"))
+
+    blocks = (
+        toks.groupBy("doc_id", "block")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .withColumn(
+            "masked",
+            F.pmod(
+                portable_hash64(
+                    F.concat_ws(":", F.lit("span"), "doc_id", "block")
+                ),
+                F.lit(1000),
+            )
+            < 150,
+        )
+        .withColumn(
+            "k",
+            F.coalesce(
+                F.sum(F.col("masked").cast("long")).over(
+                    Window.partitionBy("doc_id")
+                    .orderBy("block")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    pieces = (
+        toks.join(blocks.select("doc_id", "block", "masked", "k"), ["doc_id", "block"])
+        .select(
+            "doc_id",
+            "pos",
+            "token",
+            "masked",
+            (F.col("pos") % 3 == 0).alias("is_first"),
+            F.concat(F.lit("<extra_id_"), F.col("k"), F.lit(">")).alias("sent"),
+        )
+    )
+    inp = pieces.filter(~F.col("masked") | F.col("is_first")).select(
+        "doc_id",
+        (F.col("pos") * 2).alias("key"),
+        F.when(~F.col("masked"), F.col("token")).otherwise(F.col("sent")).alias(
+            "piece"
+        ),
+        F.lit("i").alias("side"),
+    )
+    tgt_tok = pieces.filter("masked").select(
+        "doc_id",
+        (F.col("pos") * 2).alias("key"),
+        F.col("token").alias("piece"),
+        F.lit("t").alias("side"),
+    )
+    tgt_sent = pieces.filter(F.col("masked") & F.col("is_first")).select(
+        "doc_id",
+        (F.col("pos") * 2 - 1).alias("key"),
+        F.col("sent").alias("piece"),
+        F.lit("s").alias("side"),
+    )
+
+    # ONE aggregation for both strings and the span count — assembling the
+    # three piece kinds in a single keyed hash-agg avoids re-shuffling the
+    # token stream three times and sidesteps joining three aggregates of
+    # shared lineage (which Spark 4.1 mis-planned under AQE: the unioned
+    # aggregate emitted per-branch rows when its output fed a multi-join;
+    # one terminal agg has no such ambiguity and is the better 100 TB plan
+    # anyway: one shuffle on doc_id total).
+    def _side(ps, which):
+        return F.concat_ws(
+            " ",
+            F.transform(
+                F.filter(ps, lambda x: x["side"].isin(list(which))),
+                lambda x: x["piece"],
+            ),
+        )
+
+    allp = inp.unionByName(tgt_tok).unionByName(tgt_sent)
+    ps = F.array_sort(F.collect_list(F.struct("key", "side", "piece")))
+    return (
+        allp.groupBy("doc_id")
+        .agg(ps.alias("_ps"))
+        .select(
+            "doc_id",
+            _side(F.col("_ps"), ("i",)).alias("input_text"),
+            _side(F.col("_ps"), ("t", "s")).alias("target_text"),
+            F.size(F.filter(F.col("_ps"), lambda x: x["side"] == "s"))
+            .cast("long")
+            .alias("n_spans"),
+        )
+    )
+
+
+_SPAN_PHASH = _PHASH.format(x="('span:' || doc_id::VARCHAR || ':' || block::VARCHAR)")
+
+ORACLE_SPAN_CORRUPTION = rf"""
+WITH toks AS (
+  SELECT doc_id, (generate_subscripts(t, 1) - 1)::BIGINT AS pos,
+         unnest(t) AS token
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+),
+tb AS (SELECT doc_id, pos, token, (pos // 3)::BIGINT AS block FROM toks),
+blocks AS (
+  SELECT doc_id, block,
+         (({_SPAN_PHASH} % 1000) < 150) AS masked
+  FROM (SELECT DISTINCT doc_id, block FROM tb)
+),
+kb AS (
+  SELECT doc_id, block, masked,
+         coalesce(sum(CASE WHEN masked THEN 1 ELSE 0 END) OVER (
+           PARTITION BY doc_id ORDER BY block
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS k
+  FROM blocks
+),
+pieces AS (
+  SELECT t.doc_id, t.pos, t.token, b.masked, (t.pos % 3 = 0) AS is_first,
+         '<extra_id_' || b.k::VARCHAR || '>' AS sent
+  FROM tb t JOIN kb b ON t.doc_id = b.doc_id AND t.block = b.block
+),
+inp AS (
+  SELECT doc_id,
+         string_agg(piece, ' ' ORDER BY key) AS input_text
+  FROM (
+    SELECT doc_id, pos * 2 AS key,
+           CASE WHEN NOT masked THEN token
+                WHEN is_first THEN sent END AS piece
+    FROM pieces
+  ) WHERE piece IS NOT NULL
+  GROUP BY doc_id
+),
+tgt AS (
+  SELECT doc_id, string_agg(piece, ' ' ORDER BY key) AS target_text
+  FROM (
+    SELECT doc_id, pos * 2 AS key, token AS piece FROM pieces WHERE masked
+    UNION ALL
+    SELECT doc_id, pos * 2 - 1, sent FROM pieces WHERE masked AND is_first
+  ) GROUP BY doc_id
+),
+ns AS (
+  SELECT doc_id, sum(CASE WHEN masked THEN 1 ELSE 0 END)::BIGINT AS n_spans
+  FROM kb GROUP BY doc_id
+)
+SELECT i.doc_id, i.input_text, coalesce(t.target_text, '') AS target_text,
+       ns.n_spans
+FROM inp i
+LEFT JOIN tgt t ON i.doc_id = t.doc_id
+JOIN ns ON i.doc_id = ns.doc_id
+"""
+
+
+SPECS += [
+    QuerySpec("x_span_corruption", q_span_corruption, ORACLE_SPAN_CORRUPTION,
+              doc="T5-style span corruption: hash-chosen spans, sentinel input/target pair per doc, UDF-free",
+              tags=("llm", "text", "training")),
+]
