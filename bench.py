@@ -124,6 +124,19 @@ HEADLINE = [
     "x_backoff_lm",
     "x_curriculum_order",
     "e_ewma",
+    # round-4 batch 4: evaluation statistics, sketch algebra, density
+    # clustering, training-target generation
+    "x_classifier_auc",
+    "x_chi2_terms",
+    "e_ks_test",
+    "e_gini",
+    "e_skyline",
+    "e_hll_intersect",
+    "e_record_linkage",
+    "x_wilson_rank",
+    "x_dbscan",
+    "x_span_corruption",
+    "e_bootstrap_ci",
 ]
 
 

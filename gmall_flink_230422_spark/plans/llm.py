@@ -4889,3 +4889,90 @@ SPECS += [
               doc="T5-style span corruption: hash-chosen spans, sentinel input/target pair per doc, UDF-free",
               tags=("llm", "text", "training")),
 ]
+
+
+def q_lang_confusion(spark, sf_dir):
+    """Per-class evaluation of the stopword-vote language detector against
+    the corpus's true labels: one-vs-rest TP/FP/FN counts and milli-grid
+    precision/recall/F1 per true language — the confusion-derived report
+    that decides whether the cheap heuristic is good enough to route
+    documents, completing the eval family (AUC/calibration audit the
+    quality classifier; this audits the router).
+
+    Scale shape: the detector is a map-only pass; the confusion counts
+    are ONE hash-agg on (lang, pred_lang) — a ≤|langs|² frame — and the
+    per-class one-vs-rest sums run over that bounded frame via broadcast
+    self-aggregation.  All integer: precision/recall/F1 as BIGINT DIVs
+    on the milli grid (f1 from the same exact counts: 2·TP·1000 DIV
+    (2·TP + FP + FN))."""
+    d = load_table(spark, sf_dir, "documents")
+    pred = d.select("lang", text.detect_language(F.col("text")).alias("pred_lang"))
+    conf = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tp = conf.filter(F.col("lang") == F.col("pred_lang")).select(
+        F.col("lang"), F.col("n").alias("tp")
+    )
+    fn = conf.groupBy("lang").agg(F.sum("n").alias("support"))
+    fp = conf.groupBy(F.col("pred_lang").alias("lang")).agg(
+        F.sum("n").alias("predicted")
+    )
+    return (
+        fn.join(tp, "lang", "left")
+        .join(fp, "lang", "left")
+        .select(
+            "lang",
+            F.col("support").cast("bigint").alias("support"),
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+            (F.coalesce("predicted", F.lit(0)) - F.coalesce("tp", F.lit(0)))
+            .cast("bigint")
+            .alias("fp"),
+            (F.col("support") - F.coalesce("tp", F.lit(0)))
+            .cast("bigint")
+            .alias("fn"),
+        )
+        .withColumn(
+            "precision_milli",
+            F.expr("CAST(tp * 1000 DIV greatest(tp + fp, 1) AS BIGINT)"),
+        )
+        .withColumn(
+            "recall_milli",
+            F.expr("CAST(tp * 1000 DIV greatest(tp + fn, 1) AS BIGINT)"),
+        )
+        .withColumn(
+            "f1_milli",
+            F.expr("CAST(2 * tp * 1000 DIV greatest(2 * tp + fp + fn, 1) AS BIGINT)"),
+        )
+    )
+
+
+ORACLE_LANG_CONFUSION = f"""
+WITH pred AS (
+  SELECT lang, pred_lang FROM ({ORACLE_LANG_ID})
+),
+conf AS (
+  SELECT lang, pred_lang, count(*)::BIGINT AS n FROM pred GROUP BY 1, 2
+),
+tp AS (SELECT lang, n AS tp FROM conf WHERE lang = pred_lang),
+sup AS (SELECT lang, sum(n)::BIGINT AS support FROM conf GROUP BY 1),
+prd AS (SELECT pred_lang AS lang, sum(n)::BIGINT AS predicted FROM conf GROUP BY 1),
+j AS (
+  SELECT s.lang, s.support,
+         coalesce(t.tp, 0)::BIGINT AS tp,
+         (coalesce(p.predicted, 0) - coalesce(t.tp, 0))::BIGINT AS fp,
+         (s.support - coalesce(t.tp, 0))::BIGINT AS fn
+  FROM sup s LEFT JOIN tp t USING (lang) LEFT JOIN prd p USING (lang)
+)
+SELECT lang, support, tp, fp, fn,
+       (tp * 1000 // greatest(tp + fp, 1))::BIGINT AS precision_milli,
+       (tp * 1000 // greatest(tp + fn, 1))::BIGINT AS recall_milli,
+       (2 * tp * 1000 // greatest(2 * tp + fp + fn, 1))::BIGINT AS f1_milli
+FROM j
+"""
+
+
+SPECS += [
+    QuerySpec("x_lang_confusion", q_lang_confusion, ORACLE_LANG_CONFUSION,
+              doc="one-vs-rest precision/recall/F1 of the language router vs true labels, milli grid",
+              tags=("llm", "eval", "audit")),
+]
