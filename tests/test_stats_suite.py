@@ -258,3 +258,76 @@ def test_dbscan_semantics_on_handmade_plane(spark):
         assert out[k] == ("core", 5)
     assert out[9] == ("border", 1)
     assert out[10] == ("noise", -1)
+
+
+# --------------------------------------------------------- span corruption
+def test_span_corruption_round_trip(spark):
+    """Denoising invariant: replacing each <extra_id_k> in input_text with
+    target span k reconstructs the original normalized token sequence —
+    no token lost, duplicated, or reordered, for every doc at sf0.001."""
+    import re
+
+    from gmall_flink_230422_spark.io import load_table
+    from gmall_flink_230422_spark.plans.llm import q_span_corruption
+
+    out = {r["doc_id"]: r for r in q_span_corruption(spark, SF).collect()}
+    docs = {
+        r["doc_id"]: r["text"] for r in load_table(spark, SF, "documents").collect()
+    }
+    sent = re.compile(r"^<extra_id_(\d+)>$")
+    checked = 0
+    for doc_id, r in out.items():
+        orig = [t for t in docs[doc_id].strip().lower().split() if t]
+        # parse target into spans keyed by sentinel id
+        spans: dict[int, list[str]] = {}
+        cur = None
+        for tok in r["target_text"].split():
+            m = sent.match(tok)
+            if m:
+                cur = int(m.group(1))
+                spans[cur] = []
+            else:
+                assert cur is not None, "target must start with a sentinel"
+                spans[cur].append(tok)
+        assert len(spans) == r["n_spans"]
+        rebuilt: list[str] = []
+        for tok in r["input_text"].split():
+            m = sent.match(tok)
+            if m:
+                rebuilt.extend(spans[int(m.group(1))])
+            else:
+                rebuilt.append(tok)
+        assert rebuilt == orig, f"doc {doc_id} round trip failed"
+        checked += 1
+    assert checked == len(docs)
+
+
+def test_record_linkage_blocked_pairs(spark):
+    """Handmade frame: near-identical names in one nation must pair within
+    the 3-neighbor window, cross-nation twins must NOT (blocking), and a
+    distance-3 name must be rejected by the threshold."""
+    from gmall_flink_230422_spark.plans.analytics import q_record_linkage
+    import gmall_flink_230422_spark.plans.analytics as qa
+    from pyspark.sql import functions as F
+
+    # route through the real query by monkeypatching load_table input
+    rows = [
+        (1, "alpha0001"), (1, "alpha0002"), (1, "alpha9999"),
+        (2, "alpha0001"),               # same name, other nation: blocked
+        (1, "zzzz"),
+    ]
+    df = spark.createDataFrame(rows, "c_nationkey int, c_name string")
+    real = qa.load_table
+    qa.load_table = lambda s, sf, t: df
+    try:
+        got = {
+            (r["name_a"], r["name_b"]): r["dist"]
+            for r in q_record_linkage(spark, "ignored").collect()
+        }
+    finally:
+        qa.load_table = real
+    assert got.get(("alpha0001", "alpha0002")) == 1
+    # alpha9999 differs from alpha0002 in 3 digit positions -> filtered
+    assert ("alpha0002", "alpha9999") not in got
+    # cross-nation identical names never compared
+    assert all(a != b for a, b in got)
