@@ -487,7 +487,7 @@ def random_projection_signs(
             (
                 F.pmod(
                     portable_hash64(
-                        F.concat_ws(":", F.lit("rp"), F.col("r"), F.col("j"))
+                        F.concat_ws(":", F.lit(salt), F.col("r"), F.col("j"))
                     ),
                     F.lit(2),
                 )
