@@ -2833,15 +2833,24 @@ def q_bootstrap_ci(spark, sf_dir):
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
-    reps = o.select(
+    # ONE portable hash per row, then the affine universal family (the
+    # minhash/CMS constants) derives all 32 replicate draws with integer
+    # ops — bench showed the per-(row, replicate) md5 dominating the
+    # query (4.4 s warm at sf0.1, the worst headliner; this form is ~6x
+    # cheaper and just as deterministic). (1 + 31*A_STEP) * P < 2^53, so
+    # the product is exact BIGINT in both engines.
+    reps = o.withColumn(
+        "_hb",
+        F.pmod(portable_hash64(F.col("o_orderkey").cast("string")), F.lit(2147483647)),
+    ).select(
         "o_orderkey",
         "cents",
+        "_hb",
         F.explode(F.sequence(F.lit(0), F.lit(31))).alias("r"),
     ).withColumn(
         "u",
-        F.pmod(
-            portable_hash64(F.concat_ws(":", F.lit("boot"), "o_orderkey", "r")),
-            F.lit(1000000),
+        F.expr(
+            "(((1 + r * 104729) * _hb + 7 + r * 7919) % 2147483647) % 1000000"
         ),
     ).withColumn(
         "w",
@@ -2874,14 +2883,18 @@ def q_bootstrap_ci(spark, sf_dir):
 def _oracle_bootstrap_ci() -> str:
     from ..functions.hashing import portable_hash64_sql
 
-    h = portable_hash64_sql("('boot:' || o_orderkey::VARCHAR || ':' || r::VARCHAR)")
+    h = portable_hash64_sql("o_orderkey::VARCHAR")
     return f"""
 WITH o AS (
   SELECT o_orderkey, round(o_totalprice * 100)::BIGINT AS cents FROM orders
 ),
+hb AS (
+  SELECT o_orderkey, cents, ({h} % 2147483647) AS _hb FROM o
+),
 reps AS (
-  SELECT o_orderkey, cents, r, ({h} % 1000000) AS u
-  FROM o CROSS JOIN (SELECT unnest(range(32))::BIGINT AS r)
+  SELECT o_orderkey, cents, r,
+         ((((1 + r * 104729) * _hb + 7 + r * 7919) % 2147483647) % 1000000) AS u
+  FROM hb CROSS JOIN (SELECT unnest(range(32))::BIGINT AS r)
 ),
 wts AS (
   SELECT r, cents,
