@@ -218,6 +218,12 @@ def triangle_count(
     Output: (node, degree, n_triangles, lcc_micro) — lcc_micro =
     (2T * 1e6) div (d(d-1)), 0 for degree < 2.
     """
+    # e/deg/oriented are each referenced by 2-3 downstream consumers
+    # (degree union, two orientation joins, both wedge aliases, closure,
+    # the final join). Uncached, Catalyst recompiles the caller's whole
+    # edge lineage once per reference — for a kNN-graph input that meant
+    # ~16 copies of the bucketed self-join subtree (137 shuffles; caching
+    # drops it to the ~15 the algorithm actually needs).
     e = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
@@ -225,12 +231,14 @@ def triangle_count(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .cache()
     )
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
+        .cache()
     )
     # Orient a→b when (deg_a, a) < (deg_b, b); ties cannot happen (a != b).
     ed = (
@@ -242,7 +250,7 @@ def triangle_count(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("hi"),
         F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("hi_deg"),
-    )
+    ).cache()
     x, y = oriented.alias("x"), oriented.alias("y")
     wedges = (
         x.join(y, F.col("x.lo") == F.col("y.lo"))
