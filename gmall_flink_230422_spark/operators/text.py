@@ -941,8 +941,10 @@ def boilerplate_prefixes(
     text_col: str = "text",
     group_col: str = "source",
 ) -> DataFrame:
-    """Boilerplate-prefix detection: flag documents that open with a prefix
-    shared by >= min_docs other documents from the same source — the
+    """Boilerplate-prefix detection: flag documents whose normalized prefix
+    appears in >= min_docs documents (INCLUDING this one) from the same
+    source — min_docs=2 means "shared with at least one other doc",
+    matching the HAVING count(*) >= min_docs aggregate below — the
     header/banner-removal signal a web-crawl curation pass runs per domain
     (CCNet strips repeated leading lines the same way; here the unit is the
     normalized n-token prefix since the fixture corpus is single-line).

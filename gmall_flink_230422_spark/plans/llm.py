@@ -4231,8 +4231,12 @@ def q_token_fertility(spark, sf_dir):
 
 ORACLE_TOKEN_FERTILITY = f"""
 WITH per AS (
+  -- tc from the SAME token list as nt (summed token lengths), not a
+  -- replace(' ','') char count: the two differ the moment text carries
+  -- a tab / newline / doubled space (r4 ADVICE — the old form only
+  -- matched because fixture text is single-spaced)
   SELECT lang, len({_TOKS}) AS nt,
-         len(replace(lower(trim(text)), ' ', '')) AS tc
+         coalesce(list_sum(list_transform({_TOKS}, t -> len(t))), 0) AS tc
   FROM documents
 ),
 agg AS (
@@ -4341,9 +4345,12 @@ def q_classifier_auc(spark, sf_dir):
         .select(
             "n_pos",
             "n_neg",
-            F.expr("CAST(u2 * 1000000 DIV (2 * n_pos * n_neg) AS BIGINT)").alias(
-                "auc_ppm"
-            ),
+            # guarded denominator (r4 ADVICE): an all-one-class corpus
+            # (n_pos or n_neg = 0) must yield a defined 0-ish value, not
+            # Spark NULL / a DuckDB division-by-zero error
+            F.expr(
+                "CAST(u2 * 1000000 DIV greatest(2 * n_pos * n_neg, 1) AS BIGINT)"
+            ).alias("auc_ppm"),
         )
     )
 
@@ -4370,7 +4377,8 @@ agg AS (
          sum(n_pos * (2 * neg_below + n_neg))::BIGINT AS u2
   FROM cum
 )
-SELECT n_pos, n_neg, (u2 * 1000000 // (2 * n_pos * n_neg))::BIGINT AS auc_ppm
+SELECT n_pos, n_neg,
+       (u2 * 1000000 // greatest(2 * n_pos * n_neg, 1))::BIGINT AS auc_ppm
 FROM agg
 """
 
@@ -4388,9 +4396,14 @@ def q_calibration_bins(spark, sf_dir):
     feats = text.quality_classifier(d).join(
         d.select("doc_id", (F.col("lang") == "en").alias("is_pos")), "doc_id"
     )
+    # shift the clamped logit to a non-negative domain BEFORE the integer
+    # divide: truncate-toward-zero DIV on a signed domain makes the bin at
+    # zero double-width ((-200,0) and [0,200) both -> 0); +1200 first gives
+    # true fixed-width floor bins 0..12 where bin 0 = [-1200,-1000)
+    # (r4 ADVICE)
     binned = feats.select(
         F.expr(
-            "CAST(least(greatest(logit_milli, -1200), 1399) DIV 200 AS BIGINT)"
+            "CAST((least(greatest(logit_milli, -1200), 1399) + 1200) DIV 200 AS BIGINT)"
         ).alias("bin_id"),
         "logit_milli",
         F.expr(
@@ -4427,7 +4440,7 @@ lab AS (
   FROM cls c JOIN documents d USING (doc_id)
 ),
 binned AS (
-  SELECT (least(greatest(logit_milli, -1200), 1399) // 200)::BIGINT AS bin_id,
+  SELECT ((least(greatest(logit_milli, -1200), 1399) + 1200) // 200)::BIGINT AS bin_id,
          logit_milli,
          least(greatest(logit_milli, 0), 1000)::BIGINT AS p_proxy_milli,
          (CASE WHEN is_pos THEN 1 ELSE 0 END)::BIGINT AS pos

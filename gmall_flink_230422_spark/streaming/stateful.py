@@ -485,7 +485,11 @@ def ewma_stream(df: DataFrame, key: str = "user_id", depth: int = 8) -> DataFram
                 eids.append(int(row.event_id))
                 vals.append(c)
                 ks.append(k)
-                ew.append(wsum // mass)
+                # truncate-toward-zero, matching the batch window's Spark
+                # DIV / DuckDB // semantics; Python // floors, which is 1
+                # lower for negative wsum (r4 ADVICE — latent while fixture
+                # values were all positive)
+                ew.append(-((-wsum) // mass) if wsum < 0 else wsum // mass)
         state.update((list(buf),))
         yield pd.DataFrame(
             {

@@ -255,3 +255,61 @@ def test_ewma_matches_python_loop(spark, vals):
             assert got[i]["ewma_cents"] == wsum // mass
             assert got[i]["n_in_frame"] == k
             assert got[i]["v_cents"] == cents
+
+
+def test_ewma_stream_truncates_negative(spark, tmp_path):
+    """r4 ADVICE: ewma_stream scored with Python // (floor), while the
+    batch e_ewma window and its DuckDB oracle truncate toward zero (Spark
+    DIV / DuckDB //) — divergent by 1 on any negative weighted sum. Drive
+    the streaming kernel over negative v_cents and pin it to the
+    truncation kernel the batch window computes."""
+    from gmall_flink_230422_spark.sources.files import stream_parquet
+    from gmall_flink_230422_spark.streaming.stateful import ewma_stream
+
+    cents = [-101, -57, 42, -999, 13, -1]
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, i, t0 + dt.timedelta(seconds=i), c) for i, c in enumerate(cents)
+    ]
+    schema = "user_id long, event_id long, ts timestamp, v_cents long"
+    src = str(tmp_path / "in")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    out = ewma_stream(
+        stream_parquet(spark, src, spark.read.parquet(src).schema),
+        key="user_id",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_neg_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["event_id"]: r["ewma_cents"]
+        for r in spark.sql("SELECT * FROM ewma_neg_sink").collect()
+    }
+
+    hist: list[int] = []
+    for i, c in enumerate(cents):
+        hist.append(c)
+        k = min(len(hist), 8)
+        wsum = sum(hist[-1 - j] * (1 << (7 - j)) for j in range(k))
+        mass = 256 - (1 << (8 - k))
+        want = -((-wsum) // mass) if wsum < 0 else wsum // mass
+        assert got[i] == want, (i, got[i], want)
+    # the floor kernel MUST disagree somewhere, or this test is vacuous
+    assert any(
+        (
+            sum(cents[max(0, i + 1 - 8) : i + 1][::-1][j] * (1 << (7 - j))
+                for j in range(min(i + 1, 8)))
+        ) % (256 - (1 << (8 - min(i + 1, 8)))) != 0
+        and sum(cents[max(0, i + 1 - 8) : i + 1][::-1][j] * (1 << (7 - j))
+                for j in range(min(i + 1, 8))) < 0
+        for i in range(len(cents))
+    )
