@@ -26,7 +26,15 @@ import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 
-from audit_plans import SINGLE_PARTITION_OK, single_partition_audit  # noqa: E402
+from audit_plans import (  # noqa: E402
+    MAX_SCAN_REPEAT,
+    MAX_SHUFFLES,
+    SCAN_REPEAT_OK,
+    SHUFFLE_OK,
+    SINGLE_PARTITION_OK,
+    scan_repeat_audit,
+    single_partition_audit,
+)
 
 from gmall_flink_230422_spark.plans import registry
 
@@ -65,6 +73,17 @@ def test_headliner_plan_invariants(spark, name):
             f"{name}: data-proportional single-partition exchange(s) in the "
             f"plan: {sp_other}"
         )
+    rep = scan_repeat_audit(plan)
+    assert rep <= SCAN_REPEAT_OK.get(name, MAX_SCAN_REPEAT), (
+        f"{name}: same scan signature compiled {rep}x — an uncached "
+        "multi-consumer intermediate (cache/localCheckpoint it)"
+    )
+    import re
+
+    n_shuffle = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_shuffle <= SHUFFLE_OK.get(name, MAX_SHUFFLES), (
+        f"{name}: {n_shuffle} shuffles — recompiled lineage or runaway plan"
+    )
 
 
 def test_single_partition_classifier_fires(spark):
@@ -92,3 +111,38 @@ def test_single_partition_classifier_fires(spark):
     assert n_scalar >= 1 and not sp_other, (
         "grand-total aggregate misclassified"
     )
+
+
+def test_scan_repeat_detector_fires(spark):
+    """Canary for the recompiled-lineage gate (r4 verdict #2): an uncached
+    frame with many consumers compiles its parquet scan once PER consumer
+    — the mad_outliers (r3) / basket_rules (r4) / triangle_count (r5) bug
+    class, hand-found one instance per round until this gate. The detector
+    must flag the uncached shape and pass the cached twin (whose consumers
+    read InMemoryTableScan, not parquet)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    base = (
+        spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    uncached = reduce(
+        lambda a, b: a.unionAll(b), [base] * (MAX_SCAN_REPEAT + 2)
+    )
+    assert scan_repeat_audit(plan_of(uncached)) > MAX_SCAN_REPEAT, (
+        "detector failed to flag an uncached multi-consumer lineage"
+    )
+
+    cached = base.cache()
+    try:
+        fixed = reduce(
+            lambda a, b: a.unionAll(b), [cached] * (MAX_SCAN_REPEAT + 2)
+        )
+        assert scan_repeat_audit(plan_of(fixed)) <= 1, (
+            "cached twin should compile the scan at most once"
+        )
+    finally:
+        cached.unpersist()
