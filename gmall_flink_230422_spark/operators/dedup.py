@@ -292,78 +292,121 @@ def dedup_corpus(
     return docs_c.join(drop, id_col, "left_anti").select(id_col)
 
 
-def connected_components(
-    pairs: DataFrame, max_iter: int = 20
-) -> DataFrame:
+def connected_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     """Duplicate-cluster assignment: (doc_id, cluster_id) for every doc that
     appears in a near-dup pair, where cluster_id = min doc id reachable in
     the pair graph — the full union-find `dedup_corpus`'s single-hop rule
     approximates (see its docstring).
 
-    Iterative min-label propagation (hash-to-min): each round joins labels
-    to the symmetrized edge list and takes the per-node min over neighbor
-    labels — 2 shuffles per round, both on the node id, and converges in
-    O(graph diameter) rounds. Near-dup graphs are clique-ish (LSH buckets
-    emit all intra-bucket pairs), so 2–4 rounds in practice; ``max_iter``
-    bounds pathological chains. The per-round driver read is ONE scalar
-    (the changed-label count); labels are localCheckpoint()ed so lineage
-    stays flat across rounds. At 100 TB the label table holds only docs
-    that occur in a pair — tiny next to the corpus.
+    Algorithm: alternating star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14). Each round rewrites the
+    EDGE SET rather than propagating labels:
+
+      large-star  — every node connects its strictly-LARGER neighbors to
+                    the min of its closed neighborhood;
+      small-star  — every node connects its smaller neighbors (and itself)
+                    to that min.
+
+    Both steps preserve connectivity exactly (every new edge joins two
+    nodes of one component; every old edge's endpoints stay linked through
+    the min), monotonically pull edges toward component minima, and reach
+    the fixed point — a forest of stars centered on each component's min
+    id — in O(log n) rounds. Label PROPAGATION by contrast needs O(graph
+    diameter) rounds: fine for the clique-ish LSH-bucket graphs this was
+    built for, but round 5 found the DBSCAN core-core graph (density
+    chains walking a curve through the projected plane) still unconverged
+    at a 20-round cap — a silent-truncation hazard at any scale, since
+    chain diameter grows with the data. The sf0.001 chain that exhausted
+    20 propagation rounds converges (edge set stable) in 8 star rounds.
+
+    Round cost: 4 keyed shuffles (two groupBy-min aggs, two distincts) on
+    a frame that never exceeds the input edge count, and ONE scalar driver
+    action (count + order-insensitive bit_xor edge checksum — the
+    convergence test; a 2^-64 checksum collision is the accepted risk).
+    That action also materializes the round's LAZY localCheckpoint, so
+    lineage is truncated to a leaf every round at no extra job — the
+    eager-checkpoint variant measured 2.5-5 s per truncation at sf0.001
+    because it re-plans and re-runs the round as a separate job. Superseded
+    round RDDs are freed by the ContextCleaner as Python drops the refs.
+    At 100 TB the edge table holds only docs that occur in a pair — tiny
+    next to the corpus — and the star rewrites keep it shrinking toward
+    one row per non-center node.
+
+    ``max_iter`` is a backstop only: 30 rounds cover any graph a 2^30
+    diameter could produce; a non-converged exit warns loudly instead of
+    silently returning partial clusters.
     """
-    # localCheckpoint (eager), not cache: every round's plan references
-    # edges twice, so with plain cache() the UPSTREAM pair-generation
-    # lineage (LSH self-joins, grid-cell neighbor joins, knn graphs — all
-    # self-referencing trees) is re-printed 2^rounds times in the plan
-    # string between the periodic label checkpoints; at r4 the dbscan
-    # chain OOMed the driver building that explain string before any data
-    # moved. Truncating edges' lineage to a leaf makes each round's plan
-    # O(1) regardless of how the caller produced the pairs.
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    # canonical undirected edges (a < b). localCheckpoint (eager), not
+    # cache: the UPSTREAM pair-generation lineage (LSH self-joins,
+    # grid-cell neighbor joins, knn graphs — all self-referencing trees)
+    # would otherwise be re-printed exponentially in every round's plan
+    # string; at r4 the dbscan chain OOMed the driver building that
+    # explain string before any data moved. Truncating to a leaf makes
+    # each round's plan O(1) regardless of how the caller built the pairs.
+    e = (
+        pairs.select(
+            F.least(F.col("doc_a"), F.col("doc_b")).alias("a"),
+            F.greatest(F.col("doc_a"), F.col("doc_b")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint()
     )
-    # seed labels with the one-hop min (self ∪ neighbors) — one aggregate,
-    # no join; cliques (the common LSH-bucket case) then converge in a
-    # single confirm round. cache() (not checkpoint) — the convergence
-    # count below materializes it in the SAME job, so each round costs one
-    # action, not two; a periodic localCheckpoint keeps lineage bounded on
-    # pathological long chains.
-    labels = (
-        edges.groupBy("src")
-        .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
-        .select(F.col("src").alias("node"), "label")
-        .cache()
-    )
-    for it in range(max_iter):
-        nbr_min = (
-            edges.join(labels, edges["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
+    prev_stats = None
+    converged = False
+    for _ in range(max_iter):
+        nb = e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).select(F.col("a").alias("u"), F.col("b").alias("v"))
+        # large-star: m(u) = min(closed neighborhood); larger neighbors
+        # v > u re-attach as (m, v) — m <= u < v keeps the a < b invariant
+        m = nb.groupBy("u").agg(F.least(F.col("u"), F.min("v")).alias("m"))
+        e1 = (
+            nb.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .distinct()
         )
-        new_labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("changed"),
-            )
+        # small-star on the oriented (smaller a, larger b) edges: each b
+        # re-attaches its smaller neighbors (and itself) to min(a)
+        m2 = e1.groupBy("b").agg(F.min("a").alias("m"))
+        e2 = (
+            e1.join(m2, "b")
+            .filter(F.col("a") != F.col("m"))
+            .select(F.col("m").alias("a"), F.col("a").alias("b"))
+            .unionByName(m2.select(F.col("m").alias("a"), F.col("b").alias("b")))
+            .distinct()
         )
-        new_labels = (
-            new_labels.localCheckpoint() if (it + 1) % 5 == 0 else new_labels.cache()
-        )
-        changed = new_labels.filter("changed").count()
-        prev, labels = labels, new_labels.drop("changed")
-        prev.unpersist()
-        if changed == 0:
+        e2 = e2.localCheckpoint(eager=False)
+        st = e2.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+        ).collect()[0]
+        stats = (st["n"], st["h"])
+        e = e2
+        if stats == prev_stats:
+            converged = True
             break
-    # no explicit unpersist: the final labels frame's lineage still ends at
-    # the checkpointed edges leaf, which is NOT recomputable — freeing its
-    # blocks while a lazily-cached labels frame can still be evicted would
-    # make the result unrecoverable; the ContextCleaner frees the blocks
-    # once the RDD is unreachable.
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+        prev_stats = stats
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: edge set still changing after {max_iter} "
+            "star rounds — cluster ids may be partial (raise max_iter)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    # stars -> labels: members point at their center; centers label
+    # themselves. min() guards the (warned) non-converged exit, where a
+    # node can still appear under several candidate centers.
+    return (
+        e.select(F.col("b").alias("node"), F.col("a").alias("label"))
+        .unionByName(e.select(F.col("a").alias("node"), F.col("a").alias("label")))
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+        .select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    )
 
 
 def dedup_corpus_cc(

@@ -186,6 +186,61 @@ def test_connected_components_long_path(spark):
     assert got.count() == 11
 
 
+def test_connected_components_shuffled_path_log_rounds(spark):
+    """The r5 regression class: a 60-node path with SHUFFLED ids (no
+    monotone descent for min-propagation to ride) must fully converge —
+    the old O(diameter) label propagation was still changing labels at its
+    20-round cap on exactly this shape (DBSCAN core-core chains), returning
+    silently-partial clusters. Star contraction is O(log n) rounds, so 30
+    covers anything; verify against union-find."""
+    import random
+
+    rng = random.Random(7)
+    ids = list(range(100, 160))
+    rng.shuffle(ids)
+    pairs = [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)]
+
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in ids}
+
+    df = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(df).collect()
+    }
+    assert got == want
+
+
+def test_connected_components_warns_on_round_cap(spark):
+    """Exhausting max_iter without edge-set convergence must WARN, not
+    silently return partial clusters (max_iter=1 on a path long enough
+    that one star alternation cannot finish)."""
+    import warnings
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(50, 80)], ["doc_a", "doc_b"]
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        dedup.connected_components(pairs, max_iter=1).collect()
+    assert any(
+        issubclass(w.category, RuntimeWarning)
+        and "star rounds" in str(w.message)
+        for w in caught
+    )
+
+
 def test_dedup_corpus_cc_transitive(spark):
     """dedup_corpus_cc keeps exactly one doc per near-dup chain."""
     chain = [
