@@ -166,6 +166,7 @@ def main() -> None:
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
     plan: dict[str, float] = {}
+    spread: dict[str, float] = {}
     jvm_system = spark.sparkContext._jvm.System
 
     for name in names:
@@ -179,9 +180,16 @@ def main() -> None:
             return time.time() - t0
 
         cold[name] = round(plan[name] + run(), 3)
-        times[name] = round(min(run() for _ in range(2)), 3)
+        reps = sorted(run() for _ in range(3))
+        times[name] = round(reps[0], 3)
+        # per-query relative spread of the warm repetitions: how much of a
+        # cross-round delta is just run-to-run noise (r4 verdict: ±10%
+        # session variance confounded the round comparison; this makes the
+        # noise floor part of the artifact instead of folklore)
+        spread[name] = round((reps[-1] - reps[0]) / max(reps[0], 1e-9), 3)
         jvm_system.gc()
 
+    sp = sorted(spread.values())
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(times.values()), 3),
@@ -189,7 +197,15 @@ def main() -> None:
         "queries": times,
         "cold_total": round(sum(cold.values()), 3),
         "plan_total": round(sum(plan.values()), 3),
-        "method": "same-plan warm best-of-2; gc pacing between queries",
+        "method": "same-plan warm best-of-3; gc pacing between queries",
+        "variance": {
+            "per_query_rel_spread": spread,
+            "median_rel_spread": round(sp[len(sp) // 2], 3) if sp else None,
+            "p90_rel_spread": round(sp[int(0.9 * (len(sp) - 1))], 3) if sp else None,
+            "note": "rel spread = (slowest-fastest)/fastest over the 3 warm "
+            "reps; treat cross-round per-query deltas inside ~2x the p90 "
+            "spread as session noise (BENCHNOTES.md)",
+        },
         "sf": sf_dir,
     }
     print(json.dumps(out))
