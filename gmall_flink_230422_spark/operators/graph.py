@@ -29,6 +29,22 @@ none (its mass decays into the base term) — the simple "no dangling
 redistribution" PageRank variant, identical on both engines. Callers
 building an undirected graph (every node then has out-degree ≥ 1) avoid
 the question entirely.
+
+LINEAGE CONVENTION for iterative operators (r5, unifying what pagerank /
+connected_components / mmr_rerank each grew ad hoc): an iterative op
+whose loop body runs a per-round ACTION anyway (a convergence count)
+truncates lineage every round for free with a LAZY
+``localCheckpoint(eager=False)`` — the round's action materializes it,
+so no extra job (connected_components). An op that needs per-round
+materialization but has no other action uses an EAGER per-round
+localCheckpoint as that action (mmr_rerank). An op whose loop
+builds one lazy plan with NO per-round action exposes the
+``checkpoint_every: int | None`` keyword (pagerank / ppr here): the
+default None is right for small constant iteration counts; long runs set
+it to pay an eager checkpoint every N rounds instead of a plan that
+grows per iteration. Guarded by
+test_graph.py::test_pagerank_checkpoint_bounds_plan_depth and
+test_dedup_similarity.py::test_connected_components_shuffled_path_log_rounds.
 """
 
 from __future__ import annotations
