@@ -2920,3 +2920,189 @@ SPECS += [
               doc="one-pass deterministic Poisson bootstrap: 32 hash-replicate means, order-statistic CI",
               tags=("ext", "stats")),
 ]
+
+
+# ---------------------------------------------------------------- r5: Benford first-digit audit
+# log10(1 + 1/d) on a ppm grid, d = 1..9 — shared integer constants in
+# both engines, so no ln/log10 call whose libm rounding could differ.
+_BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757)
+
+
+def q_benford(spark, sf_dir):
+    """Benford first-significant-digit audit per event type — the
+    fraud/synthetic-data screen: natural multi-scale amounts follow
+    P(d) = log10(1+1/d); fabricated or uniform-generated values do not.
+    Output per (event_type, digit): observed count, observed frequency
+    (ppm grid), the Benford expectation, the signed deviation, and the
+    event type's chi-square-style divergence (sum over digits of
+    (obs_ppm - exp_ppm)^2 div exp_ppm — on the ppm grid, so the statistic
+    is BIGINT-exact and shuffle-order-free; the expectation table is a
+    9-row integer literal, not a runtime log call, because libm log10 is
+    not guaranteed bit-identical across engines).
+
+    First digit of value_cents == first significant digit of value (the
+    x100 grid shift moves the decimal point, never the leading digit; the
+    fixture guarantees value >= 0.01 so cents >= 1).
+
+    Scale shape: map-only digit extraction, one (event_type, digit) hash
+    agg (<= 9 x |types| rows), a broadcast join against the 9-row
+    expectation literal, and a keyed 9-row window for the per-type total —
+    nothing data-proportional past the first aggregate. At 100 TB this is
+    one pass over the events scan."""
+    ev = load_table(spark, sf_dir, "events")
+    bexp = spark.createDataFrame(
+        [(d + 1, ppm) for d, ppm in enumerate(_BENFORD_PPM)],
+        "digit int, benford_ppm bigint",
+    )
+    # a 0-cent value (|value| < 0.005) has NO significant digit — excluded
+    # on BOTH sides before the per-type total, or the frequency base drifts
+    # by the zero count (caught at sf0.1: one such row per type)
+    digits = ev.select(
+        "event_type",
+        F.expr(
+            "CAST(substring(CAST(CAST(round(value * 100) AS BIGINT) AS STRING), 1, 1) AS INT)"
+        ).alias("digit"),
+    ).filter(F.col("digit").between(1, 9))
+    counts = digits.groupBy("event_type", "digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wt = Window.partitionBy("event_type")
+    per = (
+        counts.withColumn("n_type", F.sum("n").over(wt))
+        .join(F.broadcast(bexp), "digit")
+        .select(
+            "event_type",
+            "digit",
+            "n",
+            F.expr("CAST(n * 1000000 DIV n_type AS BIGINT)").alias("obs_ppm"),
+            "benford_ppm",
+        )
+        .withColumn("dev_ppm", F.col("obs_ppm") - F.col("benford_ppm"))
+    )
+    return per.withColumn(
+        "chi2_ppm",
+        F.sum(
+            F.expr("(obs_ppm - benford_ppm) * (obs_ppm - benford_ppm) DIV benford_ppm")
+        ).over(wt).cast("bigint"),
+    )
+
+
+ORACLE_BENFORD = """
+WITH bexp AS (
+  SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910),
+                        (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+                        (9, 45757)) AS t(digit, benford_ppm)
+),
+digits AS (
+  SELECT event_type, digit FROM (
+    SELECT event_type,
+           CAST(substr(CAST(round(value * 100)::BIGINT AS VARCHAR), 1, 1) AS INT) AS digit
+    FROM events
+  ) WHERE digit BETWEEN 1 AND 9
+),
+counts AS (
+  SELECT event_type, digit, count(*)::BIGINT AS n FROM digits GROUP BY 1, 2
+),
+per AS (
+  SELECT c.event_type, c.digit, c.n,
+         ((c.n * 1000000) // sum(c.n) OVER (PARTITION BY c.event_type))::BIGINT AS obs_ppm,
+         b.benford_ppm::BIGINT AS benford_ppm
+  FROM counts c JOIN bexp b USING (digit)
+)
+SELECT event_type, digit, n, obs_ppm, benford_ppm,
+       (obs_ppm - benford_ppm)::BIGINT AS dev_ppm,
+       sum((obs_ppm - benford_ppm) * (obs_ppm - benford_ppm) // benford_ppm)
+           OVER (PARTITION BY event_type)::BIGINT AS chi2_ppm
+FROM per
+"""
+
+
+# ---------------------------------------------------------------- r5: Pearson correlation pairs
+def q_corr_pairs(spark, sf_dir):
+    """Pearson correlation between every PAIR of event types' daily-total
+    series (shared days only — an inner join on day, so a type that is
+    dark on a day contributes no zero-inflation): the metric co-movement
+    matrix behind dashboard "related metrics" panels and redundancy pruning
+    of monitoring series.
+
+    Numeric contract: all five correlation sums (n, Σx, Σy, Σxy, Σx², Σy²)
+    are BIGINT-exact on the cent grid; only the final ratio touches floats,
+    as floor(1e6·num / (sqrt(dx)·sqrt(dy))) — IEEE-754 sqrt/multiply/divide
+    are correctly-rounded, so both engines floor the identical double
+    (unlike ln/log10, which have no such guarantee; same reasoning as the
+    Benford constant table above). Degenerate pairs (a constant series:
+    zero variance) emit NULL rather than a fake 0. Headroom: daily cents
+    totals up to ~3e9 keep n·Σxy below 2^63 for ~10^5 shared days; at a
+    scale that threatens the bound, coarsen the grid (dollars) — the
+    docstring knob, same convention as knn_graph's dims.
+
+    Scale shape: one (event_type, day) hash agg over the events scan, a
+    day-keyed self-join of that TINY aggregate (|types| x |days| rows),
+    one (type, type) hash agg. At 100 TB only the first aggregate sees
+    data-proportional rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("dt")
+    ).agg(F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents"))
+    a, b = daily.alias("a"), daily.alias("b")
+    joined = a.join(b, "dt").filter(F.col("a.event_type") < F.col("b.event_type"))
+    sums = joined.groupBy(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("a.cents").alias("sx"),
+        F.sum("b.cents").alias("sy"),
+        F.sum(F.col("a.cents") * F.col("b.cents")).alias("sxy"),
+        F.sum(F.col("a.cents") * F.col("a.cents")).alias("sxx"),
+        F.sum(F.col("b.cents") * F.col("b.cents")).alias("syy"),
+    )
+    return sums.select(
+        "type_a",
+        "type_b",
+        "n_days",
+        F.expr(
+            "CASE WHEN n_days * sxx - sx * sx > 0 AND n_days * syy - sy * sy > 0 "
+            "THEN CAST(floor(1000000.0 * (n_days * sxy - sx * sy) / "
+            "(sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)) * "
+            "sqrt(CAST(n_days * syy - sy * sy AS DOUBLE)))) AS BIGINT) "
+            "ELSE NULL END"
+        ).alias("corr_micro"),
+    )
+
+
+ORACLE_CORR_PAIRS = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS dt, sum(round(value * 100)::BIGINT)::BIGINT AS cents
+  FROM events GROUP BY 1, 2
+),
+j AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.cents AS xa, b.cents AS xb
+  FROM daily a JOIN daily b ON a.dt = b.dt AND a.event_type < b.event_type
+),
+sums AS (
+  SELECT type_a, type_b, count(*)::BIGINT AS n_days,
+         sum(xa)::BIGINT AS sx, sum(xb)::BIGINT AS sy,
+         sum(xa * xb)::BIGINT AS sxy,
+         sum(xa * xa)::BIGINT AS sxx, sum(xb * xb)::BIGINT AS syy
+  FROM j GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_days,
+       CASE WHEN n_days * sxx - sx * sx > 0 AND n_days * syy - sy * sy > 0
+            THEN floor(1000000.0 * (n_days * sxy - sx * sy) /
+                 (sqrt((n_days * sxx - sx * sx)::DOUBLE) *
+                  sqrt((n_days * syy - sy * sy)::DOUBLE)))::BIGINT
+            ELSE NULL END AS corr_micro
+FROM sums
+"""
+
+
+SPECS += [
+    QuerySpec("e_benford", q_benford, ORACLE_BENFORD,
+              doc="Benford first-digit audit per event type: ppm-grid frequencies + chi-square divergence",
+              tags=("ext", "stats")),
+    QuerySpec("e_corr_pairs", q_corr_pairs, ORACLE_CORR_PAIRS,
+              doc="Pearson correlation matrix of event-type daily series, micro-grid with exact BIGINT sums",
+              tags=("ext", "stats")),
+]

@@ -4989,3 +4989,221 @@ SPECS += [
               doc="one-vs-rest precision/recall/F1 of the language router vs true labels, milli grid",
               tags=("llm", "eval", "audit")),
 ]
+
+
+# ---------------------------------------------------------------- r5: Gopher rule funnel
+def q_gopher_rules(spark, sf_dir):
+    """Per-RULE attrition table for the Gopher quality heuristics (Rae et
+    al. 2021, Table A1 — the rule family MassiveText/Gopher filtered with,
+    reused by most web-corpus pipelines since): how many documents each
+    rule rejects, alone, plus the all-rules survivor count. This is the
+    diagnostic the single-logit x_quality_score can't give: when a corpus
+    refresh suddenly halves, THIS table says which rule did it.
+
+    Rules (integer milli grids; a token is a whitespace token of
+    lower(trim(text)), the registry's shared _TOKS contract):
+      1_word_count    50 <= n_tokens <= 100_000
+      2_mean_word_len 3000 <= floor(1000*sum_len/n) <= 10_000
+      3_stop_words    >= 2 DISTINCT hits from the 8-word English stopword
+                      list (operators/text.LANG_STOPWORDS['en'] — the
+                      published rule is English-centric by design; non-
+                      Latin scripts fail here and in 5_alpha_words, which
+                      is exactly what running Gopher rules on a
+                      multilingual crawl does)
+      4_symbol_ratio  tokens containing '#' or '...' <= 100 milli of n
+      5_alpha_words   tokens containing [a-z] >= 800 milli of n
+      0_all / 9_keep  corpus size and all-rules survivors.
+
+    Scale shape: one map-only projection computes all five flags per doc
+    (shared token array, no shuffle), then ONE grand-total aggregate
+    unpivoted to rule rows — the same single-pass funnel shape as
+    x_select_pipeline, trivially map-reduce at 100 TB."""
+    d = _docs_par(spark, sf_dir)
+    toks = tokenize.whitespace_tokens(F.lower(F.trim(F.col("text"))))
+    n = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+    mwl_milli = F.expr(
+        "CAST(1000 * _sum_len DIV greatest(_n, 1) AS BIGINT)"
+    )
+    stops = text.LANG_STOPWORDS["en"]
+    n_stop_distinct = F.size(
+        F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(s) for s in stops]))
+    )
+    n_sym = F.size(F.filter(toks, lambda t: t.contains("#") | t.contains("...")))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    flags = d.select(
+        n.alias("_n"),
+        sum_len.alias("_sum_len"),
+        n_stop_distinct.alias("_nsd"),
+        n_sym.alias("_nsym"),
+        n_alpha.alias("_nalpha"),
+    ).select(
+        ((F.col("_n") >= 50) & (F.col("_n") <= 100_000)).alias("r1"),
+        mwl_milli.between(3000, 10_000).alias("r2"),
+        (F.col("_nsd") >= 2).alias("r3"),
+        (F.expr("1000 * _nsym DIV greatest(_n, 1)") <= 100).alias("r4"),
+        (F.expr("1000 * _nalpha DIV greatest(_n, 1)") >= 800).alias("r5"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum(F.when(F.col(r), 0).otherwise(1)).cast("bigint").alias(f"f{r}")
+            for r in ("r1", "r2", "r3", "r4", "r5")
+        ],
+        F.sum(
+            F.when(
+                F.col("r1") & F.col("r2") & F.col("r3") & F.col("r4") & F.col("r5"),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_keep"),
+    )
+    out = agg.selectExpr(
+        "stack(7,"
+        " '0_all', n_docs,"
+        " '1_word_count', fr1,"
+        " '2_mean_word_len', fr2,"
+        " '3_stop_words', fr3,"
+        " '4_symbol_ratio', fr4,"
+        " '5_alpha_words', fr5,"
+        " '9_keep', n_keep) AS (rule, n)",
+        "n_docs AS _tot",
+    )
+    return out.select(
+        "rule",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("CAST(1000 * n DIV greatest(_tot, 1) AS BIGINT)").alias("pct_milli"),
+    )
+
+
+ORACLE_GOPHER_RULES = f"""
+WITH per AS (
+  SELECT len({_TOKS}) AS n,
+         coalesce(list_sum(list_transform({_TOKS}, t -> len(t))), 0) AS sum_len,
+         len(list_intersect(list_distinct({_TOKS}),
+             ['the', 'and', 'of', 'to', 'in', 'is', 'a', 'that'])) AS nsd,
+         len(list_filter({_TOKS}, t -> contains(t, '#') OR contains(t, '...'))) AS nsym,
+         len(list_filter({_TOKS}, t -> regexp_matches(t, '[a-z]'))) AS nalpha
+  FROM documents
+),
+flags AS (
+  SELECT (n >= 50 AND n <= 100000) AS r1,
+         (1000 * sum_len // greatest(n, 1)) BETWEEN 3000 AND 10000 AS r2,
+         (nsd >= 2) AS r3,
+         (1000 * nsym // greatest(n, 1)) <= 100 AS r4,
+         (1000 * nalpha // greatest(n, 1)) >= 800 AS r5
+  FROM per
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         sum(CASE WHEN r1 THEN 0 ELSE 1 END)::BIGINT AS fr1,
+         sum(CASE WHEN r2 THEN 0 ELSE 1 END)::BIGINT AS fr2,
+         sum(CASE WHEN r3 THEN 0 ELSE 1 END)::BIGINT AS fr3,
+         sum(CASE WHEN r4 THEN 0 ELSE 1 END)::BIGINT AS fr4,
+         sum(CASE WHEN r5 THEN 0 ELSE 1 END)::BIGINT AS fr5,
+         sum(CASE WHEN r1 AND r2 AND r3 AND r4 AND r5 THEN 1 ELSE 0 END)::BIGINT AS n_keep
+  FROM flags
+),
+rows_ AS (
+  SELECT * FROM (
+    SELECT '0_all' AS rule, n_docs AS n, n_docs AS tot FROM agg
+    UNION ALL SELECT '1_word_count', fr1, n_docs FROM agg
+    UNION ALL SELECT '2_mean_word_len', fr2, n_docs FROM agg
+    UNION ALL SELECT '3_stop_words', fr3, n_docs FROM agg
+    UNION ALL SELECT '4_symbol_ratio', fr4, n_docs FROM agg
+    UNION ALL SELECT '5_alpha_words', fr5, n_docs FROM agg
+    UNION ALL SELECT '9_keep', n_keep, n_docs FROM agg
+  )
+)
+SELECT rule, n::BIGINT AS n, (1000 * n // greatest(tot, 1))::BIGINT AS pct_milli
+FROM rows_
+"""
+
+
+# ---------------------------------------------------------------- r5: Heaps-law vocab growth
+def q_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth curve: cumulative distinct-token count
+    (and token/doc totals) over 10 equal doc_id-range prefixes of the
+    corpus — the curve whose flattening says a crawl has stopped bringing
+    new vocabulary (and whose slope calibrates tokenizer vocab budgets).
+
+    The distributed trick: cumulative DISTINCT is not a decomposable
+    aggregate, but "token first SEEN in bucket b" is — vocab(prefix b) =
+    Σ_{k<=b} |{tokens whose MIN doc-bucket is k}|. So: explode tokens,
+    min-aggregate each token's first bucket (the Heaps-sublinear vocab
+    table, tiny next to the corpus), count by bucket, and prefix-sum the
+    10-row result with the shared distributed_cumsum. No window ever sees
+    a data-proportional axis; at 100 TB this is explode -> two hash aggs.
+
+    Bucket = floor(10 * doc_id / (max_doc_id + 1)) — doc_id-range
+    prefixes (the fixture's ingest order), attached as a broadcast scalar.
+    """
+    d = _docs_par(spark, sf_dir)
+    toks = tokenize.whitespace_tokens(F.lower(F.trim(F.col("text"))))
+    mx = d.agg(F.max("doc_id").alias("_mx"))
+    docs = d.select("doc_id", toks.alias("_toks")).join(F.broadcast(mx)).select(
+        F.expr("CAST(10 * doc_id DIV (_mx + 1) AS BIGINT)").alias("bucket"),
+        "doc_id",
+        "_toks",
+    )
+    per_bucket = docs.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("_toks")).cast("bigint").alias("n_tokens"),
+    )
+    first_seen = (
+        docs.select("bucket", F.explode("_toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("bucket").alias("first_bucket"))
+        .groupBy("first_bucket")
+        .agg(F.count(F.lit(1)).alias("vocab_new"))
+    )
+    joined = per_bucket.join(
+        first_seen.withColumnRenamed("first_bucket", "bucket"), "bucket", "left"
+    ).select(
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        F.coalesce("vocab_new", F.lit(0)).cast("bigint").alias("vocab_new"),
+    )
+    cum = distributed_cumsum(joined, ["bucket"], "n_tokens", "tokens_cum")
+    cum = distributed_cumsum(cum, ["bucket"], "vocab_new", "vocab_cum")
+    return cum.select(
+        "bucket",
+        "n_docs",
+        F.col("tokens_cum").cast("bigint").alias("tokens_cum"),
+        F.col("vocab_cum").cast("bigint").alias("vocab_cum"),
+    )
+
+
+ORACLE_VOCAB_GROWTH = f"""
+WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+docs AS (
+  SELECT (10 * doc_id // (m + 1))::BIGINT AS bucket, doc_id, {_TOKS} AS toks
+  FROM documents CROSS JOIN mx
+),
+per_bucket AS (
+  SELECT bucket, count(*)::BIGINT AS n_docs, sum(len(toks))::BIGINT AS n_tokens
+  FROM docs GROUP BY 1
+),
+first_seen AS (
+  SELECT min(bucket) AS first_bucket, tok
+  FROM (SELECT bucket, unnest(toks) AS tok FROM docs) GROUP BY tok
+),
+vocab AS (
+  SELECT first_bucket AS bucket, count(*)::BIGINT AS vocab_new
+  FROM first_seen GROUP BY 1
+)
+SELECT p.bucket, p.n_docs,
+       sum(p.n_tokens) OVER (ORDER BY p.bucket)::BIGINT AS tokens_cum,
+       sum(coalesce(v.vocab_new, 0)) OVER (ORDER BY p.bucket)::BIGINT AS vocab_cum
+FROM per_bucket p LEFT JOIN vocab v USING (bucket)
+"""
+
+
+SPECS += [
+    QuerySpec("x_gopher_rules", q_gopher_rules, ORACLE_GOPHER_RULES,
+              doc="Gopher quality-rule attrition funnel: per-rule reject counts + all-rules survivors",
+              tags=("llm", "text", "curation")),
+    QuerySpec("x_vocab_growth", q_vocab_growth, ORACLE_VOCAB_GROWTH,
+              doc="Heaps-law vocabulary growth over 10 corpus prefixes via first-seen-bucket decomposition",
+              tags=("llm", "text", "stats")),
+]
