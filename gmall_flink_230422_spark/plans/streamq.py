@@ -1784,3 +1784,92 @@ SPECS = SPECS + (
         tags=("T11", "streaming", "sketch"),
     ),
 )
+
+
+# ---------------------------------------------------------------- r5: windowed top-k at window close
+def q_stream_window_topk(spark, sf_dir):
+    """Hourly TOP-3 event types, ranked AT WINDOW CLOSE — the Flink
+    "HotItems" exercise (keyed window agg -> ProcessWindowFunction sort)
+    in Structured Streaming form: a watermarked 1-hour tumble counts per
+    (window, event_type) in APPEND mode, and the foreachBatch sink ranks
+    each batch's windows as they finalize. The rank-per-batch step is
+    correct because append mode finalizes a window atomically: every key
+    of window w emits in the single micro-batch whose starting watermark
+    first passes w.end, so the batch always holds w's complete key set.
+    A far-future sentinel (the established tail-flush pattern, e.g.
+    q_stream_left_outer_join) pushes the final watermark past every real
+    window; the sentinel's own window never closes and is additionally
+    filtered. Oracle: the plain batch hourly top-3.
+
+    Scale shape: streaming state is one count per (window, type) — keyed,
+    bounded, watermark-evicted; the per-batch rank sees only the handful
+    of rows closing that batch, never the corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinels = spark.range(1).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        (F.lit(max_ts).cast("timestamp") + F.expr("INTERVAL 7200 SECONDS")).alias("ts"),
+        F.lit("_sentinel").alias("event_type"),
+    )
+    src = _ordered_events_source(
+        spark, sf_dir, ["user_id", "ts", "event_type"], extra=sentinels
+    )
+    schema = spark.read.parquet(src).schema
+    stream = files.stream_parquet(spark, src, schema, files_per_trigger=2)
+    counts = (
+        stream.withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .select(F.col("w.start").cast("long").alias("stt"), "event_type", "ct")
+    )
+
+    tmp = tempfile.mkdtemp(prefix="streamq_topk_")
+    sink = os.path.join(tmp, "sink")
+    ck = os.path.join(tmp, "ck")
+
+    def rank_batch(b, _i):
+        from pyspark.sql import Window as _W
+
+        w = _W.partitionBy("stt").orderBy(F.col("ct").desc(), "event_type")
+        (
+            b.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .write.mode("append")
+            .parquet(sink)
+        )
+
+    q = (
+        counts.writeStream.outputMode("append")
+        .foreachBatch(rank_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink).filter(
+        F.col("event_type") != "_sentinel"
+    ).select("stt", "rk", "event_type", "ct")
+
+
+ORACLE_STREAM_WINDOW_TOPK = """
+WITH counts AS (
+  SELECT epoch(date_trunc('hour', ts))::BIGINT AS stt, event_type,
+         count(*)::BIGINT AS ct
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT stt, event_type, ct,
+         row_number() OVER (PARTITION BY stt ORDER BY ct DESC, event_type) AS rk
+  FROM counts
+)
+SELECT stt, rk::BIGINT AS rk, event_type, ct FROM ranked WHERE rk <= 3
+"""
+
+
+SPECS = SPECS + (
+    QuerySpec(
+        "s_stream_window_topk", q_stream_window_topk, ORACLE_STREAM_WINDOW_TOPK,
+        doc="streaming hourly top-3 event types ranked at window close (HotItems pattern)",
+        tags=("A1", "T1", "streaming", "window"),
+    ),
+)
