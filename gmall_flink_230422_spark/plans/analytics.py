@@ -3106,3 +3106,122 @@ SPECS += [
               doc="Pearson correlation matrix of event-type daily series, micro-grid with exact BIGINT sums",
               tags=("ext", "stats")),
 ]
+
+
+# ---------------------------------------------------------------- r5: RFM segmentation
+def q_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation — the retention-marketing classic: each
+    user scored 1-3 on Recency (days since their last event, relative to
+    the corpus max date), Frequency (event count) and Monetary (cent
+    total) by TERCILES of the per-user distribution, then rolled up to
+    the <=27 (r,f,m) segments with user counts and segment revenue.
+
+    Tercile thresholds come from value HISTOGRAMS prefix-summed with the
+    shared distributed_cumsum (t_k = smallest value whose cumulative user
+    count reaches k/3 of users) — no global sort, no single-partition
+    window, the same distributed-quantile shape as x_select_pipeline's
+    CCNet cut. Scores are plain tercile indexes ascending in the metric
+    (r_t=1 means MOST recent, f_t/m_t=3 mean most active/valuable).
+
+    Scale shape: one per-user hash agg over events, three tiny
+    histogram->cumsum->threshold chains (broadcast back as scalars), one
+    map-side score projection, one <=27-row aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.to_date("ts")).alias("_mxd"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("_last"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("mon_cents"),
+        )
+        .join(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.datediff(F.col("_mxd"), F.col("_last")).cast("bigint").alias("rec_days"),
+            "freq",
+            "mon_cents",
+        )
+    )
+
+    def terciles(col: str):
+        hist = per_user.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        cum = distributed_cumsum(hist, [col], "cnt", "cum")
+        tot = cum.agg(F.sum("cnt").alias("n"))
+        return cum.join(F.broadcast(tot)).agg(
+            F.min(F.when(F.col("cum") * 3 >= F.col("n"), F.col(col))).alias(f"{col}_t1"),
+            F.min(F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col(col))).alias(f"{col}_t2"),
+        )
+
+    thr = terciles("rec_days").join(terciles("freq")).join(terciles("mon_cents"))
+    scored = per_user.join(F.broadcast(thr)).select(
+        "user_id",
+        "mon_cents",
+        (
+            F.lit(1)
+            + (F.col("rec_days") > F.col("rec_days_t1")).cast("int")
+            + (F.col("rec_days") > F.col("rec_days_t2")).cast("int")
+        ).alias("r_t"),
+        (
+            F.lit(1)
+            + (F.col("freq") > F.col("freq_t1")).cast("int")
+            + (F.col("freq") > F.col("freq_t2")).cast("int")
+        ).alias("f_t"),
+        (
+            F.lit(1)
+            + (F.col("mon_cents") > F.col("mon_cents_t1")).cast("int")
+            + (F.col("mon_cents") > F.col("mon_cents_t2")).cast("int")
+        ).alias("m_t"),
+    )
+    return scored.groupBy("r_t", "f_t", "m_t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("mon_cents").cast("bigint").alias("segment_cents"),
+    )
+
+
+ORACLE_RFM = """
+WITH mx AS (SELECT max(ts::DATE) AS mxd FROM events),
+per_user AS (
+  SELECT user_id,
+         date_diff('day', max(ts::DATE), (SELECT mxd FROM mx))::BIGINT AS rec_days,
+         count(*)::BIGINT AS freq,
+         sum(round(value * 100)::BIGINT)::BIGINT AS mon_cents
+  FROM events GROUP BY 1
+),
+n AS (SELECT count(*)::BIGINT AS n FROM per_user),
+rt AS (
+  SELECT min(CASE WHEN c * 3 >= n.n THEN v END) AS t1,
+         min(CASE WHEN c * 3 >= 2 * n.n THEN v END) AS t2
+  FROM (SELECT rec_days AS v, sum(count(*)) OVER (ORDER BY rec_days) AS c
+        FROM per_user GROUP BY 1) CROSS JOIN n
+),
+ft AS (
+  SELECT min(CASE WHEN c * 3 >= n.n THEN v END) AS t1,
+         min(CASE WHEN c * 3 >= 2 * n.n THEN v END) AS t2
+  FROM (SELECT freq AS v, sum(count(*)) OVER (ORDER BY freq) AS c
+        FROM per_user GROUP BY 1) CROSS JOIN n
+),
+mt AS (
+  SELECT min(CASE WHEN c * 3 >= n.n THEN v END) AS t1,
+         min(CASE WHEN c * 3 >= 2 * n.n THEN v END) AS t2
+  FROM (SELECT mon_cents AS v, sum(count(*)) OVER (ORDER BY mon_cents) AS c
+        FROM per_user GROUP BY 1) CROSS JOIN n
+),
+scored AS (
+  SELECT u.mon_cents,
+         (1 + (u.rec_days > rt.t1)::INT + (u.rec_days > rt.t2)::INT) AS r_t,
+         (1 + (u.freq > ft.t1)::INT + (u.freq > ft.t2)::INT) AS f_t,
+         (1 + (u.mon_cents > mt.t1)::INT + (u.mon_cents > mt.t2)::INT) AS m_t
+  FROM per_user u CROSS JOIN rt CROSS JOIN ft CROSS JOIN mt
+)
+SELECT r_t, f_t, m_t, count(*)::BIGINT AS n_users,
+       sum(mon_cents)::BIGINT AS segment_cents
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
+SPECS += [
+    QuerySpec("e_rfm_segments", q_rfm_segments, ORACLE_RFM,
+              doc="RFM tercile segmentation: distributed-quantile thresholds, <=27 segments with counts + revenue",
+              tags=("ext", "stats")),
+]

@@ -5207,3 +5207,95 @@ SPECS += [
               doc="Heaps-law vocabulary growth over 10 corpus prefixes via first-seen-bucket decomposition",
               tags=("llm", "text", "stats")),
 ]
+
+
+# ---------------------------------------------------------------- r5: neighborhood-Jaccard link prediction
+def q_link_predict(spark, sf_dir):
+    """Link prediction over the mutual k-NN semantic graph: score every
+    NON-adjacent pair at wedge distance 2 by common-neighbor count and
+    neighborhood Jaccard (cn * 1e6 DIV (deg_u + deg_v - cn)) — the
+    classic local-similarity predictor (Liben-Nowell & Kleinberg), here
+    surfacing "these two docs share semantic neighbors but were never
+    near-dup-paired" candidates for cluster repair / retrieval expansion.
+
+    Candidate generation is wedge-bounded: the k-NN substrate caps every
+    degree at <= 2k, so wedge fan-out per node is O(k^2) and the pair set
+    is linear in nodes — the honest scale story (on an UNCAPPED graph you
+    would orient by degree first, as triangle_count does). The edge frame
+    is cached: it feeds the symmetrized neighbor list, both wedge sides,
+    the degree table and the adjacency anti-join, and uncached each
+    consumer would recompile the whole bucketed kNN self-join (the
+    audit's recompiled-lineage gate, tools/audit_plans.py).
+
+    Output: (src, dst, common_n, jaccard_micro), non-adjacent pairs with
+    at least one shared neighbor, src < dst."""
+    e = _embs_par(spark, sf_dir)
+    g = similarity.knn_graph(e, k=3, dims=6)
+    edges = (
+        g.filter((F.col("mutual") == 1) & (F.col("src") < F.col("dst")))
+        .select("src", "dst")
+        .cache()
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).cache()
+    a, b = sym.alias("a"), sym.alias("b")
+    wedges = (
+        a.join(b, F.col("a.dst") == F.col("b.dst"))
+        .filter(F.col("a.src") < F.col("b.src"))
+        .select(F.col("a.src").alias("u"), F.col("b.src").alias("v"))
+    )
+    cn = wedges.groupBy("u", "v").agg(F.count(F.lit(1)).alias("common_n"))
+    non_adj = cn.join(
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    return (
+        non_adj.join(deg.select(F.col("src").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("src").alias("v"), F.col("deg").alias("dv")), "v")
+        .select(
+            F.col("u").alias("src"),
+            F.col("v").alias("dst"),
+            F.col("common_n").cast("bigint").alias("common_n"),
+            F.expr(
+                "CAST(common_n * 1000000 DIV (du + dv - common_n) AS BIGINT)"
+            ).alias("jaccard_micro"),
+        )
+    )
+
+
+ORACLE_LINK_PREDICT = f"""
+WITH {_KNN_CTES},
+mut AS (
+  SELECT t.src, t.dst FROM top t JOIN top r ON t.src = r.dst AND t.dst = r.src
+  WHERE t.src < t.dst
+),
+sym AS (
+  SELECT src, dst FROM mut UNION ALL SELECT dst, src FROM mut
+),
+deg AS (SELECT src AS node, count(*)::BIGINT AS deg FROM sym GROUP BY 1),
+cn AS (
+  SELECT a.src AS u, b.src AS v, count(*)::BIGINT AS common_n
+  FROM sym a JOIN sym b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY 1, 2
+),
+non_adj AS (
+  SELECT c.* FROM cn c
+  LEFT JOIN mut m ON c.u = m.src AND c.v = m.dst
+  WHERE m.src IS NULL
+)
+SELECT n.u AS src, n.v AS dst, n.common_n,
+       (n.common_n * 1000000 // (du.deg + dv.deg - n.common_n))::BIGINT AS jaccard_micro
+FROM non_adj n
+JOIN deg du ON du.node = n.u
+JOIN deg dv ON dv.node = n.v
+"""
+
+
+SPECS += [
+    QuerySpec("x_link_predict", q_link_predict, ORACLE_LINK_PREDICT,
+              doc="common-neighbor / Jaccard link prediction over the mutual kNN graph, wedge-bounded",
+              tags=("llm", "graph", "similarity")),
+]
