@@ -3225,3 +3225,85 @@ SPECS += [
               doc="RFM tercile segmentation: distributed-quantile thresholds, <=27 segments with counts + revenue",
               tags=("ext", "stats")),
 ]
+
+
+# ---------------------------------------------------------------- r5: CUSUM changepoint
+def q_cusum_changepoint(spark, sf_dir):
+    """CUSUM changepoint scan per event type: the day where the running
+    sum of (daily_total - overall_daily_mean) attains its maximum
+    magnitude — the classic single-changepoint estimator for a level
+    shift (Page's CUSUM, here the offline argmax form): before a shift
+    the deviations cancel, after it they accumulate, so |cusum| peaks AT
+    the shift.
+
+    All arithmetic on the cent grid: the per-type mean is an integer DIV
+    (its truncation drifts the cusum by < n_days cents end-to-end —
+    deterministic and identical in both engines). The cumulative walk is
+    a KEYED window over the per-type DAY axis (bounded: days, not events
+    — the aggregated-axis exemption the plan audit documents for keyed
+    windows), and the argmax is a row_number with a full deterministic
+    tiebreak (|cusum| desc, date).
+
+    Output per type: the changepoint date, peak |cusum| in cents, the
+    mean daily level, and the observed day count."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("dt")
+    ).agg(F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents"))
+    tot = daily.groupBy("event_type").agg(
+        F.sum("cents").alias("_tot"), F.count(F.lit(1)).alias("n_days")
+    )
+    j = daily.join(F.broadcast(tot), "event_type").withColumn(
+        "mean_cents", F.expr("CAST(_tot DIV n_days AS BIGINT)")
+    )
+    wc = Window.partitionBy("event_type").orderBy("dt")
+    cus = j.withColumn(
+        "cusum", F.sum(F.col("cents") - F.col("mean_cents")).over(wc)
+    ).withColumn("abs_cusum", F.abs("cusum"))
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("abs_cusum").desc(), F.col("dt")
+    )
+    return (
+        cus.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("dt").alias("cp_date"),
+            F.col("abs_cusum").cast("bigint").alias("peak_abs_cusum_cents"),
+            "mean_cents",
+            F.col("n_days").cast("bigint").alias("n_days"),
+        )
+    )
+
+
+ORACLE_CUSUM = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS dt, sum(round(value * 100)::BIGINT)::BIGINT AS cents
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, sum(cents)::BIGINT AS t, count(*)::BIGINT AS n_days
+  FROM daily GROUP BY 1
+),
+cus AS (
+  SELECT d.event_type, d.dt, (t.t // t.n_days)::BIGINT AS mean_cents, t.n_days,
+         sum(d.cents - (t.t // t.n_days)) OVER (
+           PARTITION BY d.event_type ORDER BY d.dt)::BIGINT AS cusum
+  FROM daily d JOIN tot t USING (event_type)
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type ORDER BY abs(cusum) DESC, dt) AS rk
+  FROM cus
+)
+SELECT event_type, dt AS cp_date, abs(cusum)::BIGINT AS peak_abs_cusum_cents,
+       mean_cents, n_days
+FROM ranked WHERE rk = 1
+"""
+
+
+SPECS += [
+    QuerySpec("e_cusum_changepoint", q_cusum_changepoint, ORACLE_CUSUM,
+              doc="CUSUM level-shift changepoint per event type on the cent grid, keyed day-axis walk",
+              tags=("ext", "stats")),
+]

@@ -5299,3 +5299,70 @@ SPECS += [
               doc="common-neighbor / Jaccard link prediction over the mutual kNN graph, wedge-bounded",
               tags=("llm", "graph", "similarity")),
 ]
+
+
+# ---------------------------------------------------------------- r5: per-dimension embedding variance
+def q_dim_variance(spark, sf_dir):
+    """Per-DIMENSION variance profile of the embedding space — the
+    embedding-quality audit that catches dead dimensions (var ~ 0: wasted
+    capacity, a truncated-projection candidate) and rogue high-variance
+    axes (normalization bugs) before any ANN index is built on them.
+
+    Components quantize to the integer milli grid FIRST (the module's
+    shared convention, cf. random_projection), so the moment sums are
+    exact BIGINTs in any aggregation order. Variance then uses the
+    truncated-moment form  smm DIV n - (sm DIV n)^2  rather than
+    (n*smm - sm^2) DIV n^2: the latter is exact but its n*smm term
+    overflows BIGINT near n ~ 1e4 rows x 1e6 milli^2, while the truncated
+    form stays within 2^63 to n ~ 1e12 at the cost of a deterministic
+    <= (1 + 2|mean_milli|) grid-unit truncation bias — identical in both
+    engines, so parity is exact even though the estimator is grid-coarse.
+
+    Scale shape: one posexplode (map-side) + one hash agg keyed by the
+    64-value dim axis; output is 64 rows regardless of corpus size."""
+    e = _embs_par(spark, sf_dir)
+    comps = e.select(
+        F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "dim", F.floor(F.col("val").cast("double") * 1000).cast("bigint").alias("m")
+    )
+    return (
+        comps.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("m").alias("sm"),
+            F.sum(F.col("m") * F.col("m")).alias("smm"),
+        )
+        .select(
+            F.col("dim").cast("bigint").alias("dim"),
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("CAST(sm DIV n AS BIGINT)").alias("mean_milli"),
+            F.expr(
+                "CAST(smm DIV n - (sm DIV n) * (sm DIV n) AS BIGINT)"
+            ).alias("var_milli2"),
+        )
+    )
+
+
+ORACLE_DIM_VARIANCE = """
+WITH comps AS (
+  SELECT (generate_subscripts(embedding, 1) - 1)::BIGINT AS dim,
+         floor(unnest(embedding)::DOUBLE * 1000)::BIGINT AS m
+  FROM embeddings
+),
+agg AS (
+  SELECT dim, count(*)::BIGINT AS n, sum(m)::BIGINT AS sm,
+         sum(m * m)::BIGINT AS smm
+  FROM comps GROUP BY 1
+)
+SELECT dim, n, (sm // n)::BIGINT AS mean_milli,
+       (smm // n - (sm // n) * (sm // n))::BIGINT AS var_milli2
+FROM agg
+"""
+
+
+SPECS += [
+    QuerySpec("x_dim_variance", q_dim_variance, ORACLE_DIM_VARIANCE,
+              doc="per-dimension embedding variance profile on the milli grid (dead/rogue dim audit)",
+              tags=("llm", "similarity", "stats")),
+]
