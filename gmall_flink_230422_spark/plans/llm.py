@@ -5366,3 +5366,197 @@ SPECS += [
               doc="per-dimension embedding variance profile on the milli grid (dead/rogue dim audit)",
               tags=("llm", "similarity", "stats")),
 ]
+
+
+# ---------------------------------------------------------------- r5: chance-corrected router agreement
+def q_router_kappa(spark, sf_dir):
+    """Cohen's kappa between the language router and the true labels —
+    the chance-corrected agreement score that x_lang_confusion's raw
+    precision/recall can inflate on skewed class mixes (a router that
+    always answers the majority language scores high accuracy but kappa
+    ~ 0). po and pe live on the ppm grid from exact BIGINT confusion
+    counts; kappa_ppm = (po - pe) * 1e6 DIV (1e6 - pe), guarded for the
+    degenerate pe = 1e6 corpus (single class, constant router).
+
+    Scale shape: one (lang, pred_lang) hash-agg (<= |langs|^2 rows);
+    every sum after that runs on the bounded confusion frame. The
+    pe numerator sums n_true*n_pred (~n^2): exact to ~3e9 docs; past
+    that, coarsen the marginals (counts in thousands) before the
+    product — same grid-rescale convention as e_corr_pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    pred = d.select("lang", text.detect_language(F.col("text")).alias("pred_lang"))
+    conf = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).cache()
+    tot = conf.agg(F.sum("n").alias("n_docs"))
+    po = conf.filter(F.col("lang") == F.col("pred_lang")).agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n_agree")
+    )
+    row_m = conf.groupBy("lang").agg(F.sum("n").alias("n_true"))
+    col_m = conf.groupBy("pred_lang").agg(F.sum("n").alias("n_pred"))
+    pe_num = (
+        row_m.join(col_m, row_m["lang"] == col_m["pred_lang"])
+        .agg(F.sum(F.col("n_true") * F.col("n_pred")).alias("s"))
+    )
+    return (
+        tot.join(F.broadcast(po)).join(F.broadcast(pe_num))
+        .select(
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_agree").cast("bigint").alias("n_agree"),
+            F.expr("CAST(n_agree * 1000000 DIV n_docs AS BIGINT)").alias("po_ppm"),
+            F.expr("CAST(s * 1000000 DIV (n_docs * n_docs) AS BIGINT)").alias("pe_ppm"),
+        )
+        .select(
+            "n_docs",
+            "n_agree",
+            "po_ppm",
+            "pe_ppm",
+            F.expr(
+                "CAST((po_ppm - pe_ppm) * 1000000 DIV greatest(1000000 - pe_ppm, 1) AS BIGINT)"
+            ).alias("kappa_ppm"),
+        )
+    )
+
+
+ORACLE_ROUTER_KAPPA = f"""
+WITH pred AS (
+  SELECT lang, pred_lang FROM ({ORACLE_LANG_ID})
+),
+conf AS (
+  SELECT lang, pred_lang, count(*)::BIGINT AS n FROM pred GROUP BY 1, 2
+),
+tot AS (SELECT sum(n)::BIGINT AS n_docs FROM conf),
+po AS (SELECT coalesce(sum(n), 0)::BIGINT AS n_agree FROM conf WHERE lang = pred_lang),
+row_m AS (SELECT lang, sum(n)::BIGINT AS n_true FROM conf GROUP BY 1),
+col_m AS (SELECT pred_lang, sum(n)::BIGINT AS n_pred FROM conf GROUP BY 1),
+pe AS (
+  SELECT sum(r.n_true * c.n_pred)::BIGINT AS s
+  FROM row_m r JOIN col_m c ON r.lang = c.pred_lang
+),
+g AS (
+  SELECT t.n_docs, p.n_agree,
+         (p.n_agree * 1000000 // t.n_docs)::BIGINT AS po_ppm,
+         (e.s * 1000000 // (t.n_docs * t.n_docs))::BIGINT AS pe_ppm
+  FROM tot t CROSS JOIN po p CROSS JOIN pe e
+)
+SELECT n_docs, n_agree, po_ppm, pe_ppm,
+       ((po_ppm - pe_ppm) * 1000000 // greatest(1000000 - pe_ppm, 1))::BIGINT AS kappa_ppm
+FROM g
+"""
+
+
+SPECS += [
+    QuerySpec("x_router_kappa", q_router_kappa, ORACLE_ROUTER_KAPPA,
+              doc="Cohen's kappa of the language router vs true labels, ppm grid from exact confusion counts",
+              tags=("llm", "eval", "stats")),
+]
+
+
+# ---------------------------------------------------------------- r5: expected calibration error
+def q_ece(spark, sf_dir):
+    """Expected Calibration Error of the frozen quality classifier: the
+    support-weighted mean of the per-bin |proxy - empirical rate| gaps
+    that x_calibration_bins reports row-by-row, collapsed to the single
+    headline number model cards quote (plus max-gap = MCE). Reuses the
+    shifted fixed-width bin pipeline verbatim, so the two queries can
+    never drift apart; ECE on the milli grid = sum(n_b * gap_b) DIV N.
+
+    Scale shape: the same one-pass hash agg as x_calibration_bins plus a
+    <= 13-row grand total."""
+    bins = q_calibration_bins(spark, sf_dir)
+    return bins.agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.expr("CAST(sum(n_docs * gap_milli) DIV sum(n_docs) AS BIGINT)").alias(
+            "ece_milli"
+        ),
+        F.max("gap_milli").cast("bigint").alias("mce_milli"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+    )
+
+
+ORACLE_ECE = f"""
+WITH bins AS ({ORACLE_CALIBRATION_BINS})
+SELECT sum(n_docs)::BIGINT AS n_docs,
+       (sum(n_docs * gap_milli) // sum(n_docs))::BIGINT AS ece_milli,
+       max(gap_milli)::BIGINT AS mce_milli,
+       count(*)::BIGINT AS n_bins
+FROM bins
+"""
+
+
+# ---------------------------------------------------------------- r5: k-anonymity audit
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over the corpus's quasi-identifier grid
+    (lang, source): a document whose QI equivalence class holds fewer
+    than k=5 members is re-identifiable by those attributes alone — the
+    privacy screen that complements x_pii_redact's content regexes with
+    a STRUCTURAL disclosure check (Sweeney's k-anonymity, the release
+    gate most data-clearance processes start from).
+
+    Output: one row per violating class (size < k) with its size, plus
+    a '__summary__' row carrying corpus totals — violating classes,
+    exposed docs, and the exposed fraction on the milli grid.
+
+    Scale shape: one (lang, source) hash agg, a filtered <= |classes|
+    frame, and a grand total; map-reduce trivial at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    k = 5
+    classes = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("class_size")
+    ).cache()
+    viol = classes.filter(F.col("class_size") < k).select(
+        "lang", "source", "class_size"
+    )
+    tot = classes.agg(
+        F.sum("class_size").alias("_n"),
+        F.coalesce(
+            F.sum(F.when(F.col("class_size") < k, F.col("class_size"))), F.lit(0)
+        ).alias("_exposed"),
+        F.sum((F.col("class_size") < k).cast("long")).alias("_vclasses"),
+    )
+    summary = tot.select(
+        F.lit("__summary__").alias("lang"),
+        F.lit("__summary__").alias("source"),
+        F.col("_vclasses").cast("bigint").alias("class_size"),
+        F.col("_exposed").cast("bigint").alias("exposed_docs"),
+        F.expr("CAST(_exposed * 1000 DIV _n AS BIGINT)").alias("exposed_milli"),
+    )
+    return viol.select(
+        "lang",
+        "source",
+        "class_size",
+        F.lit(None).cast("bigint").alias("exposed_docs"),
+        F.lit(None).cast("bigint").alias("exposed_milli"),
+    ).unionByName(summary)
+
+
+ORACLE_K_ANONYMITY = """
+WITH classes AS (
+  SELECT lang, source, count(*)::BIGINT AS class_size
+  FROM documents GROUP BY 1, 2
+),
+viol AS (
+  SELECT lang, source, class_size,
+         NULL::BIGINT AS exposed_docs, NULL::BIGINT AS exposed_milli
+  FROM classes WHERE class_size < 5
+),
+summary AS (
+  SELECT '__summary__' AS lang, '__summary__' AS source,
+         sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END)::BIGINT AS class_size,
+         coalesce(sum(CASE WHEN class_size < 5 THEN class_size END), 0)::BIGINT AS exposed_docs,
+         (coalesce(sum(CASE WHEN class_size < 5 THEN class_size END), 0) * 1000
+          // sum(class_size))::BIGINT AS exposed_milli
+  FROM classes
+)
+SELECT * FROM viol UNION ALL SELECT * FROM summary
+"""
+
+
+SPECS += [
+    QuerySpec("x_ece", q_ece, ORACLE_ECE,
+              doc="expected + max calibration error from the shared fixed-width bin pipeline",
+              tags=("llm", "eval", "stats")),
+    QuerySpec("x_k_anonymity", q_k_anonymity, ORACLE_K_ANONYMITY,
+              doc="k-anonymity audit over the (lang, source) quasi-identifier grid with exposure summary",
+              tags=("llm", "privacy", "audit")),
+]
