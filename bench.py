@@ -137,6 +137,20 @@ HEADLINE = [
     "x_dbscan",
     "x_span_corruption",
     "e_bootstrap_ci",
+    # round-5 additions: evaluation statistics (kappa/ECE/Benford/Pearson/
+    # CUSUM), corpus statistics (Gopher funnel, Heaps growth, dim variance,
+    # k-anonymity), link prediction, RFM segmentation
+    "x_gopher_rules",
+    "x_vocab_growth",
+    "x_dim_variance",
+    "x_k_anonymity",
+    "x_link_predict",
+    "x_router_kappa",
+    "x_ece",
+    "e_benford",
+    "e_corr_pairs",
+    "e_rfm_segments",
+    "e_cusum_changepoint",
 ]
 
 

@@ -109,6 +109,18 @@ QUERIES = [
     "x_dbscan",
     "x_span_corruption",
     "e_bootstrap_ci",
+    # round-5 additions: wedge-bounded link prediction (the kNN-capped
+    # common-neighbor join), Heaps growth (explode + two hash aggs + a
+    # 10-row prefix sum), Gopher funnel (map pass + one grand total),
+    # Benford (map-side digit + <=9x|types| agg), Pearson pairs (tiny
+    # day-keyed self-join of a pre-aggregate), RFM terciles (three
+    # histogram->cumsum chains over per-user aggregates)
+    "x_link_predict",
+    "x_vocab_growth",
+    "x_gopher_rules",
+    "e_benford",
+    "e_corr_pairs",
+    "e_rfm_segments",
 ]
 
 
