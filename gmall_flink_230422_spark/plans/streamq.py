@@ -1873,3 +1873,94 @@ SPECS = SPECS + (
         tags=("A1", "T1", "streaming", "window"),
     ),
 )
+
+
+# ---------------------------------------------------------------- r5: online CUSUM drift monitor
+def q_stream_cusum(spark, sf_dir):
+    """Online CUSUM (Page's test) through streaming state: per event type,
+    the daily drift statistic against a baseline k (the type's mean daily
+    cents — calibrated on the reference window, joined into the stream as
+    a broadcast static table: the standard monitor deployment). The
+    GroupState is three BIGINTs per key (current-day partial, running
+    prefix, running min-prefix) — see streaming/stateful.cusum_stream for
+    the prefix closed form that makes the max(0, ...) recurrence both
+    bounded-state and SQL-oracle-able. Per-type sentinels flush the last
+    real day (a day finalizes when a later one arrives). Oracle: two
+    keyed windows (running sum + running min) over the batch daily
+    totals, alarm iff S > 2k."""
+    from ..streaming.stateful import cusum_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents"))
+    k_tab = daily.groupBy("event_type").agg(
+        F.expr("CAST(sum(cents) DIV count(*) AS BIGINT)").alias("k_cents")
+    )
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinels = (
+        ev.select("event_type").distinct()
+        .select(
+            F.lit(-1).cast("long").alias("user_id"),
+            (F.lit(max_ts).cast("timestamp") + F.expr("INTERVAL 2 DAYS")).alias("ts"),
+            "event_type",
+            F.lit(0.0).alias("value"),
+        )
+    )
+    src = _ordered_events_source(
+        spark, sf_dir, ["user_id", "ts", "event_type", "value"], extra=sentinels
+    )
+    schema = spark.read.parquet(src).schema
+    stream = (
+        files.stream_parquet(spark, src, schema, files_per_trigger=2)
+        .join(F.broadcast(k_tab), "event_type")
+        .select(
+            "event_type",
+            "ts",
+            F.date_trunc("day", F.col("ts")).cast("long").alias("day_epoch"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("v_cents"),
+            "k_cents",
+            (F.col("user_id") < 0).alias("is_sentinel"),
+        )
+    )
+    scored = cusum_stream(stream, key="event_type")
+    return spark.read.parquet(_drain_append(scored, "cusum"))
+
+
+ORACLE_STREAM_CUSUM = """
+WITH daily AS (
+  SELECT event_type, epoch(date_trunc('day', ts))::BIGINT AS day_epoch,
+         sum(round(value * 100)::BIGINT)::BIGINT AS day_cents
+  FROM events GROUP BY 1, 2
+),
+k AS (
+  SELECT event_type, (sum(day_cents) // count(*))::BIGINT AS k_cents
+  FROM daily GROUP BY 1
+),
+walk AS (
+  SELECT d.event_type, d.day_epoch, d.day_cents,
+         sum(d.day_cents - k.k_cents) OVER (
+           PARTITION BY d.event_type ORDER BY d.day_epoch)::BIGINT AS prefix,
+         k.k_cents
+  FROM daily d JOIN k USING (event_type)
+),
+s AS (
+  SELECT event_type, day_epoch, day_cents,
+         (prefix - least(0, min(prefix) OVER (
+            PARTITION BY event_type ORDER BY day_epoch)))::BIGINT AS s_cents,
+         k_cents
+  FROM walk
+)
+SELECT event_type, day_epoch, day_cents, s_cents,
+       (CASE WHEN s_cents > 2 * k_cents THEN 1 ELSE 0 END)::BIGINT AS alarm
+FROM s
+"""
+
+
+SPECS = SPECS + (
+    QuerySpec(
+        "s_stream_cusum", q_stream_cusum, ORACLE_STREAM_CUSUM,
+        doc="online CUSUM drift monitor: 3-BIGINT GroupState per key via the prefix closed form, alarm at 2k",
+        tags=("T2", "T11", "streaming", "stats"),
+    ),
+)

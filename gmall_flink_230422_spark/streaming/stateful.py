@@ -57,7 +57,12 @@ def repair_is_new_stream(df: DataFrame, key: str, ts_col: str) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         (kv,) = key_tuple
         first_date = state.get[0] if state.exists else None
-        for pdf in batches:
+        # concat BEFORE sorting: a key's micro-batch may span several Arrow
+        # chunks, and per-chunk sorts leave cross-chunk order arbitrary
+        # (the r5 cusum_stream bug class — latent here until a key exceeds
+        # the ~10k-row chunk size in one batch)
+        pdf = pd.concat(list(batches))
+        if len(pdf):
             pdf = pdf.sort_values(ts_col)
             dates = pdf[ts_col].dt.strftime("%Y-%m-%d")
             if first_date is None:
@@ -236,8 +241,11 @@ def transitions_stream(df: DataFrame, key: str = "user_id") -> DataFrame:
             state.get if state.exists else (None, None, None)
         )
         frm, to = [], []
-        for pdf in batches:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # concat before sorting — per-chunk sorts leave cross-chunk order
+        # arbitrary once a key spans Arrow chunks (r5 cusum bug class)
+        allpdf = pd.concat(list(batches))
+        if len(allpdf):
+            pdf = allpdf.sort_values(["ts", "event_id"])
             for row in pdf.itertuples(index=False):
                 cur_ts = row.ts.timestamp()
                 cur_eid = int(row.event_id)
@@ -329,8 +337,11 @@ def trailing_features_stream(
                 sec_cnt += 1
                 sec_cents += c
         eids, cnts, sums = [], [], []
-        for pdf in batches:
-            pdf = pdf.sort_values(["epoch", "event_id"])
+        # concat before sorting — per-chunk sorts leave cross-chunk order
+        # arbitrary once a key spans Arrow chunks (r5 cusum bug class)
+        allpdf = pd.concat(list(batches))
+        if len(allpdf):
+            pdf = allpdf.sort_values(["epoch", "event_id"])
             for row in pdf.itertuples(index=False):
                 ep = int(row.epoch)
                 lo = ep - horizon_s
@@ -407,8 +418,11 @@ def funnel_stream(
         existed = state.exists
         t1, t2, t3 = state.get if existed else (None, None, None)
         before = (t1, t2, t3)
-        for pdf in batches:
-            pdf = pdf.sort_values(ts_col)
+        # concat before sorting — per-chunk sorts leave cross-chunk order
+        # arbitrary once a key spans Arrow chunks (r5 cusum bug class)
+        allpdf = pd.concat(list(batches))
+        if len(allpdf):
+            pdf = allpdf.sort_values(ts_col)
             for row in pdf.itertuples(index=False):
                 tsec = getattr(row, ts_col).timestamp()
                 etype = getattr(row, type_col)
@@ -472,8 +486,11 @@ def ewma_stream(df: DataFrame, key: str = "user_id", depth: int = 8) -> DataFram
             maxlen=depth
         )
         eids, vals, ks, ew = [], [], [], []
-        for pdf in batches:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # concat before sorting — per-chunk sorts leave cross-chunk order
+        # arbitrary once a key spans Arrow chunks (r5 cusum bug class)
+        allpdf = pd.concat(list(batches))
+        if len(allpdf):
+            pdf = allpdf.sort_values(["ts", "event_id"])
             for row in pdf.itertuples(index=False):
                 c = int(row.v_cents)
                 buf.append(c)  # maxlen evicts the 9th-oldest automatically
@@ -503,4 +520,120 @@ def ewma_stream(df: DataFrame, key: str = "user_id", depth: int = 8) -> DataFram
 
     return df.groupBy(key).applyInPandasWithState(
         fn, out_schema, _EWMA_STATE, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+_CUSUM_STATE = T.StructType(
+    [
+        T.StructField("cur_day", T.LongType()),
+        T.StructField("cur_cents", T.LongType()),
+        T.StructField("prefix", T.LongType()),
+        T.StructField("min_prefix", T.LongType()),
+    ]
+)
+
+
+def cusum_stream(
+    df: DataFrame,
+    key: str = "event_type",
+    h_mult: int = 2,
+) -> DataFrame:
+    """Online CUSUM drift monitor (Page's test) through streaming state:
+    per key, the one-sided cumulative-sum statistic over DAILY value
+    totals against a calibrated baseline, with an alarm flag when the
+    statistic crosses h = h_mult * k — the production change-detection
+    monitor (a level shift accumulates in S linearly; in-control noise
+    keeps it pinned near 0).
+
+    The recurrence S_d = max(0, S_{d-1} + (x_d - k)) is order-dependent,
+    but has the prefix closed form  S_d = P_d - min(0, min_{j<=d} P_j)
+    with P the running sum of (x - k) — so the state is THREE BIGINTs per
+    key (current-day partial, running prefix, running min-prefix), the
+    emitted statistic is exact integer arithmetic, and the batch oracle
+    is two keyed windows (running sum + running min), no recursion.
+
+    Input rows must carry ``ts``, integer ``v_cents``, integer ``k_cents``
+    (the per-key baseline, joined upstream — calibrated on a reference
+    window, the standard CUSUM deployment shape) and ``is_sentinel``
+    (far-future flush rows, emitted by the harness once per key: a day
+    finalizes only when a LATER day arrives, so the sentinel closes the
+    last real day; the sentinel's own pending day is never emitted).
+    Event-time-ordered arrival per key is assumed (the ordered-replay
+    harness contract, same as ewma_stream).
+
+    Output per finalized day: (key, day_epoch, day_cents, s_cents,
+    alarm) — every day, not only alarms, so the oracle checks the whole
+    statistic path."""
+    out_schema = T.StructType(
+        [
+            T.StructField(key, T.StringType()),
+            T.StructField("day_epoch", T.LongType()),
+            T.StructField("day_cents", T.LongType()),
+            T.StructField("s_cents", T.LongType()),
+            T.StructField("alarm", T.LongType()),
+        ]
+    )
+
+    def fn(
+        key_tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (kv,) = key_tuple
+        if state.exists:
+            cur_day, cur_cents, prefix, min_prefix = (
+                state.get[0], state.get[1], state.get[2], state.get[3]
+            )
+        else:
+            cur_day, cur_cents, prefix, min_prefix = None, 0, 0, 0
+        days, totals, stats, alarms = [], [], [], []
+        k_cents = None
+
+        def finalize(day, cents, k):
+            nonlocal prefix, min_prefix
+            prefix += cents - k
+            # the running min INCLUDES the current prefix (S_1 = max(0, P_1)
+            # requires it), matching the oracle's default window frame
+            min_prefix = min(min_prefix, prefix)
+            s = prefix - min(0, min_prefix)
+            days.append(day)
+            totals.append(cents)
+            stats.append(s)
+            alarms.append(1 if s > h_mult * k else 0)
+
+        # concat BEFORE sorting: a high-volume key's micro-batch spans
+        # several Arrow chunks and per-chunk sorts leave days interleaved
+        # across chunks (caught at sf0.1: the 'view' group dropped its
+        # first days). Day totals are order-insensitive within a day, so
+        # ts alone is a sufficient sort key.
+        rows_all = pd.concat(list(batches))
+        if len(rows_all):
+            rows_all = rows_all.sort_values("ts")
+            for row in rows_all.itertuples(index=False):
+                k_cents = int(row.k_cents)
+                day = int(row.day_epoch)
+                if bool(row.is_sentinel):
+                    if cur_day is not None:
+                        finalize(cur_day, cur_cents, k_cents)
+                        cur_day, cur_cents = None, 0
+                    continue
+                if cur_day is None:
+                    cur_day, cur_cents = day, 0
+                elif day > cur_day:
+                    finalize(cur_day, cur_cents, k_cents)
+                    cur_day, cur_cents = day, 0
+                cur_cents += int(row.v_cents)
+        state.update(
+            (cur_day, cur_cents, prefix, min_prefix)
+        )
+        yield pd.DataFrame(
+            {
+                key: kv,
+                "day_epoch": days,
+                "day_cents": totals,
+                "s_cents": stats,
+                "alarm": alarms,
+            }
+        )
+
+    return df.groupBy(key).applyInPandasWithState(
+        fn, out_schema, _CUSUM_STATE, "append", GroupStateTimeout.NoTimeout
     )
