@@ -5560,3 +5560,128 @@ SPECS += [
               doc="k-anonymity audit over the (lang, source) quasi-identifier grid with exposure summary",
               tags=("llm", "privacy", "audit")),
 ]
+
+
+# ---------------------------------------------------------------- r5: dataset card
+def q_dataset_card(spark, sf_dir):
+    """Datasheet-for-datasets summary (Gebru et al.): the one-frame corpus
+    card a release review starts from — size, language/source breadth,
+    exact-duplication rate, mean document length, English share, and the
+    keep rates of the two quality gates (frozen classifier, Gopher rule
+    funnel), each as a (metric, value) row on integer grids.
+
+    Composability showcase: every number reuses the SAME operator columns
+    its dedicated query verifies (fingerprint(), quality_classifier(),
+    the x_gopher_rules flag set), so the card can never drift from the
+    audits it summarizes. The classifier/gopher flags are projections of
+    the same documents scan joined on doc_id — the flags-frame shape
+    x_select_pipeline established.
+
+    Scale shape: map-side per-doc projections, ONE grand-total aggregate
+    (count-distincts included), unpivoted to 9 rows."""
+    d = _docs_par(spark, sf_dir)
+    toks = tokenize.whitespace_tokens(F.lower(F.trim(F.col("text"))))
+    base = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(toks).alias("nt"),
+        dedup.fingerprint(F.col("text")).alias("fp"),
+    )
+    clf = text.quality_classifier(d).select(
+        "doc_id", F.col("keep").cast("int").alias("q_keep")
+    )
+    g = d.select(
+        "doc_id",
+        F.size(toks).alias("_n"),
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).alias("_sl"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(toks),
+                F.array(*[F.lit(s) for s in text.LANG_STOPWORDS["en"]]),
+            )
+        ).alias("_nsd"),
+        F.size(F.filter(toks, lambda t: t.contains("#") | t.contains("..."))).alias("_nsym"),
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).alias("_nalpha"),
+    ).select(
+        "doc_id",
+        (
+            (F.col("_n") >= 50) & (F.col("_n") <= 100_000)
+            & F.expr("1000 * _sl DIV greatest(_n, 1)").between(3000, 10_000)
+            & (F.col("_nsd") >= 2)
+            & (F.expr("1000 * _nsym DIV greatest(_n, 1)") <= 100)
+            & (F.expr("1000 * _nalpha DIV greatest(_n, 1)") >= 800)
+        ).cast("int").alias("g_keep"),
+    )
+    joined = base.join(clf, "doc_id").join(g, "doc_id")
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("fp").alias("n_fp"),
+        F.sum("q_keep").alias("n_qkeep"),
+        F.sum("g_keep").alias("n_gkeep"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("n_en"),
+    )
+    return agg.selectExpr(
+        "stack(9,"
+        " '1_n_docs', n_docs,"
+        " '2_n_tokens', n_tokens,"
+        " '3_n_langs', n_langs,"
+        " '4_n_sources', n_sources,"
+        " '5_exact_dup_milli', CAST((n_docs - n_fp) * 1000 DIV n_docs AS BIGINT),"
+        " '6_mean_doc_tokens_milli', CAST(n_tokens * 1000 DIV n_docs AS BIGINT),"
+        " '7_en_share_milli', CAST(n_en * 1000 DIV n_docs AS BIGINT),"
+        " '8_quality_keep_milli', CAST(n_qkeep * 1000 DIV n_docs AS BIGINT),"
+        " '9_gopher_keep_milli', CAST(n_gkeep * 1000 DIV n_docs AS BIGINT)"
+        ") AS (metric, value)"
+    ).selectExpr("metric", "CAST(value AS BIGINT) AS value")
+
+
+ORACLE_DATASET_CARD = f"""
+WITH cls AS ({ORACLE_QUALITY_CLASSIFIER}),
+per AS (
+  SELECT d.doc_id, d.lang, d.source,
+         len({_TOKS}) AS nt,
+         md5(lower(trim(text))) AS fp,
+         (CASE WHEN c.keep THEN 1 ELSE 0 END) AS q_keep,
+         (CASE WHEN len({_TOKS}) BETWEEN 50 AND 100000
+               AND (1000 * coalesce(list_sum(list_transform({_TOKS}, t -> len(t))), 0)
+                    // greatest(len({_TOKS}), 1)) BETWEEN 3000 AND 10000
+               AND len(list_intersect(list_distinct({_TOKS}), {_EN_STOP_SQL})) >= 2
+               AND (1000 * len(list_filter({_TOKS}, t -> contains(t, '#') OR contains(t, '...')))
+                    // greatest(len({_TOKS}), 1)) <= 100
+               AND (1000 * len(list_filter({_TOKS}, t -> regexp_matches(t, '[a-z]')))
+                    // greatest(len({_TOKS}), 1)) >= 800
+          THEN 1 ELSE 0 END) AS g_keep
+  FROM documents d JOIN cls c USING (doc_id)
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS n_tokens,
+         count(DISTINCT lang)::BIGINT AS n_langs,
+         count(DISTINCT source)::BIGINT AS n_sources,
+         count(DISTINCT fp)::BIGINT AS n_fp,
+         sum(q_keep)::BIGINT AS n_qkeep, sum(g_keep)::BIGINT AS n_gkeep,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en
+  FROM per
+)
+SELECT * FROM (
+  SELECT '1_n_docs' AS metric, n_docs AS value FROM agg
+  UNION ALL SELECT '2_n_tokens', n_tokens FROM agg
+  UNION ALL SELECT '3_n_langs', n_langs FROM agg
+  UNION ALL SELECT '4_n_sources', n_sources FROM agg
+  UNION ALL SELECT '5_exact_dup_milli', (n_docs - n_fp) * 1000 // n_docs FROM agg
+  UNION ALL SELECT '6_mean_doc_tokens_milli', n_tokens * 1000 // n_docs FROM agg
+  UNION ALL SELECT '7_en_share_milli', n_en * 1000 // n_docs FROM agg
+  UNION ALL SELECT '8_quality_keep_milli', n_qkeep * 1000 // n_docs FROM agg
+  UNION ALL SELECT '9_gopher_keep_milli', n_gkeep * 1000 // n_docs FROM agg
+)
+"""
+
+
+SPECS += [
+    QuerySpec("x_dataset_card", q_dataset_card, ORACLE_DATASET_CARD,
+              doc="datasheet summary: size, breadth, dup rate, quality-gate keep rates as (metric, value) rows",
+              tags=("llm", "audit", "curation")),
+]
