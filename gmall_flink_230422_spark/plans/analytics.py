@@ -3307,3 +3307,62 @@ SPECS += [
               doc="CUSUM level-shift changepoint per event type on the cent grid, keyed day-axis walk",
               tags=("ext", "stats")),
 ]
+
+
+# ---------------------------------------------------------------- r5: weekly seasonality profile
+def q_seasonal_profile(spark, sf_dir):
+    """Day-of-week seasonality profile per event type: cent totals and
+    event counts per (type, weekday), each day's share of the type's week
+    on the milli grid, and a peak-day flag — the capacity-planning /
+    anomaly-baseline table (an alert that fires every Saturday is a
+    seasonality bug, not an incident).
+
+    Weekday numbering pinned to ISO 1..7 (Mon..Sun) in BOTH engines:
+    Spark dayofweek() is 1=Sunday, DuckDB isodow is 1=Monday — the query
+    normalizes Spark's to ISO rather than leaving an engine-specific
+    convention in the output. One hash agg to <= 7x|types| rows; the
+    share/peak windows run on that bounded frame."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy(
+        "event_type",
+        F.expr("CAST(pmod(dayofweek(ts) + 5, 7) + 1 AS BIGINT)").alias("iso_dow"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents"),
+    )
+    wt = Window.partitionBy("event_type")
+    return (
+        per.withColumn("_tot", F.sum("cents").over(wt))
+        .withColumn("_mx", F.max("cents").over(wt))
+        .select(
+            "event_type",
+            "iso_dow",
+            "n_events",
+            "cents",
+            F.expr("CAST(cents * 1000 DIV greatest(_tot, 1) AS BIGINT)").alias(
+                "share_milli"
+            ),
+            (F.col("cents") == F.col("_mx")).cast("bigint").alias("is_peak"),
+        )
+    )
+
+
+ORACLE_SEASONAL = """
+WITH per AS (
+  SELECT event_type, isodow(ts)::BIGINT AS iso_dow,
+         count(*)::BIGINT AS n_events,
+         sum(round(value * 100)::BIGINT)::BIGINT AS cents
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, iso_dow, n_events, cents,
+       (cents * 1000 // greatest(sum(cents) OVER (PARTITION BY event_type), 1))::BIGINT AS share_milli,
+       (cents = max(cents) OVER (PARTITION BY event_type))::BIGINT AS is_peak
+FROM per
+"""
+
+
+SPECS += [
+    QuerySpec("e_seasonal_profile", q_seasonal_profile, ORACLE_SEASONAL,
+              doc="day-of-week seasonality per event type: ISO-pinned weekday shares + peak flag",
+              tags=("ext", "stats")),
+]

@@ -5685,3 +5685,67 @@ SPECS += [
               doc="datasheet summary: size, breadth, dup rate, quality-gate keep rates as (metric, value) rows",
               tags=("llm", "audit", "curation")),
 ]
+
+
+# ---------------------------------------------------------------- r5: centroid-distance outliers
+def q_centroid_outliers(spark, sf_dir):
+    """Global-centroid outlier screen: the 20 vectors farthest (squared
+    L2, exact BIGINT on the milli grid) from the corpus centroid — the
+    cheap first-pass embedding-space prune (mislabeled scrapes, encoder
+    failures, empty-input vectors all land in the far tail) that runs
+    before any cluster-relative screen (x_cluster_stats) is affordable.
+
+    The centroid is the per-dimension MEAN on the milli grid (integer
+    DIV — the same deterministic truncation both engines share), attached
+    as a broadcast 64-row table; distance is one exact integer fold per
+    vector. Top-20 via rank-free TakeOrdered (sort pushed to a
+    TakeOrderedAndProject, never a global sort).
+
+    Scale shape: one posexplode + 64-key hash agg for the centroid, one
+    broadcast join back, one top-k. Map-reduce trivial at 100 TB."""
+    e = _embs_par(spark, sf_dir)
+    comps = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "vec_id",
+        "dim",
+        F.floor(F.col("val").cast("double") * 1000).cast("bigint").alias("m"),
+    )
+    centroid = comps.groupBy("dim").agg(
+        F.expr("CAST(sum(m) DIV count(*) AS BIGINT)").alias("c")
+    )
+    dist = (
+        comps.join(F.broadcast(centroid), "dim")
+        .groupBy("vec_id")
+        .agg(F.sum((F.col("m") - F.col("c")) * (F.col("m") - F.col("c"))).alias("d2"))
+    )
+    return (
+        dist.select("vec_id", F.col("d2").cast("bigint").alias("dist2_milli2"))
+        .orderBy(F.col("dist2_milli2").desc(), "vec_id")
+        .limit(20)
+    )
+
+
+ORACLE_CENTROID_OUTLIERS = """
+WITH comps AS (
+  SELECT vec_id, (generate_subscripts(embedding, 1) - 1)::BIGINT AS dim,
+         floor(unnest(embedding)::DOUBLE * 1000)::BIGINT AS m
+  FROM embeddings
+),
+centroid AS (
+  SELECT dim, (sum(m) // count(*))::BIGINT AS c FROM comps GROUP BY 1
+),
+dist AS (
+  SELECT vec_id, sum((m - c) * (m - c))::BIGINT AS dist2_milli2
+  FROM comps JOIN centroid USING (dim) GROUP BY 1
+)
+SELECT vec_id, dist2_milli2 FROM dist
+ORDER BY dist2_milli2 DESC, vec_id LIMIT 20
+"""
+
+
+SPECS += [
+    QuerySpec("x_centroid_outliers", q_centroid_outliers, ORACLE_CENTROID_OUTLIERS,
+              doc="top-20 farthest-from-centroid vectors, exact BIGINT milli-grid distance, TakeOrdered top-k",
+              tags=("llm", "similarity", "audit")),
+]
