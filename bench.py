@@ -151,6 +151,9 @@ HEADLINE = [
     "e_corr_pairs",
     "e_rfm_segments",
     "e_cusum_changepoint",
+    "e_seasonal_profile",
+    "x_dataset_card",
+    "x_centroid_outliers",
 ]
 
 

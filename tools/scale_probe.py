@@ -121,6 +121,11 @@ QUERIES = [
     "e_benford",
     "e_corr_pairs",
     "e_rfm_segments",
+    # datasheet capstone (one grand-total pass over joined flag
+    # projections) and the centroid outlier top-k (explode + 64-key agg
+    # + broadcast join + TakeOrdered)
+    "x_dataset_card",
+    "x_centroid_outliers",
 ]
 
 
