@@ -60,3 +60,53 @@ def test_heaps_first_seen_decomposition():
         direct = len({t for doc in sorted(docs) if buckets[doc] <= b for t in docs[doc]})
         decomposed = sum(1 for fb in first_seen.values() if fb <= b)
         assert direct == decomposed
+
+
+def _union_find_labels(ids, pairs):
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in ids}
+
+
+def test_star_cc_random_graphs_match_union_find(spark):
+    """Star-contraction CC vs union-find on mixed random shapes (sparse
+    random graph + planted cliques + a chain), one Spark run per seed —
+    the structures where label propagation and pointer jumping each have
+    a worst case."""
+    import random
+
+    from gmall_flink_230422_spark.operators import dedup
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        ids = rng.sample(range(10_000), 120)
+        pairs = []
+        # sparse random edges
+        for _ in range(60):
+            a, b = rng.sample(ids, 2)
+            pairs.append((a, b))
+        # planted clique
+        cl = rng.sample(ids, 8)
+        pairs += [(cl[i], cl[j]) for i in range(8) for j in range(i + 1, 8)]
+        # chain through fresh ids
+        chain = rng.sample(range(20_000, 21_000), 15)
+        pairs += [(chain[i], chain[i + 1]) for i in range(len(chain) - 1)]
+        nodes = sorted({n for p in pairs for n in p})
+        want = _union_find_labels(nodes, pairs)
+
+        df = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.connected_components(df).collect()
+        }
+        assert got == want, f"seed {seed}"
