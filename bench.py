@@ -154,6 +154,8 @@ HEADLINE = [
     "e_seasonal_profile",
     "x_dataset_card",
     "x_centroid_outliers",
+    "e_survival_curve",
+    "x_quality_vs_dup",
 ]
 
 

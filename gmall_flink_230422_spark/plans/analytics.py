@@ -3366,3 +3366,82 @@ SPECS += [
               doc="day-of-week seasonality per event type: ISO-pinned weekday shares + peak flag",
               tags=("ext", "stats")),
 ]
+
+
+# ---------------------------------------------------------------- r5: survival curve
+def q_survival_curve(spark, sf_dir):
+    """Kaplan-Meier-style retention/survival table over inter-event gaps:
+    for each horizon t in {1, 3, 7, 14, 30} days, how many observed
+    user-gaps reached t and what fraction of ALL gaps that is (ppm) —
+    the churn-analysis curve (how long do users go quiet before they
+    never come back), finite-sample exact: no censoring model, every gap
+    between consecutive events of a user is one observation.
+
+    Scale shape: one keyed lead() window over (user, ts) for the gaps,
+    one bounded histogram-style aggregate per horizon (a 5-row grand
+    total via conditional sums — no per-horizon scan). The gap frame is
+    |events| rows once; everything after is constant-size."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("_nxt", F.lead("ts").over(w))
+        .filter(F.col("_nxt").isNotNull())
+        .select(
+            F.datediff(F.to_date("_nxt"), F.to_date("ts")).cast("bigint").alias("gap_days")
+        )
+    )
+    horizons = [1, 3, 7, 14, 30]
+    agg = gaps.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        *[
+            F.sum((F.col("gap_days") >= h).cast("long")).alias(f"ge{h}")
+            for h in horizons
+        ],
+    )
+    stack = ", ".join(f"{h}L, ge{h}" for h in horizons)
+    return agg.selectExpr(
+        f"stack({len(horizons)}, {stack}) AS (horizon_days, n_reached)",
+        "n_gaps",
+    ).select(
+        "horizon_days",
+        F.col("n_reached").cast("bigint").alias("n_reached"),
+        F.col("n_gaps").cast("bigint").alias("n_gaps"),
+        F.expr("CAST(n_reached * 1000000 DIV greatest(n_gaps, 1) AS BIGINT)").alias(
+            "survival_ppm"
+        ),
+    )
+
+
+ORACLE_SURVIVAL = """
+WITH gaps AS (
+  SELECT date_diff('day', ts::DATE,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)::DATE
+         )::BIGINT AS gap_days
+  FROM events
+),
+g AS (SELECT gap_days FROM gaps WHERE gap_days IS NOT NULL),
+agg AS (
+  SELECT count(*)::BIGINT AS n_gaps,
+         sum(CASE WHEN gap_days >= 1 THEN 1 ELSE 0 END)::BIGINT AS ge1,
+         sum(CASE WHEN gap_days >= 3 THEN 1 ELSE 0 END)::BIGINT AS ge3,
+         sum(CASE WHEN gap_days >= 7 THEN 1 ELSE 0 END)::BIGINT AS ge7,
+         sum(CASE WHEN gap_days >= 14 THEN 1 ELSE 0 END)::BIGINT AS ge14,
+         sum(CASE WHEN gap_days >= 30 THEN 1 ELSE 0 END)::BIGINT AS ge30
+  FROM g
+)
+SELECT h.horizon_days, h.n_reached, a.n_gaps,
+       (h.n_reached * 1000000 // greatest(a.n_gaps, 1))::BIGINT AS survival_ppm
+FROM agg a, LATERAL (
+  SELECT * FROM (VALUES (1::BIGINT, a.ge1), (3::BIGINT, a.ge3), (7::BIGINT, a.ge7),
+                        (14::BIGINT, a.ge14), (30::BIGINT, a.ge30))
+         AS t(horizon_days, n_reached)
+) h
+"""
+
+
+SPECS += [
+    QuerySpec("e_survival_curve", q_survival_curve, ORACLE_SURVIVAL,
+              doc="inter-event gap survival table at 5 horizons: keyed lead window + one grand total",
+              tags=("ext", "stats")),
+]

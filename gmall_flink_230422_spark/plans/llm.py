@@ -5749,3 +5749,91 @@ SPECS += [
               doc="top-20 farthest-from-centroid vectors, exact BIGINT milli-grid distance, TakeOrdered top-k",
               tags=("llm", "similarity", "audit")),
 ]
+
+
+# ---------------------------------------------------------------- r5: quality vs duplication interaction
+def q_quality_vs_dup(spark, sf_dir):
+    """Does duplication correlate with quality? Mean classifier logit and
+    keep-rate per near-dup CLUSTER-SIZE BAND (unique / pair / small 3-9 /
+    large 10+) — the empirical check behind dedup-before-filter vs
+    filter-before-dedup pipeline ordering debates (if big dup families
+    score systematically lower, dedup first and save classifier compute).
+
+    Reuses the verified components end-to-end: exact+LSH cluster sizes
+    from the same banded pipeline x_cluster_stats audits, quality logits
+    from the frozen classifier — joined on doc_id, docs in no cluster
+    counted as band 'unique'. Integer milli means via exact BIGINT sums.
+
+    Scale shape: the dedup side is the bucketed LSH chain (never
+    all-pairs); the interaction itself is one broadcast-scale join of the
+    tiny cluster-size table onto the classifier projection plus a 4-row
+    aggregate."""
+    d = _docs_par(spark, sf_dir)
+    sh = dedup.shingles(d).cache()
+    sigs = dedup.minhash_signatures(sh, num_hashes=16)
+    cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4).cache()
+    near = dedup.jaccard_pairs(sh, threshold=0.5, candidates=cands)
+    clusters = dedup.connected_components(near).cache()
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cl_size")
+    )
+    doc_size = clusters.join(sizes, "cluster_id").select("doc_id", "cl_size")
+    clf = text.quality_classifier(d).select(
+        "doc_id", "logit_milli", F.col("keep").cast("long").alias("k")
+    )
+    joined = clf.join(doc_size, "doc_id", "left").select(
+        "logit_milli",
+        "k",
+        F.when(F.col("cl_size").isNull(), F.lit("1_unique"))
+        .when(F.col("cl_size") == 2, F.lit("2_pair"))
+        .when(F.col("cl_size") <= 9, F.lit("3_small"))
+        .otherwise(F.lit("4_large"))
+        .alias("band"),
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("CAST(sum(logit_milli) DIV count(*) AS BIGINT)").alias(
+            "mean_logit_milli"
+        ),
+        F.expr("CAST(sum(k) * 1000 DIV count(*) AS BIGINT)").alias("keep_milli"),
+    )
+
+
+def _oracle_quality_vs_dup() -> str:
+    # hoist ORACLE_DEDUP_CLUSTERS' recursive CTE chain to this query's top
+    # level (CTE definitions cannot nest inside a subquery) and re-express
+    # its final SELECT as the `clusters` CTE
+    inner = ORACLE_DEDUP_CLUSTERS.replace("WITH RECURSIVE", "", 1).strip()
+    ctes, _final = inner.rsplit("SELECT src AS doc_id", 1)
+    return f"""
+WITH RECURSIVE cls AS ({ORACLE_QUALITY_CLASSIFIER}),
+{ctes.rstrip().rstrip(',')},
+clusters AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src
+),
+sizes AS (
+  SELECT cluster_id, count(*)::BIGINT AS cl_size FROM clusters GROUP BY 1
+),
+doc_size AS (
+  SELECT c.doc_id, s.cl_size FROM clusters c JOIN sizes s USING (cluster_id)
+),
+j AS (
+  SELECT cls.logit_milli, (CASE WHEN cls.keep THEN 1 ELSE 0 END)::BIGINT AS k,
+         CASE WHEN d.cl_size IS NULL THEN '1_unique'
+              WHEN d.cl_size = 2 THEN '2_pair'
+              WHEN d.cl_size <= 9 THEN '3_small'
+              ELSE '4_large' END AS band
+  FROM cls LEFT JOIN doc_size d USING (doc_id)
+)
+SELECT band, count(*)::BIGINT AS n_docs,
+       (sum(logit_milli) // count(*))::BIGINT AS mean_logit_milli,
+       (sum(k) * 1000 // count(*))::BIGINT AS keep_milli
+FROM j GROUP BY 1
+"""
+
+
+SPECS += [
+    QuerySpec("x_quality_vs_dup", q_quality_vs_dup, _oracle_quality_vs_dup(),
+              doc="mean quality logit + keep rate per near-dup cluster-size band (dedup-vs-filter ordering evidence)",
+              tags=("llm", "dedup", "eval")),
+]

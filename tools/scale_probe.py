@@ -126,6 +126,11 @@ QUERIES = [
     # + broadcast join + TakeOrdered)
     "x_dataset_card",
     "x_centroid_outliers",
+    # survival gaps (one keyed lead window + 5-row grand total) and the
+    # quality-vs-dup interaction (LSH cluster sizes joined onto the
+    # classifier projection)
+    "e_survival_curve",
+    "x_quality_vs_dup",
 ]
 
 
