@@ -156,6 +156,8 @@ HEADLINE = [
     "x_centroid_outliers",
     "e_survival_curve",
     "x_quality_vs_dup",
+    "x_embedding_cov",
+    "x_pca_power",
 ]
 
 

@@ -14,6 +14,10 @@ bucketed/partitioned by ``bucket``).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -929,3 +933,115 @@ def dbscan_2d(
             ).cast("bigint").alias("cluster_id"),
         )
     )
+
+
+# ----------------------------------------------------- gram matrix / top-PC
+def tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division — the exact semantics of both
+    Spark's ``DIV`` and DuckDB's ``//`` (Python's ``//`` floors instead,
+    off by one on negative numerators; the same trap the r4 review found
+    in ewma_stream). Driver-side integer math that must stay bit-identical
+    to either engine goes through this helper."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def embedding_gram(
+    embs: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Upper-triangle second-moment sums of the milli-quantized embedding
+    matrix: one row per dimension pair ``i <= j`` with exact BIGINT
+    ``(n, sij, si, sj)`` — the sufficient statistics for a covariance /
+    gram matrix, whitening transform, or PCA.
+
+    Components quantize to the integer milli grid FIRST (the module's
+    shared convention, cf. random_projection), so all sums are exact in
+    any aggregation/merge order and a DuckDB oracle can reproduce them
+    bit-for-bit.
+
+    Scale shape: Arrow-batched ``mapInPandas`` computes a dim x dim
+    partial gram per batch with ONE int64 matmul and emits a CONSTANT
+    ``dim*(dim+1)/2`` rows per batch — no 64x component explosion, no
+    self-join keyed by vec_id; the final hash-agg merges partials
+    map-side, so the reduce moves O(dim^2 * n_partitions) rows no matter
+    how many vectors the corpus holds. Overflow: |m| <= ~4e3 milli for
+    unit-ish embeddings => |m_i * m_j| <= 1.6e7; the global BIGINT sum
+    holds to ~5e11 vectors.
+    """
+
+    def gram_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy())
+            m = np.floor(mat.astype(np.float64) * 1000.0).astype(np.int64)
+            dim = m.shape[1]
+            gram = m.T @ m
+            col_sum = m.sum(axis=0)
+            iu, ju = np.triu_indices(dim)
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype(np.int32),
+                    "j": ju.astype(np.int32),
+                    "n": np.full(len(iu), m.shape[0], dtype=np.int64),
+                    "sij": gram[iu, ju],
+                    "si": col_sum[iu],
+                    "sj": col_sum[ju],
+                }
+            )
+
+    partials = embs.select(vec_col).mapInPandas(
+        gram_batches, "i int, j int, n long, sij long, si long, sj long"
+    )
+    return partials.groupBy("i", "j").agg(
+        F.sum("n").alias("n"),
+        F.sum("sij").alias("sij"),
+        F.sum("si").alias("si"),
+        F.sum("sj").alias("sj"),
+    )
+
+
+def cov_matrix_from_gram(rows, dim: int | None = None) -> list[list[int]]:
+    """Full symmetric integer covariance matrix from collected
+    ``embedding_gram`` rows, on the milli^2 grid: ``cov[i][j] =
+    sij tdiv n - (si tdiv n)(sj tdiv n)`` — the same truncated-moment
+    form (and the same truncation semantics) as x_dim_variance and the
+    DuckDB oracle, so every engine sees identical integers."""
+    if dim is None:
+        dim = max(r["i"] for r in rows) + 1
+    cov = [[0] * dim for _ in range(dim)]
+    for r in rows:
+        n = r["n"]
+        c = tdiv(r["sij"], n) - tdiv(r["si"], n) * tdiv(r["sj"], n)
+        cov[r["i"]][r["j"]] = c
+        cov[r["j"]][r["i"]] = c
+    return cov
+
+
+def power_iteration_top1(
+    cov: list[list[int]], iters: int = 96, scale: int = 1 << 20
+) -> list[int]:
+    """Dominant eigenvector of a small integer matrix by power iteration
+    in EXACT integer arithmetic: start at the all-ones vector, repeat
+    ``v <- (cov @ v) * scale tdiv max|cov @ v|``, finally flip signs so
+    the largest-|component| (lowest index on ties) is positive.
+
+    Because every step is BIGINT mul/add plus truncating division, an SQL
+    twin (unrolled CTEs, one join+group-by per step) reproduces the vector
+    bit-for-bit — convergence quality does not affect cross-engine parity.
+    Overflow: |cov| <= ~1.6e7 milli^2, |v| <= 2^20, dim <= 64 =>
+    |cov @ v| <= 1.1e15, well inside BIGINT.
+
+    The matrix is a bounded dim x dim aggregate (constant in corpus size),
+    so driver-side iteration here is the same class as the Lloyd centroid
+    loop in ivf_refine_centroids — not a data-sized collect."""
+    dim = len(cov)
+    v = [scale] * dim
+    for _ in range(iters):
+        w = [sum(cov[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        mx = max(abs(x) for x in w) or 1
+        v = [tdiv(x * scale, mx) for x in w]
+    lead = max(range(dim), key=lambda i: (abs(v[i]), -i))
+    if v[lead] < 0:
+        v = [-x for x in v]
+    return v

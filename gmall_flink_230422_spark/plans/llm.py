@@ -5837,3 +5837,190 @@ SPECS += [
               doc="mean quality logit + keep rate per near-dup cluster-size band (dedup-vs-filter ordering evidence)",
               tags=("llm", "dedup", "eval")),
 ]
+
+
+# ---------------------------------------------------------------- r5: covariance / top-PC
+_PCA_ITERS = 96
+_PCA_SCALE = 1 << 20  # component scale kept through every normalization step
+
+
+def q_embedding_cov(spark, sf_dir):
+    """Upper-triangle covariance matrix of the embedding space on the
+    exact milli^2 grid — the whitening / PCA / Mahalanobis substrate that
+    x_dim_variance's diagonal-only profile can't provide (correlated
+    redundant axes, anisotropy that distorts cosine ANN).
+
+    cov = sij DIV n - (si DIV n)(sj DIV n): the same truncated-moment
+    form as x_dim_variance (exact BIGINT in both engines; deterministic
+    grid-unit truncation bias, identical on both sides).
+
+    Scale shape: operators/similarity.embedding_gram computes a dim x dim
+    partial gram per Arrow batch with one int64 matmul and emits a
+    CONSTANT 2080 rows per batch — no 64x component explosion, no
+    vec_id-keyed self-join (the naive SQL shape the ORACLE uses) — and the
+    finishing hash-agg merges partials map-side: the only shuffle moves
+    O(dim^2 * n_partitions) rows regardless of corpus size."""
+    e = _embs_par(spark, sf_dir)
+    return similarity.embedding_gram(e).select(
+        F.col("i").cast("bigint").alias("i"),
+        F.col("j").cast("bigint").alias("j"),
+        F.col("n"),
+        F.expr("CAST(sij DIV n - (si DIV n) * (sj DIV n) AS BIGINT)").alias(
+            "cov_milli2"
+        ),
+    )
+
+
+ORACLE_EMBEDDING_COV = """
+WITH comps AS (
+  SELECT vec_id, (generate_subscripts(embedding, 1) - 1)::BIGINT AS dim,
+         floor(unnest(embedding)::DOUBLE * 1000)::BIGINT AS m
+  FROM embeddings
+),
+gram AS (
+  SELECT a.dim AS i, b.dim AS j, count(*)::BIGINT AS n,
+         sum(a.m * b.m)::BIGINT AS sij,
+         sum(a.m)::BIGINT AS si, sum(b.m)::BIGINT AS sj
+  FROM comps a JOIN comps b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+  GROUP BY 1, 2
+)
+SELECT i, j, n, (sij // n - (si // n) * (sj // n))::BIGINT AS cov_milli2
+FROM gram
+"""
+
+
+def q_pca_power(spark, sf_dir):
+    """Top principal component of the embedding corpus by power iteration
+    in EXACT integer arithmetic, reported as a 16-bucket histogram of the
+    per-vector PC1 projections — the one-pass anisotropy audit (a single
+    dominant direction usually means an un-centered or mode-collapsed
+    embedding model; a flat spectrum means healthy spread).
+
+    Every arithmetic step — covariance on the milli^2 grid, iterate
+    ``v <- (cov @ v) * 2^20 tdiv max|cov @ v|`` 96 times (the corpus is
+    near-isotropic — eigengap ratio ~1.07 — so convergence needs ~90
+    steps; each is a dim x dim matvec, trivial in both engines),
+    sign-canonical
+    flip, per-vector projection, bucket = (proj-min)*16 DIV (range+1) —
+    is BIGINT mul/add plus truncate-toward-zero division, so the DuckDB
+    oracle (the same iteration unrolled as 96 single-reference CTE steps)
+    reproduces the histogram bit-for-bit regardless of convergence.
+
+    Scale shape: the corpus is touched exactly twice — once by the
+    Arrow-batched partial-gram pass (embedding_gram: constant 2080 rows
+    out per batch), once by a shuffle-free JVM projection (zip_with
+    against the broadcast-literal eigenvector; no explode, no join).
+    The iteration itself runs on the collected dim x dim matrix — a
+    BOUNDED aggregate constant in corpus size, the same driver-side class
+    as the Lloyd centroid loop. BIGINT bound: |proj| <= dim * 4e3 * 2^20
+    ~ 2.7e11, so sum(proj) per bucket is exact to ~3e7 vectors per
+    bucket; past that, rescale the projection grid (proj DIV 2^10)
+    before the mean — same convention as x_router_kappa's marginals."""
+    e = _embs_par(spark, sf_dir)
+    rows = similarity.embedding_gram(e).collect()  # dim*(dim+1)/2 rows, bounded
+    cov = similarity.cov_matrix_from_gram(rows)
+    v = similarity.power_iteration_top1(cov, iters=_PCA_ITERS, scale=_PCA_SCALE)
+    varr = F.array(*[F.lit(int(x)) for x in v])
+    proj_expr = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            varr,
+            lambda x, w: F.floor(x.cast("double") * 1000).cast("bigint") * w,
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + t,
+    )
+    proj = e.select(proj_expr.alias("proj"))
+    rng = proj.agg(F.min("proj").alias("pmin"), F.max("proj").alias("pmax"))
+    return (
+        proj.crossJoin(F.broadcast(rng))
+        .select(
+            F.expr("CAST((proj - pmin) * 16 DIV (pmax - pmin + 1) AS BIGINT)").alias(
+                "bucket"
+            ),
+            "proj",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.expr("CAST(sum(proj) DIV count(1) AS BIGINT)").alias("mean_proj"),
+        )
+    )
+
+
+def _oracle_pca_power() -> str:
+    """The power iteration unrolled as chained CTEs: per step one
+    matvec (join + group-by) with the max-|component| rescale as a
+    whole-frame window aggregate, so each step references its
+    predecessor exactly ONCE — a scalar-subquery normalizer would make
+    DuckDB's CTE inlining double the plan per step (2^iters parquet
+    scans; the first draft hit the open-file limit exactly that way).
+    Every step is MATERIALIZED: inlining 96 nested join+window blocks
+    sends DuckDB's optimizer super-linear (the un-materialized chain ran
+    >2 min; materialized, 0.7 s), and the shared frames get the same
+    treatment."""
+    steps = []
+    for k in range(1, _PCA_ITERS + 1):
+        steps.append(f"""
+v{k} AS MATERIALIZED (
+  SELECT i, (wv * {_PCA_SCALE} // greatest(max(abs(wv)) OVER (), 1))::BIGINT AS val
+  FROM (
+    SELECT cf.i, sum(cf.c * v.val)::BIGINT AS wv
+    FROM covfull cf JOIN v{k - 1} v ON cf.j = v.i GROUP BY 1
+  ) w{k}
+)""")
+    chain = ",".join(steps)
+    last = f"v{_PCA_ITERS}"
+    return f"""
+WITH comps AS MATERIALIZED (
+  SELECT vec_id, (generate_subscripts(embedding, 1) - 1)::BIGINT AS dim,
+         floor(unnest(embedding)::DOUBLE * 1000)::BIGINT AS m
+  FROM embeddings
+),
+gram AS (
+  SELECT a.dim AS i, b.dim AS j, count(*)::BIGINT AS n,
+         sum(a.m * b.m)::BIGINT AS sij,
+         sum(a.m)::BIGINT AS si, sum(b.m)::BIGINT AS sj
+  FROM comps a JOIN comps b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+  GROUP BY 1, 2
+),
+cov AS (
+  SELECT i, j, (sij // n - (si // n) * (sj // n))::BIGINT AS c FROM gram
+),
+covfull AS MATERIALIZED (
+  SELECT i, j, c FROM cov
+  UNION ALL
+  SELECT j AS i, i AS j, c FROM cov WHERE i < j
+),
+v0 AS (
+  SELECT DISTINCT i, {_PCA_SCALE}::BIGINT AS val FROM covfull
+),{chain},
+lead_val AS (
+  SELECT val FROM {last} ORDER BY abs(val) DESC, i ASC LIMIT 1
+),
+vfin AS (
+  SELECT i, (CASE WHEN (SELECT val FROM lead_val) < 0 THEN -val ELSE val END)::BIGINT AS val
+  FROM {last}
+),
+proj AS (
+  SELECT c.vec_id, sum(c.m * vf.val)::BIGINT AS proj
+  FROM comps c JOIN vfin vf ON c.dim = vf.i GROUP BY 1
+),
+rng AS (SELECT min(proj)::BIGINT AS pmin, max(proj)::BIGINT AS pmax FROM proj),
+b AS (
+  SELECT ((proj - pmin) * 16 // (pmax - pmin + 1))::BIGINT AS bucket, proj
+  FROM proj, rng
+)
+SELECT bucket, count(*)::BIGINT AS n_vecs, (sum(proj) // count(*))::BIGINT AS mean_proj
+FROM b GROUP BY 1
+"""
+
+
+SPECS += [
+    QuerySpec("x_embedding_cov", q_embedding_cov, ORACLE_EMBEDDING_COV,
+              doc="exact milli-grid embedding covariance matrix via Arrow-batched partial grams (whitening/PCA substrate)",
+              tags=("llm", "similarity", "stats")),
+    QuerySpec("x_pca_power", q_pca_power, _oracle_pca_power(),
+              doc="top principal component by exact integer power iteration; PC1 projection histogram (anisotropy audit)",
+              tags=("llm", "similarity", "stats")),
+]

@@ -110,3 +110,98 @@ def test_star_cc_random_graphs_match_union_find(spark):
             for r in dedup.connected_components(df).collect()
         }
         assert got == want, f"seed {seed}"
+
+
+@given(
+    mat=st.lists(
+        st.lists(st.floats(-2.0, 2.0, allow_nan=False, width=32), min_size=4, max_size=4),
+        min_size=2,
+        max_size=40,
+    ),
+    split=st.integers(1, 39),
+)
+def test_gram_partials_merge_invariant(mat, split):
+    """The (n, sij, si, sj) gram partials merged across ANY batch split
+    equal the single-batch sums — the algebra that makes embedding_gram's
+    map-side combine exact at any partitioning. Pure-Python pin (numpy
+    int64 matmul == summed per-split matmuls)."""
+    import numpy as np
+
+    m = np.floor(np.array(mat, dtype=np.float64) * 1000.0).astype(np.int64)
+    whole = m.T @ m
+    cut = min(split, len(mat) - 1) or 1
+    parts = [m[:cut], m[cut:]]
+    merged = sum((p.T @ p for p in parts if len(p)), np.zeros_like(whole))
+    assert (whole == merged).all()
+    assert (m.sum(axis=0) == sum(p.sum(axis=0) for p in parts if len(p))).all()
+
+
+def test_tdiv_matches_spark_and_duckdb_semantics():
+    """tdiv truncates toward zero on every sign combination — the Spark
+    DIV / DuckDB // contract (Python's // floors; cf. the r4 ewma fix)."""
+    from gmall_flink_230422_spark.operators.similarity import tdiv
+
+    assert tdiv(7, 2) == 3 and tdiv(-7, 2) == -3
+    assert tdiv(7, -2) == -3 and tdiv(-7, -2) == 3
+    assert tdiv(0, 5) == 0
+
+
+def test_power_iteration_tracks_numpy_eigenvector(spark):
+    """The integer power iteration's direction agrees with numpy's float
+    dominant eigenvector of the SAME integer covariance matrix (|cos| >=
+    0.99 on the sf0.001 fixture) — the quality check the exact-parity
+    oracle can't provide (both engines would agree even if unconverged)."""
+    import numpy as np
+
+    from gmall_flink_230422_spark.io import load_table
+    from gmall_flink_230422_spark.operators import similarity
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = similarity.embedding_gram(e).collect()
+    cov = np.array(similarity.cov_matrix_from_gram(rows), dtype=np.float64)
+    v_int = np.array(
+        similarity.power_iteration_top1(similarity.cov_matrix_from_gram(rows)),
+        dtype=np.float64,
+    )
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    top = eigvecs[:, np.argmax(eigvals)]
+    cos = abs(v_int @ top) / (np.linalg.norm(v_int) * np.linalg.norm(top))
+    assert cos >= 0.99, cos
+
+
+def test_embedding_gram_matches_exploded_join(spark):
+    """embedding_gram's Arrow partial-gram path == the naive exploded
+    self-join on a small frame, for every (i, j, n, sij, si, sj) cell —
+    pins the mapInPandas implementation to the declarative definition."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_230422_spark.io import load_table
+    from gmall_flink_230422_spark.operators import similarity
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").repartition(7)
+    fast = {
+        (r["i"], r["j"]): (r["n"], r["sij"], r["si"], r["sj"])
+        for r in similarity.embedding_gram(e).collect()
+    }
+    comps = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "vec_id",
+        "dim",
+        F.floor(F.col("val").cast("double") * 1000).cast("bigint").alias("m"),
+    )
+    a, b = comps.alias("a"), comps.alias("b")
+    naive = (
+        a.join(b, (F.col("a.vec_id") == F.col("b.vec_id")) & (F.col("a.dim") <= F.col("b.dim")))
+        .groupBy(F.col("a.dim").alias("i"), F.col("b.dim").alias("j"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("a.m") * F.col("b.m")).alias("sij"),
+            F.sum("a.m").alias("si"),
+            F.sum("b.m").alias("sj"),
+        )
+    )
+    slow = {
+        (r["i"], r["j"]): (r["n"], r["sij"], r["si"], r["sj"]) for r in naive.collect()
+    }
+    assert fast == slow

@@ -131,6 +131,11 @@ QUERIES = [
     # classifier projection)
     "e_survival_curve",
     "x_quality_vs_dup",
+    # integer-grid covariance (Arrow partial grams, constant rows out per
+    # batch) and the exact-integer power-iteration PC1 histogram (two
+    # corpus passes + bounded driver matvec loop)
+    "x_embedding_cov",
+    "x_pca_power",
 ]
 
 
