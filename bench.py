@@ -158,6 +158,7 @@ HEADLINE = [
     "x_quality_vs_dup",
     "x_embedding_cov",
     "x_pca_power",
+    "x_spectral_ratio",
 ]
 
 

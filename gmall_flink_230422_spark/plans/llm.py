@@ -5948,17 +5948,17 @@ def q_pca_power(spark, sf_dir):
     )
 
 
-def _oracle_pca_power() -> str:
-    """The power iteration unrolled as chained CTEs: per step one
-    matvec (join + group-by) with the max-|component| rescale as a
-    whole-frame window aggregate, so each step references its
-    predecessor exactly ONCE — a scalar-subquery normalizer would make
-    DuckDB's CTE inlining double the plan per step (2^iters parquet
-    scans; the first draft hit the open-file limit exactly that way).
-    Every step is MATERIALIZED: inlining 96 nested join+window blocks
-    sends DuckDB's optimizer super-linear (the un-materialized chain ran
-    >2 min; materialized, 0.7 s), and the shared frames get the same
-    treatment."""
+def _pca_chain_ctes() -> str:
+    """The shared CTE prefix (comps -> gram -> cov -> covfull -> v0 ->
+    v96) for the power-iteration oracles: per step one matvec (join +
+    group-by) with the max-|component| rescale as a whole-frame window
+    aggregate, so each step references its predecessor exactly ONCE — a
+    scalar-subquery normalizer would make DuckDB's CTE inlining double
+    the plan per step (2^iters parquet scans; the first draft hit the
+    open-file limit exactly that way). Every step is MATERIALIZED:
+    inlining 96 nested join+window blocks sends DuckDB's optimizer
+    super-linear (the un-materialized chain ran >2 min; materialized,
+    0.7 s), and the shared frames get the same treatment."""
     steps = []
     for k in range(1, _PCA_ITERS + 1):
         steps.append(f"""
@@ -5970,9 +5970,7 @@ v{k} AS MATERIALIZED (
   ) w{k}
 )""")
     chain = ",".join(steps)
-    last = f"v{_PCA_ITERS}"
-    return f"""
-WITH comps AS MATERIALIZED (
+    return f"""comps AS MATERIALIZED (
   SELECT vec_id, (generate_subscripts(embedding, 1) - 1)::BIGINT AS dim,
          floor(unnest(embedding)::DOUBLE * 1000)::BIGINT AS m
   FROM embeddings
@@ -5994,7 +5992,15 @@ covfull AS MATERIALIZED (
 ),
 v0 AS (
   SELECT DISTINCT i, {_PCA_SCALE}::BIGINT AS val FROM covfull
-),{chain},
+),{chain}"""
+
+
+def _oracle_pca_power() -> str:
+    """PC1 projection histogram: the shared chain plus sign
+    canonicalization, per-vector projection, and fixed-width buckets."""
+    last = f"v{_PCA_ITERS}"
+    return f"""
+WITH {_pca_chain_ctes()},
 lead_val AS (
   SELECT val FROM {last} ORDER BY abs(val) DESC, i ASC LIMIT 1
 ),
@@ -6022,5 +6028,64 @@ SPECS += [
               tags=("llm", "similarity", "stats")),
     QuerySpec("x_pca_power", q_pca_power, _oracle_pca_power(),
               doc="top principal component by exact integer power iteration; PC1 projection histogram (anisotropy audit)",
+              tags=("llm", "similarity", "stats")),
+]
+
+
+def q_spectral_ratio(spark, sf_dir):
+    """Spectral anisotropy index: the share of total variance carried by
+    the top principal component, in ppm — the one-scalar headline the
+    x_pca_power histogram expands on (a healthy embedding model spreads
+    variance across dimensions: share ~ 1/dim; mode collapse or a missing
+    centering step shows up as one dominant direction).
+
+    lambda1 is estimated from the power iteration's own rescale factor:
+    after a step, max|v| == 2^20 exactly, so max|cov @ v| DIV 2^20 is the
+    max-norm Rayleigh quotient — one extra matvec, no new machinery, and
+    |cov @ (-v)| == |cov @ v| so sign canonicalization cannot matter.
+    trace is the covariance diagonal sum (>= 0 by the truncated-moment
+    form's construction). share_ppm = lambda1 * 1e6 DIV max(trace, 1),
+    guarded for the all-constant corpus both engines degenerate alike on.
+
+    Scale shape: the corpus is touched ONCE (the Arrow-batched partial
+    gram pass, constant 2080 rows out per batch); everything after runs
+    on the collected dim x dim matrix — a bounded aggregate constant in
+    corpus size, same driver-side class as x_pca_power's iteration."""
+    e = _embs_par(spark, sf_dir)
+    rows = similarity.embedding_gram(e).collect()  # dim*(dim+1)/2 rows, bounded
+    cov = similarity.cov_matrix_from_gram(rows)
+    v = similarity.power_iteration_top1(cov, iters=_PCA_ITERS, scale=_PCA_SCALE)
+    dim = len(cov)
+    w = [sum(cov[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+    lam = similarity.tdiv(max(abs(x) for x in w), _PCA_SCALE)
+    trace = sum(cov[i][i] for i in range(dim))
+    share = similarity.tdiv(lam * 1_000_000, max(trace, 1))
+    return spark.createDataFrame(
+        [(int(lam), int(trace), int(share))],
+        "lambda1_milli2 bigint, trace_milli2 bigint, pc1_share_ppm bigint",
+    )
+
+
+def _oracle_spectral_ratio() -> str:
+    """The shared chain plus one extra matvec: lambda1 = max|cov@v96|
+    DIV 2^20 (max|v96| == 2^20 exactly after the final rescale)."""
+    last = f"v{_PCA_ITERS}"
+    return f"""
+WITH {_pca_chain_ctes()},
+wlam AS MATERIALIZED (
+  SELECT cf.i, sum(cf.c * v.val)::BIGINT AS wv
+  FROM covfull cf JOIN {last} v ON cf.j = v.i GROUP BY 1
+),
+lam AS (SELECT (max(abs(wv)) // {_PCA_SCALE})::BIGINT AS l FROM wlam),
+tr AS (SELECT sum(c)::BIGINT AS t FROM cov WHERE i = j)
+SELECT l AS lambda1_milli2, t AS trace_milli2,
+       (l * 1000000 // greatest(t, 1))::BIGINT AS pc1_share_ppm
+FROM lam, tr
+"""
+
+
+SPECS += [
+    QuerySpec("x_spectral_ratio", q_spectral_ratio, _oracle_spectral_ratio(),
+              doc="PC1 variance-explained share in ppm (spectral anisotropy index; max-norm Rayleigh quotient)",
               tags=("llm", "similarity", "stats")),
 ]

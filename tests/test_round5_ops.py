@@ -205,3 +205,22 @@ def test_embedding_gram_matches_exploded_join(spark):
         (r["i"], r["j"]): (r["n"], r["sij"], r["si"], r["sj"]) for r in naive.collect()
     }
     assert fast == slow
+
+
+def test_max_norm_rayleigh_tracks_numpy_eigenvalue(spark):
+    """lambda1 from the rescale factor (max|cov@v| / 2^20 with
+    max|v| == 2^20) agrees with numpy's top eigenvalue of the same
+    integer covariance within 1% on the sf0.001 fixture."""
+    import numpy as np
+
+    from gmall_flink_230422_spark.io import load_table
+    from gmall_flink_230422_spark.operators import similarity
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cov = similarity.cov_matrix_from_gram(similarity.embedding_gram(e).collect())
+    v = similarity.power_iteration_top1(cov)
+    dim = len(cov)
+    w = [sum(cov[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+    lam = similarity.tdiv(max(abs(x) for x in w), 1 << 20)
+    top = float(np.linalg.eigvalsh(np.array(cov, dtype=np.float64))[-1])
+    assert abs(lam - top) <= 0.01 * top, (lam, top)

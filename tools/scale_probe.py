@@ -136,6 +136,7 @@ QUERIES = [
     # corpus passes + bounded driver matvec loop)
     "x_embedding_cov",
     "x_pca_power",
+    "x_spectral_ratio",
 ]
 
 
