@@ -1008,7 +1008,7 @@ def cov_matrix_from_gram(rows, dim: int | None = None) -> list[list[int]]:
     form (and the same truncation semantics) as x_dim_variance and the
     DuckDB oracle, so every engine sees identical integers."""
     if dim is None:
-        dim = max(r["i"] for r in rows) + 1
+        dim = max((r["i"] for r in rows), default=-1) + 1
     cov = [[0] * dim for _ in range(dim)]
     for r in rows:
         n = r["n"]
@@ -1036,6 +1036,8 @@ def power_iteration_top1(
     so driver-side iteration here is the same class as the Lloyd centroid
     loop in ivf_refine_centroids — not a data-sized collect."""
     dim = len(cov)
+    if dim == 0:
+        return []
     v = [scale] * dim
     for _ in range(iters):
         w = [sum(cov[i][j] * v[j] for j in range(dim)) for i in range(dim)]

@@ -5918,6 +5918,10 @@ def q_pca_power(spark, sf_dir):
     before the mean — same convention as x_router_kappa's marginals."""
     e = _embs_par(spark, sf_dir)
     rows = similarity.embedding_gram(e).collect()  # dim*(dim+1)/2 rows, bounded
+    if not rows:  # empty corpus: the oracle's terminal GROUP BY yields 0 rows
+        return spark.createDataFrame(
+            [], "bucket bigint, n_vecs bigint, mean_proj bigint"
+        )
     cov = similarity.cov_matrix_from_gram(rows)
     v = similarity.power_iteration_top1(cov, iters=_PCA_ITERS, scale=_PCA_SCALE)
     varr = F.array(*[F.lit(int(x)) for x in v])
@@ -6053,6 +6057,12 @@ def q_spectral_ratio(spark, sf_dir):
     corpus size, same driver-side class as x_pca_power's iteration."""
     e = _embs_par(spark, sf_dir)
     rows = similarity.embedding_gram(e).collect()  # dim*(dim+1)/2 rows, bounded
+    if not rows:  # empty corpus: the oracle's bare scalar aggregates still
+        # emit ONE row (NULL, NULL, NULL) — match it exactly
+        return spark.createDataFrame(
+            [(None, None, None)],
+            "lambda1_milli2 bigint, trace_milli2 bigint, pc1_share_ppm bigint",
+        )
     cov = similarity.cov_matrix_from_gram(rows)
     v = similarity.power_iteration_top1(cov, iters=_PCA_ITERS, scale=_PCA_SCALE)
     dim = len(cov)

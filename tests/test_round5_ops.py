@@ -224,3 +224,17 @@ def test_max_norm_rayleigh_tracks_numpy_eigenvalue(spark):
     lam = similarity.tdiv(max(abs(x) for x in w), 1 << 20)
     top = float(np.linalg.eigvalsh(np.array(cov, dtype=np.float64))[-1])
     assert abs(lam - top) <= 0.01 * top, (lam, top)
+
+
+def test_gram_helpers_empty_input():
+    """Empty-corpus degenerates: cov_matrix_from_gram([]) and
+    power_iteration_top1([]) return empty instead of raising — the
+    guards that keep q_pca_power/q_spectral_ratio aligned with their
+    oracles' empty-input semantics (0 rows / one all-NULL row)."""
+    from gmall_flink_230422_spark.operators.similarity import (
+        cov_matrix_from_gram,
+        power_iteration_top1,
+    )
+
+    assert cov_matrix_from_gram([]) == []
+    assert power_iteration_top1([]) == []
