@@ -1964,3 +1964,81 @@ SPECS = SPECS + (
         tags=("T2", "T11", "streaming", "stats"),
     ),
 )
+
+
+# ---------------------------------------------------------------- r5: streaming covariance monitor
+def q_stream_embedding_cov(spark, sf_dir):
+    """Streaming covariance monitor: each micro-batch of the replayed
+    embedding stream reduces to its own bounded dim*(dim+1)/2-row
+    partial-gram frame (operators/similarity.embedding_gram — one int64
+    matmul per Arrow batch) inside a checkpointed foreachBatch (landed
+    under batch_id=N, overwrite ⇒ idempotent replay — the exactly-once
+    sink model), and the read side merges partials by key-wise SUM.
+    Because (n, sij, si, sj) are EXACT BIGINT sums on the milli grid,
+    addition is associative/commutative, and each batch lands exactly
+    once, the merged covariance equals x_embedding_cov's single-pass
+    batch answer REGARDLESS of micro-batch boundaries or replays — the
+    online representation-drift monitor for an embedding service at
+    100 TB stream rates: ~2080 rows of state per batch, never a
+    corpus-sized table, and the same exactness argument the streaming
+    CMS (additive) and HLL (register-max) sketches lean on."""
+    from ..operators import similarity
+
+    _clamp_shuffle(spark)
+    tmp = tempfile.mkdtemp(prefix="streamq_cov_")
+    src = os.path.join(tmp, "embeddings")
+    em = load_table(spark, sf_dir, "embeddings")
+    em.repartition(8).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = files.stream_parquet(spark, src, schema, files_per_trigger=2)
+
+    store = os.path.join(tmp, "grams")
+    ck = os.path.join(tmp, "ck")
+
+    def _land(batch: DataFrame, batch_id: int) -> None:
+        similarity.embedding_gram(batch).write.mode("overwrite").parquet(
+            os.path.join(store, f"batch_id={batch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_land)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    merged = (
+        spark.read.parquet(store)
+        .groupBy("i", "j")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sij").alias("sij"),
+            F.sum("si").alias("si"),
+            F.sum("sj").alias("sj"),
+        )
+    )
+    return merged.select(
+        F.col("i").cast("bigint").alias("i"),
+        F.col("j").cast("bigint").alias("j"),
+        F.col("n"),
+        F.expr("CAST(sij DIV n - (si DIV n) * (sj DIV n) AS BIGINT)").alias(
+            "cov_milli2"
+        ),
+    )
+
+
+def _oracle_stream_cov() -> str:
+    """Batch-equal by construction, so the oracle is x_embedding_cov's
+    single-pass covariance SQL VERBATIM."""
+    from .llm import ORACLE_EMBEDDING_COV
+
+    return ORACLE_EMBEDDING_COV
+
+
+SPECS = SPECS + (
+    QuerySpec(
+        "s_stream_embedding_cov", q_stream_embedding_cov, _oracle_stream_cov(),
+        doc="streaming covariance monitor: per-batch partial grams, exact additive merge == single-pass batch matrix",
+        tags=("T11", "streaming", "similarity", "stats"),
+    ),
+)

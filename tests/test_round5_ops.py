@@ -238,3 +238,18 @@ def test_gram_helpers_empty_input():
 
     assert cov_matrix_from_gram([]) == []
     assert power_iteration_top1([]) == []
+
+
+def test_stream_cov_equals_batch_cov(spark):
+    """s_stream_embedding_cov (4 replayed micro-batches, per-batch
+    partial grams, additive merge) returns exactly x_embedding_cov's
+    single-pass matrix — the batch-boundary invariance the exact BIGINT
+    gram algebra guarantees."""
+    from gmall_flink_230422_spark.plans.llm import q_embedding_cov
+    from gmall_flink_230422_spark.plans.streamq import q_stream_embedding_cov
+
+    sf = "/root/testdata/sf0.001"
+    key = lambda r: (r["i"], r["j"])
+    batch = {key(r): (r["n"], r["cov_milli2"]) for r in q_embedding_cov(spark, sf).collect()}
+    stream = {key(r): (r["n"], r["cov_milli2"]) for r in q_stream_embedding_cov(spark, sf).collect()}
+    assert batch == stream and len(batch) == 2080
