@@ -2382,7 +2382,9 @@ def q_ks_test(spark, sf_dir):
     a 1-row scalar reduce for the sup.  Integer end-to-end: each CDF is
     quantized to ppm via BIGINT DIV before the gap — deterministic
     cross-engine, with the documented bound that cum * 1e6 fits BIGINT
-    up to ~9e12 rows per side."""
+    up to ~9e12 rows per side. Totals are guarded: an empty side (a
+    fixture without one segment) yields the defined max-divergence 1e6
+    instead of NULL-vs-error split between the engines."""
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
     )
@@ -2409,7 +2411,8 @@ def q_ks_test(spark, sf_dir):
             "tot_a",
             "tot_b",
             F.expr(
-                "abs(cum_a * 1000000 DIV tot_a - cum_b * 1000000 DIV tot_b)"
+                "abs(cum_a * 1000000 DIV greatest(tot_a, 1)"
+                " - cum_b * 1000000 DIV greatest(tot_b, 1))"
             ).alias("gap_ppm"),
         )
         .groupBy("tot_a", "tot_b")
@@ -2439,7 +2442,8 @@ tot AS (
   SELECT sum(cnt_a)::BIGINT AS tot_a, sum(cnt_b)::BIGINT AS tot_b FROM hist
 )
 SELECT tot_a, tot_b,
-       max(abs(cum_a * 1000000 // tot_a - cum_b * 1000000 // tot_b))::BIGINT AS ks_ppm
+       max(abs(cum_a * 1000000 // greatest(tot_a, 1)
+               - cum_b * 1000000 // greatest(tot_b, 1)))::BIGINT AS ks_ppm
 FROM cum, tot
 GROUP BY tot_a, tot_b
 """

@@ -4200,7 +4200,10 @@ def q_token_fertility(spark, sf_dir):
     """Per-language tokenizer fertility: docs, tokens, token characters,
     chars-per-token and tokens-per-doc on integer milli-grids — the
     pre-training budget planner's table (how many tokens a language's
-    bytes buy). Pure projection + one hash agg; map-only at 100 TB."""
+    bytes buy). Pure projection + one hash agg; map-only at 100 TB.
+    The chars-per-token denominator is guarded (a language bucket whose
+    docs are all whitespace has n_tokens = 0 — defined 0 instead of
+    NULL-vs-error divergence; same convention as x_classifier_auc)."""
     d = _docs_par(spark, sf_dir)
     toks = tokenize.whitespace_tokens(F.lower(F.trim(F.col("text"))))
     per = d.select(
@@ -4220,9 +4223,9 @@ def q_token_fertility(spark, sf_dir):
         "n_docs",
         "n_tokens",
         "tok_chars",
-        F.expr("CAST((tok_chars * 1000) DIV n_tokens AS BIGINT)").alias(
-            "chars_per_tok_milli"
-        ),
+        F.expr(
+            "CAST((tok_chars * 1000) DIV greatest(n_tokens, 1) AS BIGINT)"
+        ).alias("chars_per_tok_milli"),
         F.expr("CAST((n_tokens * 1000) DIV n_docs AS BIGINT)").alias(
             "toks_per_doc_milli"
         ),
@@ -4245,7 +4248,7 @@ agg AS (
 )
 SELECT lang, n_docs::BIGINT AS n_docs, n_tokens::BIGINT AS n_tokens,
        tok_chars::BIGINT AS tok_chars,
-       ((tok_chars * 1000) // n_tokens)::BIGINT AS chars_per_tok_milli,
+       ((tok_chars * 1000) // greatest(n_tokens, 1))::BIGINT AS chars_per_tok_milli,
        ((n_tokens * 1000) // n_docs)::BIGINT AS toks_per_doc_milli
 FROM agg
 """
