@@ -159,6 +159,7 @@ HEADLINE = [
     "x_embedding_cov",
     "x_pca_power",
     "x_spectral_ratio",
+    "x_whiten_outliers",
 ]
 
 

@@ -6102,3 +6102,86 @@ SPECS += [
               doc="PC1 variance-explained share in ppm (spectral anisotropy index; max-norm Rayleigh quotient)",
               tags=("llm", "similarity", "stats")),
 ]
+
+
+# ---------------------------------------------------------------- r5: diagonal-whitened outliers
+def q_whiten_outliers(spark, sf_dir):
+    """Top-20 outlier vectors under the DIAGONAL-whitened (per-dimension
+    variance-standardized) distance — the Mahalanobis-diag companion to
+    x_centroid_outliers' unscaled distance: a vector far out along a
+    low-variance axis is anomalous even when its raw distance is modest,
+    and a high-variance axis shouldn't dominate the score (the exact
+    failure x_dim_variance's rogue-axis audit flags).
+
+    Exact integer contract: per-dimension z² term =
+    ((m_d - mean_d)^2 * 1000) DIV greatest(var_d, 1) with mean/var in the
+    truncated-moment form shared with x_dim_variance; the per-term DIV is
+    grid-coarse but identical in both engines, so the summed score and
+    the (score DESC, vec_id ASC) top-20 match exactly. Dead dimensions
+    (var 0) are guarded to divisor 1, which scores them harshly — the
+    desired alarm, stated rather than accidental.
+
+    Scale shape: one posexplode + 64-key hash-agg for the stats (bounded
+    output), one broadcast join of those 64 rows back onto the exploded
+    components, one vec_id hash-agg, TakeOrdered 20 (per-partition
+    partial top-k + final merge — never a full sort)."""
+    e = _embs_par(spark, sf_dir)
+    comps = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "vec_id",
+        "dim",
+        F.floor(F.col("val").cast("double") * 1000).cast("bigint").alias("m"),
+    )
+    stats = comps.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("m").alias("sm"),
+        F.sum(F.col("m") * F.col("m")).alias("smm"),
+    ).select(
+        "dim",
+        F.expr("CAST(sm DIV n AS BIGINT)").alias("mean_m"),
+        F.expr(
+            "CAST(greatest(smm DIV n - (sm DIV n) * (sm DIV n), 1) AS BIGINT)"
+        ).alias("var_m"),
+    )
+    scored = (
+        comps.join(F.broadcast(stats), "dim")
+        .select(
+            "vec_id",
+            F.expr(
+                "CAST(((m - mean_m) * (m - mean_m) * 1000) DIV var_m AS BIGINT)"
+            ).alias("t"),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("t").alias("z2_milli"))
+    )
+    return scored.orderBy(F.col("z2_milli").desc(), "vec_id").limit(20)
+
+
+ORACLE_WHITEN_OUTLIERS = """
+WITH comps AS (
+  SELECT vec_id, (generate_subscripts(embedding, 1) - 1)::BIGINT AS dim,
+         floor(unnest(embedding)::DOUBLE * 1000)::BIGINT AS m
+  FROM embeddings
+),
+stats AS (
+  SELECT dim, (sum(m) // count(*))::BIGINT AS mean_m,
+         greatest(sum(m * m) // count(*)
+                  - (sum(m) // count(*)) * (sum(m) // count(*)), 1)::BIGINT AS var_m
+  FROM comps GROUP BY 1
+),
+scored AS (
+  SELECT c.vec_id,
+         sum(((c.m - s.mean_m) * (c.m - s.mean_m) * 1000) // s.var_m)::BIGINT AS z2_milli
+  FROM comps c JOIN stats s USING (dim)
+  GROUP BY 1
+)
+SELECT vec_id, z2_milli FROM scored ORDER BY z2_milli DESC, vec_id LIMIT 20
+"""
+
+
+SPECS += [
+    QuerySpec("x_whiten_outliers", q_whiten_outliers, ORACLE_WHITEN_OUTLIERS,
+              doc="top-20 outliers under diagonal-whitened (variance-standardized) distance on the exact milli grid",
+              tags=("llm", "similarity", "stats")),
+]

@@ -137,6 +137,9 @@ QUERIES = [
     "x_embedding_cov",
     "x_pca_power",
     "x_spectral_ratio",
+    # diagonal-whitened outlier top-k (posexplode + 64-key stats agg +
+    # broadcast join + TakeOrdered)
+    "x_whiten_outliers",
 ]
 
 
