@@ -253,3 +253,28 @@ def test_stream_cov_equals_batch_cov(spark):
     batch = {key(r): (r["n"], r["cov_milli2"]) for r in q_embedding_cov(spark, sf).collect()}
     stream = {key(r): (r["n"], r["cov_milli2"]) for r in q_stream_embedding_cov(spark, sf).collect()}
     assert batch == stream and len(batch) == 2080
+
+
+def test_tdiv_three_engine_parity(spark):
+    """tdiv == DuckDB's // == Spark's DIV over a sign/magnitude grid of
+    operands — the contract the integer power iteration (and every
+    driver-side cov computation) rests on, pinned against both engines
+    in one pass instead of asserted from documentation."""
+    import duckdb
+
+    from gmall_flink_230422_spark.operators.similarity import tdiv
+
+    pairs = [
+        (a, b)
+        for a in (-(10**12) - 7, -1000001, -17, -1, 0, 1, 17, 1000001, 10**12 + 7)
+        for b in (-(10**6) - 3, -13, -1, 1, 13, 10**6 + 3)
+    ]
+    duck = duckdb.connect().execute(
+        "SELECT a // b FROM (SELECT unnest(?) AS a, unnest(?) AS b)",
+        [[p[0] for p in pairs], [p[1] for p in pairs]],
+    ).fetchall()
+    sdf = spark.createDataFrame(pairs, "a long, b long").selectExpr("a DIV b AS q")
+    got_spark = [r["q"] for r in sdf.collect()]
+    want = [tdiv(a, b) for a, b in pairs]
+    assert [d[0] for d in duck] == want
+    assert got_spark == want
