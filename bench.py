@@ -1,8 +1,22 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": dir}.
+Output contract (r6): stdout's FINAL line is ONE compact JSON summary —
+guaranteed well under the driver's 2000-char tail capture (BENCH_r04/r05
+both recorded ``"parsed": null`` because the per-query map outgrew that
+window).  The full per-query map (warm / cold / plan / plan_actions_s /
+spread) is written to $SPARK_GRAFT_BENCH_OUT (default
+``BENCH_local_latest.json``) instead of stdout.
+
+Accounting (r6): queries whose *construction* runs Spark jobs eagerly
+(the star-contraction CC family: x_dbscan, x_dedup_corpus_cc,
+x_embedding_clusters, x_cluster_purity) are charged for that work — the
+``fn(spark, sf_dir)`` call runs under a per-query job group, and any
+jobs observed in that group mark the query with ``plan_actions_s`` (the
+measured construction time).  ``cold`` has always been plan + first
+action, so it already includes this; the point is that the warm number
+alone no longer *hides* it (r5 verdict: x_dbscan reported 0.4-0.6 s warm
+while doing ~14 s of CC rounds at plan time).
 """
 
 from __future__ import annotations
@@ -165,7 +179,9 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_local_latest.json")
     spark = get_spark("gmall-bench")
+    sc = spark.sparkContext
     specs = registry()
 
     # optional subset (comma-separated names) for drift analysis /
@@ -178,24 +194,36 @@ def main() -> None:
     # warm the JVM + parquet footers once so timings measure the queries
     specs["q1_pricing_summary"].fn(spark, sf_dir).count()
 
-    # Methodology (r3): the DataFrame is built ONCE per query; cold = plan
-    # build + first action (codegen, cache materialization), warm =
-    # best-of-2 repeat actions on the SAME DataFrame — the steady-state
-    # execution cost, without re-paying Catalyst analysis of the (for the
-    # capstones, very large) logical plan on every repetition. Plan-build
-    # time is reported separately per query. A System.gc() between queries
-    # paces the session so GC pressure from a 45-query run doesn't bleed
-    # into later timings (the r2 1.21x common-set drift).
+    # Methodology (r3, amended r6): the DataFrame is built ONCE per query;
+    # cold = plan build + first action (codegen, cache materialization, and
+    # any jobs the builder runs eagerly), warm = best-of-3 repeat actions on
+    # the SAME DataFrame — steady-state execution cost without re-paying
+    # Catalyst analysis of the (for the capstones, very large) logical plan
+    # per repetition. Construction runs under a per-query job group; jobs
+    # observed there mark the query with plan_actions_s (r6 fix: eager CC
+    # rounds no longer hide in the plan phase). A System.gc() between
+    # queries paces the session so GC pressure from a ~110-query run
+    # doesn't bleed into later timings (the r2 1.21x common-set drift).
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
     plan: dict[str, float] = {}
+    plan_actions: dict[str, float] = {}
     spread: dict[str, float] = {}
-    jvm_system = spark.sparkContext._jvm.System
+    jvm_system = sc._jvm.System
+    tracker = sc.statusTracker()
 
     for name in names:
+        group = f"plan:{name}"
+        sc.setJobGroup(group, f"construction of {name}")
         t0 = time.time()
         df = specs[name].fn(spark, sf_dir)
         plan[name] = round(time.time() - t0, 3)
+        if tracker.getJobIdsForGroup(group):
+            # construction executed Spark jobs (eager checkpoint /
+            # convergence loops): charge the whole construction time to the
+            # query, visibly
+            plan_actions[name] = plan[name]
+        sc.setJobGroup(f"exec:{name}", f"execution of {name}")
 
         def run() -> float:
             t0 = time.time()
@@ -213,14 +241,19 @@ def main() -> None:
         jvm_system.gc()
 
     sp = sorted(spread.values())
-    out = {
+    full = {
         "metric": "headline_queries_total",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
         "cold_total": round(sum(cold.values()), 3),
         "plan_total": round(sum(plan.values()), 3),
-        "method": "same-plan warm best-of-3; gc pacing between queries",
+        "cold": cold,
+        "plan": plan,
+        "plan_actions_s": plan_actions,
+        "method": "same-plan warm best-of-3; gc pacing between queries; "
+        "construction under a job group so eager plan-time actions are "
+        "charged to their query (plan_actions_s)",
         "variance": {
             "per_query_rel_spread": spread,
             "median_rel_spread": round(sp[len(sp) // 2], 3) if sp else None,
@@ -231,7 +264,35 @@ def main() -> None:
         },
         "sf": sf_dir,
     }
-    print(json.dumps(out))
+    with open(out_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+
+    # Compact driver-facing summary, printed as the FINAL stdout line. The
+    # driver's tail capture is ~2000 chars; the full per-query map outgrew
+    # it at r4 (BENCH_r04/r05: "parsed": null) so the per-query detail now
+    # lives only in the file above. "queries" here is the 10 slowest warm
+    # queries — keeps the documented {"metric","value","unit","queries",
+    # "sf"} shape while staying far under the capture window.
+    slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:10])
+    compact = {
+        "metric": "headline_queries_total",
+        "value": full["value"],
+        "unit": "sec",
+        "queries": slowest,
+        "n_queries": len(times),
+        "cold_total": full["cold_total"],
+        "plan_total": full["plan_total"],
+        "plan_actions_total": round(sum(plan_actions.values()), 3),
+        "median_rel_spread": full["variance"]["median_rel_spread"],
+        "p90_rel_spread": full["variance"]["p90_rel_spread"],
+        "sf": sf_dir,
+        "detail": out_path,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # belt and braces: never outgrow the tail capture
+        compact.pop("queries")
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

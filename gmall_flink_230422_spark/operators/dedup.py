@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.hashing import portable_hash64
 from ..functions.tokenize import whitespace_tokens
@@ -292,7 +293,11 @@ def dedup_corpus(
     return docs_c.join(drop, id_col, "left_anti").select(id_col)
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 30,
+    small_graph_threshold: int = 500_000,
+) -> DataFrame:
     """Duplicate-cluster assignment: (doc_id, cluster_id) for every doc that
     appears in a near-dup pair, where cluster_id = min doc id reachable in
     the pair graph — the full union-find `dedup_corpus`'s single-hop rule
@@ -320,21 +325,44 @@ def connected_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     20 propagation rounds converges (edge set stable) in 8 star rounds.
 
     Round cost: 4 keyed shuffles (two groupBy-min aggs, two distincts) on
-    a frame that never exceeds the input edge count, and ONE scalar driver
-    action (count + order-insensitive bit_xor edge checksum — the
-    convergence test; a 2^-64 checksum collision is the accepted risk).
-    That action also materializes the round's LAZY localCheckpoint, so
-    lineage is truncated to a leaf every round at no extra job — the
-    eager-checkpoint variant measured 2.5-5 s per truncation at sf0.001
-    because it re-plans and re-runs the round as a separate job. Superseded
-    round RDDs are freed by the ContextCleaner as Python drops the refs.
-    At 100 TB the edge table holds only docs that occur in a pair — tiny
+    a frame that never exceeds the input edge count, and — every SECOND
+    round (r6: star contraction tolerates extra rounds, so halving the
+    convergence probes halves the driver-side action count that dominated
+    the fresh-session cost of the CC-bound queries) — ONE scalar driver
+    action: count plus TWO order-insensitive edge checksums
+    (bit_xor(xxhash64(a,b)) and bit_xor(xxhash64(b,a,42)); a simultaneous
+    collision on both independent hashes, ~2^-128, is the accepted risk
+    of declaring convergence from checksums). That action also
+    materializes the intervening rounds' LAZY localCheckpoints, so
+    lineage is truncated to a leaf at no extra job — the eager-checkpoint
+    variant measured 2.5-5 s per truncation at sf0.001 because it
+    re-plans and re-runs the round as a separate job. Superseded round
+    RDDs are freed by the ContextCleaner as Python drops the refs. At
+    100 TB the edge table holds only docs that occur in a pair — tiny
     next to the corpus — and the star rewrites keep it shrinking toward
     one row per non-center node.
+
+    Self-pairs (doc_a == doc_b) are honored: a node whose only evidence
+    is a self-pair appears in the output as its own singleton cluster
+    (node, node) — matching the pre-r5 label-propagation behavior. An
+    empty edge set short-circuits: no star rounds run.
 
     ``max_iter`` is a backstop only: 30 rounds cover any graph a 2^30
     diameter could produce; a non-converged exit warns loudly instead of
     silently returning partial clusters.
+
+    Small-graph fast path (r6): when the deduped edge count is at most
+    ``small_graph_threshold`` (default 500k edges ≈ tens of MB on the
+    driver), the edges are pulled to the driver via Arrow and labeled by
+    union-find-by-min in one pass — exactly the size-adaptive strategy
+    Spark itself applies with its broadcast threshold. The CC-bound
+    queries spent their whole fresh-session budget scheduling star-round
+    jobs over a few thousand edges (r5 verdict: x_dbscan 14 s of
+    plan-time actions); the dedup/DBSCAN pair graphs are SPARSE BY
+    CONSTRUCTION (only docs that collide in an LSH band / share a grid
+    cell emit pairs), so even multi-TB corpora commonly land under the
+    threshold. Above it, the distributed star rounds run unchanged; pass
+    ``small_graph_threshold=0`` to force them (the stress tests do).
     """
     # canonical undirected edges (a < b). localCheckpoint (eager), not
     # cache: the UPSTREAM pair-generation lineage (LSH self-joins,
@@ -343,66 +371,131 @@ def connected_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     # string; at r4 the dbscan chain OOMed the driver building that
     # explain string before any data moved. Truncating to a leaf makes
     # each round's plan O(1) regardless of how the caller built the pairs.
-    e = (
+    e0 = (
         pairs.select(
             F.least(F.col("doc_a"), F.col("doc_b")).alias("a"),
             F.greatest(F.col("doc_a"), F.col("doc_b")).alias("b"),
         )
-        .filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint()
     )
-    prev_stats = None
-    converged = False
-    for _ in range(max_iter):
-        nb = e.unionByName(
-            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        ).select(F.col("a").alias("u"), F.col("b").alias("v"))
-        # large-star: m(u) = min(closed neighborhood); larger neighbors
-        # v > u re-attach as (m, v) — m <= u < v keeps the a < b invariant
-        m = nb.groupBy("u").agg(F.least(F.col("u"), F.min("v")).alias("m"))
-        e1 = (
-            nb.join(m, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("m").alias("a"), F.col("v").alias("b"))
-            .distinct()
-        )
-        # small-star on the oriented (smaller a, larger b) edges: each b
-        # re-attaches its smaller neighbors (and itself) to min(a)
-        m2 = e1.groupBy("b").agg(F.min("a").alias("m"))
-        e2 = (
-            e1.join(m2, "b")
-            .filter(F.col("a") != F.col("m"))
-            .select(F.col("m").alias("a"), F.col("a").alias("b"))
-            .unionByName(m2.select(F.col("m").alias("a"), F.col("b").alias("b")))
-            .distinct()
-        )
-        e2 = e2.localCheckpoint(eager=False)
-        st = e2.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
-        ).collect()[0]
-        stats = (st["n"], st["h"])
-        e = e2
-        if stats == prev_stats:
-            converged = True
-            break
-        prev_stats = stats
-    if not converged:
-        import warnings
+    # self-pairs are connectivity evidence for a singleton cluster, not
+    # edges: split them off the checkpointed leaf (cheap re-scan) and
+    # union them back into the final labeling below
+    selfs = e0.filter(F.col("a") == F.col("b")).select("a")
+    e = e0.filter(F.col("a") != F.col("b"))
+    # ONE job on the checkpointed leaf both gates and (in the common case)
+    # fetches: limit(threshold+1) can only return more than `threshold`
+    # rows when the edge set is genuinely too big for the driver, and a
+    # 0-row fetch means an empty (or self-only) pair set — skip the rounds
+    spark = pairs.sparkSession
+    pdf = e.limit(small_graph_threshold + 1).toPandas()
+    if len(pdf) == 0:
+        return selfs.select(
+            F.col("a").alias("doc_id"), F.col("a").alias("cluster_id")
+        ).distinct()
+    if len(pdf) <= small_graph_threshold and small_graph_threshold > 0:
+        # driver union-find-by-min over the Arrow-fetched edge list:
+        # bounded by the threshold (≈ tens of MB), one pass, exact. The
+        # root of every tree is the component min because a union always
+        # attaches the larger root under the smaller.
+        parent: dict = {}
 
-        warnings.warn(
-            f"connected_components: edge set still changing after {max_iter} "
-            "star rounds — cluster ids may be partial (raise max_iter)",
-            RuntimeWarning,
-            stacklevel=2,
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(pdf["a"].tolist(), pdf["b"].tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        nodes = set(pdf["a"].tolist()) | set(pdf["b"].tolist())
+        node_type = e.schema[0].dataType
+        node_labels = spark.createDataFrame(
+            [(x, find(x)) for x in nodes],
+            T.StructType(
+                [
+                    T.StructField("node", node_type),
+                    T.StructField("label", node_type),
+                ]
+            ),
         )
-    # stars -> labels: members point at their center; centers label
-    # themselves. min() guards the (warned) non-converged exit, where a
-    # node can still appear under several candidate centers.
+    else:
+        prev_stats = None
+        converged = False
+        for rnd in range(max_iter):
+            nb = e.unionByName(
+                e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            ).select(F.col("a").alias("u"), F.col("b").alias("v"))
+            # large-star: m(u) = min(closed neighborhood); larger neighbors
+            # v > u re-attach as (m, v) — m <= u < v keeps the a < b
+            # invariant. No distinct here (r6): duplicates don't change
+            # the small-star min and are swept by e2's distinct, so the
+            # round costs 3 keyed shuffles instead of 4.
+            m = nb.groupBy("u").agg(F.least(F.col("u"), F.min("v")).alias("m"))
+            e1 = (
+                nb.join(m, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            )
+            # small-star on the oriented (smaller a, larger b) edges: each b
+            # re-attaches its smaller neighbors (and itself) to min(a)
+            m2 = e1.groupBy("b").agg(F.min("a").alias("m"))
+            e2 = (
+                e1.join(m2, "b")
+                .filter(F.col("a") != F.col("m"))
+                .select(F.col("m").alias("a"), F.col("a").alias("b"))
+                .unionByName(m2.select(F.col("m").alias("a"), F.col("b").alias("b")))
+                .distinct()
+            )
+            e2 = e2.localCheckpoint(eager=False)
+            e = e2
+            # probe convergence every 2nd round only: the collect also
+            # materializes the intervening round's lazy checkpoint, so odd
+            # rounds cost zero driver actions. Comparing stats taken 2
+            # rounds apart still certifies the fixed point (the per-round
+            # map is deterministic and the contraction is monotone; a
+            # 2-round cycle would require both independent checksums to
+            # collide).
+            if rnd % 2 == 0:
+                continue
+            st = e2.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(xxhash64(a, b))").alias("h1"),
+                F.expr("bit_xor(xxhash64(b, a, 42))").alias("h2"),
+            ).collect()[0]
+            stats = (st["n"], st["h1"], st["h2"])
+            if stats == prev_stats:
+                converged = True
+                break
+            prev_stats = stats
+        if not converged:
+            import warnings
+
+            warnings.warn(
+                f"connected_components: edge set still changing after {max_iter} "
+                "star rounds — cluster ids may be partial (raise max_iter)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        # stars -> labels: members point at their center; centers label
+        # themselves. min() guards the (warned) non-converged exit, where a
+        # node can still appear under several candidate centers.
+        node_labels = e.select(
+            F.col("b").alias("node"), F.col("a").alias("label")
+        ).unionByName(e.select(F.col("a").alias("node"), F.col("a").alias("label")))
+    # self-pair nodes re-enter as (node, node): min() keeps the component
+    # label for nodes that also have real edges, and yields a singleton
+    # cluster for nodes whose only evidence was the self-pair
     return (
-        e.select(F.col("b").alias("node"), F.col("a").alias("label"))
-        .unionByName(e.select(F.col("a").alias("node"), F.col("a").alias("label")))
+        node_labels
+        .unionByName(selfs.select(F.col("a").alias("node"), F.col("a").alias("label")))
         .groupBy("node")
         .agg(F.min("label").alias("label"))
         .select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -172,8 +172,26 @@ def test_connected_components_chain(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (7, 9)], ["doc_a", "doc_b"]
     )
-    got = {r["doc_id"]: r["cluster_id"] for r in dedup.connected_components(pairs).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+    # both paths: driver union-find (default threshold) and the forced
+    # distributed star rounds must agree
+    for thr in (500_000, 0):
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in dedup.connected_components(pairs, small_graph_threshold=thr).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_connected_components_self_pairs(spark):
+    """A node whose only evidence is a self-pair (doc_a == doc_b) must come
+    out as its own singleton cluster, and a self-pair on a connected node
+    must not disturb its component label — on both paths (r6: the r5
+    star-contraction rewrite silently dropped self-pair-only nodes)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 2), (5, 5)], ["doc_a", "doc_b"]
+    )
+    for thr in (500_000, 0):
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in dedup.connected_components(pairs, small_graph_threshold=thr).collect()}
+        assert got == {1: 1, 2: 1, 5: 5}
 
 
 def test_connected_components_long_path(spark):
@@ -215,9 +233,11 @@ def test_connected_components_shuffled_path_log_rounds(spark):
     want = {n: find(n) for n in ids}
 
     df = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+    # force the distributed star rounds: this test exists to stress THAT
+    # path (the r6 small-graph fast path would otherwise absorb it)
     got = {
         r["doc_id"]: r["cluster_id"]
-        for r in dedup.connected_components(df).collect()
+        for r in dedup.connected_components(df, small_graph_threshold=0).collect()
     }
     assert got == want
 
@@ -233,7 +253,9 @@ def test_connected_components_warns_on_round_cap(spark):
     )
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        dedup.connected_components(pairs, max_iter=1).collect()
+        dedup.connected_components(
+            pairs, max_iter=1, small_graph_threshold=0
+        ).collect()
     assert any(
         issubclass(w.category, RuntimeWarning)
         and "star rounds" in str(w.message)
