@@ -240,6 +240,13 @@ def triangle_count(
     # edge lineage once per reference — for a kNN-graph input that meant
     # ~16 copies of the bucketed self-join subtree (137 shuffles; caching
     # drops it to the ~15 the algorithm actually needs).
+    # Retention is INTENTIONAL: the caches back the lazily-returned frame,
+    # so an unpersist here would silently recompile exactly that lineage
+    # on the caller's first action. Like connected_components' superseded
+    # round RDDs, they are MEMORY_AND_DISK blocks the executor evicts LRU
+    # under pressure — a long session (the ~110-query bench loop) sheds
+    # them without driver involvement; callers wanting determinism can
+    # spark.catalog.clearCache() after materializing the result.
     e = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),

@@ -2944,9 +2944,12 @@ def q_benford(spark, sf_dir):
     9-row integer literal, not a runtime log call, because libm log10 is
     not guaranteed bit-identical across engines).
 
-    First digit of value_cents == first significant digit of value (the
-    x100 grid shift moves the decimal point, never the leading digit; the
-    fixture guarantees value >= 0.01 so cents >= 1).
+    First digit of |value_cents| == first significant digit of |value|
+    (the x100 grid shift moves the decimal point, never the leading
+    digit). abs() BEFORE the string slice on BOTH sides: a negative value
+    would put '-' in position 1, which Spark CAST nulls but DuckDB CAST
+    raises on — an engine split that must not hide behind the fixture's
+    value >= 0.01 guarantee (r5 ADVICE).
 
     Scale shape: map-only digit extraction, one (event_type, digit) hash
     agg (<= 9 x |types| rows), a broadcast join against the 9-row
@@ -2964,7 +2967,7 @@ def q_benford(spark, sf_dir):
     digits = ev.select(
         "event_type",
         F.expr(
-            "CAST(substring(CAST(CAST(round(value * 100) AS BIGINT) AS STRING), 1, 1) AS INT)"
+            "CAST(substring(CAST(abs(CAST(round(value * 100) AS BIGINT)) AS STRING), 1, 1) AS INT)"
         ).alias("digit"),
     ).filter(F.col("digit").between(1, 9))
     counts = digits.groupBy("event_type", "digit").agg(
@@ -3000,7 +3003,7 @@ WITH bexp AS (
 digits AS (
   SELECT event_type, digit FROM (
     SELECT event_type,
-           CAST(substr(CAST(round(value * 100)::BIGINT AS VARCHAR), 1, 1) AS INT) AS digit
+           CAST(substr(CAST(abs(round(value * 100)::BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
     FROM events
   ) WHERE digit BETWEEN 1 AND 9
 ),

@@ -527,6 +527,7 @@ _CUSUM_STATE = T.StructType(
     [
         T.StructField("cur_day", T.LongType()),
         T.StructField("cur_cents", T.LongType()),
+        T.StructField("cur_k", T.LongType()),
         T.StructField("prefix", T.LongType()),
         T.StructField("min_prefix", T.LongType()),
     ]
@@ -579,13 +580,13 @@ def cusum_stream(
     ) -> Iterator[pd.DataFrame]:
         (kv,) = key_tuple
         if state.exists:
-            cur_day, cur_cents, prefix, min_prefix = (
-                state.get[0], state.get[1], state.get[2], state.get[3]
+            cur_day, cur_cents, cur_k, prefix, min_prefix = (
+                state.get[0], state.get[1], state.get[2],
+                state.get[3], state.get[4]
             )
         else:
-            cur_day, cur_cents, prefix, min_prefix = None, 0, 0, 0
+            cur_day, cur_cents, cur_k, prefix, min_prefix = None, 0, None, 0, 0
         days, totals, stats, alarms = [], [], [], []
-        k_cents = None
 
         def finalize(day, cents, k):
             nonlocal prefix, min_prefix
@@ -607,22 +608,27 @@ def cusum_stream(
         rows_all = pd.concat(list(batches))
         if len(rows_all):
             rows_all = rows_all.sort_values("ts")
+            # a day is scored with the k_cents captured when it was OPENED
+            # (stored in state alongside its partial total), never with the
+            # k of the row that happens to trigger finalization — the
+            # next day's first row, or the sentinel. Identical under the
+            # constant-per-key baseline contract; correct even if a
+            # time-varying baseline were joined upstream (r5 ADVICE).
             for row in rows_all.itertuples(index=False):
-                k_cents = int(row.k_cents)
                 day = int(row.day_epoch)
                 if bool(row.is_sentinel):
                     if cur_day is not None:
-                        finalize(cur_day, cur_cents, k_cents)
-                        cur_day, cur_cents = None, 0
+                        finalize(cur_day, cur_cents, cur_k)
+                        cur_day, cur_cents, cur_k = None, 0, None
                     continue
                 if cur_day is None:
-                    cur_day, cur_cents = day, 0
+                    cur_day, cur_cents, cur_k = day, 0, int(row.k_cents)
                 elif day > cur_day:
-                    finalize(cur_day, cur_cents, k_cents)
-                    cur_day, cur_cents = day, 0
+                    finalize(cur_day, cur_cents, cur_k)
+                    cur_day, cur_cents, cur_k = day, 0, int(row.k_cents)
                 cur_cents += int(row.v_cents)
         state.update(
-            (cur_day, cur_cents, prefix, min_prefix)
+            (cur_day, cur_cents, cur_k, prefix, min_prefix)
         )
         yield pd.DataFrame(
             {
