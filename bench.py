@@ -174,6 +174,12 @@ HEADLINE = [
     "x_pca_power",
     "x_spectral_ratio",
     "x_whiten_outliers",
+    # round-6 additions: local fingerprinting, mixture planning,
+    # distribution audits
+    "x_winnowing",
+    "x_source_divergence",
+    "x_mix_waterfill",
+    "x_coverage_curve",
 ]
 
 
@@ -239,6 +245,12 @@ def main() -> None:
         # noise floor part of the artifact instead of folklore)
         spread[name] = round((reps[-1] - reps[0]) / max(reps[0], 1e-9), 3)
         jvm_system.gc()
+        # A/B probe for driver-session cache pressure (BENCHNOTES.md): with
+        # SPARK_GRAFT_CLEARCACHE=1 every query starts from an empty block
+        # store, bounding how much of a long session's per-query drift is
+        # cache eviction vs everything else
+        if os.environ.get("SPARK_GRAFT_CLEARCACHE"):
+            spark.catalog.clearCache()
 
     sp = sorted(spread.values())
     full = {

@@ -6185,3 +6185,479 @@ SPECS += [
               doc="top-20 outliers under diagonal-whitened (variance-standardized) distance on the exact milli grid",
               tags=("llm", "similarity", "stats")),
 ]
+
+
+# ================================================================ round 6
+# Corpus fingerprinting, mixture planning, and distribution audits.
+
+
+def q_winnowing(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): slide a w=4 window over the k=3-gram
+    hash sequence and keep each window's minimum hash, rightmost on ties.
+    Guarantees at least one shared fingerprint for any match of length
+    >= w + k - 1 while storing only ~2/(w+1) of the grams — the
+    position-robust local fingerprint that doc-level md5 (x_fingerprint)
+    and bag-of-shingles MinHash (x_minhash_lsh) both miss.
+
+    The rightmost-tie rule is encoded arithmetically so ONE keyed window
+    min does the whole selection: enc = h * 2^20 + (2^20 - 1 - pos) —
+    smaller hash wins first, larger position wins ties — over the
+    portable 40-bit md5-derived gram hash. Positions are bounded 2^20
+    per doc (a 1M-gram document; longer docs should be chunked by
+    x_rag_chunks first, documented cap).
+
+    Output per doc: gram count, selected-fingerprint count, and the
+    selection density on the milli grid (the winnowing bound predicts
+    ~2000/(w+1) = 400).
+
+    Scale shape: tokenize/gram/hash are pure map-side column expressions;
+    the window min and the dedup aggregate are both KEYED by doc_id — no
+    global sort, no single-partition exchange, one shuffle end-to-end."""
+    from ..functions.hashing import portable_hash64
+
+    d = _docs_par(spark, sf_dir)
+    POS_M = 1 << 20
+    toks = tokenize.whitespace_tokens(dedup.normalize_text(F.col("text")))
+    parts = ", ".join(f"element_at(_toks, i + {j})" for j in range(3))
+    gram_arr = F.expr(
+        "CASE WHEN size(_toks) >= 3 THEN "
+        f"transform(sequence(1, size(_toks) - 2), i -> concat_ws(' ', {parts})) "
+        "ELSE array() END"
+    )
+    grams = (
+        d.select("doc_id", toks.alias("_toks"))
+        .select(
+            "doc_id",
+            (F.size("_toks") - 2).cast("bigint").alias("n_grams"),
+            F.posexplode(gram_arr).alias("pos0", "gram"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            (F.col("pos0") + 1).cast("bigint").alias("pos"),
+            F.pmod(
+                portable_hash64(F.concat(F.lit("win:"), F.col("gram"))),
+                F.lit(1 << 40),
+            ).alias("h"),
+        )
+        .withColumn(
+            "enc", F.col("h") * F.lit(POS_M) + (F.lit(POS_M - 1) - F.col("pos"))
+        )
+    )
+    from pyspark.sql import Window
+
+    wv = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
+    sel = (
+        grams.withColumn("enc_sel", F.min("enc").over(wv))
+        .filter(F.col("pos") >= F.least(F.lit(4), F.col("n_grams")))
+        .select("doc_id", "n_grams", "enc_sel")
+        .distinct()
+    )
+    return (
+        sel.groupBy("doc_id", "n_grams")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_selected"))
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_selected",
+            F.expr("CAST(n_selected * 1000 DIV n_grams AS BIGINT)").alias(
+                "density_milli"
+            ),
+        )
+    )
+
+
+ORACLE_WINNOWING = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+grams AS (
+  SELECT doc_id, (len(t) - 2)::BIGINT AS n_grams, i::BIGINT AS pos,
+         t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS gram
+  FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, greatest(len(t) - 1, 1))) AS i) r
+  WHERE len(t) >= 3
+),
+enc AS (
+  SELECT doc_id, n_grams, pos,
+         (('0x' || substr(md5('win:' || gram), 1, 15))::BIGINT % 1099511627776)
+           * 1048576 + (1048575 - pos) AS enc
+  FROM grams
+),
+win AS (
+  SELECT doc_id, n_grams, pos,
+         min(enc) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS enc_sel
+  FROM enc
+),
+sel AS (
+  SELECT DISTINCT doc_id, n_grams, enc_sel
+  FROM win WHERE pos >= least(4, n_grams)
+)
+SELECT doc_id, n_grams, count(*)::BIGINT AS n_selected,
+       (count(*) * 1000 // n_grams)::BIGINT AS density_milli
+FROM sel GROUP BY 1, 2
+"""
+
+
+def q_source_divergence(spark, sf_dir):
+    """Per-source token-distribution divergence from the corpus — the
+    mixture-drift audit run before re-weighting a training mix: for each
+    source, total-variation distance and a chi-square statistic between
+    its unigram distribution and the corpus distribution, on the exact
+    ppm grid over the top-200-token axis (+ an '__other__' bucket for the
+    tail, so both distributions are complete and the axis is BOUNDED —
+    201 cells regardless of vocabulary size; log-based divergences (KL,
+    JS) are deliberately avoided: libm log is not bit-identical across
+    engines, TV + chi2 carry the same ranking signal exactly).
+
+    Scale shape: one (source, token) hash agg over the exploded corpus
+    (map-side combine), a <= vocab-size token rollup, top-200 via
+    TakeOrderedAndProject, then everything downstream is per-source x
+    201-bucket — broadcast joins only, no data-proportional state."""
+    d = _docs_par(spark, sf_dir)
+    toks = d.select(
+        "source",
+        F.explode(
+            tokenize.whitespace_tokens(dedup.normalize_text(F.col("text")))
+        ).alias("token"),
+    )
+    st = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_st")
+    ).cache()
+    corpus = st.groupBy("token").agg(F.sum("n_st").alias("n_t"))
+    top = corpus.orderBy(F.col("n_t").desc(), "token").limit(200).select(
+        "token", F.lit(1).alias("is_top")
+    )
+    bucket = F.when(F.col("is_top") == 1, F.col("token")).otherwise(
+        F.lit("__other__")
+    )
+    corpus_b = (
+        corpus.join(F.broadcast(top), "token", "left")
+        .select(bucket.alias("bucket"), "n_t")
+        .groupBy("bucket")
+        .agg(F.sum("n_t").alias("exp_n"))
+    )
+    total = corpus_b.agg(F.sum("exp_n").alias("total_n"))
+    src_b = (
+        st.join(F.broadcast(top), "token", "left")
+        .select("source", bucket.alias("bucket"), "n_st")
+        .groupBy("source", "bucket")
+        .agg(F.sum("n_st").alias("obs_n"))
+    )
+    srcs = st.groupBy("source").agg(F.sum("n_st").alias("n_tokens"))
+    grid = (
+        srcs.crossJoin(F.broadcast(corpus_b))
+        .join(src_b, ["source", "bucket"], "left")
+        .withColumn("obs_n", F.coalesce(F.col("obs_n"), F.lit(0)))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_tokens",
+            F.expr("CAST(obs_n * 1000000 DIV n_tokens AS BIGINT)").alias("obs_ppm"),
+            F.expr("CAST(exp_n * 1000000 DIV total_n AS BIGINT)").alias("exp_ppm"),
+        )
+    )
+    return (
+        grid.groupBy("source", "n_tokens")
+        .agg(
+            F.expr("CAST(sum(abs(obs_ppm - exp_ppm)) DIV 2 AS BIGINT)").alias(
+                "tv_ppm"
+            ),
+            F.expr(
+                "CAST(sum((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm)"
+                " DIV greatest(exp_ppm, 1)) AS BIGINT)"
+            ).alias("chi2_ppm"),
+        )
+        .select("source", "n_tokens", "tv_ppm", "chi2_ppm")
+    )
+
+
+ORACLE_SOURCE_DIVERGENCE = f"""
+WITH toks AS (SELECT source, unnest({_TOKS}) AS token FROM documents),
+st AS (SELECT source, token, count(*)::BIGINT AS n_st FROM toks GROUP BY 1, 2),
+corpus AS (SELECT token, sum(n_st)::BIGINT AS n_t FROM st GROUP BY 1),
+top AS (SELECT token, 1 AS is_top FROM corpus ORDER BY n_t DESC, token LIMIT 200),
+corpus_b AS (
+  SELECT CASE WHEN t.is_top = 1 THEN c.token ELSE '__other__' END AS bucket,
+         sum(c.n_t)::BIGINT AS exp_n
+  FROM corpus c LEFT JOIN top t USING (token) GROUP BY 1
+),
+total AS (SELECT sum(exp_n)::BIGINT AS total_n FROM corpus_b),
+src_b AS (
+  SELECT s.source, CASE WHEN t.is_top = 1 THEN s.token ELSE '__other__' END AS bucket,
+         sum(s.n_st)::BIGINT AS obs_n
+  FROM st s LEFT JOIN top t USING (token) GROUP BY 1, 2
+),
+srcs AS (SELECT source, sum(n_st)::BIGINT AS n_tokens FROM st GROUP BY 1),
+grid AS (
+  SELECT r.source, r.n_tokens,
+         (coalesce(sb.obs_n, 0) * 1000000 // r.n_tokens)::BIGINT AS obs_ppm,
+         (cb.exp_n * 1000000 // tt.total_n)::BIGINT AS exp_ppm
+  FROM srcs r CROSS JOIN corpus_b cb CROSS JOIN total tt
+  LEFT JOIN src_b sb ON sb.source = r.source AND sb.bucket = cb.bucket
+)
+SELECT source, n_tokens,
+       (sum(abs(obs_ppm - exp_ppm)) // 2)::BIGINT AS tv_ppm,
+       sum((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm)
+           // greatest(exp_ppm, 1))::BIGINT AS chi2_ppm
+FROM grid GROUP BY 1, 2
+"""
+
+
+def q_mix_waterfill(spark, sf_dir):
+    """Training-mixture budget waterfilling: allocate a token budget
+    B = total DIV 2 across sources so every source gets min(avail, theta)
+    with one shared level theta — the classic epoch-cap mixture rule
+    (small sources are taken whole, large sources are capped at theta,
+    i.e. nobody is upsampled past the level the budget supports). The
+    level is found in closed form from the availability order statistics:
+    theta = (B - prefix(r*)) DIV (D - r*) where r* is the largest rank
+    whose source still saturates — no iteration, all BIGINT.
+
+    Output: one row per source (availability, allocation, saturated
+    flag) plus a '__summary__' row carrying the level, the total
+    allocation, and the leftover (< D tokens by construction,
+    integer-division remainder — documented, not redistributed).
+
+    Scale shape: token availability is size(split()) summed per source —
+    no explode; the order statistics run through distributed_cumsum
+    (range partition + keyed window), never a single-partition global
+    window; the level selection is a scalar aggregate; the final
+    allocation is a broadcast of 3 scalars against the per-source frame.
+    The domain axis (thousands of sources at worst) is the only state."""
+    d = _docs_par(spark, sf_dir)
+    from ..operators.windows import distributed_cumsum
+
+    avail = (
+        d.select(
+            "source",
+            F.size(
+                tokenize.whitespace_tokens(dedup.normalize_text(F.col("text")))
+            ).cast("bigint").alias("n"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n").alias("avail_tokens"))
+    )
+    ranked = distributed_cumsum(
+        avail.withColumn("one", F.lit(1)),
+        order_cols=["avail_tokens", "source"],
+        value_col=["avail_tokens", "one"],
+        out_col=["prefix", "r"],
+    ).drop("one").cache()
+    scal = ranked.agg(
+        F.sum("avail_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("d_count"),
+    ).withColumn("budget", F.expr("CAST(total_tokens DIV 2 AS BIGINT)"))
+    # r* = the largest rank whose source saturates when the r* smallest all
+    # saturate: avail_r <= (B - prefix_r) DIV (D - r); vacuously 0
+    rstar = (
+        ranked.crossJoin(F.broadcast(scal))
+        .agg(
+            F.coalesce(
+                F.max(
+                    F.when(
+                        (F.col("r") < F.col("d_count"))
+                        & (
+                            F.col("avail_tokens")
+                            <= F.expr(
+                                "CAST((budget - prefix) DIV (d_count - r) AS BIGINT)"
+                            )
+                        ),
+                        F.col("r"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("r_star")
+        )
+    )
+    level = (
+        ranked.crossJoin(F.broadcast(rstar))
+        .crossJoin(F.broadcast(scal))
+        .agg(
+            F.max(F.col("r_star")).alias("r_star"),
+            F.max(F.col("budget")).alias("budget"),
+            F.max(F.col("total_tokens")).alias("total_tokens"),
+            F.expr(
+                "CAST((max(budget) - coalesce(max(CASE WHEN r = r_star THEN prefix END), 0))"
+                " DIV (max(d_count) - max(r_star)) AS BIGINT)"
+            ).alias("level_tokens"),
+        )
+    )
+    alloc = (
+        ranked.crossJoin(F.broadcast(level))
+        .select(
+            "source",
+            "avail_tokens",
+            F.least(F.col("avail_tokens"), F.col("level_tokens")).alias(
+                "alloc_tokens"
+            ),
+            (F.col("avail_tokens") <= F.col("level_tokens"))
+            .cast("bigint")
+            .alias("saturated"),
+            F.lit(None).cast("bigint").alias("level_tokens"),
+            F.lit(None).cast("bigint").alias("leftover_tokens"),
+        )
+    )
+    summary = (
+        alloc.select("alloc_tokens")
+        .agg(F.sum("alloc_tokens").alias("_alloc"))
+        .crossJoin(F.broadcast(level))
+        .select(
+            F.lit("__summary__").alias("source"),
+            F.col("total_tokens").alias("avail_tokens"),
+            F.col("_alloc").alias("alloc_tokens"),
+            F.lit(None).cast("bigint").alias("saturated"),
+            "level_tokens",
+            (F.col("budget") - F.col("_alloc")).alias("leftover_tokens"),
+        )
+    )
+    return alloc.unionByName(summary)
+
+
+ORACLE_MIX_WATERFILL = f"""
+WITH avail AS (
+  SELECT source, sum(len({_TOKS}))::BIGINT AS avail_tokens
+  FROM documents GROUP BY 1
+),
+ranked AS (
+  SELECT source, avail_tokens,
+         sum(avail_tokens) OVER w AS prefix,
+         row_number() OVER w AS r
+  FROM avail
+  WINDOW w AS (ORDER BY avail_tokens, source ROWS UNBOUNDED PRECEDING)
+),
+scal AS (
+  SELECT sum(avail_tokens)::BIGINT AS total_tokens, count(*)::BIGINT AS d_count,
+         (sum(avail_tokens) // 2)::BIGINT AS budget
+  FROM avail
+),
+rstar AS (
+  SELECT coalesce(max(CASE WHEN r < d_count
+                           AND avail_tokens <= (budget - prefix) // (d_count - r)
+                           THEN r END), 0)::BIGINT AS r_star
+  FROM ranked CROSS JOIN scal
+),
+level AS (
+  SELECT r_star, budget, total_tokens,
+         ((budget - coalesce(max(CASE WHEN r = r_star THEN prefix END), 0))
+          // (d_count - r_star))::BIGINT AS level_tokens
+  FROM ranked CROSS JOIN scal CROSS JOIN rstar
+  GROUP BY r_star, budget, total_tokens, d_count
+),
+alloc AS (
+  SELECT a.source, a.avail_tokens,
+         least(a.avail_tokens, l.level_tokens)::BIGINT AS alloc_tokens,
+         (a.avail_tokens <= l.level_tokens)::BIGINT AS saturated,
+         NULL::BIGINT AS level_tokens, NULL::BIGINT AS leftover_tokens
+  FROM avail a CROSS JOIN level l
+)
+SELECT * FROM alloc
+UNION ALL
+SELECT '__summary__', l.total_tokens,
+       (SELECT sum(alloc_tokens) FROM alloc)::BIGINT,
+       NULL::BIGINT, l.level_tokens,
+       (l.budget - (SELECT sum(alloc_tokens) FROM alloc))::BIGINT
+FROM level l
+"""
+
+
+def q_coverage_curve(spark, sf_dir):
+    """Vocabulary coverage curve (tokenizer budgeting): what fraction of
+    all token OCCURRENCES is covered by the top-k token TYPES, at
+    k = 10 / 100 / 1000 — the statistic that sizes a vocabulary or a
+    stopword list (Zipf mass concentration, measured exactly rather than
+    fit). When the vocabulary is smaller than k the curve saturates at
+    the full vocabulary (eff_rank column records the rank actually read).
+
+    Scale shape: one token hash agg; the rank axis is pre-cut to the
+    top-10000 types via TakeOrderedAndProject (bounded regardless of
+    corpus size); rank + running mass come from distributed_cumsum
+    (range partition + keyed window — no single-partition sort); the
+    3-row target table broadcast-joins against the ranked axis."""
+    d = _docs_par(spark, sf_dir)
+    from ..operators.windows import distributed_cumsum
+
+    tf = (
+        d.select(
+            F.explode(
+                tokenize.whitespace_tokens(dedup.normalize_text(F.col("text")))
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    ).cache()
+    total = tf.agg(F.sum("tf").alias("total_tf"))
+    top = (
+        tf.orderBy(F.col("tf").desc(), "token")
+        .limit(10000)
+        .withColumn("neg_tf", -F.col("tf"))
+        .withColumn("one", F.lit(1))
+    )
+    ranked = distributed_cumsum(
+        top,
+        order_cols=["neg_tf", "token"],
+        value_col=["tf", "one"],
+        out_col=["cum_tf", "r"],
+    )
+    vocab = ranked.agg(F.max("r").alias("vocab"))
+    targets = spark.createDataFrame([(10,), (100,), (1000,)], "target_k bigint")
+    pick = (
+        targets.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "target_k",
+            F.least(F.col("target_k"), F.col("vocab")).alias("eff_rank"),
+            "total_tf",
+        )
+    )
+    return (
+        ranked.join(F.broadcast(pick), ranked["r"] == pick["eff_rank"])
+        .select(
+            "target_k",
+            "eff_rank",
+            "cum_tf",
+            "total_tf",
+            F.expr("CAST(cum_tf * 1000000 DIV total_tf AS BIGINT)").alias(
+                "coverage_ppm"
+            ),
+        )
+        .orderBy("target_k")
+    )
+
+
+ORACLE_COVERAGE_CURVE = f"""
+WITH toks AS (SELECT unnest({_TOKS}) AS token FROM documents),
+tf AS (SELECT token, count(*)::BIGINT AS tf FROM toks GROUP BY 1),
+tot AS (SELECT sum(tf)::BIGINT AS total_tf FROM tf),
+top AS (SELECT token, tf FROM tf ORDER BY tf DESC, token LIMIT 10000),
+ranked AS (
+  SELECT token, tf,
+         row_number() OVER w AS r,
+         sum(tf) OVER w AS cum_tf
+  FROM top WINDOW w AS (ORDER BY tf DESC, token ROWS UNBOUNDED PRECEDING)
+),
+v AS (SELECT max(r)::BIGINT AS vocab FROM ranked)
+SELECT t.target_k::BIGINT AS target_k,
+       least(t.target_k, v.vocab)::BIGINT AS eff_rank,
+       r.cum_tf::BIGINT AS cum_tf, tot.total_tf,
+       (r.cum_tf * 1000000 // tot.total_tf)::BIGINT AS coverage_ppm
+FROM (VALUES (10), (100), (1000)) t(target_k)
+CROSS JOIN v CROSS JOIN tot
+JOIN ranked r ON r.r = least(t.target_k, v.vocab)
+ORDER BY 1
+"""
+
+
+SPECS += [
+    QuerySpec("x_winnowing", q_winnowing, ORACLE_WINNOWING,
+              doc="winnowing (MOSS) fingerprint selection per doc: keyed window-min over encoded gram hashes, rightmost-tie rule",
+              tags=("llm", "dedup", "fingerprint")),
+    QuerySpec("x_source_divergence", q_source_divergence, ORACLE_SOURCE_DIVERGENCE,
+              doc="per-source TV + chi2 divergence from the corpus unigram mix on the bounded top-200 (+other) axis",
+              tags=("llm", "stats", "mixture")),
+    QuerySpec("x_mix_waterfill", q_mix_waterfill, ORACLE_MIX_WATERFILL,
+              doc="closed-form token-budget waterfilling across sources: shared cap level from availability order statistics",
+              tags=("llm", "mixture", "planning")),
+    QuerySpec("x_coverage_curve", q_coverage_curve, ORACLE_COVERAGE_CURVE,
+              doc="vocabulary coverage at top-10/100/1000 token types via distributed rank + prefix mass",
+              tags=("llm", "tokenizer", "stats")),
+]

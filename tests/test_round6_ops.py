@@ -1,0 +1,95 @@
+"""Round-6 operators: hand-sized semantic checks complementing the DuckDB
+oracle parity the registry queries get (x_winnowing, x_source_divergence,
+x_mix_waterfill, x_coverage_curve)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from gmall_flink_230422_spark.plans import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(spark, name):
+    return registry()[name].fn(spark, SF).collect()
+
+
+def test_winnowing_matches_reference_python(spark):
+    """Mirror the winnowing selection in plain Python for one document and
+    compare counts — pins the window/tie semantics, not just cross-engine
+    parity (both engines could share a bug; this can't)."""
+    doc = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter("doc_id = 0")
+        .collect()[0]
+    )
+    toks = doc["text"].lower().strip().split()
+    grams = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+
+    def h(g):
+        return int(hashlib.md5(f"win:{g}".encode()).hexdigest()[:15], 16) % (1 << 40)
+
+    POS_M = 1 << 20
+    enc = [h(g) * POS_M + (POS_M - 1 - (i + 1)) for i, g in enumerate(grams)]
+    sel = set()
+    w = 4
+    for end in range(min(w, len(enc)), len(enc) + 1):
+        sel.add(min(enc[max(0, end - w) : end]))
+    got = {r["doc_id"]: r for r in _rows(spark, "x_winnowing")}
+    assert got[0]["n_grams"] == len(grams)
+    assert got[0]["n_selected"] == len(sel)
+    assert got[0]["density_milli"] == len(sel) * 1000 // len(grams)
+
+
+def test_winnowing_density_near_theoretical(spark):
+    """Winnowing selects ~2/(w+1) of positions on random-ish hashes: with
+    w=4 that's 400/1000. Allow a wide band; the point is it's neither
+    ~0 (selection broken) nor ~1000 (window broken)."""
+    rows = _rows(spark, "x_winnowing")
+    densities = [r["density_milli"] for r in rows]
+    avg = sum(densities) / len(densities)
+    assert 250 < avg < 600, avg
+
+
+def test_mix_waterfill_invariants(spark):
+    rows = _rows(spark, "x_mix_waterfill")
+    summary = [r for r in rows if r["source"] == "__summary__"][0]
+    domains = [r for r in rows if r["source"] != "__summary__"]
+    level = summary["level_tokens"]
+    budget = summary["avail_tokens"] // 2
+    assert summary["alloc_tokens"] + summary["leftover_tokens"] == budget
+    # leftover is only the integer-division remainder spread over the
+    # unsaturated domains
+    assert 0 <= summary["leftover_tokens"] < len(domains)
+    for r in domains:
+        assert r["alloc_tokens"] == min(r["avail_tokens"], level)
+        assert r["saturated"] == (1 if r["avail_tokens"] <= level else 0)
+    assert sum(r["alloc_tokens"] for r in domains) == summary["alloc_tokens"]
+
+
+def test_coverage_curve_monotone_and_bounded(spark):
+    rows = sorted(_rows(spark, "x_coverage_curve"), key=lambda r: r["target_k"])
+    assert [r["target_k"] for r in rows] == [10, 100, 1000]
+    last = 0
+    for r in rows:
+        assert r["eff_rank"] <= r["target_k"]
+        assert last <= r["coverage_ppm"] <= 1_000_000
+        last = r["coverage_ppm"]
+    # the fixture vocabulary is tiny: the curve must saturate at full mass
+    assert rows[-1]["coverage_ppm"] >= 999_990
+
+
+def test_source_divergence_bounds(spark):
+    rows = _rows(spark, "x_source_divergence")
+    srcs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("source")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == srcs
+    for r in rows:
+        assert 0 <= r["tv_ppm"] <= 1_000_000
+        assert r["chi2_ppm"] >= 0
+        assert r["n_tokens"] > 0
