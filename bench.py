@@ -214,6 +214,7 @@ def main() -> None:
     cold: dict[str, float] = {}
     plan: dict[str, float] = {}
     plan_actions: dict[str, float] = {}
+    plan_jobs: dict[str, int] = {}
     spread: dict[str, float] = {}
     jvm_system = sc._jvm.System
     tracker = sc.statusTracker()
@@ -224,10 +225,15 @@ def main() -> None:
         t0 = time.time()
         df = specs[name].fn(spark, sf_dir)
         plan[name] = round(time.time() - t0, 3)
-        if tracker.getJobIdsForGroup(group):
-            # construction executed Spark jobs (eager checkpoint /
-            # convergence loops): charge the whole construction time to the
-            # query, visibly
+        n_jobs = len(tracker.getJobIdsForGroup(group))
+        plan_jobs[name] = n_jobs
+        if n_jobs >= 2:
+            # construction executed real Spark jobs (eager checkpoints /
+            # convergence loops): charge the whole construction time to
+            # the query, visibly. Every query's first load_table runs ONE
+            # file-listing job, so 1 job is the trivial baseline (measured:
+            # q1/e_benford/x_k_anonymity = 1; x_dbscan = 18, x_mmr_rerank
+            # = 48).
             plan_actions[name] = plan[name]
         sc.setJobGroup(f"exec:{name}", f"execution of {name}")
 
@@ -263,6 +269,7 @@ def main() -> None:
         "cold": cold,
         "plan": plan,
         "plan_actions_s": plan_actions,
+        "plan_jobs": plan_jobs,
         "method": "same-plan warm best-of-3; gc pacing between queries; "
         "construction under a job group so eager plan-time actions are "
         "charged to their query (plan_actions_s)",
