@@ -180,6 +180,9 @@ HEADLINE = [
     "x_source_divergence",
     "x_mix_waterfill",
     "x_coverage_curve",
+    "e_holt_winters",
+    "e_lorenz",
+    "x_safety_screen",
 ]
 
 

@@ -2957,21 +2957,35 @@ def q_benford(spark, sf_dir):
     nothing data-proportional past the first aggregate. At 100 TB this is
     one pass over the events scan."""
     ev = load_table(spark, sf_dir, "events")
-    bexp = spark.createDataFrame(
-        [(d + 1, ppm) for d, ppm in enumerate(_BENFORD_PPM)],
-        "digit int, benford_ppm bigint",
+    digits = benford_digits(ev)
+    counts = digits.groupBy("event_type", "digit").agg(
+        F.count(F.lit(1)).alias("n")
     )
-    # a 0-cent value (|value| < 0.005) has NO significant digit — excluded
-    # on BOTH sides before the per-type total, or the frequency base drifts
-    # by the zero count (caught at sf0.1: one such row per type)
-    digits = ev.select(
+    return benford_from_counts(counts)
+
+
+# Benford pipeline pieces, shared with the streaming twin
+# (s_stream_benford runs the digit extraction + count through Structured
+# Streaming and this exact tail over the drained image).
+def benford_digits(ev):
+    """(event_type, digit) rows: first significant digit of |value_cents|.
+    A 0-cent value (|value| < 0.005) has NO significant digit — excluded
+    on BOTH sides before the per-type total, or the frequency base drifts
+    by the zero count (caught at sf0.1: one such row per type)."""
+    return ev.select(
         "event_type",
         F.expr(
             "CAST(substring(CAST(abs(CAST(round(value * 100) AS BIGINT)) AS STRING), 1, 1) AS INT)"
         ).alias("digit"),
     ).filter(F.col("digit").between(1, 9))
-    counts = digits.groupBy("event_type", "digit").agg(
-        F.count(F.lit(1)).alias("n")
+
+
+def benford_from_counts(counts):
+    """Expectation join + ppm stats over a (event_type, digit, n) frame."""
+    spark = counts.sparkSession
+    bexp = spark.createDataFrame(
+        [(d + 1, ppm) for d, ppm in enumerate(_BENFORD_PPM)],
+        "digit int, benford_ppm bigint",
     )
     wt = Window.partitionBy("event_type")
     per = (
@@ -3450,5 +3464,183 @@ FROM agg a, LATERAL (
 SPECS += [
     QuerySpec("e_survival_curve", q_survival_curve, ORACLE_SURVIVAL,
               doc="inter-event gap survival table at 5 horizons: keyed lead window + one grand total",
+              tags=("ext", "stats")),
+]
+
+
+# ================================================================ round 6
+def q_holt_winters(spark, sf_dir):
+    """Holt's linear-trend exponential smoothing over per-type daily
+    totals — the level+trend forecaster one notch past e_ewma's flat
+    smoother (Holt 1957): each day the one-step forecast is
+    level + trend, then level absorbs half the forecast error
+    (alpha = 1/2) and trend absorbs a quarter of the level change
+    (beta = 1/4). Dyadic gains keep every update an exact BIGINT
+    truncated division (DIV truncates toward zero in BOTH engines —
+    pinned by the tdiv three-engine test), so the recursion is
+    bit-identical cross-engine with no float accumulation.
+
+    Output per (event_type, day): the day's actual total, the one-step
+    forecast made BEFORE seeing it (NULL on each type's first day), and
+    the post-update level and trend.
+
+    Scale shape: the recursion runs per key over the DAY axis — bounded
+    by the calendar, not the data (30 rows/key here; a decade is 3.7k) —
+    inside one Arrow-batched applyInPandas group; everything upstream is
+    a map-side-combined hash agg of the raw events. The same
+    aggregate-then-recurse shape as e_cusum_changepoint's keyed walk."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("dt")).agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents")
+    )
+
+    def tdiv(a: int, b: int) -> int:
+        return -((-a) // b) if a < 0 else a // b
+
+    def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("dt")
+        rows = []
+        level = trend = None
+        for row in pdf.itertuples(index=False):
+            y = int(row.cents)
+            if level is None:
+                pred, level, trend = None, y, 0
+            else:
+                pred = level + trend
+                new_level = pred + tdiv(y - pred, 2)
+                trend = trend + tdiv(new_level - level - trend, 4)
+                level = new_level
+            rows.append((row.event_type, row.dt, y, pred, level, trend))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "event_type", "dt", "day_cents",
+                "pred_cents", "level_cents", "trend_cents",
+            ],
+        )
+
+    return daily.groupBy("event_type").applyInPandas(
+        fit,
+        "event_type string, dt date, day_cents bigint, pred_cents bigint, "
+        "level_cents bigint, trend_cents bigint",
+    )
+
+
+ORACLE_HOLT_WINTERS = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, ts::DATE AS dt,
+         sum(round(value * 100)::BIGINT)::BIGINT AS cents
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT event_type, dt, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY dt) AS r
+  FROM daily
+),
+hw(event_type, r, dt, day_cents, pred_cents, level_cents, trend_cents) AS (
+  SELECT event_type, r, dt, cents, NULL::BIGINT, cents, 0::BIGINT
+  FROM seq WHERE r = 1
+  UNION ALL
+  SELECT s.event_type, s.r, s.dt, s.cents,
+         h.level_cents + h.trend_cents,
+         h.level_cents + h.trend_cents
+           + (s.cents - h.level_cents - h.trend_cents) // 2,
+         h.trend_cents
+           + ((h.level_cents + h.trend_cents
+               + (s.cents - h.level_cents - h.trend_cents) // 2)
+              - h.level_cents - h.trend_cents) // 4
+  FROM hw h JOIN seq s ON s.event_type = h.event_type AND s.r = h.r + 1
+)
+SELECT event_type, dt, day_cents, pred_cents, level_cents, trend_cents
+FROM hw
+"""
+
+
+def q_lorenz(spark, sf_dir):
+    """Decile Lorenz curve of order value per market segment — the
+    concentration CURVE behind e_gini's scalar: for each segment, rank
+    orders by value ascending, cut into 10 equal-count deciles, and
+    report each decile's value mass and the cumulative share on the ppm
+    grid. Reading it: cum_share_ppm at decile 7 = 300000 means the
+    bottom 80% of orders carry 30% of the value.
+
+    Scale shape: rank and decile cut via KEYED windows (partitionBy
+    segment — never a global sort; ties break on the unique order key),
+    then a <= 10-rows-per-segment aggregate and a keyed 10-row cumsum.
+    Exact BIGINTs end-to-end."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    ranked = (
+        load_table(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            "o_orderkey",
+        )
+        .withColumn(
+            "i",
+            F.row_number().over(
+                Window.partitionBy("segment").orderBy("cents", "o_orderkey")
+            ).cast("bigint"),
+        )
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("segment")))
+        .withColumn("decile", F.expr("CAST((i - 1) * 10 DIV n AS BIGINT)"))
+    )
+    dec = ranked.groupBy("segment", "decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("decile_cents"),
+    )
+    wc = (
+        Window.partitionBy("segment")
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = F.sum("decile_cents").over(Window.partitionBy("segment"))
+    return (
+        dec.withColumn("cum_cents", F.sum("decile_cents").over(wc))
+        .withColumn("_tot", tot)
+        .withColumn(
+            "cum_share_ppm",
+            F.expr("CAST(cum_cents * 1000000 DIV _tot AS BIGINT)"),
+        )
+        .drop("_tot")
+    )
+
+
+ORACLE_LORENZ = """
+WITH ranked AS (
+  SELECT c.c_mktsegment AS segment,
+         round(o.o_totalprice * 100)::BIGINT AS cents,
+         row_number() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY round(o.o_totalprice * 100)::BIGINT,
+                                     o.o_orderkey) AS i,
+         count(*) OVER (PARTITION BY c.c_mktsegment) AS n
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+dec AS (
+  SELECT segment, ((i - 1) * 10 // n)::BIGINT AS decile,
+         count(*)::BIGINT AS n_orders, sum(cents)::BIGINT AS decile_cents
+  FROM ranked GROUP BY 1, 2
+)
+SELECT segment, decile, n_orders, decile_cents,
+       sum(decile_cents) OVER w::BIGINT AS cum_cents,
+       ((sum(decile_cents) OVER w) * 1000000
+        // sum(decile_cents) OVER (PARTITION BY segment))::BIGINT AS cum_share_ppm
+FROM dec
+WINDOW w AS (PARTITION BY segment ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+SPECS += [
+    QuerySpec("e_holt_winters", q_holt_winters, ORACLE_HOLT_WINTERS,
+              doc="Holt level+trend smoothing over the per-type day axis, dyadic gains, BIGINT-exact recursion",
+              tags=("ext", "timeseries", "stats")),
+    QuerySpec("e_lorenz", q_lorenz, ORACLE_LORENZ,
+              doc="per-segment decile Lorenz concentration curve on the ppm grid via keyed windows",
               tags=("ext", "stats")),
 ]

@@ -6661,3 +6661,97 @@ SPECS += [
               doc="vocabulary coverage at top-10/100/1000 token types via distributed rank + prefix mass",
               tags=("llm", "tokenizer", "stats")),
 ]
+
+
+def q_safety_screen(spark, sf_dir):
+    """Blocklist policy screen with per-category hit statistics — the
+    moderation pre-filter run before any expensive classifier: a term ->
+    category table (here a 3-category list over the fixture vocabulary;
+    production swaps in the real lists through the same broadcast path)
+    is matched against the tokenized corpus, and each category reports
+    how many documents it flags, its flag rate, and total term hits.
+    An '__any__' row gives the union (docs a one-pass OR-filter would
+    drop). Term matching is exact-token (no regex — regex dialects
+    diverge across engines; tokenized exact match is also what a Bloom/
+    Aho-Corasick screen implements at scale).
+
+    Scale shape: explode -> broadcast-join the term table -> two bounded
+    hash aggs (per doc x category, then per category). The corpus is
+    touched once; everything after the first agg is <= |docs| x
+    |categories| and collapses immediately."""
+    d = _docs_par(spark, sf_dir)
+    terms = spark.createDataFrame(
+        [
+            ("latency", "slow"), ("latency", "bottleneck"),
+            ("mutation", "merge"), ("mutation", "overwrite"), ("mutation", "delete"),
+            ("volume", "big"), ("volume", "huge"), ("volume", "stream"),
+        ],
+        "category string, term string",
+    )
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            tokenize.whitespace_tokens(dedup.normalize_text(F.col("text")))
+        ).alias("term"),
+    )
+    hits = toks.join(F.broadcast(terms), "term")
+    per_doc = hits.groupBy("doc_id", "category").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    ).cache()
+    n_docs = d.agg(F.count(F.lit(1)).alias("total_docs"))
+    per_cat = per_doc.groupBy("category").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs_flagged"),
+        F.sum("n_hits").cast("bigint").alias("term_hits"),
+    )
+    any_row = per_doc.select("doc_id").distinct().agg(
+        F.lit("__any__").alias("category"),
+        F.count(F.lit(1)).cast("bigint").alias("docs_flagged"),
+        F.lit(None).cast("bigint").alias("term_hits"),
+    )
+    return (
+        per_cat.unionByName(any_row)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "category",
+            "docs_flagged",
+            F.expr("CAST(docs_flagged * 1000 DIV total_docs AS BIGINT)").alias(
+                "flag_rate_milli"
+            ),
+            "term_hits",
+        )
+    )
+
+
+ORACLE_SAFETY_SCREEN = f"""
+WITH terms AS (
+  SELECT * FROM (VALUES
+    ('latency', 'slow'), ('latency', 'bottleneck'),
+    ('mutation', 'merge'), ('mutation', 'overwrite'), ('mutation', 'delete'),
+    ('volume', 'big'), ('volume', 'huge'), ('volume', 'stream')
+  ) AS t(category, term)
+),
+toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT h.doc_id, t.category FROM toks h JOIN terms t USING (term)),
+per_doc AS (
+  SELECT doc_id, category, count(*)::BIGINT AS n_hits FROM hits GROUP BY 1, 2
+),
+nd AS (SELECT count(*)::BIGINT AS total_docs FROM documents),
+per_cat AS (
+  SELECT category, count(*)::BIGINT AS docs_flagged,
+         sum(n_hits)::BIGINT AS term_hits
+  FROM per_doc GROUP BY 1
+  UNION ALL
+  SELECT '__any__', count(DISTINCT doc_id)::BIGINT, NULL::BIGINT FROM per_doc
+)
+SELECT category, docs_flagged,
+       (docs_flagged * 1000 // total_docs)::BIGINT AS flag_rate_milli,
+       term_hits
+FROM per_cat CROSS JOIN nd
+"""
+
+
+SPECS += [
+    QuerySpec("x_safety_screen", q_safety_screen, ORACLE_SAFETY_SCREEN,
+              doc="blocklist policy screen: broadcast term->category table, per-category flag counts/rates + union row",
+              tags=("llm", "filter", "safety")),
+]

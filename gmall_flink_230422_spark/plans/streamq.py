@@ -2042,3 +2042,39 @@ SPECS = SPECS + (
         tags=("T11", "streaming", "similarity", "stats"),
     ),
 )
+
+
+# ================================================================ round 6
+def q_stream_benford(spark, sf_dir):
+    """Benford first-digit audit through the STREAMING engine: the digit
+    extraction + (event_type, digit) count runs as a complete-mode
+    Structured Streaming aggregate over the multi-file replay, and the
+    expectation join / ppm statistics run over the drained final image
+    via the exact batch tail (analytics.benford_from_counts — shared
+    code, not a copy). AvailableNow + complete mode make the image equal
+    to the batch counts by construction, so e_benford's oracle applies
+    VERBATIM; what the green row adds is proof the streaming digit
+    pipeline (map-side expr + stateful count) reproduces it."""
+    from .analytics import benford_digits, benford_from_counts
+
+    stream = _events_stream(spark, sf_dir)
+    counts = benford_digits(stream).groupBy("event_type", "digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    image = _drain_complete(counts, "benford")
+    return benford_from_counts(spark.read.parquet(image))
+
+
+def _oracle_stream_benford() -> str:
+    from .analytics import ORACLE_BENFORD
+
+    return ORACLE_BENFORD
+
+
+SPECS = SPECS + (
+    QuerySpec(
+        "s_stream_benford", q_stream_benford, _oracle_stream_benford(),
+        doc="streaming Benford audit: complete-mode digit counts drained to an image, batch expectation tail shared verbatim",
+        tags=("T11", "streaming", "stats"),
+    ),
+)

@@ -93,3 +93,61 @@ def test_source_divergence_bounds(spark):
         assert 0 <= r["tv_ppm"] <= 1_000_000
         assert r["chi2_ppm"] >= 0
         assert r["n_tokens"] > 0
+
+
+def test_holt_winters_recursion_matches_python(spark):
+    """Re-run the level/trend recursion in plain Python for one key."""
+    rows = [r for r in _rows(spark, "e_holt_winters") if r["event_type"] == "click"]
+    rows.sort(key=lambda r: r["dt"])
+
+    def tdiv(a, b):
+        return -((-a) // b) if a < 0 else a // b
+
+    level = trend = None
+    for r in rows:
+        y = r["day_cents"]
+        if level is None:
+            assert r["pred_cents"] is None
+            level, trend = y, 0
+        else:
+            pred = level + trend
+            assert r["pred_cents"] == pred
+            new_level = pred + tdiv(y - pred, 2)
+            trend = trend + tdiv(new_level - level - trend, 4)
+            level = new_level
+        assert r["level_cents"] == level
+        assert r["trend_cents"] == trend
+
+
+def test_lorenz_curve_shape(spark):
+    rows = _rows(spark, "e_lorenz")
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault(r["segment"], []).append(r)
+    for seg, rs in by_seg.items():
+        rs.sort(key=lambda r: r["decile"])
+        assert [r["decile"] for r in rs] == list(range(len(rs)))
+        shares = [r["cum_share_ppm"] for r in rs]
+        assert shares == sorted(shares)  # monotone
+        assert shares[-1] == 1_000_000  # full mass at the top decile
+        # equal-count cut: decile sizes differ by at most 1
+        sizes = [r["n_orders"] for r in rs]
+        assert max(sizes) - min(sizes) <= 1
+
+
+def test_safety_screen_consistency(spark):
+    rows = {r["category"]: r for r in _rows(spark, "x_safety_screen")}
+    assert "__any__" in rows
+    cats = [r for c, r in rows.items() if c != "__any__"]
+    assert rows["__any__"]["docs_flagged"] <= sum(r["docs_flagged"] for r in cats)
+    assert rows["__any__"]["docs_flagged"] >= max(r["docs_flagged"] for r in cats)
+    for r in cats:
+        assert r["term_hits"] >= r["docs_flagged"]
+        assert 0 <= r["flag_rate_milli"] <= 1000
+
+
+def test_stream_benford_equals_batch(spark):
+    batch = {tuple(sorted(r.asDict().items())) for r in _rows(spark, "e_benford")}
+    stream = {tuple(sorted(r.asDict().items()))
+              for r in _rows(spark, "s_stream_benford")}
+    assert batch == stream
