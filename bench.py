@@ -183,6 +183,9 @@ HEADLINE = [
     "e_holt_winters",
     "e_lorenz",
     "x_safety_screen",
+    "x_winnow_pairs",
+    "x_entropy_filter",
+    "x_prefix_templates",
 ]
 
 

@@ -6214,9 +6214,28 @@ def q_winnowing(spark, sf_dir):
     Scale shape: tokenize/gram/hash are pure map-side column expressions;
     the window min and the dedup aggregate are both KEYED by doc_id — no
     global sort, no single-partition exchange, one shuffle end-to-end."""
+    d = _docs_par(spark, sf_dir)
+    sel = winnow_selected(d)
+    return (
+        sel.groupBy("doc_id", "n_grams")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_selected"))
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_selected",
+            F.expr("CAST(n_selected * 1000 DIV n_grams AS BIGINT)").alias(
+                "density_milli"
+            ),
+        )
+    )
+
+
+def winnow_selected(d):
+    """The winnowing selection frame (doc_id, n_grams, enc_sel) — shared by
+    q_winnowing (density stats) and q_winnow_pairs (cross-doc matching;
+    it strips the position field to compare raw fingerprints)."""
     from ..functions.hashing import portable_hash64
 
-    d = _docs_par(spark, sf_dir)
     POS_M = 1 << 20
     toks = tokenize.whitespace_tokens(dedup.normalize_text(F.col("text")))
     parts = ", ".join(f"element_at(_toks, i + {j})" for j in range(3))
@@ -6248,23 +6267,11 @@ def q_winnowing(spark, sf_dir):
     from pyspark.sql import Window
 
     wv = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
-    sel = (
+    return (
         grams.withColumn("enc_sel", F.min("enc").over(wv))
         .filter(F.col("pos") >= F.least(F.lit(4), F.col("n_grams")))
         .select("doc_id", "n_grams", "enc_sel")
         .distinct()
-    )
-    return (
-        sel.groupBy("doc_id", "n_grams")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_selected"))
-        .select(
-            "doc_id",
-            "n_grams",
-            "n_selected",
-            F.expr("CAST(n_selected * 1000 DIV n_grams AS BIGINT)").alias(
-                "density_milli"
-            ),
-        )
     )
 
 
@@ -6680,14 +6687,7 @@ def q_safety_screen(spark, sf_dir):
     touched once; everything after the first agg is <= |docs| x
     |categories| and collapses immediately."""
     d = _docs_par(spark, sf_dir)
-    terms = spark.createDataFrame(
-        [
-            ("latency", "slow"), ("latency", "bottleneck"),
-            ("mutation", "merge"), ("mutation", "overwrite"), ("mutation", "delete"),
-            ("volume", "big"), ("volume", "huge"), ("volume", "stream"),
-        ],
-        "category string, term string",
-    )
+    terms = safety_terms_df(spark)
     toks = d.select(
         "doc_id",
         F.explode(
@@ -6699,6 +6699,24 @@ def q_safety_screen(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_hits")
     ).cache()
     n_docs = d.agg(F.count(F.lit(1)).alias("total_docs"))
+    return safety_tail(per_doc, n_docs)
+
+
+SAFETY_TERMS = [
+    ("latency", "slow"), ("latency", "bottleneck"),
+    ("mutation", "merge"), ("mutation", "overwrite"), ("mutation", "delete"),
+    ("volume", "big"), ("volume", "huge"), ("volume", "stream"),
+]
+
+
+def safety_terms_df(spark):
+    return spark.createDataFrame(SAFETY_TERMS, "category string, term string")
+
+
+def safety_tail(per_doc, n_docs):
+    """Category rollup over a (doc_id, category, n_hits) frame — shared by
+    the batch screen and the streaming twin (which drains per_doc through
+    a complete-mode aggregate first)."""
     per_cat = per_doc.groupBy("category").agg(
         F.count(F.lit(1)).cast("bigint").alias("docs_flagged"),
         F.sum("n_hits").cast("bigint").alias("term_hits"),
@@ -6754,4 +6772,257 @@ SPECS += [
     QuerySpec("x_safety_screen", q_safety_screen, ORACLE_SAFETY_SCREEN,
               doc="blocklist policy screen: broadcast term->category table, per-category flag counts/rates + union row",
               tags=("llm", "filter", "safety")),
+]
+
+
+def q_winnow_pairs(spark, sf_dir):
+    """MOSS match stage over the winnowing fingerprints: documents sharing
+    selected fingerprints are near-dup candidates, scored by how many
+    fingerprints they share and by overlap relative to the smaller
+    selection (the containment analog on the winnowed sketch). This is
+    the local-order-robust complement to MinHash: bag-of-shingles LSH
+    scores global set overlap, winnowing match scores CONTIGUOUS shared
+    runs (any match of length >= w + k - 1 shares a fingerprint by the
+    winnowing guarantee).
+
+    Scale shape: the per-doc selection is ~2/(w+1) of grams; matching is
+    a fingerprint-bucket self-join with a hub cap (fingerprints in > 50
+    docs are dropped — the LSH band-cap pattern; a fingerprint that
+    common is boilerplate, not a pair signal), then one (a, b) hash agg.
+    Top-50 by shared count via TakeOrderedAndProject."""
+    d = _docs_par(spark, sf_dir)
+    sel = winnow_selected(d)
+    # strip the position field: cross-doc matching compares raw 40-bit
+    # fingerprints
+    fps = sel.select(
+        "doc_id", F.expr("CAST(enc_sel DIV 1048576 AS BIGINT)").alias("fp")
+    ).distinct().cache()
+    n_sel = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sel"))
+    bucket_ok = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("bn")).filter(
+        F.col("bn") <= 50
+    )
+    fb = fps.join(F.broadcast(bucket_ok.select("fp")), "fp")
+    pairs = (
+        fb.alias("x")
+        .join(fb.alias("y"), "fp")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
+    )
+    na = n_sel.select(F.col("doc_id").alias("doc_a"), F.col("n_sel").alias("na"))
+    nb = n_sel.select(F.col("doc_id").alias("doc_b"), F.col("n_sel").alias("nb"))
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_fps",
+            F.expr(
+                "CAST(shared_fps * 1000 DIV least(na, nb) AS BIGINT)"
+            ).alias("overlap_milli"),
+        )
+        .orderBy(F.col("shared_fps").desc(), "doc_a", "doc_b")
+        .limit(50)
+    )
+
+
+ORACLE_WINNOW_PAIRS = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+grams AS (
+  SELECT doc_id, (len(t) - 2)::BIGINT AS n_grams, i::BIGINT AS pos,
+         t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS gram
+  FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, greatest(len(t) - 1, 1))) AS i) r
+  WHERE len(t) >= 3
+),
+enc AS (
+  SELECT doc_id, n_grams, pos,
+         (('0x' || substr(md5('win:' || gram), 1, 15))::BIGINT % 1099511627776)
+           * 1048576 + (1048575 - pos) AS enc
+  FROM grams
+),
+win AS (
+  SELECT doc_id, pos, n_grams,
+         min(enc) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS enc_sel
+  FROM enc
+),
+fps AS (
+  SELECT DISTINCT doc_id, (enc_sel // 1048576)::BIGINT AS fp
+  FROM win WHERE pos >= least(4, n_grams)
+),
+n_sel AS (SELECT doc_id, count(*)::BIGINT AS n_sel FROM fps GROUP BY 1),
+ok AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+fb AS (SELECT f.doc_id, f.fp FROM fps f JOIN ok USING (fp)),
+pairs AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*)::BIGINT AS shared_fps
+  FROM fb x JOIN fb y ON x.fp = y.fp AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, p.shared_fps,
+       (p.shared_fps * 1000 // least(a.n_sel, b.n_sel))::BIGINT AS overlap_milli
+FROM pairs p
+JOIN n_sel a ON a.doc_id = p.doc_a
+JOIN n_sel b ON b.doc_id = p.doc_b
+ORDER BY p.shared_fps DESC, p.doc_a, p.doc_b LIMIT 50
+"""
+
+
+def q_entropy_filter(spark, sf_dir):
+    """Unigram-entropy repetitiveness filter: per-doc token entropy in
+    floored milli-nats — the low end of the distribution is templated /
+    looping text (the signal x_repetition_filter reads from max n-gram
+    share, here read from the WHOLE distribution at once). Output: the
+    20 lowest-entropy docs with token totals and distinct counts.
+
+    Parity note: each token's surprisal ln(n/c) is floored to an integer
+    milli-nat from IDENTICAL integer operands — the same portability
+    contract as lm_surprisal_score (identical doubles -> identical libm
+    ln -> identical floor); the per-doc sum is then an INTEGER sum,
+    order-free, and the final normalization one integer DIV.
+
+    Scale shape: one (doc, token) hash agg, one per-doc agg, top-k via
+    TakeOrderedAndProject. Map-side combine everywhere; nothing global."""
+    d = _docs_par(spark, sf_dir)
+    tc = (
+        d.select(
+            "doc_id",
+            F.explode(
+                tokenize.whitespace_tokens(dedup.normalize_text(F.col("text")))
+            ).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    from pyspark.sql import Window
+
+    wd = Window.partitionBy("doc_id")
+    per = tc.withColumn("n", F.sum("c").over(wd)).select(
+        "doc_id",
+        "n",
+        "c",
+        F.floor(F.log(F.col("n").cast("double") / F.col("c")) * 1000)
+        .cast("bigint")
+        .alias("surpr_milli"),
+    )
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("distinct_tokens"),
+            F.expr("CAST(sum(c * surpr_milli) DIV max(n) AS BIGINT)").alias(
+                "entropy_milli"
+            ),
+        )
+        .orderBy("entropy_milli", "doc_id")
+        .limit(20)
+    )
+
+
+ORACLE_ENTROPY_FILTER = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+tc AS (SELECT doc_id, token, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+per AS (
+  SELECT doc_id, c,
+         sum(c) OVER (PARTITION BY doc_id) AS n,
+         floor(ln((sum(c) OVER (PARTITION BY doc_id))::DOUBLE / c) * 1000)::BIGINT
+           AS surpr_milli
+  FROM tc
+)
+SELECT doc_id, max(n)::BIGINT AS n_tokens, count(*)::BIGINT AS distinct_tokens,
+       (sum(c * surpr_milli) // max(n))::BIGINT AS entropy_milli
+FROM per GROUP BY 1
+ORDER BY entropy_milli, doc_id LIMIT 20
+"""
+
+
+def q_prefix_templates(spark, sf_dir):
+    """Opening-template detection: documents sharing their first 8 tokens
+    are instances of one generation/scrape template (form letters, SEO
+    pages, log preambles) — the doc-level complement to x_boilerplate's
+    line-level screen. Output: the top-20 templates by instance count
+    (ties by prefix) with an example doc, plus a '__summary__' row with
+    the templated-doc share on the milli grid.
+
+    Scale shape: prefix extraction is a pure slice expression; ONE hash
+    agg keyed by the prefix; the summary is a scalar rollup of the
+    bounded template frame. Top-k via TakeOrderedAndProject."""
+    d = _docs_par(spark, sf_dir)
+    toks = tokenize.whitespace_tokens(dedup.normalize_text(F.col("text")))
+    pref = (
+        d.select("doc_id", toks.alias("_toks"))
+        .filter(F.size("_toks") >= 8)
+        .select(
+            "doc_id",
+            F.expr("concat_ws(' ', slice(_toks, 1, 8))").alias("prefix"),
+        )
+    )
+    groups = pref.groupBy("prefix").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("example_doc"),
+    ).cache()
+    top = (
+        groups.filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), "prefix")
+        .limit(20)
+        .withColumn("templated_milli", F.lit(None).cast("bigint"))
+    )
+    summary = (
+        groups.agg(
+            F.sum("n_docs").alias("_total"),
+            F.coalesce(
+                F.sum(F.when(F.col("n_docs") >= 2, F.col("n_docs"))), F.lit(0)
+            ).alias("_templated"),
+        )
+        .select(
+            F.lit("__summary__").alias("prefix"),
+            F.col("_templated").cast("bigint").alias("n_docs"),
+            F.lit(None).cast("bigint").alias("example_doc"),
+            F.expr("CAST(_templated * 1000 DIV _total AS BIGINT)").alias(
+                "templated_milli"
+            ),
+        )
+    )
+    return top.unionByName(summary)
+
+
+ORACLE_PREFIX_TEMPLATES = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+pref AS (
+  SELECT doc_id, array_to_string(t[1:8], ' ') AS prefix
+  FROM toks WHERE len(t) >= 8
+),
+groups AS (
+  SELECT prefix, count(*)::BIGINT AS n_docs, min(doc_id)::BIGINT AS example_doc
+  FROM pref GROUP BY 1
+),
+top AS (
+  SELECT prefix, n_docs, example_doc, NULL::BIGINT AS templated_milli
+  FROM groups
+  WHERE n_docs >= 2 ORDER BY n_docs DESC, prefix LIMIT 20
+),
+summary AS (
+  SELECT '__summary__' AS prefix,
+         coalesce(sum(CASE WHEN n_docs >= 2 THEN n_docs END), 0)::BIGINT AS n_docs,
+         NULL::BIGINT AS example_doc,
+         (coalesce(sum(CASE WHEN n_docs >= 2 THEN n_docs END), 0) * 1000
+          // sum(n_docs))::BIGINT AS templated_milli
+  FROM groups
+)
+SELECT * FROM top UNION ALL SELECT * FROM summary
+"""
+
+
+SPECS += [
+    QuerySpec("x_winnow_pairs", q_winnow_pairs, ORACLE_WINNOW_PAIRS,
+              doc="MOSS match stage: fingerprint-bucket self-join with hub cap, shared-fp count + containment overlap",
+              tags=("llm", "dedup", "fingerprint")),
+    QuerySpec("x_entropy_filter", q_entropy_filter, ORACLE_ENTROPY_FILTER,
+              doc="per-doc unigram entropy in floored milli-nats; 20 most repetitive docs",
+              tags=("llm", "quality", "filter")),
+    QuerySpec("x_prefix_templates", q_prefix_templates, ORACLE_PREFIX_TEMPLATES,
+              doc="opening-template detection: first-8-token prefix groups, top-20 + templated share summary",
+              tags=("llm", "dedup", "quality")),
 ]

