@@ -186,6 +186,7 @@ HEADLINE = [
     "x_winnow_pairs",
     "x_entropy_filter",
     "x_prefix_templates",
+    "x_dedup_f1",
 ]
 
 

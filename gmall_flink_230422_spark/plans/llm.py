@@ -7026,3 +7026,76 @@ SPECS += [
               doc="opening-template detection: first-8-token prefix groups, top-20 + templated share summary",
               tags=("llm", "dedup", "quality")),
 ]
+
+
+def q_dedup_f1(spark, sf_dir):
+    """Full precision/recall/F1 audit of the MinHash(16)/LSH(4x4) dedup
+    candidate generator against exact Jaccard >= 0.5 truth — closing the
+    evaluation loop x_lsh_recall leaves half-open (recall alone rewards
+    flooding; precision tells you how much exact-verification work each
+    candidate costs; F1 is the tuning scalar for x_lsh_tune's band
+    sweep). With P = TP/C and R = TP/T, F1 reduces to 2*TP/(T + C) — so
+    all three emit as integer divisions on the 1e-4 grid, no float
+    arithmetic anywhere.
+
+    Scale shape: identical to x_lsh_recall — the truth side is the
+    bucketed shared-shingle join (never all-pairs; run on a sample in
+    production, this query IS the sample shape), the candidate side the
+    banded LSH self-join; one scalar aggregate each."""
+    d = _docs_par(spark, sf_dir)
+    sh = dedup.shingles(d).cache()
+    truth = dedup.jaccard_pairs(sh, threshold=0.5)
+    sigs = dedup.minhash_signatures(sh, num_hashes=16)
+    cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4).cache()
+    flagged = truth.join(
+        cands.withColumn("_c", F.lit(1)), ["doc_a", "doc_b"], "left"
+    )
+    t_agg = flagged.agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.sum(F.coalesce("_c", F.lit(0))).cast("bigint").alias("n_tp"),
+    )
+    c_agg = cands.agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
+    return t_agg.crossJoin(F.broadcast(c_agg)).select(
+        "n_true_pairs",
+        "n_candidate_pairs",
+        "n_tp",
+        (F.expr("(n_tp * 10000) div n_candidate_pairs") / F.lit(10000.0)).alias(
+            "precision"
+        ),
+        (F.expr("(n_tp * 10000) div n_true_pairs") / F.lit(10000.0)).alias(
+            "recall"
+        ),
+        (
+            F.expr("(2 * n_tp * 10000) div (n_true_pairs + n_candidate_pairs)")
+            / F.lit(10000.0)
+        ).alias("f1"),
+    )
+
+
+ORACLE_DEDUP_F1 = f"""
+WITH {_SHINGLES_CTE},
+{_minhash_lsh_ctes()},
+truth AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
+  WHERE floor((i.i * 1.0 / (x.sz + y.sz - i.i)) * 10000) / 10000 >= 0.5
+),
+flags AS (
+  SELECT t.doc_a, CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS caught
+  FROM truth t LEFT JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+)
+SELECT count(*)::BIGINT AS n_true_pairs,
+       (SELECT count(*) FROM cand)::BIGINT AS n_candidate_pairs,
+       sum(caught)::BIGINT AS n_tp,
+       ((sum(caught) * 10000) // (SELECT count(*) FROM cand)) / 10000.0 AS precision,
+       ((sum(caught) * 10000) // count(*)) / 10000.0 AS recall,
+       ((2 * sum(caught) * 10000) // (count(*) + (SELECT count(*) FROM cand))) / 10000.0 AS f1
+FROM flags
+"""
+
+
+SPECS += [
+    QuerySpec("x_dedup_f1", q_dedup_f1, ORACLE_DEDUP_F1,
+              doc="LSH candidate precision/recall/F1 vs exact-Jaccard truth, all on the integer 1e-4 grid",
+              tags=("llm", "dedup", "eval")),
+]

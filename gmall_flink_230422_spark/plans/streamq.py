@@ -2136,3 +2136,67 @@ SPECS = SPECS + (
         tags=("T11", "streaming", "filter", "safety"),
     ),
 )
+
+
+def q_stream_holt(spark, sf_dir):
+    """Holt level+trend smoothing through streaming state: daily totals
+    accumulate in GroupState per event type and the dyadic recursion
+    fires once per day rollover (streaming/stateful.holt_stream — five
+    BIGINTs of state per key). Per-type sentinels flush the last real
+    day. The drained append stream is exactly the batch recursion's
+    row set, so e_holt_winters' recursive-CTE oracle applies VERBATIM
+    (day_epoch converted back to DATE at read time); the green row
+    proves the one-day-at-a-time state walk reproduces the full-history
+    recursion on an ordered replay."""
+    from ..streaming.stateful import holt_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinels = (
+        ev.select("event_type").distinct()
+        .select(
+            F.lit(-1).cast("long").alias("user_id"),
+            (F.lit(max_ts).cast("timestamp") + F.expr("INTERVAL 2 DAYS")).alias("ts"),
+            "event_type",
+            F.lit(0.0).alias("value"),
+        )
+    )
+    src = _ordered_events_source(
+        spark, sf_dir, ["user_id", "ts", "event_type", "value"], extra=sentinels
+    )
+    schema = spark.read.parquet(src).schema
+    stream = (
+        files.stream_parquet(spark, src, schema, files_per_trigger=2)
+        .select(
+            "event_type",
+            "ts",
+            F.date_trunc("day", F.col("ts")).cast("long").alias("day_epoch"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("v_cents"),
+            (F.col("user_id") < 0).alias("is_sentinel"),
+        )
+    )
+    scored = holt_stream(stream, key="event_type")
+    out = spark.read.parquet(_drain_append(scored, "holt"))
+    return out.select(
+        "event_type",
+        F.to_date(F.timestamp_seconds(F.col("day_epoch"))).alias("dt"),
+        "day_cents",
+        "pred_cents",
+        "level_cents",
+        "trend_cents",
+    )
+
+
+def _oracle_stream_holt() -> str:
+    from .analytics import ORACLE_HOLT_WINTERS
+
+    return ORACLE_HOLT_WINTERS
+
+
+SPECS = SPECS + (
+    QuerySpec(
+        "s_stream_holt", q_stream_holt, _oracle_stream_holt(),
+        doc="online Holt level+trend smoothing: 5-BIGINT GroupState per key, day-rollover recursion == batch recursive CTE",
+        tags=("T2", "T11", "streaming", "timeseries"),
+    ),
+)

@@ -643,3 +643,103 @@ def cusum_stream(
     return df.groupBy(key).applyInPandasWithState(
         fn, out_schema, _CUSUM_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+_HOLT_STATE = T.StructType(
+    [
+        T.StructField("cur_day", T.LongType()),
+        T.StructField("cur_cents", T.LongType()),
+        T.StructField("level", T.LongType()),
+        T.StructField("trend", T.LongType()),
+        T.StructField("has_model", T.LongType()),
+    ]
+)
+
+
+def holt_stream(df: DataFrame, key: str = "event_type") -> DataFrame:
+    """Online Holt linear-trend smoothing through streaming state — the
+    incremental twin of plans.analytics.q_holt_winters: per key, daily
+    value totals feed the level+trend recursion with dyadic gains
+    (alpha = 1/2, beta = 1/4; every update an exact truncated BIGINT
+    division, see the batch docstring for the cross-engine contract).
+
+    GroupState per key is five BIGINTs: the open day, its partial total,
+    and the model (level, trend, has_model). A day finalizes when a later
+    day's first row (or the sentinel) arrives — same flush protocol as
+    cusum_stream; event-time-ordered arrival per key is the
+    ordered-replay harness contract.
+
+    Output per finalized day: (key, day_epoch, day_cents, pred_cents,
+    level_cents, trend_cents) with pred_cents NULL on each key's first
+    day — exactly the batch recursion's rows."""
+    out_schema = T.StructType(
+        [
+            T.StructField(key, T.StringType()),
+            T.StructField("day_epoch", T.LongType()),
+            T.StructField("day_cents", T.LongType()),
+            T.StructField("pred_cents", T.LongType()),
+            T.StructField("level_cents", T.LongType()),
+            T.StructField("trend_cents", T.LongType()),
+        ]
+    )
+
+    def tdiv(a: int, b: int) -> int:
+        return -((-a) // b) if a < 0 else a // b
+
+    def fn(
+        key_tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (kv,) = key_tuple
+        if state.exists:
+            cur_day, cur_cents, level, trend, has_model = state.get
+        else:
+            cur_day, cur_cents, level, trend, has_model = None, 0, 0, 0, 0
+        days, totals, preds, levels, trends = [], [], [], [], []
+
+        def finalize(day, cents):
+            nonlocal level, trend, has_model
+            if not has_model:
+                pred, level, trend, has_model = None, cents, 0, 1
+            else:
+                pred = level + trend
+                new_level = pred + tdiv(cents - pred, 2)
+                trend = trend + tdiv(new_level - level - trend, 4)
+                level = new_level
+            days.append(day)
+            totals.append(cents)
+            preds.append(pred)
+            levels.append(level)
+            trends.append(trend)
+
+        # concat BEFORE sorting (the cusum_stream cross-chunk fix)
+        rows_all = pd.concat(list(batches))
+        if len(rows_all):
+            rows_all = rows_all.sort_values("ts")
+            for row in rows_all.itertuples(index=False):
+                day = int(row.day_epoch)
+                if bool(row.is_sentinel):
+                    if cur_day is not None:
+                        finalize(cur_day, cur_cents)
+                        cur_day, cur_cents = None, 0
+                    continue
+                if cur_day is None:
+                    cur_day, cur_cents = day, 0
+                elif day > cur_day:
+                    finalize(cur_day, cur_cents)
+                    cur_day, cur_cents = day, 0
+                cur_cents += int(row.v_cents)
+        state.update((cur_day, cur_cents, level, trend, has_model))
+        yield pd.DataFrame(
+            {
+                key: kv,
+                "day_epoch": days,
+                "day_cents": totals,
+                "pred_cents": pd.array(preds, dtype="Int64"),
+                "level_cents": levels,
+                "trend_cents": trends,
+            }
+        )
+
+    return df.groupBy(key).applyInPandasWithState(
+        fn, out_schema, _HOLT_STATE, "append", GroupStateTimeout.NoTimeout
+    )

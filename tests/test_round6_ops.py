@@ -193,3 +193,21 @@ def test_stream_safety_screen_equals_batch(spark):
     stream = {tuple(sorted(r.asDict().items()))
               for r in _rows(spark, "s_stream_safety_screen")}
     assert batch == stream
+
+
+def test_stream_holt_equals_batch(spark):
+    batch = {tuple(sorted(r.asDict().items()))
+             for r in _rows(spark, "e_holt_winters")}
+    stream = {tuple(sorted(r.asDict().items()))
+              for r in _rows(spark, "s_stream_holt")}
+    assert batch == stream
+
+
+def test_dedup_f1_consistency(spark):
+    r = _rows(spark, "x_dedup_f1")[0]
+    assert 0 < r["n_tp"] <= min(r["n_true_pairs"], r["n_candidate_pairs"])
+    p, rc, f1 = r["precision"], r["recall"], r["f1"]
+    assert 0 <= p <= 1 and 0 <= rc <= 1
+    # F1 lies between min and max of P and R (harmonic-mean property;
+    # integer flooring can push it 1e-4 under the min)
+    assert min(p, rc) - 0.0002 <= f1 <= max(p, rc) + 0.0002
