@@ -140,6 +140,26 @@ QUERIES = [
     # diagonal-whitened outlier top-k (posexplode + 64-key stats agg +
     # broadcast join + TakeOrdered)
     "x_whiten_outliers",
+    # round-6 additions: winnowing selection (keyed window min over gram
+    # hashes) + its match stage (hub-capped fingerprint self-join),
+    # source divergence (bounded 201-bucket grid), waterfill (order
+    # statistics via distributed_cumsum), coverage curve (TakeOrdered
+    # rank axis + distributed prefix), entropy filter (two hash aggs +
+    # TakeOrdered), prefix templates (one prefix-keyed agg), Holt
+    # smoothing (day-axis applyInPandas recursion), Lorenz deciles
+    # (keyed windows), safety screen (broadcast term join + bounded
+    # rollups), LSH F1 (bucketed truth + banded candidates)
+    "x_winnowing",
+    "x_winnow_pairs",
+    "x_source_divergence",
+    "x_mix_waterfill",
+    "x_coverage_curve",
+    "x_entropy_filter",
+    "x_prefix_templates",
+    "e_holt_winters",
+    "e_lorenz",
+    "x_safety_screen",
+    "x_dedup_f1",
 ]
 
 
