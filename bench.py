@@ -187,6 +187,8 @@ HEADLINE = [
     "x_entropy_filter",
     "x_prefix_templates",
     "x_dedup_f1",
+    "x_ngram_novelty",
+    "x_dup_inflation",
 ]
 
 

@@ -7099,3 +7099,168 @@ SPECS += [
               doc="LSH candidate precision/recall/F1 vs exact-Jaccard truth, all on the integer 1e-4 grid",
               tags=("llm", "dedup", "eval")),
 ]
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Held-out bigram novelty — the memorization/diversity probe run on
+    every corpus refresh: what share of the held-out split's distinct
+    (doc, bigram) incidences, and of its bigram TYPES, never occur in
+    the training split (doc_id % 17 == 0 is the held-out stand-in, the
+    same split x_dsir_resample uses). Low novelty = the held-out set is
+    effectively memorized by the corpus; high = genuine distribution
+    breadth.
+
+    Scale shape: two shingle streams (pure array exprs), one distinct
+    per side, a broadcast-or-shuffle LEFT ANTI join on the bigram key,
+    then scalar aggregates. Incidence counting uses per-doc-distinct
+    bigrams (the shingles() contract), so the statistic is a document-
+    incidence rate, stated as such."""
+    d = _docs_par(spark, sf_dir)
+    train = d.filter(F.col("doc_id") % 17 != 0)
+    held = d.filter(F.col("doc_id") % 17 == 0)
+    tr_types = dedup.shingles(train, k=2).select("shingle").distinct()
+    held_inc = dedup.shingles(held, k=2).cache()
+    novel_inc = held_inc.join(tr_types, "shingle", "left_anti")
+    inc_agg = held_inc.agg(F.count(F.lit(1)).alias("held_incidences"))
+    nov_agg = novel_inc.agg(F.count(F.lit(1)).alias("novel_incidences"))
+    ht = held_inc.select("shingle").distinct().agg(
+        F.count(F.lit(1)).alias("held_types")
+    )
+    nt = novel_inc.select("shingle").distinct().agg(
+        F.count(F.lit(1)).alias("novel_types")
+    )
+    return (
+        inc_agg.crossJoin(F.broadcast(nov_agg))
+        .crossJoin(F.broadcast(ht))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            F.col("held_incidences").cast("bigint").alias("held_incidences"),
+            F.col("novel_incidences").cast("bigint").alias("novel_incidences"),
+            F.expr(
+                "CAST(novel_incidences * 1000 DIV held_incidences AS BIGINT)"
+            ).alias("incidence_novelty_milli"),
+            F.col("held_types").cast("bigint").alias("held_types"),
+            F.col("novel_types").cast("bigint").alias("novel_types"),
+            F.expr("CAST(novel_types * 1000 DIV held_types AS BIGINT)").alias(
+                "type_novelty_milli"
+            ),
+        )
+    )
+
+
+ORACLE_NGRAM_NOVELTY = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok, generate_subscripts({_TOKS}, 1) AS pos
+  FROM documents
+),
+bigr AS (
+  SELECT DISTINCT doc_id, tok || ' ' || lead(tok) OVER w AS shingle
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+bg AS (SELECT doc_id, shingle FROM bigr WHERE shingle IS NOT NULL),
+tr_types AS (SELECT DISTINCT shingle FROM bg WHERE doc_id % 17 <> 0),
+held AS (SELECT doc_id, shingle FROM bg WHERE doc_id % 17 = 0),
+novel AS (
+  SELECT h.doc_id, h.shingle FROM held h
+  LEFT JOIN tr_types t USING (shingle) WHERE t.shingle IS NULL
+)
+SELECT (SELECT count(*) FROM held)::BIGINT AS held_incidences,
+       (SELECT count(*) FROM novel)::BIGINT AS novel_incidences,
+       ((SELECT count(*) FROM novel) * 1000
+        // (SELECT count(*) FROM held))::BIGINT AS incidence_novelty_milli,
+       (SELECT count(DISTINCT shingle) FROM held)::BIGINT AS held_types,
+       (SELECT count(DISTINCT shingle) FROM novel)::BIGINT AS novel_types,
+       ((SELECT count(DISTINCT shingle) FROM novel) * 1000
+        // (SELECT count(DISTINCT shingle) FROM held))::BIGINT AS type_novelty_milli
+"""
+
+
+def q_dup_inflation(spark, sf_dir):
+    """Duplicate token-inflation factor per source — the storage/compute
+    waste metric a dedup pass is justified by: tokens in ALL docs vs
+    tokens in exact-canonical docs only (min doc id per normalized-text
+    fingerprint, corpus-wide — a cross-source duplicate counts only for
+    the source holding its canonical copy). inflation_milli >= 1000;
+    1420 reads "this source pays 1.42x its unique token volume". Plus a
+    '__total__' corpus row.
+
+    Scale shape: one fingerprint hash agg (map-side combined), a
+    doc-keyed semi-join to keep canonicals, two per-source aggregates.
+    Nothing beyond |docs| state; the reused fingerprint/canonical pieces
+    are the ones x_dedup_exact verifies."""
+    d = _docs_par(spark, sf_dir)
+    toks = F.size(tokenize.whitespace_tokens(dedup.normalize_text(F.col("text"))))
+    base = d.select(
+        "doc_id", "source", toks.cast("bigint").alias("n_toks"),
+        dedup.fingerprint(F.col("text")).alias("fp"),
+    ).cache()
+    canon = base.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    per_all = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_toks").alias("tokens_all"),
+    )
+    per_u = (
+        base.join(canon.select("doc_id"), "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(F.sum("n_toks").alias("tokens_unique"))
+    )
+    per = per_all.join(per_u, "source").select(
+        "source", "n_docs", "tokens_all", "tokens_unique",
+        # greatest(...,1): a source whose every doc is a cross-source dup
+        # holds zero canonical tokens — Spark DIV would NULL, DuckDB //
+        # would raise (the Benford-class engine split); 1 keeps the row
+        # with an honest huge factor instead
+        F.expr(
+            "CAST(tokens_all * 1000 DIV greatest(tokens_unique, 1) AS BIGINT)"
+        ).alias("inflation_milli"),
+    )
+    tot = per.agg(
+        F.lit("__total__").alias("source"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("tokens_all").cast("bigint").alias("tokens_all"),
+        F.sum("tokens_unique").cast("bigint").alias("tokens_unique"),
+        F.expr(
+            "CAST(sum(tokens_all) * 1000 DIV greatest(sum(tokens_unique), 1) AS BIGINT)"
+        ).alias("inflation_milli"),
+    )
+    return per.unionByName(tot)
+
+
+ORACLE_DUP_INFLATION = f"""
+WITH base AS (
+  SELECT doc_id, source, len({_TOKS})::BIGINT AS n_toks,
+         md5(lower(trim(text))) AS fp
+  FROM documents
+),
+canon AS (SELECT fp, min(doc_id) AS doc_id FROM base GROUP BY 1),
+per_all AS (
+  SELECT source, count(*)::BIGINT AS n_docs, sum(n_toks)::BIGINT AS tokens_all
+  FROM base GROUP BY 1
+),
+per_u AS (
+  SELECT b.source, sum(b.n_toks)::BIGINT AS tokens_unique
+  FROM base b JOIN canon c ON b.doc_id = c.doc_id
+  GROUP BY 1
+),
+per AS (
+  SELECT a.source, a.n_docs, a.tokens_all, u.tokens_unique,
+         (a.tokens_all * 1000 // greatest(u.tokens_unique, 1))::BIGINT AS inflation_milli
+  FROM per_all a JOIN per_u u USING (source)
+)
+SELECT * FROM per
+UNION ALL
+SELECT '__total__', sum(n_docs)::BIGINT, sum(tokens_all)::BIGINT,
+       sum(tokens_unique)::BIGINT,
+       (sum(tokens_all) * 1000 // greatest(sum(tokens_unique), 1))::BIGINT
+FROM per
+"""
+
+
+SPECS += [
+    QuerySpec("x_ngram_novelty", q_ngram_novelty, ORACLE_NGRAM_NOVELTY,
+              doc="held-out bigram novelty: incidence + type rates vs the train split via anti-join",
+              tags=("llm", "eval", "diversity")),
+    QuerySpec("x_dup_inflation", q_dup_inflation, ORACLE_DUP_INFLATION,
+              doc="per-source duplicate token-inflation factor vs exact-canonical docs + corpus total",
+              tags=("llm", "dedup", "stats")),
+]

@@ -211,3 +211,24 @@ def test_dedup_f1_consistency(spark):
     # F1 lies between min and max of P and R (harmonic-mean property;
     # integer flooring can push it 1e-4 under the min)
     assert min(p, rc) - 0.0002 <= f1 <= max(p, rc) + 0.0002
+
+
+def test_ngram_novelty_bounds(spark):
+    r = _rows(spark, "x_ngram_novelty")[0]
+    assert 0 < r["novel_incidences"] <= r["held_incidences"]
+    assert 0 < r["novel_types"] <= r["held_types"]
+    assert 0 <= r["incidence_novelty_milli"] <= 1000
+    # type novelty >= incidence novelty is NOT guaranteed in general, but
+    # novel types can't exceed novel incidences
+    assert r["novel_types"] <= r["novel_incidences"]
+
+
+def test_dup_inflation_consistency(spark):
+    rows = _rows(spark, "x_dup_inflation")
+    tot = [r for r in rows if r["source"] == "__total__"][0]
+    per = [r for r in rows if r["source"] != "__total__"]
+    assert tot["n_docs"] == sum(r["n_docs"] for r in per)
+    assert tot["tokens_all"] == sum(r["tokens_all"] for r in per)
+    assert tot["inflation_milli"] >= 1000
+    for r in per:
+        assert r["tokens_unique"] <= r["tokens_all"]

@@ -160,6 +160,8 @@ QUERIES = [
     "e_lorenz",
     "x_safety_screen",
     "x_dedup_f1",
+    "x_ngram_novelty",
+    "x_dup_inflation",
 ]
 
 
