@@ -189,6 +189,10 @@ HEADLINE = [
     "x_dedup_f1",
     "x_ngram_novelty",
     "x_dup_inflation",
+    "x_hard_negatives",
+    "x_cluster_size_hist",
+    "e_theil",
+    "e_funnel_latency",
 ]
 
 

@@ -3644,3 +3644,161 @@ SPECS += [
               doc="per-segment decile Lorenz concentration curve on the ppm grid via keyed windows",
               tags=("ext", "stats")),
 ]
+
+
+def q_theil(spark, sf_dir):
+    """Per-segment Theil T inequality index of order values — the
+    DECOMPOSABLE concentration measure (unlike Gini, Theil splits
+    exactly into within-group + between-group terms, which is why
+    mixture audits prefer it): T = (1/n) sum (x/mu) ln(x/mu), emitted
+    in micro-nats. Each order's term is floored to an INTEGER micro-nat
+    from identical integer-derived doubles (cents * n / total is exact
+    in IEEE for the fixture ranges; ln is correctly-rounded libm on both
+    engines — the lm_surprisal_score parity contract), so the per-
+    segment sum is an integer sum, order-free.
+
+    Scale shape: one pre-aggregate for (n, total) per segment, broadcast
+    back, one map pass for the terms, one hash agg. No windows, no
+    sorts."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    tot = base.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
+    terms = base.join(F.broadcast(tot), "segment").select(
+        "segment",
+        "n",
+        "total_cents",
+        F.floor(
+            (F.col("cents") * F.col("n") / F.col("total_cents"))
+            * F.log(F.col("cents") * F.col("n") / F.col("total_cents"))
+            * F.lit(1000000)
+        ).cast("bigint").alias("term_micro"),
+    )
+    return (
+        terms.groupBy("segment", "n", "total_cents")
+        .agg(F.sum("term_micro").alias("_s"))
+        .select(
+            "segment",
+            "n",
+            "total_cents",
+            F.expr("CAST(_s DIV n AS BIGINT)").alias("theil_micro"),
+        )
+    )
+
+
+ORACLE_THEIL = """
+WITH base AS (
+  SELECT c.c_mktsegment AS segment, round(o.o_totalprice * 100)::BIGINT AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+tot AS (
+  SELECT segment, count(*)::BIGINT AS n, sum(cents)::BIGINT AS total_cents
+  FROM base GROUP BY 1
+),
+terms AS (
+  SELECT b.segment, t.n, t.total_cents,
+         floor((b.cents * t.n / t.total_cents)
+               * ln(b.cents * t.n / t.total_cents) * 1000000)::BIGINT AS term_micro
+  FROM base b JOIN tot t USING (segment)
+)
+SELECT segment, n, total_cents, (sum(term_micro) // n)::BIGINT AS theil_micro
+FROM terms GROUP BY 1, 2, 3
+"""
+
+
+def q_funnel_latency(spark, sf_dir):
+    """Conversion-latency spectrum for the view -> purchase funnel: per
+    converting user, the gap between the first view and the first
+    purchase strictly after it, bucketed by bit length (bucket b holds
+    gaps in [2^(b-1), 2^b) seconds; bucket 1 holds 0-1 s) — the integer-
+    exact log2 histogram (length(bin(x)) is identical in both engines,
+    no float log). e_funnel counts who converts; this says how long
+    conversion takes — the other half of the windowFunnel analysis.
+
+    Scale shape: two conditional-min window passes over ONE user_id
+    partitioning (the e_funnel exchange-reuse shape), then a <= 40-row
+    histogram aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.select("user_id", "ts", "event_type")
+        .withColumn(
+            "first_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "first_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("first_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("first_view").alias("fv"),
+            F.max("first_purchase").alias("fp"),
+        )
+        .filter(F.col("fp").isNotNull())
+        .select(
+            F.expr(
+                "CAST(floor(unix_micros(fp) / 1000000) - floor(unix_micros(fv) / 1000000) AS BIGINT)"
+            ).alias("gap_s")
+        )
+    )
+    return (
+        staged.select(
+            "gap_s", F.length(F.bin(F.col("gap_s"))).cast("bigint").alias("gap_bucket")
+        )
+        .groupBy("gap_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.min("gap_s").cast("bigint").alias("min_gap_s"),
+            F.max("gap_s").cast("bigint").alias("max_gap_s"),
+        )
+        .orderBy("gap_bucket")
+    )
+
+
+ORACLE_FUNNEL_LATENCY = """
+WITH staged AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS fv
+  FROM events GROUP BY 1
+),
+conv AS (
+  SELECT e.user_id, s.fv, min(e.ts) AS fp
+  FROM events e JOIN staged s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s.fv
+  GROUP BY 1, 2
+),
+gaps AS (
+  SELECT (floor(epoch(fp)) - floor(epoch(fv)))::BIGINT AS gap_s FROM conv
+)
+SELECT length(bin(gap_s))::BIGINT AS gap_bucket,
+       count(*)::BIGINT AS n_users,
+       min(gap_s)::BIGINT AS min_gap_s,
+       max(gap_s)::BIGINT AS max_gap_s
+FROM gaps GROUP BY 1 ORDER BY 1
+"""
+
+
+SPECS += [
+    QuerySpec("e_theil", q_theil, ORACLE_THEIL,
+              doc="per-segment Theil T inequality in integer micro-nats (decomposable concentration, ln-parity contract)",
+              tags=("ext", "stats")),
+    QuerySpec("e_funnel_latency", q_funnel_latency, ORACLE_FUNNEL_LATENCY,
+              doc="view->purchase conversion-latency log2 histogram via bit length, integer-exact",
+              tags=("ext", "funnel", "stats")),
+]

@@ -7264,3 +7264,159 @@ SPECS += [
               doc="per-source duplicate token-inflation factor vs exact-canonical docs + corpus total",
               tags=("llm", "dedup", "stats")),
 ]
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive/retrieval training: for each
+    of the 3 probe vectors, the top-5 most-similar vectors from a
+    DIFFERENT class — the highest-value negatives (same-class neighbors
+    would be false negatives; random negatives are too easy to teach
+    anything). The exact-cosine form of the miner every embedding
+    trainer runs between epochs; swap the brute scan for the IVF/LSH
+    path (x_ann_ivf / x_ann_lsh) at corpus scale.
+
+    Scale shape: broadcast the 3 probe vectors + labels, one corpus scan
+    with a JVM-side cosine fold, per-probe top-k via a keyed window over
+    the probe axis (3 keys). Same plan family as x_cosine_topk with the
+    label-exclusion predicate pushed into the join."""
+    e = _embs_par(spark, sf_dir)
+    q = e.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = e.join(
+        F.broadcast(q),
+        (F.col("vec_id") != F.col("query_id"))
+        & (F.col("label") != F.col("qlabel")),
+    ).select(
+        "query_id",
+        "vec_id",
+        F.col("label").alias("neg_label"),
+        (
+            F.floor(similarity.cosine(F.col("embedding"), F.col("qvec")) * 10000)
+            / 10000
+        ).alias("cos_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 5)
+        .drop("_rk")
+    )
+
+
+ORACLE_HARD_NEGATIVES = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id IN {_QUERY_IDS}
+),
+scored AS (
+  SELECT q.query_id, c.vec_id, c.label AS neg_label,
+         floor((list_cosine_similarity(c.embedding::DOUBLE[], q.qv)) * 10000) / 10000 AS cos_sim
+  FROM embeddings c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id AND c.label <> q.qlabel
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT query_id, vec_id, neg_label, cos_sim FROM ranked WHERE rk <= 5
+"""
+
+
+def q_label_balance(spark, sf_dir):
+    """Class-balance audit + inverse-frequency resampling weights over the
+    embedding labels: weight_milli = total DIV (n_classes * class_count),
+    the factor that makes every class contribute equal expected mass
+    under weighted sampling (1000 = already balanced). One hash agg +
+    two broadcast scalars — trivially map-reduce at any scale."""
+    e = _embs_par(spark, sf_dir)
+    per = e.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    tot = per.agg(
+        F.sum("n_vecs").alias("total_vecs"),
+        F.count(F.lit(1)).alias("n_classes"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "label",
+            "n_vecs",
+            F.expr(
+                "CAST(total_vecs * 1000 DIV (n_classes * n_vecs) AS BIGINT)"
+            ).alias("weight_milli"),
+        )
+    )
+
+
+ORACLE_LABEL_BALANCE = """
+WITH per AS (SELECT label, count(*)::BIGINT AS n_vecs FROM embeddings GROUP BY 1),
+tot AS (SELECT sum(n_vecs)::BIGINT AS total_vecs, count(*)::BIGINT AS n_classes FROM per)
+SELECT label, n_vecs,
+       (total_vecs * 1000 // (n_classes * n_vecs))::BIGINT AS weight_milli
+FROM per CROSS JOIN tot
+"""
+
+
+def q_cluster_size_hist(spark, sf_dir):
+    """Near-duplicate cluster-size spectrum: how duplication mass is
+    distributed — many small pairs (benign) vs a few huge template blobs
+    (one bad scrape) — the shape that picks between keep-one dedup and
+    soft-dedup reweighting (x_soft_dedup). Histogram of LSH-verified
+    connected-component sizes, with docs in no near-dup pair entering as
+    size-1 clusters.
+
+    Scale shape: the cluster assignment is the verified x_dedup_clusters
+    component pipeline; everything after is aggregates over |clusters|
+    rows and two scalars."""
+    d = _docs_par(spark, sf_dir)
+    sh = dedup.shingles(d).cache()
+    sigs = dedup.minhash_signatures(sh, num_hashes=16)
+    cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4).cache()
+    near = dedup.jaccard_pairs(sh, threshold=0.5, candidates=cands)
+    members = dedup.connected_components(near).cache()
+    sizes = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters")
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("_nd"))
+    n_mem = members.agg(F.count(F.lit(1)).alias("_nm"))
+    singles = (
+        n_docs.crossJoin(F.broadcast(n_mem))
+        .select(
+            F.lit(1).cast("bigint").alias("cluster_size"),
+            (F.col("_nd") - F.col("_nm")).cast("bigint").alias("n_clusters"),
+        )
+    )
+    return hist.unionByName(singles).orderBy("cluster_size")
+
+
+ORACLE_CLUSTER_SIZE_HIST = f"""
+WITH members AS ({ORACLE_DEDUP_CLUSTERS}),
+sizes AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM members GROUP BY 1),
+hist AS (SELECT cluster_size, count(*)::BIGINT AS n_clusters FROM sizes GROUP BY 1),
+singles AS (
+  SELECT 1::BIGINT AS cluster_size,
+         ((SELECT count(*) FROM documents) - (SELECT count(*) FROM members))::BIGINT AS n_clusters
+)
+SELECT * FROM hist UNION ALL SELECT * FROM singles ORDER BY cluster_size
+"""
+
+
+SPECS += [
+    QuerySpec("x_hard_negatives", q_hard_negatives, ORACLE_HARD_NEGATIVES,
+              doc="cross-class hard-negative mining: exact-cosine top-5 per probe with the label-exclusion predicate",
+              tags=("llm", "similarity", "training")),
+    QuerySpec("x_label_balance", q_label_balance, ORACLE_LABEL_BALANCE,
+              doc="class-balance audit + inverse-frequency resampling weights on the milli grid",
+              tags=("llm", "sampling", "stats")),
+    QuerySpec("x_cluster_size_hist", q_cluster_size_hist, ORACLE_CLUSTER_SIZE_HIST,
+              doc="near-dup cluster-size spectrum incl. size-1 singletons; reuses the verified component pipeline",
+              tags=("llm", "dedup", "stats")),
+]

@@ -232,3 +232,49 @@ def test_dup_inflation_consistency(spark):
     assert tot["inflation_milli"] >= 1000
     for r in per:
         assert r["tokens_unique"] <= r["tokens_all"]
+
+
+def test_hard_negatives_cross_class_only(spark):
+    rows = _rows(spark, "x_hard_negatives")
+    emb = {r["vec_id"]: r["label"] for r in
+           spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "label").collect()}
+    by_q = {}
+    for r in rows:
+        assert r["neg_label"] != emb[r["query_id"]]
+        assert emb[r["vec_id"]] == r["neg_label"]
+        by_q.setdefault(r["query_id"], []).append(r["cos_sim"])
+    for q, sims in by_q.items():
+        assert len(sims) == 5
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_label_balance_weights(spark):
+    rows = _rows(spark, "x_label_balance")
+    total = sum(r["n_vecs"] for r in rows)
+    k = len(rows)
+    for r in rows:
+        assert r["weight_milli"] == total * 1000 // (k * r["n_vecs"])
+
+
+def test_cluster_size_hist_accounts_every_doc(spark):
+    rows = _rows(spark, "x_cluster_size_hist")
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r["cluster_size"] * r["n_clusters"] for r in rows) == n_docs
+    assert all(r["n_clusters"] >= 0 for r in rows)
+
+
+def test_theil_nonnegative_and_zero_for_uniform(spark):
+    # Theil >= 0 up to the micro-floor (each term floors down by < 1 micro)
+    for r in _rows(spark, "e_theil"):
+        assert r["theil_micro"] >= -1
+        assert r["theil_micro"] < 10_000_000  # ln(n) bound, loose
+
+
+def test_funnel_latency_buckets(spark):
+    rows = _rows(spark, "e_funnel_latency")
+    assert rows
+    for r in rows:
+        b = r["gap_bucket"]
+        lo = 0 if b == 1 else 1 << (b - 1)
+        hi = (1 << b) - 1
+        assert lo <= r["min_gap_s"] <= r["max_gap_s"] <= hi

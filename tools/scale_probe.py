@@ -162,6 +162,14 @@ QUERIES = [
     "x_dedup_f1",
     "x_ngram_novelty",
     "x_dup_inflation",
+    # batch 5: cross-class negative mining (broadcast probes + keyed
+    # top-k), cluster-size spectrum (reuses the component pipeline),
+    # Theil (pre-agg broadcast + map pass), latency log2 histogram
+    # (two windows over one exchange + bounded agg)
+    "x_hard_negatives",
+    "x_cluster_size_hist",
+    "e_theil",
+    "e_funnel_latency",
 ]
 
 
