@@ -1,0 +1,52 @@
+"""Registry/bench/probe wiring invariants — static (no SparkSession):
+every name the bench and scale probe reference must exist in the registry,
+and every registry query must carry an oracle (the repo's correctness
+contract: rows-only checks are reserved for genuinely non-SQL ops, of
+which there are currently none)."""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _registry():
+    from gmall_flink_230422_spark.plans import registry
+
+    return registry()
+
+
+def test_bench_headline_names_exist():
+    import bench
+
+    reg = _registry()
+    missing = [n for n in bench.HEADLINE if n not in reg]
+    assert not missing, missing
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate headliners"
+
+
+def test_scale_probe_names_exist():
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import scale_probe
+
+    reg = _registry()
+    missing = [n for n in scale_probe.QUERIES if n not in reg]
+    assert not missing, missing
+
+
+def test_every_query_has_oracle():
+    reg = _registry()
+    no_oracle = [n for n, s in reg.items() if s.oracle is None]
+    assert not no_oracle, no_oracle
+
+
+def test_registry_superset_of_r5_names():
+    """The driver samples the same 50 names round over round; name removal
+    would silently drop its evidence base (r5 verdict item 5)."""
+    reg = set(_registry())
+    r5 = json.load(open(Path(__file__).resolve().parent.parent / "CORRECTNESS_r05.json"))
+    missing = sorted(set(r5) - reg)
+    assert not missing, missing
