@@ -6798,10 +6798,14 @@ def q_winnow_pairs(spark, sf_dir):
         "doc_id", F.expr("CAST(enc_sel DIV 1048576 AS BIGINT)").alias("fp")
     ).distinct().cache()
     n_sel = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sel"))
-    bucket_ok = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("bn")).filter(
-        F.col("bn") <= 50
+    # hub cap as a broadcast ANTI-join against the HOT fingerprints: the
+    # hot set (bn > 50) is small at any corpus size, while the ok set is
+    # proportional to the corpus — broadcasting the latter would be the
+    # r2 bloom-join mistake inverted
+    hot = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("bn")).filter(
+        F.col("bn") > 50
     )
-    fb = fps.join(F.broadcast(bucket_ok.select("fp")), "fp")
+    fb = fps.join(F.broadcast(hot.select("fp")), "fp", "left_anti")
     pairs = (
         fb.alias("x")
         .join(fb.alias("y"), "fp")
