@@ -502,3 +502,31 @@ def test_multiprobe_superset_of_single_probe(spark):
              for r in similarity.lsh_multiprobe_topk(e, q, k=10, dims=8).collect()}
     assert len(multi & exact) >= len(single & exact)
     assert len(multi) >= len(single)
+
+
+def test_connected_components_paths_agree_on_random_graphs(spark):
+    """The r6 small-graph fast path (driver union-find) and the distributed
+    star rounds must produce IDENTICAL labelings on arbitrary graphs —
+    mixed components, self-pairs, duplicate and reversed edges."""
+    import random
+
+    rng = random.Random(13)
+    for trial in range(3):
+        n = 40 + trial * 30
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(n + trial * 20)
+        ]
+        edges += [(i, i) for i in rng.sample(range(n), 5)]  # self-pairs
+        df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+        fast = {
+            (r["doc_id"], r["cluster_id"])
+            for r in dedup.connected_components(df).collect()
+        }
+        dist = {
+            (r["doc_id"], r["cluster_id"])
+            for r in dedup.connected_components(
+                df, small_graph_threshold=0
+            ).collect()
+        }
+        assert fast == dist, f"trial {trial}: paths disagree"
