@@ -278,3 +278,35 @@ def test_funnel_latency_buckets(spark):
         lo = 0 if b == 1 else 1 << (b - 1)
         hi = (1 << b) - 1
         assert lo <= r["min_gap_s"] <= r["max_gap_s"] <= hi
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    """The winnowing theorem (Schleimer et al. §3): any shared substring of
+    length >= w + k - 1 tokens (here 4 + 3 - 1 = 6) forces the two docs to
+    share at least one selected fingerprint, regardless of surrounding
+    text. Build doc pairs embedding the same 6-token run at different
+    positions and check the selection frames intersect on raw hashes."""
+    from pyspark.sql import functions as F
+    from gmall_flink_230422_spark.plans.llm import winnow_selected
+
+    run = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {run} three four five"),
+            (2, f"{run} six seven eight nine ten eleven"),
+            (3, "totally different words with no common run at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    sel = winnow_selected(docs)
+    fps = (
+        sel.select("doc_id", F.expr("CAST(enc_sel DIV 1048576 AS BIGINT)").alias("fp"))
+        .distinct()
+        .collect()
+    )
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "docs sharing a 6-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
