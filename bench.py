@@ -193,6 +193,9 @@ HEADLINE = [
     "x_cluster_size_hist",
     "e_theil",
     "e_funnel_latency",
+    "e_sequential_pattern",
+    "e_dau_wau",
+    "x_dedup_threshold_curve",
 ]
 
 

@@ -3802,3 +3802,121 @@ SPECS += [
               doc="view->purchase conversion-latency log2 histogram via bit length, integer-exact",
               tags=("ext", "funnel", "stats")),
 ]
+
+
+def q_sequential_pattern(spark, sf_dir):
+    """Top-20 frequent 3-step event SEQUENCES per user journey (ordered
+    triples of consecutive events, the sequence-mining complement to
+    e_basket_rules' unordered itemsets and e_markov_transitions' pairs):
+    support = distinct users exhibiting the sequence, with total
+    occurrence count alongside. Ties break on the sequence string.
+
+    Scale shape: two lead() steps over ONE user_id exchange (Spark reuses
+    the partitioning for both window passes), then a bounded hash agg —
+    sequences live on the |event_types|^3 axis (125 here)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("t2", F.lead("event_type", 1).over(w))
+        .withColumn("t3", F.lead("event_type", 2).over(w))
+        .filter(F.col("t3").isNotNull())
+        .select(
+            "user_id",
+            F.concat_ws(">", "event_type", "t2", "t3").alias("seq3"),
+        )
+    )
+    return (
+        seq.groupBy("seq3")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        )
+        .orderBy(F.col("n_users").desc(), "seq3")
+        .limit(20)
+    )
+
+
+ORACLE_SEQUENTIAL_PATTERN = """
+WITH seq AS (
+  SELECT user_id,
+         event_type || '>' || lead(event_type, 1) OVER w || '>'
+           || lead(event_type, 2) OVER w AS seq3,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT seq3, count(DISTINCT user_id)::BIGINT AS n_users,
+       count(*)::BIGINT AS n_occurrences
+FROM seq WHERE t3 IS NOT NULL
+GROUP BY 1 ORDER BY n_users DESC, seq3 LIMIT 20
+"""
+
+
+def q_dau_wau(spark, sf_dir):
+    """Stickiness series: daily active users, trailing-7-day active users,
+    and the DAU/WAU ratio on the milli grid, per day — the engagement
+    ratio every product dashboard leads with. Exact trailing distinct
+    via the (user, day) dedup frame joined to a 7-day window on the
+    BOUNDED day axis (a range join of |days| x 7 rows against per-day
+    user sets — never a sliding distinct over raw events).
+
+    Scale shape: one (user, day) dedup agg over the events scan, a
+    <= |days| x 7 day-range broadcast join, one distinct-count agg per
+    anchor day. The day axis is calendar-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date("ts").alias("dt")
+    ).distinct().cache()
+    days = ud.select("dt").distinct()
+    anchors = days.select(F.col("dt").alias("anchor"))
+    win = anchors.join(
+        F.broadcast(days),
+        (F.col("dt") <= F.col("anchor"))
+        & (F.col("dt") >= F.date_sub(F.col("anchor"), 6)),
+    )
+    wau = (
+        win.join(ud, "dt")
+        .groupBy("anchor")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    )
+    dau = ud.groupBy("dt").agg(
+        F.countDistinct("user_id").cast("bigint").alias("dau")
+    )
+    return (
+        dau.join(wau, dau["dt"] == wau["anchor"])
+        .select(
+            "dt",
+            "dau",
+            "wau",
+            F.expr("CAST(dau * 1000 DIV wau AS BIGINT)").alias("stickiness_milli"),
+        )
+        .orderBy("dt")
+    )
+
+
+ORACLE_DAU_WAU = """
+WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS dt FROM events),
+days AS (SELECT DISTINCT dt FROM ud),
+dau AS (SELECT dt, count(DISTINCT user_id)::BIGINT AS dau FROM ud GROUP BY 1),
+wau AS (
+  SELECT a.dt AS anchor, count(DISTINCT u.user_id)::BIGINT AS wau
+  FROM days a JOIN ud u
+    ON u.dt <= a.dt AND u.dt >= a.dt - INTERVAL 6 DAY
+  GROUP BY 1
+)
+SELECT d.dt, d.dau, w.wau,
+       (d.dau * 1000 // w.wau)::BIGINT AS stickiness_milli
+FROM dau d JOIN wau w ON d.dt = w.anchor
+ORDER BY d.dt
+"""
+
+
+SPECS += [
+    QuerySpec("e_sequential_pattern", q_sequential_pattern, ORACLE_SEQUENTIAL_PATTERN,
+              doc="top-20 3-step event sequences by user support (ordered sequence mining on the bounded type^3 axis)",
+              tags=("ext", "mining")),
+    QuerySpec("e_dau_wau", q_dau_wau, ORACLE_DAU_WAU,
+              doc="DAU / trailing-7-day WAU / stickiness per day via the (user, day) dedup frame and a bounded day-range join",
+              tags=("ext", "analytics")),
+]

@@ -6900,6 +6900,13 @@ def q_entropy_filter(spark, sf_dir):
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
+    return entropy_tail(tc)
+
+
+def entropy_tail(tc):
+    """Entropy rollup over a (doc_id, token, c) count frame — shared by the
+    batch filter and the streaming twin (which drains the counts through
+    a complete-mode aggregate first)."""
     from pyspark.sql import Window
 
     wd = Window.partitionBy("doc_id")
@@ -7423,4 +7430,79 @@ SPECS += [
     QuerySpec("x_cluster_size_hist", q_cluster_size_hist, ORACLE_CLUSTER_SIZE_HIST,
               doc="near-dup cluster-size spectrum incl. size-1 singletons; reuses the verified component pipeline",
               tags=("llm", "dedup", "stats")),
+]
+
+
+def q_dedup_threshold_curve(spark, sf_dir):
+    """Precision/recall curve of the MinHash(16)/LSH(4x4) candidate set
+    across Jaccard truth thresholds {0.3, 0.5, 0.7} — x_dedup_f1's
+    scalar swept into the curve that actually picks an operating point
+    (raising the threshold shrinks the truth set: recall rises, the
+    exact-verification cost per kept pair falls). One candidate set,
+    three truth sets, all from ONE shared shingle frame and ONE verified
+    pair frame filtered at each threshold; integer 1e-4 grid throughout.
+
+    Scale shape: the all-pairs-free shapes of x_lsh_recall — one shared
+    cached shingle frame feeds the candidate set and all three truth
+    evaluations; the truth side stays the bucketed shared-shingle join,
+    never all-pairs."""
+    d = _docs_par(spark, sf_dir)
+    sh = dedup.shingles(d).cache()
+    sigs = dedup.minhash_signatures(sh, num_hashes=16)
+    cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4).cache()
+    out = None
+    for thr_e1 in (3, 5, 7):
+        truth = dedup.jaccard_pairs(sh, threshold=thr_e1 / 10.0)
+        flagged = truth.join(
+            cands.withColumn("_c", F.lit(1)), ["doc_a", "doc_b"], "left"
+        )
+        t_agg = flagged.agg(
+            F.count(F.lit(1)).alias("n_true_pairs"),
+            F.sum(F.coalesce("_c", F.lit(0))).cast("bigint").alias("n_tp"),
+        )
+        c_agg = cands.agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
+        row = t_agg.crossJoin(F.broadcast(c_agg)).select(
+            F.lit(thr_e1).cast("bigint").alias("threshold_e1"),
+            "n_true_pairs",
+            "n_candidate_pairs",
+            "n_tp",
+            (F.expr("(n_tp * 10000) div n_candidate_pairs") / F.lit(10000.0)).alias("precision"),
+            (F.expr("(n_tp * 10000) div greatest(n_true_pairs, 1)") / F.lit(10000.0)).alias("recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("threshold_e1")
+
+
+def _oracle_dedup_threshold_curve() -> str:
+    rows = []
+    for thr_e1 in (3, 5, 7):
+        rows.append(f"""
+SELECT {thr_e1}::BIGINT AS threshold_e1,
+       count(*)::BIGINT AS n_true_pairs,
+       (SELECT count(*) FROM cand)::BIGINT AS n_candidate_pairs,
+       sum(caught)::BIGINT AS n_tp,
+       ((sum(caught) * 10000) // (SELECT count(*) FROM cand)) / 10000.0 AS precision,
+       ((sum(caught) * 10000) // greatest(count(*), 1)) / 10000.0 AS recall
+FROM (
+  SELECT CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS caught
+  FROM (
+    SELECT i.doc_a, i.doc_b
+    FROM inter i JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
+    WHERE floor((i.i * 1.0 / (x.sz + y.sz - i.i)) * 10000) / 10000 >= 0.{thr_e1}
+  ) t LEFT JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+) f""")
+    body = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH {_SHINGLES_CTE},
+{_minhash_lsh_ctes()},
+curve AS ({body})
+SELECT * FROM curve ORDER BY threshold_e1
+"""
+
+
+SPECS += [
+    QuerySpec("x_dedup_threshold_curve", q_dedup_threshold_curve,
+              _oracle_dedup_threshold_curve(),
+              doc="LSH precision/recall across Jaccard thresholds 0.3/0.5/0.7 from one shared shingle + candidate frame",
+              tags=("llm", "dedup", "eval")),
 ]

@@ -2200,3 +2200,56 @@ SPECS = SPECS + (
         tags=("T2", "T11", "streaming", "timeseries"),
     ),
 )
+
+
+def q_stream_entropy_filter(spark, sf_dir):
+    """The unigram-entropy repetitiveness filter through the STREAMING
+    engine: per-(doc, token) counts run as a complete-mode aggregate
+    over the chunked documents replay; the surprisal/entropy rollup and
+    top-20 selection are the exact batch tail (llm.entropy_tail — shared
+    code). Complete mode + AvailableNow make the drained count image
+    equal the batch counts by construction, so x_entropy_filter's oracle
+    applies VERBATIM; the green row adds proof the quality screen works
+    incrementally over arriving documents."""
+    from ..functions import tokenize
+    from ..operators import dedup
+    from .llm import entropy_tail
+
+    _clamp_shuffle(spark)
+    tmp = tempfile.mkdtemp(prefix="streamq_entropy_")
+    src = os.path.join(tmp, "docs")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = d.count()
+    chunked = d.withColumn(
+        "_chunk", F.floor(F.col("doc_id") * 4 / F.lit(n)).cast("int")
+    )
+    files.write_chunks_by(chunked, "_chunk", src, 4)
+    schema = spark.read.parquet(src).schema
+    stream = files.stream_parquet(spark, src, schema, files_per_trigger=1)
+    tc = (
+        stream.select(
+            "doc_id",
+            F.explode(
+                tokenize.whitespace_tokens(dedup.normalize_text(F.col("text")))
+            ).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    image = _drain_complete(tc, "entropy")
+    return entropy_tail(spark.read.parquet(image))
+
+
+def _oracle_stream_entropy() -> str:
+    from .llm import ORACLE_ENTROPY_FILTER
+
+    return ORACLE_ENTROPY_FILTER
+
+
+SPECS = SPECS + (
+    QuerySpec(
+        "s_stream_entropy_filter", q_stream_entropy_filter, _oracle_stream_entropy(),
+        doc="streaming entropy screen: complete-mode (doc, token) counts drained to an image, batch rollup shared verbatim",
+        tags=("T11", "streaming", "quality"),
+    ),
+)

@@ -310,3 +310,44 @@ def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
     assert by_doc[1] & by_doc[2], "docs sharing a 6-token run must share a fingerprint"
     assert not (by_doc[1] & by_doc[3])
     assert not (by_doc[2] & by_doc[3])
+
+
+def test_sequential_pattern_support_sane(spark):
+    rows = _rows(spark, "e_sequential_pattern")
+    assert rows
+    supports = [r["n_users"] for r in rows]
+    assert supports == sorted(supports, reverse=True)
+    for r in rows:
+        assert r["seq3"].count(">") == 2
+        assert r["n_occurrences"] >= r["n_users"]
+
+
+def test_dau_wau_stickiness(spark):
+    rows = sorted(_rows(spark, "e_dau_wau"), key=lambda r: r["dt"])
+    for r in rows:
+        assert 0 < r["dau"] <= r["wau"]
+        assert 0 < r["stickiness_milli"] <= 1000
+    # the first day's trailing week is just itself
+    assert rows[0]["dau"] == rows[0]["wau"]
+    assert rows[0]["stickiness_milli"] == 1000
+
+
+def test_dedup_threshold_curve_monotone(spark):
+    rows = sorted(_rows(spark, "x_dedup_threshold_curve"),
+                  key=lambda r: r["threshold_e1"])
+    assert [r["threshold_e1"] for r in rows] == [3, 5, 7]
+    # raising the truth threshold shrinks the truth set monotonically
+    truths = [r["n_true_pairs"] for r in rows]
+    assert truths == sorted(truths, reverse=True)
+    # candidate set is threshold-independent
+    assert len({r["n_candidate_pairs"] for r in rows}) == 1
+    for r in rows:
+        assert 0 <= r["precision"] <= 1 and 0 <= r["recall"] <= 1
+
+
+def test_stream_entropy_equals_batch(spark):
+    batch = {tuple(sorted(r.asDict().items()))
+             for r in _rows(spark, "x_entropy_filter")}
+    stream = {tuple(sorted(r.asDict().items()))
+              for r in _rows(spark, "s_stream_entropy_filter")}
+    assert batch == stream

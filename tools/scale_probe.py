@@ -170,6 +170,12 @@ QUERIES = [
     "x_cluster_size_hist",
     "e_theil",
     "e_funnel_latency",
+    # batch 6: 3-step sequence mining (two leads over one exchange),
+    # DAU/WAU (bounded day-range join), threshold curve (one shared
+    # shingle + candidate frame, three truth filters)
+    "e_sequential_pattern",
+    "e_dau_wau",
+    "x_dedup_threshold_curve",
 ]
 
 
