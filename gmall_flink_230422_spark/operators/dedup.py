@@ -427,11 +427,11 @@ def connected_components(
             ),
         )
     else:
-        prev_stats = None
-        converged = False
-        for rnd in range(max_iter):
-            nb = e.unionByName(
-                e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        def _star_round(edges):
+            """One large-star + small-star contraction (Kiveris et al.,
+            "Connected Components in MapReduce and Beyond", SoCC'14)."""
+            nb = edges.unionByName(
+                edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
             ).select(F.col("a").alias("u"), F.col("b").alias("v"))
             # large-star: m(u) = min(closed neighborhood); larger neighbors
             # v > u re-attach as (m, v) — m <= u < v keeps the a < b
@@ -447,33 +447,43 @@ def connected_components(
             # small-star on the oriented (smaller a, larger b) edges: each b
             # re-attaches its smaller neighbors (and itself) to min(a)
             m2 = e1.groupBy("b").agg(F.min("a").alias("m"))
-            e2 = (
+            return (
                 e1.join(m2, "b")
                 .filter(F.col("a") != F.col("m"))
                 .select(F.col("m").alias("a"), F.col("a").alias("b"))
                 .unionByName(m2.select(F.col("m").alias("a"), F.col("b").alias("b")))
                 .distinct()
+                .localCheckpoint(eager=False)
             )
-            e2 = e2.localCheckpoint(eager=False)
-            e = e2
-            # probe convergence every 2nd round only: the collect also
-            # materializes the intervening round's lazy checkpoint, so odd
-            # rounds cost zero driver actions. Comparing stats taken 2
-            # rounds apart still certifies the fixed point (the per-round
-            # map is deterministic and the contraction is monotone; a
-            # 2-round cycle would require both independent checksums to
-            # collide).
-            if rnd % 2 == 0:
-                continue
-            st = e2.agg(
+
+        def _edge_stats(edges):
+            st = edges.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.expr("bit_xor(xxhash64(a, b))").alias("h1"),
                 F.expr("bit_xor(xxhash64(b, a, 42))").alias("h2"),
             ).collect()[0]
-            stats = (st["n"], st["h1"], st["h2"])
+            return (st["n"], st["h1"], st["h2"])
+
+        prev_stats = None
+        converged = False
+        for rnd in range(max_iter):
+            e = _star_round(e)
+            # probe convergence every 2nd round only: the collect also
+            # materializes the intervening round's lazy checkpoint, so odd
+            # rounds cost zero driver actions. A stats match 2 rounds
+            # apart is then CONFIRMED by one more round below — so the
+            # fixed-point certificate does not depend on the (true, but
+            # comment-grade) no-2-cycle argument from the contraction's
+            # monotone potential; a periodic orbit would change the stats
+            # on the confirm round and the loop keeps iterating.
+            if rnd % 2 == 0:
+                continue
+            stats = _edge_stats(e)
             if stats == prev_stats:
-                converged = True
-                break
+                e = _star_round(e)
+                if _edge_stats(e) == stats:
+                    converged = True
+                    break
             prev_stats = stats
         if not converged:
             import warnings

@@ -582,6 +582,53 @@ def embedding_drift(
     return scored.orderBy(F.col("drift_num").desc(), F.col("dim")).limit(top_k)
 
 
+def mmr_probe_partitions(n_queries: int, k_candidates: int) -> int:
+    """Partition count for mmr_rerank's pruned candidate frame:
+    ceil(k_candidates·|Q| / 1e6) — ~1e6 rows (tens of MB with a float
+    embedding column) per partition, so the greedy loop's k_select−1
+    sequential jobs schedule a handful of right-sized tasks at any |Q|
+    instead of either one giant partition or thousands of 2-row ones."""
+    return max(1, -(-(n_queries * k_candidates) // 1_000_000))
+
+
+def mmr_candidates(
+    corpus: DataFrame,
+    query: DataFrame,
+    k_candidates: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_partitions: int | None = None,
+    n_queries: int | None = None,
+) -> DataFrame:
+    """mmr_rerank's pruned per-query candidate frame: broadcast relevance
+    scoring, windowed top-k_candidates prune, then a coalesce sized by
+    mmr_probe_partitions (or the caller's explicit ``probe_partitions``)
+    so the greedy loop's partition count scales with k·|Q|. Split out so
+    the sizing is directly testable (getNumPartitions on the result)."""
+    q = query.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    if probe_partitions is None:
+        if n_queries is None:
+            n_queries = q.count()
+        probe_partitions = mmr_probe_partitions(n_queries, k_candidates)
+    rel = corpus.join(F.broadcast(q), F.col(id_col) != F.col("query_id")).select(
+        "query_id",
+        F.col(id_col),
+        F.col(vec_col).alias("cvec"),
+        F.floor(cosine(F.col(vec_col), F.col("qvec")) * 10000).cast("bigint").alias("rel"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col(id_col))
+    return (
+        rel.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k_candidates)
+        .drop("rk")
+        # k_candidates rows per query by construction — collapse the pruned
+        # frame so the k_select-1 sequential greedy jobs schedule a handful
+        # of right-sized tasks/stage instead of either one giant partition
+        # or a full shuffle-partition fan-out of 2-row tasks.
+        .coalesce(max(1, probe_partitions))
+    )
+
+
 def mmr_rerank(
     corpus: DataFrame,
     query: DataFrame,
@@ -589,7 +636,8 @@ def mmr_rerank(
     k_select: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    probe_partitions: int = 1,
+    probe_partitions: int | None = None,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """Maximal-marginal-relevance diverse top-k (Carbonell & Goldstein '98):
     rerank each query's relevance candidates so the selected set trades
@@ -608,25 +656,18 @@ def mmr_rerank(
     the inherently sequential greedy loop. Candidate and pairwise frames are
     cached — at 1000 queries × 16 candidates that is 16 k rows, driver-free.
     Output: (query_id, sel_rank, vec_id, mmr_score).
+
+    ``probe_partitions`` (the candidate frame's partition count for the
+    greedy loop) auto-sizes by default to ceil(k_candidates·|Q| / 1e6) —
+    ~1e6 post-prune rows per partition — so a 10⁶-query batch does not
+    inherit a single-partition sequential loop. |Q| comes from
+    ``n_queries`` when the caller already knows it; otherwise one
+    count() job on the (small, broadcast-bound) query frame. Pass
+    ``probe_partitions`` explicitly to skip both.
     """
-    q = query.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    rel = corpus.join(F.broadcast(q), F.col(id_col) != F.col("query_id")).select(
-        "query_id",
-        F.col(id_col),
-        F.col(vec_col).alias("cvec"),
-        F.floor(cosine(F.col(vec_col), F.col("qvec")) * 10000).cast("bigint").alias("rel"),
-    )
     w = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col(id_col))
-    cand = (
-        rel.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k_candidates)
-        .drop("rk")
-        # k_candidates rows per query by construction — collapse the pruned
-        # frame so the k_select-1 sequential greedy jobs schedule a handful
-        # of tasks/stage instead of a full shuffle-partition fan-out of
-        # 2-row tasks. probe_partitions=1 fits up to ~10^5 queries (k·|Q|
-        # rows, all post-prune); size it ≈ k·|Q| / 1e6 for larger batches
-        .coalesce(max(1, probe_partitions))
+    cand = mmr_candidates(
+        corpus, query, k_candidates, id_col, vec_col, probe_partitions, n_queries
     ).cache()
     pw = (
         cand.alias("a")

@@ -3690,7 +3690,9 @@ def q_mmr_rerank(spark, sf_dir):
     the exact decimilli grid) — the post-ANN redundancy-removal rerank."""
     e = _embs_par(spark, sf_dir)
     q = e.filter(F.col("vec_id").isin(*_QUERY_IDS))
-    return similarity.mmr_rerank(e, q, k_candidates=16, k_select=6)
+    return similarity.mmr_rerank(
+        e, q, k_candidates=16, k_select=6, n_queries=len(_QUERY_IDS)
+    )
 
 
 def _mmr_oracle(k_candidates: int = 16, k_select: int = 6) -> str:
@@ -7070,14 +7072,17 @@ def q_dedup_f1(spark, sf_dir):
         "n_true_pairs",
         "n_candidate_pairs",
         "n_tp",
-        (F.expr("(n_tp * 10000) div n_candidate_pairs") / F.lit(10000.0)).alias(
+        # greatest(...,1): an empty candidate or truth set must yield 0.0,
+        # not a NULL-vs-error engine split (Spark DIV -> NULL, DuckDB //
+        # -> raise) — same guard as x_dup_inflation's tokens_unique.
+        (F.expr("(n_tp * 10000) div greatest(n_candidate_pairs, 1)") / F.lit(10000.0)).alias(
             "precision"
         ),
-        (F.expr("(n_tp * 10000) div n_true_pairs") / F.lit(10000.0)).alias(
+        (F.expr("(n_tp * 10000) div greatest(n_true_pairs, 1)") / F.lit(10000.0)).alias(
             "recall"
         ),
         (
-            F.expr("(2 * n_tp * 10000) div (n_true_pairs + n_candidate_pairs)")
+            F.expr("(2 * n_tp * 10000) div greatest(n_true_pairs + n_candidate_pairs, 1)")
             / F.lit(10000.0)
         ).alias("f1"),
     )
@@ -7098,9 +7103,9 @@ flags AS (
 SELECT count(*)::BIGINT AS n_true_pairs,
        (SELECT count(*) FROM cand)::BIGINT AS n_candidate_pairs,
        sum(caught)::BIGINT AS n_tp,
-       ((sum(caught) * 10000) // (SELECT count(*) FROM cand)) / 10000.0 AS precision,
-       ((sum(caught) * 10000) // count(*)) / 10000.0 AS recall,
-       ((2 * sum(caught) * 10000) // (count(*) + (SELECT count(*) FROM cand))) / 10000.0 AS f1
+       ((sum(caught) * 10000) // greatest((SELECT count(*) FROM cand), 1)) / 10000.0 AS precision,
+       ((sum(caught) * 10000) // greatest(count(*), 1)) / 10000.0 AS recall,
+       ((2 * sum(caught) * 10000) // greatest(count(*) + (SELECT count(*) FROM cand), 1)) / 10000.0 AS f1
 FROM flags
 """
 
@@ -7466,7 +7471,7 @@ def q_dedup_threshold_curve(spark, sf_dir):
             "n_true_pairs",
             "n_candidate_pairs",
             "n_tp",
-            (F.expr("(n_tp * 10000) div n_candidate_pairs") / F.lit(10000.0)).alias("precision"),
+            (F.expr("(n_tp * 10000) div greatest(n_candidate_pairs, 1)") / F.lit(10000.0)).alias("precision"),
             (F.expr("(n_tp * 10000) div greatest(n_true_pairs, 1)") / F.lit(10000.0)).alias("recall"),
         )
         out = row if out is None else out.unionByName(row)
@@ -7481,7 +7486,7 @@ SELECT {thr_e1}::BIGINT AS threshold_e1,
        count(*)::BIGINT AS n_true_pairs,
        (SELECT count(*) FROM cand)::BIGINT AS n_candidate_pairs,
        sum(caught)::BIGINT AS n_tp,
-       ((sum(caught) * 10000) // (SELECT count(*) FROM cand)) / 10000.0 AS precision,
+       ((sum(caught) * 10000) // greatest((SELECT count(*) FROM cand), 1)) / 10000.0 AS precision,
        ((sum(caught) * 10000) // greatest(count(*), 1)) / 10000.0 AS recall
 FROM (
   SELECT CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS caught

@@ -793,7 +793,11 @@ def q_stream_lsh_incremental(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     n_docs = d.count()
     chunked = d.withColumn(
-        "_chunk", F.floor(F.col("doc_id") * 4 / F.lit(n_docs)).cast("int")
+        # least(...,3): floor(doc_id*4/n) assumes 0-based dense ids — a
+        # 1-based or sparse corpus puts its max id at chunk 4, which
+        # write_chunks_by never writes, silently dropping the row from
+        # the replay. Clamp so every row lands in a written chunk.
+        "_chunk", F.least(F.floor(F.col("doc_id") * 4 / F.lit(n_docs)), F.lit(3)).cast("int")
     )
     files.write_chunks_by(chunked, "_chunk", src, 4)
     schema = spark.read.parquet(src).schema
@@ -2100,7 +2104,9 @@ def q_stream_safety_screen(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     n = d.count()
     chunked = d.withColumn(
-        "_chunk", F.floor(F.col("doc_id") * 4 / F.lit(n)).cast("int")
+        # least(...,3): clamp the top id into a written chunk — see
+        # q_stream_lsh_incremental's note on 1-based/sparse doc_ids.
+        "_chunk", F.least(F.floor(F.col("doc_id") * 4 / F.lit(n)), F.lit(3)).cast("int")
     )
     files.write_chunks_by(chunked, "_chunk", src, 4)
     schema = spark.read.parquet(src).schema
@@ -2221,7 +2227,9 @@ def q_stream_entropy_filter(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     n = d.count()
     chunked = d.withColumn(
-        "_chunk", F.floor(F.col("doc_id") * 4 / F.lit(n)).cast("int")
+        # least(...,3): clamp the top id into a written chunk — see
+        # q_stream_lsh_incremental's note on 1-based/sparse doc_ids.
+        "_chunk", F.least(F.floor(F.col("doc_id") * 4 / F.lit(n)), F.lit(3)).cast("int")
     )
     files.write_chunks_by(chunked, "_chunk", src, 4)
     schema = spark.read.parquet(src).schema

@@ -523,6 +523,14 @@ def ewma_stream(df: DataFrame, key: str = "user_id", depth: int = 8) -> DataFram
     )
 
 
+# STATE-SCHEMA COMPATIBILITY: cur_k was added in r6 (day-open k capture),
+# changing the GroupState layout from the original 4-field form. A
+# streaming checkpoint written by the old layout CANNOT be restored
+# against this schema — applyInPandasWithState state deserialization
+# fails loudly on the field-count mismatch. This repo's checkpoints are
+# ephemeral tmp dirs, so nothing here migrates; an external user of
+# cusum_stream upgrading across the change must start a fresh checkpoint
+# (or backfill cur_k = calibrated k at restore time with their own tool).
 _CUSUM_STATE = T.StructType(
     [
         T.StructField("cur_day", T.LongType()),
