@@ -20,6 +20,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -652,23 +653,28 @@ def mmr_rerank(
     Scale shape: the expensive part — corpus scoring — is the broadcast
     brute-force pass (or any ANN front-end); everything after operates on
     k_candidates rows per query: one windowed prune, one candidate×candidate
-    self-join (k² per query, never corpus²), then k_select−1 tiny joins for
-    the inherently sequential greedy loop. Candidate and pairwise frames are
-    cached — at 1000 queries × 16 candidates that is 16 k rows, driver-free.
+    self-join (k² per query, never corpus²), then ONE Arrow-batched
+    grouped-map that runs the inherently-sequential greedy selection per
+    query_id group over the ≤k² pre-computed integer sims. The former
+    join-loop form (r4–r6) scheduled k_select−1 GLOBAL stage barriers —
+    at 10⁶ queries every step waited on the slowest straggler; the
+    grouped map is one shuffle keyed by query_id, embarrassingly parallel
+    across queries, with per-group work bounded by k². All sims/rels are
+    pre-computed JVM-side on the decimilli grid, so the Python kernel
+    touches only int64s — bit-identical to the join-loop and the oracle.
     Output: (query_id, sel_rank, vec_id, mmr_score).
 
-    ``probe_partitions`` (the candidate frame's partition count for the
-    greedy loop) auto-sizes by default to ceil(k_candidates·|Q| / 1e6) —
-    ~1e6 post-prune rows per partition — so a 10⁶-query batch does not
-    inherit a single-partition sequential loop. |Q| comes from
-    ``n_queries`` when the caller already knows it; otherwise one
-    count() job on the (small, broadcast-bound) query frame. Pass
-    ``probe_partitions`` explicitly to skip both.
+    ``probe_partitions`` sizes the pruned candidate frame feeding the
+    pairwise self-join: auto ceil(k_candidates·|Q| / 1e6) — ~1e6
+    post-prune rows per partition — so a 10⁶-query batch neither builds
+    the k² frame on one partition nor fans tiny queries across thousands.
+    |Q| comes from ``n_queries`` when the caller already knows it;
+    otherwise one count() job on the (small, broadcast-bound) query
+    frame. Pass ``probe_partitions`` explicitly to skip both.
     """
-    w = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col(id_col))
     cand = mmr_candidates(
         corpus, query, k_candidates, id_col, vec_col, probe_partitions, n_queries
-    ).cache()
+    )
     pw = (
         cand.alias("a")
         .join(
@@ -679,60 +685,71 @@ def mmr_rerank(
         .select(
             F.col("a.query_id").alias("query_id"),
             F.col(f"a.{id_col}").alias("cand_id"),
+            F.col("a.rel").alias("rel"),
             F.col(f"b.{id_col}").alias("other_id"),
             F.floor(cosine(F.col("a.cvec"), F.col("b.cvec")) * 10000)
             .cast("bigint")
             .alias("sim"),
         )
-    ).cache()
-    cand_ids = cand.select("query_id", id_col, "rel")
-    selected = (
-        cand_ids.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(
-            "query_id",
-            F.lit(1).alias("sel_rank"),
-            F.col(id_col),
-            (F.col("rel") * 2).alias("mmr_score"),
-        )
     )
-    for step in range(2, k_select + 1):
-        sel_ids = selected.select("query_id", F.col(id_col).alias("sel_id"))
-        rem = cand_ids.join(
-            sel_ids.withColumnRenamed("sel_id", id_col), ["query_id", id_col], "left_anti"
+    # left join keeps single-candidate queries (no pair rows) in the
+    # group stream: they still emit their rank-1 pick
+    gm_in = cand.select("query_id", F.col(id_col), "rel").join(
+        pw.select("query_id", F.col("cand_id").alias(id_col), "other_id", "sim"),
+        ["query_id", id_col],
+        "left",
+    )
+    q_type = cand.schema["query_id"].dataType
+    id_type = cand.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", q_type),
+            T.StructField("sel_rank", T.IntegerType(), False),
+            T.StructField(id_col, id_type),
+            T.StructField("mmr_score", T.LongType()),
+        ]
+    )
+    k_sel = int(k_select)
+
+    def _greedy(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        qid = pdf["query_id"].iloc[0]
+        rel = {}
+        sim = {}
+        for cid, r, oid, s in zip(
+            pdf[id_col], pdf["rel"], pdf["other_id"], pdf["sim"]
+        ):
+            cid = int(cid)
+            rel[cid] = int(r)
+            if not pd.isna(oid):
+                sim[(cid, int(oid))] = int(s)
+        # rank 1: pure relevance, (rel desc, id asc)
+        first = min(rel, key=lambda c: (-rel[c], c))
+        ranks, ids, scores = [1], [first], [2 * rel[first]]
+        selected = [first]
+        remaining = sorted(c for c in rel if c != first)
+        for step in range(2, k_sel + 1):
+            if not remaining:
+                break
+            best, best_score = None, None
+            for c in remaining:  # ascending id ⇒ strict > keeps min-id tie
+                score = 2 * rel[c] - max(sim[(c, s)] for s in selected)
+                if best is None or score > best_score:
+                    best, best_score = c, score
+            ranks.append(step)
+            ids.append(best)
+            scores.append(best_score)
+            selected.append(best)
+            remaining.remove(best)
+        return pd.DataFrame(
+            {
+                "query_id": [qid] * len(ranks),
+                "sel_rank": ranks,
+                id_col: ids,
+                "mmr_score": scores,
+            }
         )
-        ms = (
-            pw.join(
-                sel_ids,
-                (pw["query_id"] == sel_ids["query_id"]) & (pw["other_id"] == sel_ids["sel_id"]),
-            )
-            .select(pw["query_id"], pw["cand_id"], pw["sim"])
-            .groupBy("query_id", "cand_id")
-            .agg(F.max("sim").alias("max_sim"))
-        )
-        scored = rem.join(
-            ms,
-            (rem["query_id"] == ms["query_id"]) & (rem[id_col] == ms["cand_id"]),
-        ).select(
-            rem["query_id"],
-            rem[id_col],
-            (F.col("rel") * 2 - F.col("max_sim")).alias("mmr_score"),
-        )
-        ws = Window.partitionBy("query_id").orderBy(
-            F.col("mmr_score").desc(), F.col(id_col)
-        )
-        pick = (
-            scored.withColumn("rk", F.row_number().over(ws))
-            .filter(F.col("rk") == 1)
-            .select("query_id", F.lit(step).alias("sel_rank"), id_col, "mmr_score")
-        )
-        # the greedy loop is sequential by construction; truncate lineage per
-        # step (the selected frame is k_select rows/query — the eager local
-        # checkpoint is trivially cheap, and without it the self-referencing
-        # plan tree grows exponentially in k_select: measured 74 s → ~10 s
-        # for k_select=6 at sf0.01)
-        selected = selected.unionByName(pick).localCheckpoint()
-    return selected
+
+    return gm_in.groupBy("query_id").applyInPandas(_greedy, out_schema)
 
 
 def knn_graph(

@@ -735,6 +735,10 @@ def _bpe_train(docs: DataFrame, n_merges: int, text_col: str = "text"):
         docs.select(F.explode(toks).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
+        # the corpus-wide word-count shuffle feeds every merge step's
+        # argmax action: cache so the corpus is scanned once, not
+        # n_merges times (the loop itself re-folds only the vocab table)
+        .cache()
     )
     rep = words.select("word", "freq", F.split("word", "").alias("sym"))
     merges = []
@@ -794,6 +798,20 @@ def bpe_encoded_length(
     pattern).
     """
     _, vocab = _bpe_train(docs, n_merges, text_col)
+    return bpe_encoded_length_with_vocab(docs, vocab, id_col, text_col)
+
+
+def bpe_encoded_length_with_vocab(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The apply half of :func:`bpe_encoded_length` against an ALREADY
+    trained encoded vocabulary (word, freq, sym) — callers that train once
+    and encode many corpora (or run train+apply as separate queries over
+    one snapshot) reuse the vocab instead of re-paying the merge-argmax
+    actions."""
     enc = vocab.select(
         "word",
         F.length("word").cast("bigint").alias("n_raw"),

@@ -50,3 +50,17 @@ def test_registry_superset_of_r5_names():
     r5 = json.load(open(Path(__file__).resolve().parent.parent / "CORRECTNESS_r05.json"))
     missing = sorted(set(r5) - reg)
     assert not missing, missing
+
+
+def test_registry_superset_of_r6_names():
+    """r6 shipped 287 queries, all green in the committed full-registry
+    sweep (CORRECTNESS_local_r06.json); the registry must stay an exact
+    superset so no later round silently drops an evidenced query (r6
+    verdict item 5 extends the r5 pin to the full name list)."""
+    reg = set(_registry())
+    r6 = json.load(
+        open(Path(__file__).resolve().parent.parent / "CORRECTNESS_local_r06.json")
+    )
+    assert len(r6) >= 287
+    missing = sorted(set(r6) - reg)
+    assert not missing, missing
