@@ -252,6 +252,37 @@ def jaccard_pairs(
     )
 
 
+def canonical_near_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    shingle_df: DataFrame | None = None,
+) -> tuple:
+    """The shared front half of :func:`dedup_corpus` and
+    :func:`dedup_corpus_cc`: exact canonicals, then MinHash/LSH verified
+    near-dup pairs AMONG canonicals. Returns ``(docs_c, near)`` — the
+    canonical-doc frame and the verified pair frame. Callers auditing
+    several keep-one policies over one corpus snapshot (x_dedup_residual)
+    compute this once, cache both frames, and pass them to each policy
+    via ``prepared=`` instead of re-deriving the whole candidate chain
+    per policy (the old shape paid 2× the shuffles for identical work)."""
+    groups = exact_dedup_groups(docs, id_col, text_col)
+    canon_ids = groups.select(F.col("canonical_id").alias(id_col))
+    docs_c = docs.join(canon_ids, id_col, "left_semi")
+    if shingle_df is not None:
+        sh = shingle_df.join(docs_c.select(id_col), id_col, "left_semi").cache()
+    else:
+        sh = shingles(docs_c, id_col, text_col).cache()
+    sigs = minhash_signatures(sh, id_col, num_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band).cache()
+    near = jaccard_pairs(sh, id_col, threshold, candidates=cands)
+    return docs_c, near
+
+
 def dedup_corpus(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -261,6 +292,7 @@ def dedup_corpus(
     bands: int = 4,
     rows_per_band: int = 4,
     shingle_df: DataFrame | None = None,
+    prepared: tuple | None = None,
 ) -> DataFrame:
     """End-to-end keep-one dedup pass: exact canonicals → MinHash/LSH
     near-dup pairs among canonicals → drop the higher id of each verified
@@ -277,18 +309,13 @@ def dedup_corpus(
     here). Pipelines that shingle the corpus for several consumers —
     contamination probe + dedup in the curation capstones — compute the
     shingle frame once, cache/checkpoint it, and pass it in instead of
-    re-tokenizing the corpus per stage.
+    re-tokenizing the corpus per stage. ``prepared``: optional
+    ``(docs_c, near)`` from :func:`canonical_near_pairs`, shared across
+    several policy runs.
     """
-    groups = exact_dedup_groups(docs, id_col, text_col)
-    canon_ids = groups.select(F.col("canonical_id").alias(id_col))
-    docs_c = docs.join(canon_ids, id_col, "left_semi")
-    if shingle_df is not None:
-        sh = shingle_df.join(docs_c.select(id_col), id_col, "left_semi").cache()
-    else:
-        sh = shingles(docs_c, id_col, text_col).cache()
-    sigs = minhash_signatures(sh, id_col, num_hashes)
-    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band).cache()
-    near = jaccard_pairs(sh, id_col, threshold, candidates=cands)
+    docs_c, near = prepared if prepared is not None else canonical_near_pairs(
+        docs, id_col, text_col, threshold, num_hashes, bands, rows_per_band, shingle_df
+    )
     drop = near.select(F.col("doc_b").alias(id_col)).distinct()
     return docs_c.join(drop, id_col, "left_anti").select(id_col)
 
@@ -521,22 +548,18 @@ def dedup_corpus_cc(
     bands: int = 4,
     rows_per_band: int = 4,
     shingle_df: DataFrame | None = None,
+    prepared: tuple | None = None,
 ) -> DataFrame:
     """Component-exact keep-one dedup: like `dedup_corpus` but transitively
     correct — exact canonicals → LSH/Jaccard near-dup pairs → connected
     components → keep the min-id doc per component plus every unpaired doc.
     Returns surviving ids (one column, ``id_col``). ``shingle_df`` shares a
-    precomputed superset shingle frame exactly as in `dedup_corpus`."""
-    groups = exact_dedup_groups(docs, id_col, text_col)
-    canon_ids = groups.select(F.col("canonical_id").alias(id_col))
-    docs_c = docs.join(canon_ids, id_col, "left_semi")
-    if shingle_df is not None:
-        sh = shingle_df.join(docs_c.select(id_col), id_col, "left_semi").cache()
-    else:
-        sh = shingles(docs_c, id_col, text_col).cache()
-    sigs = minhash_signatures(sh, id_col, num_hashes)
-    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band).cache()
-    near = jaccard_pairs(sh, id_col, threshold, candidates=cands)
+    precomputed superset shingle frame exactly as in `dedup_corpus`;
+    ``prepared`` shares a `(docs_c, near)` pair from
+    :func:`canonical_near_pairs`."""
+    docs_c, near = prepared if prepared is not None else canonical_near_pairs(
+        docs, id_col, text_col, threshold, num_hashes, bands, rows_per_band, shingle_df
+    )
     clusters = connected_components(near)
     drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias(id_col)

@@ -634,14 +634,21 @@ def q_dedup_residual(spark, sf_dir):
     keeps the A…-chain intact yet pairs inside longer chains can persist —
     while the connected-components variant is residue-free by construction.
     One verified-pairs computation feeds both policies; residual = pairs
-    whose BOTH endpoints survive."""
+    whose BOTH endpoints survive. The canonical-doc + verified-pair front
+    half (canonical_near_pairs) is computed ONCE and shared across the
+    two policies and the residual probe — the r6 registry-max 37 shuffles
+    came from each policy re-deriving the identical candidate chain; the
+    pair frames differ from full-corpus pairs only on non-canonical
+    endpoints, which the survivor semi-joins remove anyway (survivors ⊆
+    canonicals), so the audited statistic is unchanged."""
     d = _docs_par(spark, sf_dir)
     sh = dedup.shingles(d).cache()
-    surv1 = dedup.dedup_corpus(d, threshold=0.5, shingle_df=sh).cache()
-    surv2 = dedup.dedup_corpus_cc(d, threshold=0.5, shingle_df=sh).cache()
-    sigs = dedup.minhash_signatures(sh, num_hashes=16)
-    cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
-    pairs = dedup.jaccard_pairs(sh, threshold=0.5, candidates=cands).cache()
+    docs_c, near = dedup.canonical_near_pairs(d, threshold=0.5, shingle_df=sh)
+    docs_c = docs_c.cache()
+    pairs = near.cache()
+    prep = (docs_c, pairs)
+    surv1 = dedup.dedup_corpus(d, threshold=0.5, prepared=prep).cache()
+    surv2 = dedup.dedup_corpus_cc(d, threshold=0.5, prepared=prep).cache()
 
     def residual(name, surv):
         a = surv.select(F.col("doc_id").alias("doc_a"))
