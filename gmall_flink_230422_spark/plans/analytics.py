@@ -3920,3 +3920,236 @@ SPECS += [
               doc="DAU / trailing-7-day WAU / stickiness per day via the (user, day) dedup frame and a bounded day-range join",
               tags=("ext", "analytics")),
 ]
+
+
+# ---------------------------------------------------------------- r7: Spearman rank correlation
+def q_spearman(spark, sf_dir):
+    """Spearman rank correlation between customers' order COUNT and total
+    SPEND — the monotone-association complement of Pearson (e_corr_pairs):
+    robust to the heavy-tailed spend distribution because it operates on
+    ranks. Ranks use the unique (metric, custkey) tiebreak, so there are
+    no ties and the classic closed form ρ = 1 − 6·Σd²/(n(n²−1)) is exact;
+    everything stays in BIGINTs with one final integer division onto the
+    1e-6 grid.
+
+    Numeric contract / headroom: the denominator n(n²−1) enters a
+    1e6-scaled BIGINT product, safe to n ≈ 2M customers; past that,
+    coarsen the grid (1e3) or lift the final ratio into the IEEE-double
+    floor form e_corr_pairs documents — the docstring knob convention.
+
+    Scale shape: one o_custkey hash agg over the orders scan, then TWO
+    distributed_cumsum global rankings (range-partition + bounded
+    partition-total broadcast — never an Exchange SinglePartition), one
+    custkey join of the two rank frames, one scalar aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    per = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("cents"),
+        )
+        .withColumn("one", F.lit(1).cast("bigint"))
+        .cache()
+    )
+    rx = distributed_cumsum(
+        per.select("o_custkey", "n_orders", "one"),
+        ["n_orders", "o_custkey"], "one", "rank_x",
+    ).select("o_custkey", "rank_x")
+    ry = distributed_cumsum(
+        per.select("o_custkey", "cents", "one"),
+        ["cents", "o_custkey"], "one", "rank_y",
+    ).select("o_custkey", "rank_y")
+    d = rx.join(ry, "o_custkey").select(
+        (F.col("rank_x") - F.col("rank_y")).alias("dd")
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(F.col("dd") * F.col("dd")).cast("bigint").alias("sum_d2"),
+    ).select(
+        "n_customers",
+        "sum_d2",
+        F.expr(
+            "CASE WHEN n_customers > 1 THEN "
+            "(1000000 * (n_customers * (n_customers * n_customers - 1) - 6 * sum_d2)) "
+            "div (n_customers * (n_customers * n_customers - 1)) "
+            "ELSE NULL END"
+        ).alias("rho_micro"),
+    )
+
+
+ORACLE_SPEARMAN = """
+WITH per AS (
+  SELECT o_custkey, count(*)::BIGINT AS n_orders,
+         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT o_custkey,
+         row_number() OVER (ORDER BY n_orders, o_custkey) AS rank_x,
+         row_number() OVER (ORDER BY cents, o_custkey) AS rank_y
+  FROM per
+),
+d AS (SELECT (rank_x - rank_y)::BIGINT AS dd FROM r)
+SELECT count(*)::BIGINT AS n_customers,
+       sum(dd * dd)::BIGINT AS sum_d2,
+       CASE WHEN count(*) > 1 THEN
+         (1000000 * (count(*) * (count(*) * count(*) - 1) - 6 * sum(dd * dd)))
+         // (count(*) * (count(*) * count(*) - 1))
+       ELSE NULL END AS rho_micro
+FROM d
+"""
+
+
+# ---------------------------------------------------------------- r7: Welch t² A/B statistic
+def q_welch_t2(spark, sf_dir):
+    """Welch two-sample t² between the 'click' and 'view' event-value
+    populations — the unequal-variance A/B significance statistic. Emitting
+    t² (not t) avoids the final sqrt: every moment (n, Σx, Σx²) is a
+    BIGINT-exact cent sum, means land on the exact cent grid via integer
+    division, and only the last ratio touches doubles — identical IEEE
+    mul/div/floor in both engines (the e_corr_pairs contract; ln/log have
+    no such guarantee, division does).
+
+    Scale shape: ONE conditional-aggregate pass over the filtered events
+    scan (two groups folded into one row via CASE sums — no join, no
+    shuffle beyond the single scalar aggregate), then pure scalar math."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    is_a = F.col("event_type") == "click"
+    agg = ev.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(is_a, cents).otherwise(0)).cast("bigint").alias("s_a"),
+        F.sum(F.when(is_a, cents * cents).otherwise(0)).cast("bigint").alias("ss_a"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(~is_a, cents).otherwise(0)).cast("bigint").alias("s_b"),
+        F.sum(F.when(~is_a, cents * cents).otherwise(0)).cast("bigint").alias("ss_b"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.expr("s_a div greatest(n_a, 1)").alias("mean_a_cents"),
+        F.expr("s_b div greatest(n_b, 1)").alias("mean_b_cents"),
+        F.expr(
+            "CASE WHEN n_a > 1 AND n_b > 1 AND "
+            "((CAST(n_a * ss_a - s_a * s_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * (n_a - 1))) / n_a "
+            " + (CAST(n_b * ss_b - s_b * s_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * (n_b - 1))) / n_b) > 0 "
+            "THEN CAST(floor(1000000.0 * "
+            "  (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b) * "
+            "  (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b) / "
+            "  ((CAST(n_a * ss_a - s_a * s_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * (n_a - 1))) / n_a "
+            "   + (CAST(n_b * ss_b - s_b * s_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * (n_b - 1))) / n_b)"
+            ") AS BIGINT) ELSE NULL END"
+        ).alias("t2_micro"),
+    )
+
+
+ORACLE_WELCH_T2 = """
+WITH agg AS (
+  SELECT
+    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+    sum(CASE WHEN event_type = 'click' THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS s_a,
+    sum(CASE WHEN event_type = 'click' THEN round(value * 100)::BIGINT * round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS ss_a,
+    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+    sum(CASE WHEN event_type = 'view' THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS s_b,
+    sum(CASE WHEN event_type = 'view' THEN round(value * 100)::BIGINT * round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS ss_b
+  FROM events WHERE event_type IN ('click', 'view')
+)
+SELECT n_a, n_b,
+       s_a // greatest(n_a, 1) AS mean_a_cents,
+       s_b // greatest(n_b, 1) AS mean_b_cents,
+       CASE WHEN n_a > 1 AND n_b > 1 AND
+         (((n_a * ss_a - s_a * s_a)::DOUBLE / (n_a::DOUBLE * (n_a - 1))) / n_a
+          + ((n_b * ss_b - s_b * s_b)::DOUBLE / (n_b::DOUBLE * (n_b - 1))) / n_b) > 0
+       THEN floor(1000000.0 *
+         (s_a::DOUBLE / n_a - s_b::DOUBLE / n_b) *
+         (s_a::DOUBLE / n_a - s_b::DOUBLE / n_b) /
+         (((n_a * ss_a - s_a * s_a)::DOUBLE / (n_a::DOUBLE * (n_a - 1))) / n_a
+          + ((n_b * ss_b - s_b * s_b)::DOUBLE / (n_b::DOUBLE * (n_b - 1))) / n_b)
+       )::BIGINT ELSE NULL END AS t2_micro
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------- r7: inter-arrival gap quantiles
+def q_interarrival(spark, sf_dir):
+    """Per-event-type inter-arrival profile: exact p50/p90/mean of the gap
+    (microseconds) between a user's CONSECUTIVE events of that type — the
+    cadence statistic behind rate-limit tuning, bot detection thresholds
+    and session-gap calibration (e_session_window's 1800 s constant is
+    exactly the knob this distribution justifies).
+
+    Parity: gaps are exact integer microsecond differences (unix_micros /
+    epoch_us); quantiles are nearest-rank SELECTIONS of actual gap values
+    (the e_group_quantiles contract — no interpolation), the mean an
+    integer division.
+
+    Scale shape: one (user_id, event_type)-keyed window for lag (keyed —
+    never a global sort), then the keyed ranking window per event_type
+    and one aggregate. The per-type ranking is the only type-keyed
+    shuffle; 5 types × gap rows is skew-bounded by the type cardinality,
+    the documented place to salt if one type dominates at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    # order by the exact microsecond integer (us == ts to the stored
+    # precision), so the window resolves after ts is projected away
+    seq = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    gaps = (
+        ev.select(
+            "user_id", "event_type", "event_id",
+            F.unix_micros(F.col("ts")).alias("us"),
+        )
+        .withColumn("prev_us", F.lag("us").over(seq))
+        .filter(F.col("prev_us").isNotNull())
+        .select(
+            "event_type", "event_id",
+            (F.col("us") - F.col("prev_us")).alias("gap_us"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("gap_us", "event_id")
+    ranked = gaps.select(
+        "event_type", "gap_us", F.row_number().over(w).alias("_rk")
+    ).withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
+    return ranked.groupBy("event_type").agg(
+        F.max("_n").cast("bigint").alias("n_gaps"),
+        F.max(F.when(F.col("_rk") == F.ceil(F.col("_n") * 0.5), F.col("gap_us"))).alias("p50_gap_us"),
+        F.max(F.when(F.col("_rk") == F.ceil(F.col("_n") * 0.9), F.col("gap_us"))).alias("p90_gap_us"),
+        F.expr("sum(gap_us) div count(*)").alias("mean_gap_us"),
+    )
+
+
+ORACLE_INTERARRIVAL = """
+WITH gaps AS (
+  SELECT event_type, event_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+         ) AS gap_us
+  FROM events
+),
+g AS (SELECT * FROM gaps WHERE gap_us IS NOT NULL),
+ranked AS (
+  SELECT event_type, gap_us,
+         row_number() OVER (PARTITION BY event_type ORDER BY gap_us, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM g
+)
+SELECT event_type,
+       max(n)::BIGINT AS n_gaps,
+       max(CASE WHEN rk = ceil(n * 0.5) THEN gap_us END)::BIGINT AS p50_gap_us,
+       max(CASE WHEN rk = ceil(n * 0.9) THEN gap_us END)::BIGINT AS p90_gap_us,
+       (sum(gap_us) // count(*))::BIGINT AS mean_gap_us
+FROM ranked GROUP BY event_type
+"""
+
+
+SPECS += [
+    QuerySpec("e_spearman", q_spearman, ORACLE_SPEARMAN,
+              doc="Spearman rank correlation (order count vs spend) via two distributed_cumsum global rankings, exact integer rho",
+              tags=("ext", "stats")),
+    QuerySpec("e_welch_t2", q_welch_t2, ORACLE_WELCH_T2,
+              doc="Welch unequal-variance t-squared A/B statistic from one conditional-aggregate pass, BIGINT moments",
+              tags=("ext", "stats")),
+    QuerySpec("e_interarrival", q_interarrival, ORACLE_INTERARRIVAL,
+              doc="per-type inter-event gap p50/p90/mean (exact microsecond nearest-rank quantiles)",
+              tags=("ext", "analytics")),
+]

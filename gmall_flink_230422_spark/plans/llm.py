@@ -7542,3 +7542,535 @@ SPECS += [
               doc="LSH precision/recall across Jaccard thresholds 0.3/0.5/0.7 from one shared shingle + candidate frame",
               tags=("llm", "dedup", "eval")),
 ]
+
+
+# ---------------------------------------------------------------- r7: train/held split leakage
+def q_split_leakage(spark, sf_dir):
+    """Train/held-out near-duplicate LEAKAGE audit: how many verified
+    near-dup pairs (Jaccard >= 0.5) cross the doc_id % 17 holdout boundary
+    (the same split x_dsir_resample / x_ngram_novelty use), and what share
+    of held-out docs have a near-dup in train — the eval-integrity number
+    exact-match decontamination (x_contamination) misses, because a
+    PARAPHRASED eval doc still inflates the benchmark.
+
+    Scale shape: one banded LSH candidate chain (never all-pairs), then a
+    flag projection and two scalar aggregates; the contaminated-held-doc
+    count is a distinct over the cross-pair endpoints, bounded by the
+    pair count."""
+    d = _docs_par(spark, sf_dir)
+    sh = dedup.shingles(d).cache()
+    sigs = dedup.minhash_signatures(sh, num_hashes=16)
+    cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    pairs = dedup.jaccard_pairs(sh, threshold=0.5, candidates=cands)
+    t = pairs.select(
+        "doc_a",
+        "doc_b",
+        (F.col("doc_a") % 17 == 0).alias("ha"),
+        (F.col("doc_b") % 17 == 0).alias("hb"),
+    ).cache()
+    base = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.coalesce(F.sum(F.when(F.col("ha") != F.col("hb"), 1).otherwise(0)), F.lit(0))
+        .cast("bigint").alias("n_cross_pairs"),
+        F.coalesce(F.sum(F.when(~F.col("ha") & ~F.col("hb"), 1).otherwise(0)), F.lit(0))
+        .cast("bigint").alias("n_train_pairs"),
+        F.coalesce(F.sum(F.when(F.col("ha") & F.col("hb"), 1).otherwise(0)), F.lit(0))
+        .cast("bigint").alias("n_held_pairs"),
+    )
+    contam = (
+        t.filter(F.col("ha") != F.col("hb"))
+        .select(F.when(F.col("ha"), F.col("doc_a")).otherwise(F.col("doc_b")).alias("h"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_held_contaminated"))
+    )
+    held = d.filter(F.col("doc_id") % 17 == 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_held_docs")
+    )
+    return (
+        base.crossJoin(F.broadcast(contam))
+        .crossJoin(F.broadcast(held))
+        .select(
+            "n_pairs", "n_cross_pairs", "n_train_pairs", "n_held_pairs",
+            "n_held_docs", "n_held_contaminated",
+            (F.expr("(n_held_contaminated * 10000) div greatest(n_held_docs, 1)")
+             / F.lit(10000.0)).alias("leak_rate"),
+        )
+    )
+
+
+ORACLE_SPLIT_LEAKAGE = f"""
+WITH {_SHINGLES_CTE},
+{_minhash_lsh_ctes()},
+t AS (
+  SELECT doc_a, doc_b, (doc_a % 17 = 0) AS ha, (doc_b % 17 = 0) AS hb
+  FROM verified WHERE jaccard >= 0.5
+),
+base AS (
+  SELECT count(*)::BIGINT AS n_pairs,
+         coalesce(sum(CASE WHEN ha <> hb THEN 1 ELSE 0 END), 0)::BIGINT AS n_cross_pairs,
+         coalesce(sum(CASE WHEN NOT ha AND NOT hb THEN 1 ELSE 0 END), 0)::BIGINT AS n_train_pairs,
+         coalesce(sum(CASE WHEN ha AND hb THEN 1 ELSE 0 END), 0)::BIGINT AS n_held_pairs
+  FROM t
+),
+contam AS (
+  SELECT count(DISTINCT CASE WHEN ha THEN doc_a ELSE doc_b END)::BIGINT AS n_held_contaminated
+  FROM t WHERE ha <> hb
+),
+held AS (SELECT count(*)::BIGINT AS n_held_docs FROM documents WHERE doc_id % 17 = 0)
+SELECT n_pairs, n_cross_pairs, n_train_pairs, n_held_pairs,
+       n_held_docs, n_held_contaminated,
+       ((n_held_contaminated * 10000) // greatest(n_held_docs, 1)) / 10000.0 AS leak_rate
+FROM base, contam, held
+"""
+
+
+# ---------------------------------------------------------------- r7: shard balance audit
+def q_shard_balance(spark, sf_dir):
+    """Hash-shard balance audit over 64 shards: per-shard document and byte
+    counts plus the max/ideal skew ratio — the pre-training sanity number a
+    shard manifest (x_shard_manifest) is judged by, since one hot shard
+    gates every epoch's data-loader. The portable salted id-hash is the
+    same sharding function x_hash_split uses, so the audit measures the
+    REAL assignment, not a model of it.
+
+    Scale shape: one 64-key hash aggregate over the corpus scan (map-side
+    partials collapse it), then a broadcast of the 64-row frame for the
+    skew scalar. Nothing data-proportional crosses the wire twice."""
+    d = _docs_par(spark, sf_dir)
+    per = (
+        d.select(
+            F.pmod(
+                portable_hash64(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+                F.lit(64),
+            ).alias("shard"),
+            "n_chars",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_bytes"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("_t"), F.max("n_docs").alias("_m"),
+        F.max("n_bytes").alias("_mb"), F.sum("n_bytes").alias("_tb"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "shard", "n_docs", "n_bytes",
+        F.expr("(_m * 64 * 1000) div greatest(_t, 1)").alias("doc_skew_milli"),
+        F.expr("(_mb * 64 * 1000) div greatest(_tb, 1)").alias("byte_skew_milli"),
+    ).orderBy("shard")
+
+
+ORACLE_SHARD_BALANCE = f"""
+WITH per AS (
+  SELECT ({portable_hash64_sql("'shard:' || doc_id::VARCHAR")}) % 64 AS shard,
+         count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS n_bytes
+  FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT sum(n_docs) AS t, max(n_docs) AS m, max(n_bytes) AS mb, sum(n_bytes) AS tb FROM per
+)
+SELECT shard, n_docs, n_bytes,
+       ((m * 64 * 1000) // greatest(t, 1))::BIGINT AS doc_skew_milli,
+       ((mb * 64 * 1000) // greatest(tb, 1))::BIGINT AS byte_skew_milli
+FROM per, tot ORDER BY shard
+"""
+
+
+# ---------------------------------------------------------------- r7: Zipf frequency-spectrum fit
+def q_zipf_fit(spark, sf_dir):
+    """Zipf-law fit of the corpus token-frequency SPECTRUM: tokens are
+    binned by ilog2(freq) (the exact bit-length integer — no float log
+    anywhere), the spectrum point set (k, ilog2(#tokens at k)) gets an
+    integer-OLS slope, and a Zipfian corpus shows slope ≈ −1/s − 1 ≈ −2
+    for s ≈ 1. Degenerate vocabularies (template floods, tokenizer bugs)
+    bend the spectrum — this is the one-number corpus-health probe for
+    that.
+
+    The spectrum formulation (count tokens per log-frequency bin) replaces
+    the classic rank-frequency plot exactly so that NO global ranking is
+    needed: rank-frequency requires a corpus-wide sort of the vocabulary;
+    the spectrum is one hash aggregate. ilog2 via length(bin(x))−1 on
+    Spark / length(printf('%b', x))−1 on DuckDB — both exact bit lengths,
+    immune to IEEE log2 boundary error at exact powers of two.
+
+    Scale shape: token-count hash agg over the corpus scan → vocab-sized
+    frame → 1-key spectrum agg (≤ ~40 rows) → OLS over the tiny point set
+    via one more aggregate + broadcast."""
+    from ..operators.text import normalize_text, whitespace_tokens
+
+    d = _docs_par(spark, sf_dir)
+    tf = (
+        d.select(F.explode(whitespace_tokens(normalize_text(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    spec = (
+        tf.select((F.length(F.bin(F.col("freq"))) - 1).cast("bigint").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
+        .withColumn("y", (F.length(F.bin(F.col("n_tokens"))) - 1).cast("bigint"))
+        .cache()
+    )
+    ols = spec.agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum("k").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("k") * F.col("y")).alias("sxy"),
+        F.sum(F.col("k") * F.col("k")).alias("sxx"),
+    ).select(
+        F.expr(
+            "CASE WHEN np * sxx - sx * sx > 0 THEN "
+            "(1000 * (np * sxy - sx * sy)) div (np * sxx - sx * sx) "
+            "ELSE NULL END"
+        ).alias("slope_milli")
+    )
+    return spec.crossJoin(F.broadcast(ols)).select(
+        "k", "n_tokens", "slope_milli"
+    ).orderBy("k")
+
+
+ORACLE_ZIPF_FIT = f"""
+WITH tf AS (
+  SELECT tok, count(*)::BIGINT AS freq
+  FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+  GROUP BY tok
+),
+spec AS (
+  SELECT (length(printf('%b', freq)) - 1)::BIGINT AS k,
+         count(*)::BIGINT AS n_tokens,
+         (length(printf('%b', count(*))) - 1)::BIGINT AS y
+  FROM tf GROUP BY (length(printf('%b', freq)) - 1)
+),
+ols AS (
+  SELECT CASE WHEN count(*) * sum(k * k) - sum(k) * sum(k) > 0 THEN
+    (1000 * (count(*) * sum(k * y) - sum(k) * sum(y)))
+    // (count(*) * sum(k * k) - sum(k) * sum(k))
+  ELSE NULL END AS slope_milli
+  FROM spec
+)
+SELECT k, n_tokens, slope_milli FROM spec, ols ORDER BY k
+"""
+
+
+SPECS += [
+    QuerySpec("x_split_leakage", q_split_leakage, ORACLE_SPLIT_LEAKAGE,
+              doc="near-dup pairs crossing the train/held split + share of contaminated held docs (paraphrase leakage audit)",
+              tags=("llm", "dedup", "eval")),
+    QuerySpec("x_shard_balance", q_shard_balance, ORACLE_SHARD_BALANCE,
+              doc="64-shard doc/byte balance with max/ideal skew ratios over the portable hash sharding",
+              tags=("llm", "pipeline")),
+    QuerySpec("x_zipf_fit", q_zipf_fit, ORACLE_ZIPF_FIT,
+              doc="Zipf spectrum fit: ilog2 frequency bins + integer OLS slope, no global rank sort",
+              tags=("llm", "text", "stats")),
+]
+
+
+# ---------------------------------------------------------------- r7: label-retrieval MRR
+def q_mrr_labels(spark, sf_dir):
+    """Retrieval-quality eval against the embeddings' own class labels:
+    for each query vector, rank the corpus by exact cosine and report the
+    rank of the first SAME-LABEL neighbor (reciprocal rank on the 1e-6
+    grid) plus precision@10 — the standard embedding-quality scorecard
+    (MRR + P@k) run with labels as relevance judgments.
+
+    Scale shape: |Q| broadcast query rows × corpus scan (the
+    brute_force_topk shape — the ANN front-ends x_ann_* audit swap in
+    here), ONE query-keyed ranking window, one aggregate. Nothing
+    all-pairs."""
+    from pyspark.sql import Window
+
+    e = _embs_par(spark, sf_dir)
+    q = e.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id", "qlabel", "vec_id", "label",
+        (F.floor(similarity.cosine(F.col("embedding"), F.col("qvec")) * 10000) / 10000).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy("query_id").agg(
+        F.min(F.when(F.col("label") == F.col("qlabel"), F.col("rk"))).cast("bigint").alias("first_rel_rank"),
+        F.coalesce(
+            F.sum(F.when((F.col("label") == F.col("qlabel")) & (F.col("rk") <= 10), 1).otherwise(0)),
+            F.lit(0),
+        ).cast("bigint").alias("hits_at_10"),
+    ).select(
+        "query_id", "first_rel_rank", "hits_at_10",
+        F.expr("CASE WHEN first_rel_rank IS NOT NULL THEN "
+               "(1000000 div first_rel_rank) ELSE 0 END").cast("bigint").alias("rr_micro"),
+    ).orderBy("query_id")
+
+
+ORACLE_MRR_LABELS = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id IN {_QUERY_IDS}
+),
+ranked AS (
+  SELECT q.query_id, q.qlabel, c.vec_id, c.label,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY floor(list_cosine_similarity(c.embedding::DOUBLE[], q.qv) * 10000) / 10000 DESC,
+                    c.vec_id
+         ) AS rk
+  FROM embeddings c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+)
+SELECT query_id,
+       min(CASE WHEN label = qlabel THEN rk END)::BIGINT AS first_rel_rank,
+       coalesce(sum(CASE WHEN label = qlabel AND rk <= 10 THEN 1 ELSE 0 END), 0)::BIGINT AS hits_at_10,
+       CASE WHEN min(CASE WHEN label = qlabel THEN rk END) IS NOT NULL
+            THEN 1000000 // min(CASE WHEN label = qlabel THEN rk END)
+            ELSE 0 END::BIGINT AS rr_micro
+FROM ranked GROUP BY query_id ORDER BY query_id
+"""
+
+
+# ---------------------------------------------------------------- r7: dimension-truncation recall
+def q_dim_trunc_recall(spark, sf_dir):
+    """Matryoshka-style dimension-truncation audit: recall@10 of cosine
+    top-10 computed on the FIRST 32 of 64 embedding dims against the
+    full-dim truth — the measurement behind "can we halve the vector
+    store?" decisions (truncated prefixes are how MRL-trained embeddings
+    are deployed at reduced cost).
+
+    Scale shape: two broadcast brute-force top-k passes (full + sliced —
+    the slice is a pure narrow projection) and one k-bounded join; at
+    production scale the truncated side is the cheap ANN index and this
+    query is its acceptance test, exactly like x_ann_recall."""
+    e = _embs_par(spark, sf_dir)
+    q = e.filter(F.col("vec_id").isin(*_QUERY_IDS))
+    full = similarity.brute_force_topk(e, q, k=10).select("query_id", "vec_id")
+    et = e.select("vec_id", F.slice("embedding", 1, 32).alias("embedding"))
+    qt = q.select("vec_id", F.slice("embedding", 1, 32).alias("embedding"))
+    tr = similarity.brute_force_topk(et, qt, k=10).select(
+        "query_id", F.col("vec_id").alias("t_vec")
+    )
+    hits = full.join(
+        tr, (full["query_id"] == tr["query_id"]) & (full["vec_id"] == tr["t_vec"])
+    ).groupBy(full["query_id"]).agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    base = full.groupBy("query_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_truth",
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        (F.expr("(coalesce(n_hits, 0) * 10000) div greatest(n_truth, 1)") / F.lit(10000.0)).alias("recall_at_10"),
+    ).orderBy("query_id")
+
+
+ORACLE_DIM_TRUNC_RECALL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id IN {_QUERY_IDS}
+),
+fullr AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY floor(list_cosine_similarity(c.embedding::DOUBLE[], q.qv) * 10000) / 10000 DESC, c.vec_id
+           ) AS rk
+    FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id
+  ) WHERE rk <= 10
+),
+truncr AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY floor(list_cosine_similarity((c.embedding::DOUBLE[])[1:32], (q.qv)[1:32]) * 10000) / 10000 DESC, c.vec_id
+           ) AS rk
+    FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id
+  ) WHERE rk <= 10
+),
+base AS (SELECT query_id, count(*)::BIGINT AS n_truth FROM fullr GROUP BY 1),
+hits AS (
+  SELECT f.query_id, count(*)::BIGINT AS n_hits
+  FROM fullr f JOIN truncr t ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+  GROUP BY 1
+)
+SELECT b.query_id, b.n_truth,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       ((coalesce(h.n_hits, 0) * 10000) // greatest(b.n_truth, 1)) / 10000.0 AS recall_at_10
+FROM base b LEFT JOIN hits h ON b.query_id = h.query_id
+ORDER BY b.query_id
+"""
+
+
+# ---------------------------------------------------------------- r7: duplicate-frame detection
+def q_frame_dedup(spark, sf_dir):
+    """Duplicate-frame detection per source — the multimodal analog of
+    exact text dedup: slice every payload into 32-byte frames (the
+    x_frame_explode fan-out), group identical frame bytes within each
+    source, and report the per-source duplication rate. In a real video
+    corpus this is the static-scene / slate / test-pattern detector that
+    decides frame-sampling rates before feature extraction.
+
+    Parity: frames compare as UPPERCASE HEX strings (Spark hex(binary) ==
+    DuckDB substring(to_hex(blob)) — byte-identical, verified), because
+    DuckDB cannot slice BLOBs; the hex detour costs 2× string width on
+    the oracle side only (Spark slices binary natively then hexes).
+
+    Scale shape: JVM-side fan-out (sequence → explode → substring, no
+    Python, no shuffle), ONE (source, frame) hash aggregate — the
+    map-side-combinable exact-dedup shape — then a source-keyed rollup."""
+    from ..operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.to_media_table(d)
+    frames = multimodal.explode_frames(media, frame_bytes=32)
+    fr = frames.join(d.select("doc_id", "source"), "doc_id").select(
+        "source", F.hex(F.col("frame")).alias("fhex")
+    )
+    g = fr.groupBy("source", "fhex").agg(F.count(F.lit(1)).alias("ct"))
+    return g.groupBy("source").agg(
+        F.sum("ct").cast("bigint").alias("n_frames"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_frames"),
+    ).select(
+        "source", "n_frames", "n_distinct_frames",
+        (F.expr("((n_frames - n_distinct_frames) * 10000) div greatest(n_frames, 1)")
+         / F.lit(10000.0)).alias("dup_rate"),
+    ).orderBy("source")
+
+
+ORACLE_FRAME_DEDUP = """
+WITH m AS (
+  SELECT doc_id, source, to_hex(encode(text)) AS hexpay,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+),
+f AS (
+  SELECT source,
+         substring(hexpay, (frame_idx * 64 + 1)::BIGINT, 64) AS fhex
+  FROM (
+    SELECT source, hexpay, unnest(range(0, ((n_bytes + 31) // 32))) AS frame_idx
+    FROM m WHERE n_bytes > 0
+  )
+),
+g AS (SELECT source, fhex, count(*) AS ct FROM f GROUP BY 1, 2)
+SELECT source, sum(ct)::BIGINT AS n_frames, count(*)::BIGINT AS n_distinct_frames,
+       (((sum(ct) - count(*)) * 10000) // greatest(sum(ct), 1)) / 10000.0 AS dup_rate
+FROM g GROUP BY source ORDER BY source
+"""
+
+
+SPECS += [
+    QuerySpec("x_mrr_labels", q_mrr_labels, ORACLE_MRR_LABELS,
+              doc="embedding retrieval MRR + precision@10 against class labels as relevance judgments",
+              tags=("llm", "similarity", "eval")),
+    QuerySpec("x_dim_trunc_recall", q_dim_trunc_recall, ORACLE_DIM_TRUNC_RECALL,
+              doc="recall@10 of half-dimension (matryoshka-truncated) cosine vs full-dim truth",
+              tags=("llm", "similarity", "eval")),
+    QuerySpec("x_frame_dedup", q_frame_dedup, ORACLE_FRAME_DEDUP,
+              doc="per-source duplicate-frame rate over 32-byte payload frames (multimodal exact dedup)",
+              tags=("llm", "multimodal")),
+]
+
+
+# ---------------------------------------------------------------- r7: bounded k-core peel
+def q_kcore_peel(spark, sf_dir):
+    """2-core decomposition of the near-duplicate graph by SYNCHRONIZED
+    peel rounds: repeatedly drop degree-<2 nodes (and their edges) for a
+    FIXED 4 rounds, reporting (round, n_nodes, n_edges) per round — the
+    convergence spectrum. The 2-core separates tight duplicate communities
+    (template families, mirror clusters — every member has ≥2 near-dup
+    partners) from incidental pairwise matches that keep-one dedup already
+    handles; the per-round counts show how fast the periphery burns off.
+
+    Bounded-round semantics are part of the operator contract (like
+    x_pagerank's fixed iterations): both engines run EXACTLY 4 peels, so
+    parity is exact regardless of whether the fixture converges — on this
+    fixture round 4 equals round 3 (converged), asserted by the oracle
+    row equality, while production raises the bound like any iterative
+    operator.
+
+    Scale shape: per round, one degree hash-agg (union of endpoints) and
+    two semi-joins — 3 keyed shuffles, the star-contraction cost model;
+    each round's edge frame is lazily localCheckpoint'd so the plan stays
+    O(1) deep (the connected_components convention) and everything
+    materializes on the single output action. Edges come from the banded
+    LSH chain at Jaccard ≥ 0.3 (the looser threshold keeps enough graph
+    to have a non-trivial core)."""
+    d = _docs_par(spark, sf_dir)
+    sh = dedup.shingles(d).cache()
+    sigs = dedup.minhash_signatures(sh, num_hashes=16)
+    cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    e = (
+        dedup.jaccard_pairs(sh, threshold=0.3, candidates=cands)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .localCheckpoint(eager=False)
+    )
+
+    def stats(edges, rnd):
+        nodes = edges.select(F.col("a").alias("n")).unionByName(
+            edges.select(F.col("b").alias("n"))
+        )
+        return (
+            nodes.agg(F.count_distinct(F.col("n")).cast("bigint").alias("n_nodes"))
+            .crossJoin(F.broadcast(edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))))
+            .select(F.lit(rnd).cast("bigint").alias("round"), "n_nodes", "n_edges")
+        )
+
+    out = stats(e, 0)
+    for rnd in range(1, 5):
+        deg = (
+            e.select(F.col("a").alias("n"))
+            .unionByName(e.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("ct"))
+        )
+        keep = deg.filter(F.col("ct") >= 2).select("n")
+        e = (
+            e.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionByName(stats(e, rnd))
+    return out.orderBy("round")
+
+
+def _oracle_kcore_peel(rounds: int = 4) -> str:
+    steps = []
+    stats = [
+        """
+SELECT 0::BIGINT AS round,
+       (SELECT count(*) FROM (SELECT a AS n FROM e0 UNION SELECT b FROM e0))::BIGINT AS n_nodes,
+       (SELECT count(*) FROM e0)::BIGINT AS n_edges"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        steps.append(f"""
+d{r} AS MATERIALIZED (
+  SELECT n, count(*) AS ct
+  FROM (SELECT a AS n FROM e{p} UNION ALL SELECT b FROM e{p}) GROUP BY n
+),
+k{r} AS MATERIALIZED (SELECT n FROM d{r} WHERE ct >= 2),
+e{r} AS MATERIALIZED (
+  SELECT a, b FROM e{p}
+  WHERE a IN (SELECT n FROM k{r}) AND b IN (SELECT n FROM k{r})
+)""")
+        stats.append(f"""
+SELECT {r}::BIGINT AS round,
+       (SELECT count(*) FROM (SELECT a AS n FROM e{r} UNION SELECT b FROM e{r}))::BIGINT AS n_nodes,
+       (SELECT count(*) FROM e{r})::BIGINT AS n_edges""")
+    return f"""
+WITH {_SHINGLES_CTE},
+{_minhash_lsh_ctes()},
+e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM verified WHERE jaccard >= 0.3),
+{','.join(steps)}
+{' UNION ALL '.join(stats)}
+ORDER BY round
+"""
+
+
+SPECS += [
+    QuerySpec("x_kcore_peel", q_kcore_peel, _oracle_kcore_peel(),
+              doc="2-core peel of the near-dup graph, 4 synchronized rounds, (round, nodes, edges) convergence spectrum",
+              tags=("llm", "graph", "dedup")),
+]

@@ -2261,3 +2261,94 @@ SPECS = SPECS + (
         tags=("T11", "streaming", "quality"),
     ),
 )
+
+
+# ---------------------------------------------------------------- r7: streaming bottom-k sample
+def q_stream_bottomk(spark, sf_dir):
+    """Streaming uniform sample via PER-BUCKET HASH MINIMA (the k-partition
+    bottom-k sketch): each event hashes to one of 32 buckets with a salted
+    portable hash; the sample is, per bucket, the event carrying the
+    smallest hash. min() is associative/commutative and the salted hash is
+    a pure function of the row, so the maintained sample is EXACTLY
+    invariant to micro-batch boundaries, replays, and arrival order — the
+    streaming-safe substitute for reservoir sampling (whose state is
+    order-dependent and thus unreplayable); x_reservoir_sample is the
+    batch complement. Per batch a bounded 32-row min-grid lands under
+    batch_id=N (overwrite ⇒ idempotent, the exactly-once model shared
+    with s_stream_cms_heavy); the read side min-merges the grids, which
+    equals the single-pass batch minima by associativity — the oracle is
+    the direct batch argmin.
+
+    Scale/state: O(buckets) state per batch, never data-proportional; at
+    100 TB rates the per-batch grid is a map-side-combinable 32-row
+    aggregate. struct(h, event_id, user_id) min gives a total order
+    (event_id unique), so ties cannot split across engines."""
+    from ..functions.hashing import portable_hash64
+
+    ev = _events_stream(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="streamq_bk_")
+    store = os.path.join(tmp, "grids")
+    ck = os.path.join(tmp, "ck")
+
+    def _grid(df: DataFrame) -> DataFrame:
+        h = portable_hash64(
+            F.concat(F.lit("bk:"), F.col("event_id").cast("string"))
+        )
+        return (
+            df.select(
+                F.pmod(h, F.lit(32)).cast("int").alias("bucket"),
+                F.struct(
+                    h.alias("h"),
+                    F.col("event_id").alias("event_id"),
+                    F.col("user_id").alias("user_id"),
+                ).alias("s"),
+            )
+            .groupBy("bucket")
+            .agg(F.min("s").alias("s"))
+        )
+
+    def _land(batch: DataFrame, batch_id: int) -> None:
+        _grid(batch).write.mode("overwrite").parquet(
+            os.path.join(store, f"batch_id={batch_id}")
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(_land)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    merged = spark.read.parquet(store).groupBy("bucket").agg(F.min("s").alias("s"))
+    return merged.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("s.h").alias("min_hash"),
+        F.col("s.event_id").alias("event_id"),
+        F.col("s.user_id").alias("user_id"),
+    ).orderBy("bucket")
+
+
+def _oracle_stream_bottomk() -> str:
+    from ..functions.hashing import portable_hash64_sql
+
+    h = portable_hash64_sql("'bk:' || event_id::VARCHAR")
+    return f"""
+WITH hb AS (
+  SELECT ({h}) % 32 AS bucket, ({h}) AS h, event_id, user_id
+  FROM events
+),
+r AS (
+  SELECT bucket, h, event_id, user_id,
+         row_number() OVER (PARTITION BY bucket ORDER BY h, event_id, user_id) AS rk
+  FROM hb
+)
+SELECT bucket::BIGINT AS bucket, h::BIGINT AS min_hash, event_id, user_id
+FROM r WHERE rk = 1 ORDER BY bucket
+"""
+
+
+SPECS = SPECS + (
+    QuerySpec("s_stream_bottomk", q_stream_bottomk, _oracle_stream_bottomk(),
+              doc="streaming per-bucket hash-minimum sample (order/batch/replay-invariant bottom-k), min-merged grids == batch argmin",
+              tags=("stream", "sampling")),
+)
