@@ -4153,3 +4153,76 @@ SPECS += [
               doc="per-type inter-event gap p50/p90/mean (exact microsecond nearest-rank quantiles)",
               tags=("ext", "analytics")),
 ]
+
+
+# ---------------------------------------------------------------- r7: lag-1 autocorrelation
+def q_autocorr(spark, sf_dir):
+    """Lag-1 autocorrelation of the daily revenue series — the persistence
+    number behind "is yesterday predictive of today", i.e. whether the
+    smoothing forecasters (e_ewma, e_holt_winters) have any signal to
+    smooth. Adjacent-day pairs come from a SELF-JOIN on dt = prev_dt + 1
+    (gap-safe: missing days contribute no fake pair) — never a global
+    orderBy window, so no SinglePartition exchange at any series length.
+
+    Numeric contract: the series is the daily total on the DOLLAR grid
+    (exact cent sum, then integer div 100 — the coarsening that keeps
+    n·Σxy inside BIGINT for daily totals up to ~10^9 dollars across 10^5
+    days; cents overflow at fixture scale already); moments are
+    BIGINT-exact, the final Pearson ratio the e_corr_pairs IEEE-double
+    floor — both engines floor the identical double."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("dt")).agg(
+        F.expr("sum(CAST(round(o_totalprice * 100) AS BIGINT)) div 100").alias("cents")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("a.dt") == F.date_add(F.col("b.dt"), 1)).select(
+        F.col("a.cents").alias("x"), F.col("b.cents").alias("y")
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ).select(
+        "n_pairs",
+        # n·Σxx exceeds BIGINT at 2.4k days × (4e6-dollar days)²: form the
+        # discriminants in DOUBLE — identical IEEE mul/sub/sqrt/floor in
+        # both engines (the e_corr_pairs contract); the SUMS stay exact
+        # BIGINTs, only the final scalar combination is floating
+        F.expr(
+            "CASE WHEN CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 "
+            "AND CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0 "
+            "THEN CAST(floor(1000000.0 * (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+            "(sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * "
+            "sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS BIGINT) "
+            "ELSE NULL END"
+        ).alias("autocorr_micro"),
+    )
+
+
+ORACLE_AUTOCORR = """
+WITH daily AS (
+  SELECT o_orderdate AS dt, (sum(round(o_totalprice * 100)::BIGINT) // 100)::BIGINT AS cents
+  FROM orders GROUP BY 1
+),
+p AS (
+  SELECT a.cents AS x, b.cents AS y
+  FROM daily a JOIN daily b ON a.dt = b.dt + INTERVAL 1 DAY
+)
+SELECT count(*)::BIGINT AS n_pairs,
+       CASE WHEN count(*)::DOUBLE * sum(x * x)::DOUBLE - sum(x)::DOUBLE * sum(x)::DOUBLE > 0
+             AND count(*)::DOUBLE * sum(y * y)::DOUBLE - sum(y)::DOUBLE * sum(y)::DOUBLE > 0
+       THEN floor(1000000.0 * (count(*)::DOUBLE * sum(x * y)::DOUBLE - sum(x)::DOUBLE * sum(y)::DOUBLE) /
+            (sqrt(count(*)::DOUBLE * sum(x * x)::DOUBLE - sum(x)::DOUBLE * sum(x)::DOUBLE) *
+             sqrt(count(*)::DOUBLE * sum(y * y)::DOUBLE - sum(y)::DOUBLE * sum(y)::DOUBLE)))::BIGINT
+       ELSE NULL END AS autocorr_micro
+FROM p
+"""
+
+
+SPECS += [
+    QuerySpec("e_autocorr", q_autocorr, ORACLE_AUTOCORR,
+              doc="lag-1 autocorrelation of daily revenue via gap-safe adjacent-day self-join, BIGINT moments",
+              tags=("ext", "stats", "timeseries")),
+]

@@ -8074,3 +8074,270 @@ SPECS += [
               doc="2-core peel of the near-dup graph, 4 synchronized rounds, (round, nodes, edges) convergence spectrum",
               tags=("llm", "graph", "dedup")),
 ]
+
+
+# ---------------------------------------------------------------- r7: cross-source mirror detection
+def q_source_mirror(spark, sf_dir):
+    """Which sources copy each other: verified near-dup pairs (Jaccard ≥
+    0.5) rolled up to ORDERED source pairs — a heavy same-source diagonal
+    means template boilerplate inside one crawl; heavy off-diagonal cells
+    are mirror/scraper relationships, the signal for source-level dedup
+    before doc-level dedup even runs.
+
+    Scale shape: the banded LSH chain, two broadcast-sized joins onto the
+    (doc_id, source) projection, one |sources|²-bounded aggregate."""
+    d = _docs_par(spark, sf_dir)
+    sh = dedup.shingles(d).cache()
+    sigs = dedup.minhash_signatures(sh, num_hashes=16)
+    cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    pairs = dedup.jaccard_pairs(sh, threshold=0.5, candidates=cands)
+    src = d.select("doc_id", "source")
+    j = (
+        pairs.join(src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "src_a"), "doc_a")
+        .join(src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "src_b"), "doc_b")
+        .select(
+            F.least(F.col("src_a"), F.col("src_b")).alias("source_a"),
+            F.greatest(F.col("src_a"), F.col("src_b")).alias("source_b"),
+        )
+    )
+    return (
+        j.groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .withColumn("is_cross", (F.col("source_a") != F.col("source_b")).cast("int"))
+        .orderBy(F.col("n_pairs").desc(), "source_a", "source_b")
+    )
+
+
+ORACLE_SOURCE_MIRROR = f"""
+WITH {_SHINGLES_CTE},
+{_minhash_lsh_ctes()},
+p AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM verified v
+  JOIN documents da ON v.doc_a = da.doc_id
+  JOIN documents db ON v.doc_b = db.doc_id
+  WHERE v.jaccard >= 0.5
+)
+SELECT source_a, source_b, count(*)::BIGINT AS n_pairs,
+       CASE WHEN source_a <> source_b THEN 1 ELSE 0 END::INT AS is_cross
+FROM p GROUP BY 1, 2
+ORDER BY n_pairs DESC, source_a, source_b
+"""
+
+
+# ---------------------------------------------------------------- r7: code-vs-prose detection
+def q_code_detect(spark, sf_dir):
+    """Code-vs-prose screen: per-document symbol density (braces, brackets,
+    semicolons, operators) and digit density on exact integer milli grids,
+    with the standard threshold rule (symbols ≥ 5% of chars ⇒ code-like) —
+    the cheap pre-filter that routes documents to a code pipeline before
+    any expensive classifier runs. Both densities are LENGTH DIFFERENCES
+    after character-class deletion — pure JVM regex, one projection, zero
+    shuffles; the oracle uses the same classes with DuckDB's 'g' flag."""
+    d = _docs_par(spark, sf_dir)
+    n_chars = F.length(F.col("text"))
+    n_sym = n_chars - F.length(F.regexp_replace(F.col("text"), r"[;{}()\[\]=<>]", ""))
+    n_dig = n_chars - F.length(F.regexp_replace(F.col("text"), r"[0-9]", ""))
+    return d.select(
+        "doc_id",
+        "source",
+        (F.expr("1000") * n_sym).cast("bigint").alias("_s"),
+        (F.expr("1000") * n_dig).cast("bigint").alias("_d"),
+        n_chars.cast("bigint").alias("n_chars_txt"),
+    ).select(
+        "doc_id", "source", "n_chars_txt",
+        F.expr("_s div greatest(n_chars_txt, 1)").alias("sym_milli"),
+        F.expr("_d div greatest(n_chars_txt, 1)").alias("digit_milli"),
+        (F.expr("_s div greatest(n_chars_txt, 1)") >= 50).cast("int").alias("is_code"),
+    )
+
+
+ORACLE_CODE_DETECT = r"""
+SELECT doc_id, source,
+       length(text)::BIGINT AS n_chars_txt,
+       ((1000 * (length(text) - length(regexp_replace(text, '[;{}()\[\]=<>]', '', 'g'))))
+         // greatest(length(text), 1))::BIGINT AS sym_milli,
+       ((1000 * (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))))
+         // greatest(length(text), 1))::BIGINT AS digit_milli,
+       CASE WHEN ((1000 * (length(text) - length(regexp_replace(text, '[;{}()\[\]=<>]', '', 'g'))))
+         // greatest(length(text), 1)) >= 50 THEN 1 ELSE 0 END::INT AS is_code
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------- r7: filtered (pre-filter) ANN
+def q_ann_prefilter(spark, sf_dir):
+    """Filtered vector search audit: top-10 cosine UNDER a label predicate
+    (pre-filtering — the index scans only qualifying vectors) vs the
+    post-filter strategy (take unfiltered top-50, then apply the
+    predicate). Post-filtering under-fills exactly when qualifying
+    vectors are rare in the global top — post_coverage < 1 quantifies the
+    classic filtered-search failure and sizes the over-fetch factor.
+
+    Scale shape: both arms are the broadcast |Q|×corpus scoring pass with
+    query-keyed ranking windows; the predicate pushes into the scan on
+    the pre-filter arm (at production scale: a partition/bucket prune on
+    the label column)."""
+    from pyspark.sql import Window
+
+    e = _embs_par(spark, sf_dir)
+    q = e.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id", "qlabel", "vec_id", "label",
+        (F.floor(similarity.cosine(F.col("embedding"), F.col("qvec")) * 10000) / 10000).alias("cos_sim"),
+    ).cache()
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    pre = (
+        scored.filter(F.col("label") == F.col("qlabel"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "vec_id")
+    )
+    post = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") <= 50) & (F.col("label") == F.col("qlabel")))
+        .select("query_id", F.col("vec_id").alias("p_vec"))
+    )
+    n_pre = pre.groupBy("query_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_pre"))
+    hits = pre.join(
+        post, (pre["query_id"] == post["query_id"]) & (pre["vec_id"] == post["p_vec"])
+    ).groupBy(pre["query_id"]).agg(F.count(F.lit(1)).cast("bigint").alias("n_post_hits"))
+    return n_pre.join(hits, "query_id", "left").select(
+        "query_id", "n_pre",
+        F.coalesce("n_post_hits", F.lit(0)).cast("bigint").alias("n_post_hits"),
+        (F.expr("(coalesce(n_post_hits, 0) * 10000) div greatest(n_pre, 1)") / F.lit(10000.0)).alias("post_coverage"),
+    ).orderBy("query_id")
+
+
+ORACLE_ANN_PREFILTER = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id IN {_QUERY_IDS}
+),
+scored AS (
+  SELECT q.query_id, q.qlabel, c.vec_id, c.label,
+         floor(list_cosine_similarity(c.embedding::DOUBLE[], q.qv) * 10000) / 10000 AS cos_sim
+  FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id
+),
+pre AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+    FROM scored WHERE label = qlabel
+  ) WHERE rk <= 10
+),
+post AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id, label, qlabel,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+    FROM scored
+  ) WHERE rk <= 50 AND label = qlabel
+),
+np AS (SELECT query_id, count(*)::BIGINT AS n_pre FROM pre GROUP BY 1),
+h AS (
+  SELECT p.query_id, count(*)::BIGINT AS n_post_hits
+  FROM pre p JOIN post o ON p.query_id = o.query_id AND p.vec_id = o.vec_id
+  GROUP BY 1
+)
+SELECT np.query_id, np.n_pre,
+       coalesce(h.n_post_hits, 0)::BIGINT AS n_post_hits,
+       ((coalesce(h.n_post_hits, 0) * 10000) // greatest(np.n_pre, 1)) / 10000.0 AS post_coverage
+FROM np LEFT JOIN h ON np.query_id = h.query_id
+ORDER BY np.query_id
+"""
+
+
+# ---------------------------------------------------------------- r7: detector agreement
+def q_detector_agreement(spark, sf_dir):
+    """Do the two near-dup detectors agree? MinHash/LSH verified pairs
+    (Jaccard ≥ 0.5) vs SimHash pairs (16-bit, hamming ≤ 1): pair-set
+    sizes, intersection, and set-Jaccard + each-way containment on the
+    1e-4 grid — the calibration table for choosing (or stacking) detector
+    families, since SimHash catches short-text near-dups that shingle
+    Jaccard dilutes and vice versa.
+
+    Scale shape: both detectors are their banded/pigeonhole-bucketed
+    production shapes (never all-pairs); the comparison is one full outer
+    join on the (doc_a, doc_b) key plus a scalar aggregate."""
+    d = _docs_par(spark, sf_dir)
+    sh = dedup.shingles(d).cache()
+    sigs = dedup.minhash_signatures(sh, num_hashes=16)
+    cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    mh = dedup.jaccard_pairs(sh, threshold=0.5, candidates=cands).select(
+        "doc_a", "doc_b", F.lit(1).alias("_m")
+    )
+    sim = dedup.simhash_near_pairs(dedup.simhash(d, bits=16), bits=16, max_hamming=1).select(
+        "doc_a", "doc_b", F.lit(1).alias("_s")
+    )
+    both = mh.join(sim, ["doc_a", "doc_b"], "full_outer")
+    return both.agg(
+        F.coalesce(F.sum("_m"), F.lit(0)).cast("bigint").alias("n_minhash"),
+        F.coalesce(F.sum("_s"), F.lit(0)).cast("bigint").alias("n_simhash"),
+        F.coalesce(F.sum(F.col("_m") * F.col("_s")), F.lit(0)).cast("bigint").alias("n_both"),
+        F.count(F.lit(1)).cast("bigint").alias("n_union"),
+    ).select(
+        "n_minhash", "n_simhash", "n_both", "n_union",
+        (F.expr("(n_both * 10000) div greatest(n_union, 1)") / F.lit(10000.0)).alias("set_jaccard"),
+        (F.expr("(n_both * 10000) div greatest(n_minhash, 1)") / F.lit(10000.0)).alias("containment_in_minhash"),
+        (F.expr("(n_both * 10000) div greatest(n_simhash, 1)") / F.lit(10000.0)).alias("containment_in_simhash"),
+    )
+
+
+ORACLE_DETECTOR_AGREEMENT = f"""
+WITH {_SHINGLES_CTE},
+{_minhash_lsh_ctes()},
+mh AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
+toks2 AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+h2 AS (SELECT doc_id, {_PHASH.format(x='tok')} AS h FROM toks2),
+votes2 AS (
+  SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS v
+  FROM h2 CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bits
+  GROUP BY doc_id, b
+),
+sig2 AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+  FROM votes2 GROUP BY doc_id
+),
+sp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig2 a JOIN sig2 b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+),
+u AS (
+  SELECT coalesce(m.doc_a, s.doc_a) AS doc_a,
+         coalesce(m.doc_b, s.doc_b) AS doc_b,
+         CASE WHEN m.doc_a IS NOT NULL THEN 1 ELSE 0 END AS _m,
+         CASE WHEN s.doc_a IS NOT NULL THEN 1 ELSE 0 END AS _s
+  FROM mh m FULL OUTER JOIN sp s ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b
+)
+SELECT coalesce(sum(_m), 0)::BIGINT AS n_minhash,
+       coalesce(sum(_s), 0)::BIGINT AS n_simhash,
+       coalesce(sum(_m * _s), 0)::BIGINT AS n_both,
+       count(*)::BIGINT AS n_union,
+       ((coalesce(sum(_m * _s), 0) * 10000) // greatest(count(*), 1)) / 10000.0 AS set_jaccard,
+       ((coalesce(sum(_m * _s), 0) * 10000) // greatest(coalesce(sum(_m), 0), 1)) / 10000.0 AS containment_in_minhash,
+       ((coalesce(sum(_m * _s), 0) * 10000) // greatest(coalesce(sum(_s), 0), 1)) / 10000.0 AS containment_in_simhash
+FROM u
+"""
+
+
+SPECS += [
+    QuerySpec("x_source_mirror", q_source_mirror, ORACLE_SOURCE_MIRROR,
+              doc="near-dup pair rollup to source pairs: boilerplate diagonal vs mirror off-diagonal",
+              tags=("llm", "dedup")),
+    QuerySpec("x_code_detect", q_code_detect, ORACLE_CODE_DETECT,
+              doc="code-vs-prose screen via exact symbol/digit density milli grids (regex length diffs, zero shuffles)",
+              tags=("llm", "text")),
+    QuerySpec("x_ann_prefilter", q_ann_prefilter, ORACLE_ANN_PREFILTER,
+              doc="filtered vector search: pre-filter top-10 vs post-filter-from-top-50 coverage per query",
+              tags=("llm", "similarity")),
+    QuerySpec("x_detector_agreement", q_detector_agreement, ORACLE_DETECTOR_AGREEMENT,
+              doc="MinHash/LSH vs SimHash pair-set agreement: intersection, set-Jaccard, containments",
+              tags=("llm", "dedup", "eval")),
+]

@@ -2352,3 +2352,87 @@ SPECS = SPECS + (
               doc="streaming per-bucket hash-minimum sample (order/batch/replay-invariant bottom-k), min-merged grids == batch argmin",
               tags=("stream", "sampling")),
 )
+
+
+# ---------------------------------------------------------------- r7: streaming Welch A/B monitor
+def q_stream_welch_t2(spark, sf_dir):
+    """Streaming A/B significance monitor: per micro-batch, the 'click'
+    and 'view' populations reduce to their exact BIGINT cent MOMENTS
+    (n, Σx, Σx²) — a 1-row grid landed under batch_id=N (overwrite ⇒
+    idempotent replay, the s_stream_cms_heavy exactly-once model); the
+    read side SUMS the grids (moments are additive, so the merge equals
+    the single-pass batch moments regardless of micro-batch boundaries)
+    and evaluates the identical Welch t² scalar as e_welch_t2 — whose
+    oracle this query shares VERBATIM. This is the production shape of an
+    online experiment dashboard: O(1) state per batch, the statistic
+    recomputable at any watermark, no raw-event retention.
+
+    Scale/state: a 1-row conditional aggregate per batch (map-side
+    combinable), KBs of landed state per trigger at any stream rate."""
+    ev = _events_stream(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="streamq_welch_")
+    store = os.path.join(tmp, "grids")
+    ck = os.path.join(tmp, "ck")
+
+    def _moments(df: DataFrame) -> DataFrame:
+        cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+        is_a = F.col("event_type") == "click"
+        return df.filter(F.col("event_type").isin("click", "view")).agg(
+            F.coalesce(F.sum(F.when(is_a, 1).otherwise(0)), F.lit(0)).cast("bigint").alias("n_a"),
+            F.coalesce(F.sum(F.when(is_a, cents).otherwise(0)), F.lit(0)).cast("bigint").alias("s_a"),
+            F.coalesce(F.sum(F.when(is_a, cents * cents).otherwise(0)), F.lit(0)).cast("bigint").alias("ss_a"),
+            F.coalesce(F.sum(F.when(~is_a, 1).otherwise(0)), F.lit(0)).cast("bigint").alias("n_b"),
+            F.coalesce(F.sum(F.when(~is_a, cents).otherwise(0)), F.lit(0)).cast("bigint").alias("s_b"),
+            F.coalesce(F.sum(F.when(~is_a, cents * cents).otherwise(0)), F.lit(0)).cast("bigint").alias("ss_b"),
+        )
+
+    def _land(batch: DataFrame, batch_id: int) -> None:
+        _moments(batch).write.mode("overwrite").parquet(
+            os.path.join(store, f"batch_id={batch_id}")
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(_land)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    m = spark.read.parquet(store).agg(
+        F.sum("n_a").cast("bigint").alias("n_a"),
+        F.sum("s_a").cast("bigint").alias("s_a"),
+        F.sum("ss_a").cast("bigint").alias("ss_a"),
+        F.sum("n_b").cast("bigint").alias("n_b"),
+        F.sum("s_b").cast("bigint").alias("s_b"),
+        F.sum("ss_b").cast("bigint").alias("ss_b"),
+    )
+    return m.select(
+        "n_a",
+        "n_b",
+        F.expr("s_a div greatest(n_a, 1)").alias("mean_a_cents"),
+        F.expr("s_b div greatest(n_b, 1)").alias("mean_b_cents"),
+        F.expr(
+            "CASE WHEN n_a > 1 AND n_b > 1 AND "
+            "((CAST(n_a * ss_a - s_a * s_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * (n_a - 1))) / n_a "
+            " + (CAST(n_b * ss_b - s_b * s_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * (n_b - 1))) / n_b) > 0 "
+            "THEN CAST(floor(1000000.0 * "
+            "  (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b) * "
+            "  (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b) / "
+            "  ((CAST(n_a * ss_a - s_a * s_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * (n_a - 1))) / n_a "
+            "   + (CAST(n_b * ss_b - s_b * s_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * (n_b - 1))) / n_b)"
+            ") AS BIGINT) ELSE NULL END"
+        ).alias("t2_micro"),
+    )
+
+
+def _oracle_stream_welch() -> str:
+    from .analytics import ORACLE_WELCH_T2
+
+    return ORACLE_WELCH_T2
+
+
+SPECS = SPECS + (
+    QuerySpec("s_stream_welch_t2", q_stream_welch_t2, _oracle_stream_welch(),
+              doc="streaming Welch t-squared from additive per-batch BIGINT moment grids; shares e_welch_t2's oracle verbatim",
+              tags=("stream", "stats")),
+)
