@@ -4226,3 +4226,63 @@ SPECS += [
               doc="lag-1 autocorrelation of daily revenue via gap-safe adjacent-day self-join, BIGINT moments",
               tags=("ext", "stats", "timeseries")),
 ]
+
+
+# ---------------------------------------------------------------- r7: OHLC downsample
+def q_ohlc(spark, sf_dir):
+    """Daily OHLC (open/high/low/close) bars of the purchase value stream —
+    the canonical time-series downsample every metrics store runs. Open/
+    close are the values at the min/max (ts, event_id) of the day — the
+    unique composite key makes the selection deterministic in both engines
+    (min_by/max_by with a struct key ≙ the oracle's arg-extreme via
+    row_number) — and high/low are exact cent extremes.
+
+    Scale shape: ONE day-keyed hash aggregate over the filtered scan:
+    min_by/max_by fold the arg-extremes map-side, so nothing but the
+    ~|days| result rows crosses the wire; no window, no sort."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    base = ev.select(
+        F.to_date("ts").alias("dt"),
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+        cents.alias("cents"),
+    )
+    key = F.struct(F.col("us"), F.col("event_id"))
+    return base.groupBy("dt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+        F.min_by(F.col("cents"), key).alias("open_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.max_by(F.col("cents"), key).alias("close_cents"),
+    ).orderBy("dt")
+
+
+ORACLE_OHLC = """
+WITH base AS (
+  SELECT ts::DATE AS dt, epoch_us(ts) AS us, event_id,
+         round(value * 100)::BIGINT AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT dt, cents,
+         row_number() OVER (PARTITION BY dt ORDER BY us, event_id) AS rk_open,
+         row_number() OVER (PARTITION BY dt ORDER BY us DESC, event_id DESC) AS rk_close,
+         count(*) OVER (PARTITION BY dt) AS n
+  FROM base
+)
+SELECT dt,
+       max(n)::BIGINT AS n_trades,
+       max(CASE WHEN rk_open = 1 THEN cents END)::BIGINT AS open_cents,
+       max(cents)::BIGINT AS high_cents,
+       min(cents)::BIGINT AS low_cents,
+       max(CASE WHEN rk_close = 1 THEN cents END)::BIGINT AS close_cents
+FROM r GROUP BY dt ORDER BY dt
+"""
+
+
+SPECS += [
+    QuerySpec("e_ohlc", q_ohlc, ORACLE_OHLC,
+              doc="daily OHLC bars via min_by/max_by on the unique (ts, event_id) key — one hash agg, no windows",
+              tags=("ext", "timeseries")),
+]

@@ -8341,3 +8341,103 @@ SPECS += [
               doc="MinHash/LSH vs SimHash pair-set agreement: intersection, set-Jaccard, containments",
               tags=("llm", "dedup", "eval")),
 ]
+
+
+# ---------------------------------------------------------------- r7: hybrid rank fusion (RRF)
+def q_rrf_fusion(spark, sf_dir):
+    """Hybrid lexical+semantic retrieval via Reciprocal Rank Fusion
+    (Cormack et al. '09): the LEXICAL arm ranks documents by exact query-
+    term frequency (the 3-term x_bm25_rank query, pure integer counts),
+    the SEMANTIC arm by floor-decimilli cosine to query vector 0 (doc_id
+    and vec_id share the fixture's id space — the linkage a real corpus
+    gets from its ingestion key), and the fused score is
+    Σ 1e6 div (60 + rank) over each arm's TOP-100 list — fully integer,
+    so cross-engine parity is exact with the (rrf desc, id) tiebreak.
+
+    RRF is deployed exactly this way: fuse each retriever's bounded top-k
+    list, never full-corpus rankings — which is also what keeps the plan
+    scale-sane: both arms end in TakeOrdered(100) (per-partition partial
+    top-k + merge, the x_coverage_curve precedent), ranks are windows
+    over the BOUNDED 100-row frames, and the fusion is a full outer join
+    of two 100-row frames. Items missing from one arm contribute 0 from
+    it, the standard convention."""
+    from pyspark.sql import Window
+
+    d = _docs_par(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.explode(F.expr(
+            "filter(split(lower(trim(text)), '\\\\s+'), t -> t != '')"
+        )).alias("tok"),
+    )
+    lex_score = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("lex_tf"))
+    )
+    lex_top = lex_score.orderBy(F.col("lex_tf").desc(), "doc_id").limit(100)
+    wl = Window.orderBy(F.col("lex_tf").desc(), "doc_id")
+    lex = lex_top.withColumn("lex_rank", F.row_number().over(wl)).select(
+        F.col("doc_id").alias("item_id"), "lex_rank"
+    )
+    e = _embs_par(spark, sf_dir)
+    q0 = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    sem_score = e.filter(F.col("vec_id") != 0).join(F.broadcast(q0)).select(
+        F.col("vec_id").alias("item_id"),
+        F.floor(similarity.cosine(F.col("embedding"), F.col("qvec")) * 10000)
+        .cast("bigint").alias("cos_e4"),
+    )
+    sem_top = sem_score.orderBy(F.col("cos_e4").desc(), "item_id").limit(100)
+    ws = Window.orderBy(F.col("cos_e4").desc(), "item_id")
+    sem = sem_top.withColumn("sem_rank", F.row_number().over(ws)).select(
+        "item_id", "sem_rank"
+    )
+    fused = lex.join(sem, "item_id", "full_outer").select(
+        "item_id",
+        F.col("lex_rank").cast("bigint").alias("lex_rank"),
+        F.col("sem_rank").cast("bigint").alias("sem_rank"),
+        (
+            F.coalesce(F.expr("1000000 div (60 + lex_rank)"), F.lit(0))
+            + F.coalesce(F.expr("1000000 div (60 + sem_rank)"), F.lit(0))
+        ).cast("bigint").alias("rrf_micro"),
+    )
+    return fused.orderBy(F.col("rrf_micro").desc(), "item_id").limit(20)
+
+
+ORACLE_RRF_FUSION = f"""
+WITH lex_score AS (
+  SELECT doc_id AS item_id,
+         len(list_filter({_TOKS}, t -> t IN ('spark', 'join', 'window')))::BIGINT AS lex_tf
+  FROM documents
+  WHERE len(list_filter({_TOKS}, t -> t IN ('spark', 'join', 'window'))) > 0
+),
+lex AS (
+  SELECT item_id, row_number() OVER (ORDER BY lex_tf DESC, item_id) AS lex_rank
+  FROM lex_score ORDER BY lex_tf DESC, item_id LIMIT 100
+),
+q0 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+sem_score AS (
+  SELECT c.vec_id AS item_id,
+         floor(list_cosine_similarity(c.embedding::DOUBLE[], q0.qv) * 10000)::BIGINT AS cos_e4
+  FROM embeddings c CROSS JOIN q0 WHERE c.vec_id <> 0
+),
+sem AS (
+  SELECT item_id, row_number() OVER (ORDER BY cos_e4 DESC, item_id) AS sem_rank
+  FROM sem_score ORDER BY cos_e4 DESC, item_id LIMIT 100
+),
+fused AS (
+  SELECT coalesce(l.item_id, s.item_id) AS item_id,
+         l.lex_rank::BIGINT AS lex_rank, s.sem_rank::BIGINT AS sem_rank,
+         (coalesce(1000000 // (60 + l.lex_rank), 0)
+          + coalesce(1000000 // (60 + s.sem_rank), 0))::BIGINT AS rrf_micro
+  FROM lex l FULL OUTER JOIN sem s ON l.item_id = s.item_id
+)
+SELECT * FROM fused ORDER BY rrf_micro DESC, item_id LIMIT 20
+"""
+
+
+SPECS += [
+    QuerySpec("x_rrf_fusion", q_rrf_fusion, ORACLE_RRF_FUSION,
+              doc="hybrid retrieval: RRF fusion of exact-tf lexical and decimilli-cosine semantic top-100 lists",
+              tags=("llm", "similarity", "retrieval")),
+]

@@ -157,3 +157,102 @@ def test_dim_trunc_recall_bounds(spark):
         assert r["n_truth"] == 10
         assert 0 <= r["n_hits"] <= 10
         assert abs(r["recall_at_10"] - r["n_hits"] / 10.0) < 1e-9
+
+
+def test_detector_agreement_set_identities(spark):
+    r = _rows(spark, "x_detector_agreement")[0]
+    assert r["n_both"] <= min(r["n_minhash"], r["n_simhash"])
+    assert r["n_union"] == r["n_minhash"] + r["n_simhash"] - r["n_both"]
+    for c in ("set_jaccard", "containment_in_minhash", "containment_in_simhash"):
+        assert 0.0 <= r[c] <= 1.0
+
+
+def test_source_mirror_total_equals_leakage_pairs(spark):
+    """Two independent rollups of the same verified pair set must count the
+    same pairs: Σ source-pair counts == x_split_leakage's n_pairs."""
+    mirror_total = sum(r["n_pairs"] for r in _rows(spark, "x_source_mirror"))
+    leak = _rows(spark, "x_split_leakage")[0]
+    assert mirror_total == leak["n_pairs"]
+
+
+def test_code_detect_matches_local(spark):
+    import re
+
+    docs = {r["doc_id"]: r["text"] for r in spark.read.parquet(f"{SF}/documents.parquet").limit(50).collect()}
+    got = {r["doc_id"]: r for r in _rows(spark, "x_code_detect")}
+    for did, text in docs.items():
+        n = len(text)
+        sym = len(re.findall(r"[;{}()\[\]=<>]", text))
+        dig = len(re.findall(r"[0-9]", text))
+        assert got[did]["sym_milli"] == (1000 * sym) // max(n, 1)
+        assert got[did]["digit_milli"] == (1000 * dig) // max(n, 1)
+        assert got[did]["is_code"] == int(got[did]["sym_milli"] >= 50)
+
+
+def test_ann_prefilter_bounds(spark):
+    for r in _rows(spark, "x_ann_prefilter"):
+        assert 1 <= r["n_pre"] <= 10
+        assert 0 <= r["n_post_hits"] <= r["n_pre"]
+        assert 0.0 <= r["post_coverage"] <= 1.0
+
+
+def test_rrf_score_consistency(spark):
+    rows = _rows(spark, "x_rrf_fusion")
+    assert len(rows) <= 20
+    prev = None
+    for r in rows:
+        expect = 0
+        if r["lex_rank"] is not None:
+            expect += 1000000 // (60 + r["lex_rank"])
+        if r["sem_rank"] is not None:
+            expect += 1000000 // (60 + r["sem_rank"])
+        assert r["rrf_micro"] == expect
+        if prev is not None:
+            assert r["rrf_micro"] <= prev
+        prev = r["rrf_micro"]
+
+
+def test_ohlc_invariants_and_one_day_mirror(spark):
+    rows = _rows(spark, "e_ohlc")
+    assert rows
+    for r in rows:
+        assert r["low_cents"] <= min(r["open_cents"], r["close_cents"])
+        assert r["high_cents"] >= max(r["open_cents"], r["close_cents"])
+    ev = [
+        (r["ts"], r["event_id"], round(r["value"] * 100))
+        for r in spark.read.parquet(f"{SF}/events.parquet").collect()
+        if r["event_type"] == "purchase"
+    ]
+    day = rows[0]["dt"]
+    todays = sorted((t, e, c) for t, e, c in ev if t.date() == day)
+    assert rows[0]["open_cents"] == todays[0][2]
+    assert rows[0]["close_cents"] == todays[-1][2]
+    assert rows[0]["n_trades"] == len(todays)
+
+
+def test_autocorr_matches_local(spark):
+    import math
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").collect()
+    daily = {}
+    for r in o:
+        daily[r["o_orderdate"]] = daily.get(r["o_orderdate"], 0) + round(r["o_totalprice"] * 100)
+    dollars = {d: (abs(c) // 100) * (1 if c >= 0 else -1) for d, c in daily.items()}
+    import datetime
+
+    pairs = [
+        (dollars[d], dollars[d - datetime.timedelta(days=1)])
+        for d in dollars
+        if d - datetime.timedelta(days=1) in dollars
+    ]
+    n = len(pairs)
+    sx = sum(x for x, _ in pairs); sy = sum(y for _, y in pairs)
+    sxy = sum(x * y for x, y in pairs)
+    sxx = sum(x * x for x, _ in pairs); syy = sum(y * y for _, y in pairs)
+    num = float(n) * float(sxy) - float(sx) * float(sy)
+    dx = float(n) * float(sxx) - float(sx) * float(sx)
+    dy = float(n) * float(syy) - float(sy) * float(sy)
+    expect = math.floor(1000000.0 * num / (math.sqrt(dx) * math.sqrt(dy)))
+    row = _rows(spark, "e_autocorr")[0]
+    assert row["n_pairs"] == n
+    assert row["autocorr_micro"] == expect
