@@ -503,11 +503,36 @@ def random_projection_signs(
     )
 
 
+def packed_projection_dirs(
+    spark, n_dirs: int = 16, dim: int = 64, salt: str = "rp"
+) -> DataFrame:
+    """The :func:`random_projection_signs` matrix as ONE row holding
+    array<struct<r, sv: array<int>>> — built entirely from nested
+    sequence/transform EXPRESSIONS over the same portable hash, so the
+    broadcast side has no aggregate and therefore no exchange at all
+    (packing the (r, j, sign) frame with collect_list costs a
+    SinglePartition exchange that, while bounded by n_dirs·dim, shows up
+    as an AQE-wrapped stage in every consumer's plan audit)."""
+    from ..functions.hashing import portable_hash64_spark_sql
+
+    h = portable_hash64_spark_sql(
+        f"concat_ws(':', '{salt}', cast(r as string), cast(j as string))"
+    )
+    return spark.range(1).select(
+        F.expr(
+            f"transform(sequence(0, {n_dirs - 1}), r -> struct(cast(r as int) as r, "
+            f"transform(sequence(0, {dim - 1}), j -> "
+            f"cast(pmod({h}, 2) * 2 - 1 as int)) as sv))"
+        ).alias("_dirs")
+    )
+
+
 def random_projection(
     corpus: DataFrame,
-    signs: DataFrame,
+    signs: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    packed: DataFrame | None = None,
 ) -> DataFrame:
     """Sign random projection (Achlioptas-style database-friendly JL
     transform): reduce each vector to n_dirs signed sums of its components.
@@ -515,23 +540,52 @@ def random_projection(
     projection is an exact bigint sum — order-free, bit-identical across
     engines — rather than an aggregation-order-dependent float fold.
 
-    Scale shape: posexplode components → broadcast-join the 1024-row sign
-    matrix → one hash aggregate keyed (vec_id, r). The component matrix
-    shuffles once, keyed by vector id — no pairwise stage, and downstream
-    similarity runs in the 4×-smaller projected space.
+    Scale shape (r7): the sign matrix packs into ONE broadcast row of
+    per-direction sign arrays (the _centroid_array pattern); each corpus
+    row computes all n_dirs projections as zip_with/aggregate folds over
+    its own components — a pure narrow map with ZERO data-proportional
+    shuffle (the r4–r6 form posexploded 64·N component rows through a
+    (vec_id, r)-keyed hash aggregate; at 10⁹ vectors that shuffle was the
+    whole cost of every projection consumer). The fold is sequential per
+    row, so the exact-BIGINT milli sums are unchanged — bit-identical to
+    the aggregate form and the oracle.
+
+    Pass ``packed`` (from :func:`packed_projection_dirs`) to keep even
+    the broadcast side exchange-free; a legacy ``signs`` (r, j, sign)
+    frame is packed here with two collect_list aggregates (bounded by
+    n_dirs·dim, but it costs a SinglePartition exchange).
     Output: (vec_id, r, proj_milli bigint).
     """
-    comps = corpus.select(
-        F.col(id_col), F.posexplode(F.col(vec_col)).alias("jpos", "val")
-    ).select(
-        id_col,
-        F.col("jpos").cast("int").alias("j"),
-        F.floor(F.col("val").cast("double") * 1000).cast("bigint").alias("milli"),
+    if packed is None:
+        if signs is None:
+            raise ValueError("random_projection needs `signs` or `packed`")
+        packed = signs.groupBy("r").agg(
+            F.array_sort(F.collect_list(F.struct("j", "sign"))).alias("_sj")
+        ).agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("r"), F.transform("_sj", lambda s: s["sign"]).alias("sv"))
+                )
+            ).alias("_dirs")
+        )
+    milli = F.transform(
+        F.col(vec_col), lambda v: F.floor(v.cast("double") * 1000).cast("bigint")
+    )
+    projs = F.transform(
+        F.col("_dirs"),
+        lambda d: F.struct(
+            d["r"].alias("r"),
+            F.aggregate(
+                F.zip_with(d["sv"], milli, lambda s, m: s.cast("bigint") * m),
+                F.lit(0).cast("bigint"),
+                lambda acc, t: acc + t,
+            ).alias("proj_milli"),
+        ),
     )
     return (
-        comps.join(F.broadcast(signs), "j")
-        .groupBy(id_col, "r")
-        .agg(F.sum(F.col("sign") * F.col("milli")).alias("proj_milli"))
+        corpus.join(F.broadcast(packed))
+        .select(F.col(id_col), F.explode(projs).alias("_p"))
+        .select(id_col, F.col("_p.r").alias("r"), F.col("_p.proj_milli").alias("proj_milli"))
     )
 
 
@@ -887,8 +941,8 @@ def dbscan_2d(
          labeled noise with cluster_id = -1.
     """
     spark = corpus.sparkSession
-    signs = random_projection_signs(spark, n_dirs=2)
-    proj = random_projection(corpus, signs, id_col=id_col, vec_col=vec_col)
+    packed = packed_projection_dirs(spark, n_dirs=2)
+    proj = random_projection(corpus, id_col=id_col, vec_col=vec_col, packed=packed)
     pts = (
         proj.groupBy(id_col)
         .agg(

@@ -2371,8 +2371,8 @@ def q_rp_project(spark, sf_dir):
     deterministic ±1 matrix from the portable hash, components quantized to
     milli-units so every projection is an exact bigint sum."""
     e = _embs_par(spark, sf_dir)
-    signs = similarity.random_projection_signs(spark)
-    return similarity.random_projection(e, signs)
+    packed = similarity.packed_projection_dirs(spark)
+    return similarity.random_projection(e, packed=packed)
 
 
 _RP_SIGN = "((('0x' || substr(md5('rp:' || r::VARCHAR || ':' || j::VARCHAR), 1, 15))::BIGINT % 2) * 2 - 1)"

@@ -256,3 +256,22 @@ def test_autocorr_matches_local(spark):
     row = _rows(spark, "e_autocorr")[0]
     assert row["n_pairs"] == n
     assert row["autocorr_micro"] == expect
+
+
+def test_random_projection_packed_equals_legacy(spark):
+    """The exchange-free packed-dirs projection must be bit-identical to
+    the legacy (r, j, sign)-frame aggregate path, and its broadcast side
+    must contain no Exchange at all."""
+    from gmall_flink_230422_spark.operators import similarity as sim
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").limit(50)
+    legacy = sim.random_projection(e, sim.random_projection_signs(spark, n_dirs=4))
+    packed = sim.random_projection(e, packed=sim.packed_projection_dirs(spark, n_dirs=4))
+    l = {(r["vec_id"], r["r"]): r["proj_milli"] for r in legacy.collect()}
+    p = {(r["vec_id"], r["r"]): r["proj_milli"] for r in packed.collect()}
+    assert l == p
+    dirs = sim.packed_projection_dirs(spark, n_dirs=4)
+    plan = dirs._sc._jvm.PythonSQLUtils.explainString(
+        dirs._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan

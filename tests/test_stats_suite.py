@@ -238,7 +238,7 @@ def test_dbscan_semantics_on_handmade_plane(spark):
 
     real_rp = sim.random_projection
 
-    def fake_rp(corpus, signs, id_col="vec_id", vec_col="embedding"):
+    def fake_rp(corpus, signs=None, id_col="vec_id", vec_col="embedding", packed=None):
         return corpus.selectExpr(
             f"{id_col}", "stack(2, 0, x, 1, y) AS (r, proj_milli)"
         )
