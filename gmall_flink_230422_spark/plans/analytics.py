@@ -4286,3 +4286,75 @@ SPECS += [
               doc="daily OHLC bars via min_by/max_by on the unique (ts, event_id) key — one hash agg, no windows",
               tags=("ext", "timeseries")),
 ]
+
+
+# ---------------------------------------------------------------- r7: day-of-week mix divergence
+def q_dow_divergence(spark, sf_dir):
+    """Per-event-type day-of-week MIX divergence from the overall traffic's
+    dow mix: total-variation and chi-square distance on the exact ppm grid
+    over the bounded 7-cell axis — the weekly-seasonality association
+    table (a type whose dow profile diverges is gated by something:
+    business-hours API callers, weekend consumers, batch jobs). Log-free
+    (KL/JS deliberately avoided — libm log is not bit-identical across
+    engines; the x_source_divergence contract).
+
+    dow is convention-free in both engines: days-since-epoch mod 7
+    (0 = Thursday), immune to Sunday-0 vs Sunday-1 disagreements.
+
+    Scale shape: one (type, dow) hash agg over the scan — 35 cells — then
+    broadcast-size arithmetic; nothing else touches data volume."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.expr("pmod(datediff(to_date(ts), DATE '1970-01-01'), 7)").cast("int").alias("dow"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_td"))
+    totals = cells.groupBy("event_type").agg(F.sum("n_td").alias("n_t"))
+    overall = cells.groupBy("dow").agg(F.sum("n_td").alias("n_d"))
+    n_all = cells.agg(F.sum("n_td").alias("n_all"))
+    grid = (
+        cells.join(totals, "event_type")
+        .join(F.broadcast(overall), "dow")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "event_type",
+            "dow",
+            F.expr("CAST(n_td * 1000000 DIV n_t AS BIGINT)").alias("obs_ppm"),
+            F.expr("CAST(n_d * 1000000 DIV n_all AS BIGINT)").alias("exp_ppm"),
+        )
+    )
+    return grid.groupBy("event_type").agg(
+        F.expr("CAST(sum(abs(obs_ppm - exp_ppm)) DIV 2 AS BIGINT)").alias("tv_ppm"),
+        F.expr(
+            "CAST(sum((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm)"
+            " DIV greatest(exp_ppm, 1)) AS BIGINT)"
+        ).alias("chi2_ppm"),
+    ).orderBy("event_type")
+
+
+ORACLE_DOW_DIVERGENCE = """
+WITH cells AS (
+  SELECT event_type, ((ts::DATE - DATE '1970-01-01') % 7)::INT AS dow,
+         count(*)::BIGINT AS n_td
+  FROM events GROUP BY 1, 2
+),
+totals AS (SELECT event_type, sum(n_td)::BIGINT AS n_t FROM cells GROUP BY 1),
+overall AS (SELECT dow, sum(n_td)::BIGINT AS n_d FROM cells GROUP BY 1),
+nall AS (SELECT sum(n_td)::BIGINT AS n_all FROM cells),
+grid AS (
+  SELECT c.event_type, c.dow,
+         (c.n_td * 1000000 // t.n_t)::BIGINT AS obs_ppm,
+         (o.n_d * 1000000 // n.n_all)::BIGINT AS exp_ppm
+  FROM cells c JOIN totals t USING (event_type) JOIN overall o USING (dow), nall n
+)
+SELECT event_type,
+       (sum(abs(obs_ppm - exp_ppm)) // 2)::BIGINT AS tv_ppm,
+       sum((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) // greatest(exp_ppm, 1))::BIGINT AS chi2_ppm
+FROM grid GROUP BY event_type ORDER BY event_type
+"""
+
+
+SPECS += [
+    QuerySpec("e_dow_divergence", q_dow_divergence, ORACLE_DOW_DIVERGENCE,
+              doc="per-type day-of-week mix TV + chi-square vs overall traffic on the exact ppm grid (epoch-mod-7 dow)",
+              tags=("ext", "stats", "seasonality")),
+]

@@ -8441,3 +8441,109 @@ SPECS += [
               doc="hybrid retrieval: RRF fusion of exact-tf lexical and decimilli-cosine semantic top-100 lists",
               tags=("llm", "similarity", "retrieval")),
 ]
+
+
+# ---------------------------------------------------------------- r7: LSH quality by length stratum
+def q_length_strata_lsh(spark, sf_dir):
+    """LSH candidate quality STRATIFIED BY DOCUMENT LENGTH: recall and
+    precision of the MinHash(16)/LSH(4×4) generator against exact
+    Jaccard ≥ 0.5 truth, per length stratum (short < 400 chars, mid <
+    1600, long ≥ 1600, plus 'cross' for pairs spanning strata). Shingle
+    Jaccard is length-sensitive — short docs have few shingles, so one
+    banding miss kills recall — and this is the table that says WHERE the
+    x_dedup_f1 scalar hides weakness (the standard reason production
+    dedup runs a separate short-text pass, cf. x_detector_agreement).
+
+    Scale shape: ONE shared shingle frame feeds truth and candidates
+    (x_dedup_threshold_curve's shape); length labels attach by two
+    id-keyed joins of the (doc_id, n_chars) projection; two 4-row
+    aggregates full-outer-joined on the stratum key."""
+    d = _docs_par(spark, sf_dir)
+    sh = dedup.shingles(d).cache()
+    sigs = dedup.minhash_signatures(sh, num_hashes=16)
+    cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4).cache()
+    truth = dedup.jaccard_pairs(sh, threshold=0.5, candidates=None)
+    lens = d.select(
+        "doc_id",
+        F.when(F.col("n_chars") < 400, "1_short")
+        .when(F.col("n_chars") < 1600, "2_mid")
+        .otherwise("3_long")
+        .alias("lb"),
+    )
+
+    def labeled(pairs):
+        return (
+            pairs.join(lens.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("lb", "la"), "doc_a")
+            .join(lens.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("lb", "lb2"), "doc_b")
+            .withColumn(
+                "stratum",
+                F.when(F.col("la") == F.col("lb2"), F.col("la")).otherwise(F.lit("4_cross")),
+            )
+        )
+
+    t = labeled(
+        truth.join(cands.withColumn("_c", F.lit(1)), ["doc_a", "doc_b"], "left")
+    ).groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true"),
+        F.coalesce(F.sum(F.coalesce("_c", F.lit(0))), F.lit(0)).cast("bigint").alias("n_tp"),
+    )
+    c = labeled(cands).groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cand")
+    )
+    return t.join(c, "stratum", "full_outer").select(
+        "stratum",
+        F.coalesce("n_true", F.lit(0)).cast("bigint").alias("n_true"),
+        F.coalesce("n_cand", F.lit(0)).cast("bigint").alias("n_cand"),
+        F.coalesce("n_tp", F.lit(0)).cast("bigint").alias("n_tp"),
+        (F.expr("(coalesce(n_tp, 0) * 10000) div greatest(coalesce(n_true, 0), 1)") / F.lit(10000.0)).alias("recall"),
+        (F.expr("(coalesce(n_tp, 0) * 10000) div greatest(coalesce(n_cand, 0), 1)") / F.lit(10000.0)).alias("precision"),
+    ).orderBy("stratum")
+
+
+ORACLE_LENGTH_STRATA_LSH = f"""
+WITH {_SHINGLES_CTE},
+{_minhash_lsh_ctes()},
+lens AS (
+  SELECT doc_id, CASE WHEN n_chars < 400 THEN '1_short'
+                      WHEN n_chars < 1600 THEN '2_mid'
+                      ELSE '3_long' END AS lb
+  FROM documents
+),
+truth AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
+  WHERE floor((i.i * 1.0 / (x.sz + y.sz - i.i)) * 10000) / 10000 >= 0.5
+),
+tl AS (
+  SELECT CASE WHEN a.lb = b.lb THEN a.lb ELSE '4_cross' END AS stratum,
+         CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS caught
+  FROM truth t
+  JOIN lens a ON t.doc_a = a.doc_id JOIN lens b ON t.doc_b = b.doc_id
+  LEFT JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+),
+ta AS (
+  SELECT stratum, count(*)::BIGINT AS n_true, coalesce(sum(caught), 0)::BIGINT AS n_tp
+  FROM tl GROUP BY 1
+),
+cl AS (
+  SELECT CASE WHEN a.lb = b.lb THEN a.lb ELSE '4_cross' END AS stratum,
+         count(*)::BIGINT AS n_cand
+  FROM cand c JOIN lens a ON c.doc_a = a.doc_id JOIN lens b ON c.doc_b = b.doc_id
+  GROUP BY 1
+)
+SELECT coalesce(ta.stratum, cl.stratum) AS stratum,
+       coalesce(ta.n_true, 0)::BIGINT AS n_true,
+       coalesce(cl.n_cand, 0)::BIGINT AS n_cand,
+       coalesce(ta.n_tp, 0)::BIGINT AS n_tp,
+       ((coalesce(ta.n_tp, 0) * 10000) // greatest(coalesce(ta.n_true, 0), 1)) / 10000.0 AS recall,
+       ((coalesce(ta.n_tp, 0) * 10000) // greatest(coalesce(cl.n_cand, 0), 1)) / 10000.0 AS precision
+FROM ta FULL OUTER JOIN cl ON ta.stratum = cl.stratum
+ORDER BY stratum
+"""
+
+
+SPECS += [
+    QuerySpec("x_length_strata_lsh", q_length_strata_lsh, ORACLE_LENGTH_STRATA_LSH,
+              doc="LSH recall/precision stratified by document length (+ cross-stratum bucket) from one shared shingle frame",
+              tags=("llm", "dedup", "eval")),
+]

@@ -2436,3 +2436,79 @@ SPECS = SPECS + (
               doc="streaming Welch t-squared from additive per-batch BIGINT moment grids; shares e_welch_t2's oracle verbatim",
               tags=("stream", "stats")),
 )
+
+
+# ---------------------------------------------------------------- r7: streaming OHLC bars
+def q_stream_ohlc(spark, sf_dir):
+    """Daily OHLC bars maintained INCREMENTALLY: each micro-batch lands its
+    per-day partial bars — n, min/max cents, and the arg-extremes as
+    struct(us, event_id, cents) min/max keys — under batch_id=N
+    (idempotent overwrite, the s_stream_cms_heavy exactly-once model);
+    the read side merges by the same min/max/sum, which equals the
+    single-pass batch bars because min/max over a TOTAL key order and sum
+    are associative-commutative — so e_ohlc's oracle applies VERBATIM.
+    The production shape of candlestick/metric-bar maintenance: per-batch
+    state is O(|days touched|), the merge never re-reads raw events.
+
+    Scale/state: one day-keyed partial aggregate per batch (map-side
+    combinable), bar-count-bounded landed state per trigger."""
+    ev = _events_stream(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="streamq_ohlc_")
+    store = os.path.join(tmp, "bars")
+    ck = os.path.join(tmp, "ck")
+
+    def _bars(df: DataFrame) -> DataFrame:
+        cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+        base = df.filter(F.col("event_type") == "purchase").select(
+            F.to_date("ts").alias("dt"),
+            F.unix_micros(F.col("ts")).alias("us"),
+            "event_id",
+            cents.alias("cents"),
+        )
+        key = F.struct(F.col("us"), F.col("event_id"), F.col("cents"))
+        return base.groupBy("dt").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+            F.min(key).alias("o_key"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.max(key).alias("c_key"),
+        )
+
+    def _land(batch: DataFrame, batch_id: int) -> None:
+        _bars(batch).write.mode("overwrite").parquet(
+            os.path.join(store, f"batch_id={batch_id}")
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(_land)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    merged = spark.read.parquet(store).groupBy("dt").agg(
+        F.sum("n_trades").cast("bigint").alias("n_trades"),
+        F.min("o_key").alias("o_key"),
+        F.max("high_cents").alias("high_cents"),
+        F.min("low_cents").alias("low_cents"),
+        F.max("c_key").alias("c_key"),
+    )
+    return merged.select(
+        "dt", "n_trades",
+        F.col("o_key.cents").alias("open_cents"),
+        "high_cents", "low_cents",
+        F.col("c_key.cents").alias("close_cents"),
+    ).orderBy("dt")
+
+
+def _oracle_stream_ohlc() -> str:
+    from .analytics import ORACLE_OHLC
+
+    return ORACLE_OHLC
+
+
+SPECS = SPECS + (
+    QuerySpec("s_stream_ohlc", q_stream_ohlc, _oracle_stream_ohlc(),
+              doc="streaming daily OHLC via mergeable per-batch partial bars (arg-extreme struct keys); shares e_ohlc's oracle verbatim",
+              tags=("stream", "timeseries")),
+)

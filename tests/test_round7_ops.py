@@ -275,3 +275,25 @@ def test_random_projection_packed_equals_legacy(spark):
         dirs._jdf.queryExecution(), "formatted"
     )
     assert "Exchange" not in plan
+
+
+def test_length_strata_partition_of_pairs(spark):
+    """Stratified counts must re-partition the unstratified totals: Σ
+    per-stratum n_true/n_cand/n_tp equal the x_dedup_f1 scalars."""
+    strata = _rows(spark, "x_length_strata_lsh")
+    f1 = _rows(spark, "x_dedup_f1")[0]
+    assert sum(r["n_true"] for r in strata) == f1["n_true_pairs"]
+    assert sum(r["n_cand"] for r in strata) == f1["n_candidate_pairs"]
+    assert sum(r["n_tp"] for r in strata) == f1["n_tp"]
+
+
+def test_dow_divergence_bounds(spark):
+    for r in _rows(spark, "e_dow_divergence"):
+        assert 0 <= r["tv_ppm"] <= 1000000
+        assert r["chi2_ppm"] >= 0
+
+
+def test_stream_ohlc_equals_batch(spark):
+    batch = {r["dt"]: tuple(r) for r in _rows(spark, "e_ohlc")}
+    stream = {r["dt"]: tuple(r) for r in _rows(spark, "s_stream_ohlc")}
+    assert batch == stream
