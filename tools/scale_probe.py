@@ -109,6 +109,17 @@ QUERIES = [
     "x_dbscan",
     "x_span_corruption",
     "e_bootstrap_ci",
+    # round-7 additions: synchronized k-core peel (3 keyed shuffles/round,
+    # lazily checkpointed), RRF fusion (two TakeOrdered(100) arms + tiny
+    # outer join), Spearman via two distributed_cumsum rankings, per-source
+    # frame dedup (JVM binary fan-out + one hash agg), split leakage (the
+    # banded LSH chain + scalar aggregates), grouped-map MMR greedy
+    "x_kcore_peel",
+    "x_rrf_fusion",
+    "e_spearman",
+    "x_frame_dedup",
+    "x_split_leakage",
+    "x_mmr_rerank",
     # round-5 additions: wedge-bounded link prediction (the kNN-capped
     # common-neighbor join), Heaps growth (explode + two hash aggs + a
     # 10-row prefix sum), Gopher funnel (map pass + one grand total),
