@@ -8000,10 +8000,16 @@ def q_kcore_peel(spark, sf_dir):
     sh = dedup.shingles(d).cache()
     sigs = dedup.minhash_signatures(sh, num_hashes=16)
     cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    # EAGER checkpoint of the input edge set (the connected_components
+    # convention): the LSH chain upstream is the expensive lineage, and
+    # without truncating it HERE the 5-round stats union re-embeds the
+    # corpus scan 15x in one plan (the r7 audit's recompiled-lineage
+    # gate); after this leaf the whole output plan contains no parquet
+    # scan at all, and the per-round lazy checkpoints keep depth O(1).
     e = (
         dedup.jaccard_pairs(sh, threshold=0.3, candidates=cands)
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
 
     def stats(edges, rnd):

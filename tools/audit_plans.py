@@ -179,6 +179,18 @@ def scan_repeat_audit(plan: str) -> int:
             for ln in b
             if any(k in ln for k in ("Location:", "ReadSchema:", "PushedFilters:"))
         )
+        if not detail:
+            # Scan ExistingRDD (a localCheckpoint leaf) has no Location/
+            # ReadSchema — without a discriminator every checkpointed
+            # frame in the plan collides into ONE signature and a query
+            # that references k distinct O(1) RDD leaves reads as a k×
+            # recompile (r7: x_kcore_peel's 5 per-round checkpoints
+            # false-flagged at 15×). The Arguments line carries the RDD
+            # id (MapPartitionsRDD[n]), distinct per checkpoint;
+            # re-references of the SAME RDD still count — which is the
+            # cheap case anyway (a materialized leaf re-read, not a
+            # recompiled lineage).
+            detail = tuple(ln.strip() for ln in b if "Arguments:" in ln)
         sigs[(head[1], detail)] += 1
     return max(sigs.values(), default=0)
 
