@@ -4358,3 +4358,50 @@ SPECS += [
               doc="per-type day-of-week mix TV + chi-square vs overall traffic on the exact ppm grid (epoch-mod-7 dow)",
               tags=("ext", "stats", "seasonality")),
 ]
+
+
+# ---------------------------------------------------------------- r7: new vs returning actives
+def q_new_vs_returning(spark, sf_dir):
+    """Daily active users split into NEW (first-ever-seen that day) vs
+    RETURNING — the growth-accounting twin of e_dau_wau (DAU says how
+    many; this says which kind, the number acquisition dashboards track).
+
+    Exact: first_seen = min day per user (one hash agg), actives = the
+    (user, day) dedup frame e_dau_wau uses; new iff dt == first_seen.
+
+    Scale shape: two user-keyed hash aggs over the scan + one user-keyed
+    join + a day rollup — all map-side-combinable, no windows."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("dt")).distinct()
+    first = ud.groupBy("user_id").agg(F.min("dt").alias("first_seen"))
+    return (
+        ud.join(first, "user_id")
+        .groupBy("dt")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_active"),
+            F.coalesce(F.sum(F.when(F.col("dt") == F.col("first_seen"), 1).otherwise(0)), F.lit(0))
+            .cast("bigint").alias("n_new"),
+            F.coalesce(F.sum(F.when(F.col("dt") != F.col("first_seen"), 1).otherwise(0)), F.lit(0))
+            .cast("bigint").alias("n_returning"),
+        )
+        .orderBy("dt")
+    )
+
+
+ORACLE_NEW_VS_RETURNING = """
+WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS dt FROM events),
+f AS (SELECT user_id, min(dt) AS first_seen FROM ud GROUP BY 1)
+SELECT dt,
+       count(*)::BIGINT AS n_active,
+       coalesce(sum(CASE WHEN dt = first_seen THEN 1 ELSE 0 END), 0)::BIGINT AS n_new,
+       coalesce(sum(CASE WHEN dt <> first_seen THEN 1 ELSE 0 END), 0)::BIGINT AS n_returning
+FROM ud JOIN f USING (user_id)
+GROUP BY dt ORDER BY dt
+"""
+
+
+SPECS += [
+    QuerySpec("e_new_vs_returning", q_new_vs_returning, ORACLE_NEW_VS_RETURNING,
+              doc="daily actives split new vs returning via exact per-user first-seen day",
+              tags=("ext", "analytics")),
+]

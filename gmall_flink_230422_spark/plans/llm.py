@@ -8553,3 +8553,72 @@ SPECS += [
               doc="LSH recall/precision stratified by document length (+ cross-stratum bucket) from one shared shingle frame",
               tags=("llm", "dedup", "eval")),
 ]
+
+
+# ---------------------------------------------------------------- r7: source vocabulary overlap
+def q_vocab_overlap_sources(spark, sf_dir):
+    """Pairwise VOCABULARY overlap between sources: Jaccard and each-way
+    containment of the distinct-token sets, per ordered source pair — the
+    set-overlap complement of x_source_divergence's distribution distance
+    (two sources can share 95% of their vocabulary yet weight it
+    completely differently, and vice versa; mixture planning wants both).
+
+    Scale shape: one (source, token) distinct (hash agg, map-side
+    combinable), per-source sizes from its rollup, then the intersection
+    via a token-keyed self-join — per-token fan-out is (sources carrying
+    the token)², bounded by |sources|², never corpus-shaped — and one
+    |sources|²-row aggregate."""
+    d = _docs_par(spark, sf_dir)
+    st = (
+        d.select(
+            "source",
+            F.explode(F.expr(
+                "filter(split(lower(trim(text)), '\\\\s+'), t -> t != '')"
+            )).alias("tok"),
+        )
+        .distinct()
+        .cache()
+    )
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_vocab"))
+    inter = (
+        st.alias("a")
+        .join(st.alias("b"), (F.col("a.tok") == F.col("b.tok")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("source", "source_a").withColumnRenamed("n_vocab", "va"), "source_a")
+        .join(sizes.withColumnRenamed("source", "source_b").withColumnRenamed("n_vocab", "vb"), "source_b")
+        .select(
+            "source_a", "source_b", "n_inter", "va", "vb",
+            (F.expr("(n_inter * 10000) div greatest(va + vb - n_inter, 1)") / F.lit(10000.0)).alias("vocab_jaccard"),
+            (F.expr("(n_inter * 10000) div greatest(least(va, vb), 1)") / F.lit(10000.0)).alias("containment_smaller"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+ORACLE_VOCAB_OVERLAP_SOURCES = f"""
+WITH st AS (SELECT DISTINCT source, unnest({_TOKS}) AS tok FROM documents),
+sizes AS (SELECT source, count(*)::BIGINT AS n_vocab FROM st GROUP BY 1),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*)::BIGINT AS n_inter
+  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b, i.n_inter,
+       sa.n_vocab AS va, sb.n_vocab AS vb,
+       ((i.n_inter * 10000) // greatest(sa.n_vocab + sb.n_vocab - i.n_inter, 1)) / 10000.0 AS vocab_jaccard,
+       ((i.n_inter * 10000) // greatest(least(sa.n_vocab, sb.n_vocab), 1)) / 10000.0 AS containment_smaller
+FROM inter i
+JOIN sizes sa ON i.source_a = sa.source
+JOIN sizes sb ON i.source_b = sb.source
+ORDER BY i.source_a, i.source_b
+"""
+
+
+SPECS += [
+    QuerySpec("x_vocab_overlap_sources", q_vocab_overlap_sources, ORACLE_VOCAB_OVERLAP_SOURCES,
+              doc="pairwise source vocabulary Jaccard + smaller-side containment (set-overlap complement of x_source_divergence)",
+              tags=("llm", "text", "eval")),
+]

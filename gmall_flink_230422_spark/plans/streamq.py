@@ -2512,3 +2512,63 @@ SPECS = SPECS + (
               doc="streaming daily OHLC via mergeable per-batch partial bars (arg-extreme struct keys); shares e_ohlc's oracle verbatim",
               tags=("stream", "timeseries")),
 )
+
+
+# ---------------------------------------------------------------- r7: streaming new-user split
+def q_stream_new_users(spark, sf_dir):
+    """The new-vs-returning daily split maintained INCREMENTALLY: each
+    micro-batch lands its distinct (user, day) pairs AND its per-user min
+    day under batch_id=N (idempotent overwrite); the read side re-distincts
+    the pair union and min-merges first-seen — both associative, so the
+    merged state equals the single-pass batch frames regardless of batch
+    boundaries and e_new_vs_returning's oracle applies VERBATIM. This is
+    the s_stream_dedup_incremental exact-index pattern applied to growth
+    accounting: the landed (user, day) index is the only
+    data-proportional state, and it is exactly the state the batch query
+    scans anyway.
+
+    Scale/state: per batch one distinct + one min agg, both
+    map-side-combinable and bounded by the batch's own user set."""
+    ev = _events_stream(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="streamq_newu_")
+    store = os.path.join(tmp, "idx")
+    ck = os.path.join(tmp, "ck")
+
+    def _land(batch: DataFrame, batch_id: int) -> None:
+        ud = batch.select("user_id", F.to_date("ts").alias("dt")).distinct()
+        ud.write.mode("overwrite").parquet(os.path.join(store, f"batch_id={batch_id}"))
+
+    q = (
+        ev.writeStream.foreachBatch(_land)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ud = spark.read.parquet(store).select("user_id", "dt").distinct()
+    first = ud.groupBy("user_id").agg(F.min("dt").alias("first_seen"))
+    return (
+        ud.join(first, "user_id")
+        .groupBy("dt")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_active"),
+            F.coalesce(F.sum(F.when(F.col("dt") == F.col("first_seen"), 1).otherwise(0)), F.lit(0))
+            .cast("bigint").alias("n_new"),
+            F.coalesce(F.sum(F.when(F.col("dt") != F.col("first_seen"), 1).otherwise(0)), F.lit(0))
+            .cast("bigint").alias("n_returning"),
+        )
+        .orderBy("dt")
+    )
+
+
+def _oracle_stream_new_users() -> str:
+    from .analytics import ORACLE_NEW_VS_RETURNING
+
+    return ORACLE_NEW_VS_RETURNING
+
+
+SPECS = SPECS + (
+    QuerySpec("s_stream_new_users", q_stream_new_users, _oracle_stream_new_users(),
+              doc="incremental new-vs-returning split from an idempotent landed (user, day) index; shares e_new_vs_returning's oracle verbatim",
+              tags=("stream", "analytics")),
+)

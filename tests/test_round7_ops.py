@@ -297,3 +297,24 @@ def test_stream_ohlc_equals_batch(spark):
     batch = {r["dt"]: tuple(r) for r in _rows(spark, "e_ohlc")}
     stream = {r["dt"]: tuple(r) for r in _rows(spark, "s_stream_ohlc")}
     assert batch == stream
+
+
+def test_new_vs_returning_identities(spark):
+    """n_active partitions into new + returning; total new across all days
+    equals the distinct user population (every user is new exactly once)."""
+    rows = _rows(spark, "e_new_vs_returning")
+    users = spark.read.parquet(f"{SF}/events.parquet").select("user_id").distinct().count()
+    assert all(r["n_active"] == r["n_new"] + r["n_returning"] for r in rows)
+    assert sum(r["n_new"] for r in rows) == users
+
+
+def test_stream_new_users_equals_batch(spark):
+    batch = {r["dt"]: tuple(r) for r in _rows(spark, "e_new_vs_returning")}
+    stream = {r["dt"]: tuple(r) for r in _rows(spark, "s_stream_new_users")}
+    assert batch == stream
+
+
+def test_vocab_overlap_bounds(spark):
+    for r in _rows(spark, "x_vocab_overlap_sources"):
+        assert 0 < r["n_inter"] <= min(r["va"], r["vb"])
+        assert 0.0 <= r["vocab_jaccard"] <= r["containment_smaller"] <= 1.0
