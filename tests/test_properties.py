@@ -482,3 +482,50 @@ def test_mmr_rerank_matches_brute_force(spark, vecs, k_select):
         want.add((rank, best[1], best[2]))
         selected.append(best[1])
     assert got == want
+
+
+@SLOW
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_kcore_peel_matches_local_on_random_graphs(spark, edges):
+    """The distributed synchronized 2-core peel (the x_kcore_peel round
+    body: degree filter + two semi-joins per round) must match a plain
+    Python peel on random graphs, per round — including graphs with
+    isolated edges, chains, and self-loop-free multi-edges (dedup'd to a
+    simple a<b edge set, as the query does)."""
+    from pyspark.sql import functions as F
+
+    simple = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    if not simple:
+        return
+    e_df = spark.createDataFrame(simple, "a long, b long").localCheckpoint()
+    e_py = set(simple)
+    for _ in range(3):
+        # local peel
+        deg: dict = {}
+        for a, b in e_py:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, c in deg.items() if c >= 2}
+        e_py = {(a, b) for a, b in e_py if a in keep and b in keep}
+        # distributed peel (the q_kcore_peel round body)
+        d = (
+            e_df.select(F.col("a").alias("n"))
+            .unionByName(e_df.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("ct"))
+        )
+        k = d.filter(F.col("ct") >= 2).select("n")
+        e_df = (
+            e_df.join(k.withColumnRenamed("n", "a"), "a", "left_semi")
+            .join(k.withColumnRenamed("n", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+        got = {(r["a"], r["b"]) for r in e_df.collect()}
+        assert got == e_py
