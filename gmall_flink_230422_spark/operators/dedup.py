@@ -269,7 +269,19 @@ def canonical_near_pairs(
     several keep-one policies over one corpus snapshot (x_dedup_residual)
     compute this once, cache both frames, and pass them to each policy
     via ``prepared=`` instead of re-deriving the whole candidate chain
-    per policy (the old shape paid 2× the shuffles for identical work)."""
+    per policy (the old shape paid 2× the shuffles for identical work).
+
+    Caching contract: this function cache()s the shingle and candidate
+    frames internally (each has ≥2 consumers — signatures+verify, and
+    verify+any caller probe), and a ``prepared=`` caller typically caches
+    ``docs_c``/``near`` on top. All of these are MEMORY_AND_DISK with LRU
+    eviction — Spark frees the blocks under memory pressure, so nothing
+    is pinned harder than any other cached frame — and all are bounded
+    (shingles ≈ token count, candidates/near ≈ verified-pair count, never
+    corpus²). A long-lived session recycling many corpus snapshots should
+    call ``spark.catalog.clearCache()`` (or ``.unpersist()`` on the frames
+    it holds) between snapshots; per-query sweeps don't need to — eviction
+    handles it (r7 advisor note)."""
     groups = exact_dedup_groups(docs, id_col, text_col)
     canon_ids = groups.select(F.col("canonical_id").alias(id_col))
     docs_c = docs.join(canon_ids, id_col, "left_semi")

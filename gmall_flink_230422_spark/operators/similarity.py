@@ -37,7 +37,12 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: a zero-norm (or empty) vector yields NULL similarity — the
+    # DuckDB oracle's divide-by-zero semantics — instead of an ANSI-mode
+    # DIVIDE_BY_ZERO abort killing the whole job over one degenerate row;
+    # downstream consumers treat NULL with SQL aggregate/comparison
+    # semantics (never selected, skipped in max) — see mmr_rerank's kernel.
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def brute_force_topk(
@@ -571,12 +576,22 @@ def random_projection(
     milli = F.transform(
         F.col(vec_col), lambda v: F.floor(v.cast("double") * 1000).cast("bigint")
     )
+    # Length-mismatch contract: the fold runs over the OVERLAP of the sign
+    # vector and the embedding (slice both to the shorter length) — the same
+    # partial sums the legacy posexplode+join-on-j form and the DuckDB
+    # oracle compute. Without the slice, zip_with null-pads the shorter
+    # array and one null product nulls the whole aggregate, so any
+    # non-`dim`-length vector silently projected to NULL (r7 advisor find).
     projs = F.transform(
         F.col("_dirs"),
         lambda d: F.struct(
             d["r"].alias("r"),
             F.aggregate(
-                F.zip_with(d["sv"], milli, lambda s, m: s.cast("bigint") * m),
+                F.zip_with(
+                    F.slice(d["sv"], F.lit(1), F.least(F.size(d["sv"]), F.size(milli))),
+                    F.slice(milli, F.lit(1), F.least(F.size(d["sv"]), F.size(milli))),
+                    lambda s, m: s.cast("bigint") * m,
+                ),
                 F.lit(0).cast("bigint"),
                 lambda acc, t: acc + t,
             ).alias("proj_milli"),
@@ -726,9 +741,16 @@ def mmr_rerank(
     otherwise one count() job on the (small, broadcast-bound) query
     frame. Pass ``probe_partitions`` explicitly to skip both.
     """
+    # cand feeds THREE consumers (both sides of the pairwise self-join and
+    # the grouped-map input's left side); uncached, Catalyst recompiled —
+    # and the executor re-RAN — the dominant broadcast-scoring + window-
+    # prune subtree once per consumer (PLANS.md max_scan_repeat=3, r7
+    # verdict #1). cache() collapses them onto one InMemoryRelation: the
+    # scoring pass executes once, and the cached frame is k_candidates·|Q|
+    # pruned rows (bounded), not the corpus.
     cand = mmr_candidates(
         corpus, query, k_candidates, id_col, vec_col, probe_partitions, n_queries
-    )
+    ).cache()
     pw = (
         cand.alias("a")
         .join(
@@ -766,16 +788,26 @@ def mmr_rerank(
     k_sel = int(k_select)
 
     def _greedy(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # Ids are kept as the RAW pandas values (never int()-coerced): the
+        # operator's id_col is generic — string ids must survive, and the
+        # left join can widen an int id's other_id to float64 (NaN fill),
+        # which still hash-matches its int candidate key. NULL rel (e.g.
+        # cosine of a zero-norm vector) excludes the candidate; NULL sim is
+        # skipped inside the max — SQL aggregate semantics, matching the
+        # former pure-DataFrame loop where NULL never won a `>` comparison
+        # (r7 advisor find).
         qid = pdf["query_id"].iloc[0]
         rel = {}
         sim = {}
         for cid, r, oid, s in zip(
             pdf[id_col], pdf["rel"], pdf["other_id"], pdf["sim"]
         ):
-            cid = int(cid)
-            rel[cid] = int(r)
-            if not pd.isna(oid):
-                sim[(cid, int(oid))] = int(s)
+            if cid not in rel and not pd.isna(r):
+                rel[cid] = int(r)
+            if not pd.isna(oid) and not pd.isna(s):
+                sim[(cid, oid)] = int(s)
+        if not rel:
+            return pd.DataFrame({"query_id": [], "sel_rank": [], id_col: [], "mmr_score": []})
         # rank 1: pure relevance, (rel desc, id asc)
         first = min(rel, key=lambda c: (-rel[c], c))
         ranks, ids, scores = [1], [first], [2 * rel[first]]
@@ -786,9 +818,16 @@ def mmr_rerank(
                 break
             best, best_score = None, None
             for c in remaining:  # ascending id ⇒ strict > keeps min-id tie
-                score = 2 * rel[c] - max(sim[(c, s)] for s in selected)
+                penalty = max(
+                    (sim[(c, s)] for s in selected if (c, s) in sim), default=None
+                )
+                if penalty is None:
+                    continue  # all sims NULL ⇒ score NULL ⇒ never selectable
+                score = 2 * rel[c] - penalty
                 if best is None or score > best_score:
                     best, best_score = c, score
+            if best is None:
+                break
             ranks.append(step)
             ids.append(best)
             scores.append(best_score)

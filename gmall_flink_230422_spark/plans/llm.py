@@ -32,6 +32,17 @@ _DUP_MEMBERS_MEMO: dict = {}
 _BPE_MEMO: dict = {}
 
 
+def _evict_stale(memo: dict, app_id: str) -> None:
+    """Drop memo entries whose SparkContext is gone: keys are
+    (applicationId, ...) and a long-lived driver process that stops and
+    restarts sessions (repeated vanilla sweeps in one interpreter) would
+    otherwise pin dead DataFrame/JVM references for the process lifetime
+    (r7 advisor find). Called on every insert — at most a handful of keys,
+    so the scan is O(1) in practice."""
+    for k in [k for k in memo if k[0] != app_id]:
+        del memo[k]
+
+
 def _bpe_trained(spark, sf_dir, n_merges: int = 3):
     """BPE training (text._bpe_train) memoized per (SparkContext, sf_dir,
     n_merges): x_bpe_train publishes the merge table and x_bpe_apply
@@ -42,6 +53,7 @@ def _bpe_trained(spark, sf_dir, n_merges: int = 3):
     key = (spark.sparkContext.applicationId, sf_dir, n_merges)
     hit = _BPE_MEMO.get(key)
     if hit is None:
+        _evict_stale(_BPE_MEMO, key[0])
         merges, vocab = text._bpe_train(_docs_par(spark, sf_dir), n_merges)
         hit = (merges, vocab.cache())
         _BPE_MEMO[key] = hit
@@ -64,6 +76,7 @@ def _dup_members(spark, sf_dir):
     hit = _DUP_MEMBERS_MEMO.get(key)
     if hit is not None:
         return hit
+    _evict_stale(_DUP_MEMBERS_MEMO, key[0])
     d = _docs_par(spark, sf_dir)
     sh = dedup.shingles(d).cache()
     sigs = dedup.minhash_signatures(sh, num_hashes=16)
