@@ -3144,19 +3144,35 @@ def q_rfm_segments(spark, sf_dir):
     CCNet cut. Scores are plain tercile indexes ascending in the metric
     (r_t=1 means MOST recent, f_t/m_t=3 mean most active/valuable).
 
-    Scale shape: one per-user hash agg over events, three tiny
-    histogram->cumsum->threshold chains (broadcast back as scalars), one
-    map-side score projection, one <=27-row aggregate."""
+    Scale shape (consolidated r8, verdict #3 — the r7 form ran three
+    separate histogram→cumsum→threshold chains off an UNCACHED per-user
+    frame: 33 shuffles, 10 single-partition scalar-agg exchanges, the
+    grand-total block compiled ~3×): one cached per-user hash agg, the
+    three metrics MELTED into one (metric, value) histogram — each metric
+    contributes exactly n_users rows, so after ONE distributed_cumsum
+    ordered by (midx, v) the per-metric cumulative count is simply
+    cum − midx·n — then a single scalar aggregate emits all six tercile
+    cut points in one row. Two scalar-agg exchanges total (max-date+count,
+    thresholds), both benign partial-agg reductions."""
     ev = load_table(spark, sf_dir, "events")
-    mx = ev.agg(F.max(F.to_date("ts")).alias("_mxd"))
-    per_user = (
+    pu0 = (
         ev.groupBy("user_id")
         .agg(
             F.max(F.to_date("ts")).alias("_last"),
             F.count(F.lit(1)).alias("freq"),
             F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("mon_cents"),
         )
-        .join(F.broadcast(mx))
+        .cache()
+    )
+    # corpus max date == max of per-user last dates, so one scalar agg
+    # over the cached per-user frame serves both the recency anchor and
+    # the user count (1-row frame, cached so each consumer reads the
+    # materialized row instead of recompiling the exchange).
+    mxn = pu0.agg(
+        F.max("_last").alias("_mxd"), F.count(F.lit(1)).alias("_n")
+    ).cache()
+    per_user = (
+        pu0.join(F.broadcast(mxn))
         .select(
             "user_id",
             F.datediff(F.col("_mxd"), F.col("_last")).cast("bigint").alias("rec_days"),
@@ -3164,17 +3180,29 @@ def q_rfm_segments(spark, sf_dir):
             "mon_cents",
         )
     )
+    melted = per_user.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("midx"), F.col("rec_days").alias("v")),
+                F.struct(F.lit(1).alias("midx"), F.col("freq").alias("v")),
+                F.struct(F.lit(2).alias("midx"), F.col("mon_cents").alias("v")),
+            )
+        ).alias("_m")
+    ).select(F.col("_m.midx").alias("midx"), F.col("_m.v").alias("v"))
+    hist = melted.groupBy("midx", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = distributed_cumsum(hist, ["midx", "v"], "cnt", "cum")
 
-    def terciles(col: str):
-        hist = per_user.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
-        cum = distributed_cumsum(hist, [col], "cnt", "cum")
-        tot = cum.agg(F.sum("cnt").alias("n"))
-        return cum.join(F.broadcast(tot)).agg(
-            F.min(F.when(F.col("cum") * 3 >= F.col("n"), F.col(col))).alias(f"{col}_t1"),
-            F.min(F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col(col))).alias(f"{col}_t2"),
-        )
+    def _cut(midx: int, k: int, name: str):
+        mcum = F.col("cum") - F.lit(midx) * F.col("_n")
+        return F.min(
+            F.when((F.col("midx") == midx) & (mcum * 3 >= k * F.col("_n")), F.col("v"))
+        ).alias(name)
 
-    thr = terciles("rec_days").join(terciles("freq")).join(terciles("mon_cents"))
+    thr = cum.join(F.broadcast(mxn)).agg(
+        _cut(0, 1, "rec_days_t1"), _cut(0, 2, "rec_days_t2"),
+        _cut(1, 1, "freq_t1"), _cut(1, 2, "freq_t2"),
+        _cut(2, 1, "mon_cents_t1"), _cut(2, 2, "mon_cents_t2"),
+    )
     scored = per_user.join(F.broadcast(thr)).select(
         "user_id",
         "mon_cents",

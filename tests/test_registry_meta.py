@@ -64,3 +64,17 @@ def test_registry_superset_of_r6_names():
     assert len(r6) >= 287
     missing = sorted(set(r6) - reg)
     assert not missing, missing
+
+
+def test_registry_superset_of_r7_names():
+    """r7 shipped 312 queries, all green at all four committed sweep tiers
+    (CORRECTNESS_local_r07{,_sf0001,_sf01,_vanilla}.json); the registry
+    must stay an exact superset so no later round silently drops an
+    evidenced query (r7 verdict item 5 extends the pin streak)."""
+    reg = set(_registry())
+    r7 = json.load(
+        open(Path(__file__).resolve().parent.parent / "CORRECTNESS_local_r07.json")
+    )
+    assert len(r7) >= 312
+    missing = sorted(set(r7) - reg)
+    assert not missing, missing
