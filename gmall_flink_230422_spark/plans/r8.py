@@ -1,0 +1,697 @@
+"""Round-8 extension queries: near-dup-graph structure probes (BFS
+reachability layers, local-bridge edges), LSH index health (per-band
+bucket stats), continuation-pair detection (shard-split crawl docs),
+cross-shard duplicate leakage, IVF list balance, readability scoring,
+temporal-split contamination, and burst detection.
+
+Each query follows the repo contract: a Spark plan built from the shared
+operator library plus an inline DuckDB oracle computing the identical
+result on the identical integer/floor grids. Scale notes are on each
+query; the shared design rules (bounded iteration with cached edge
+frames, banded candidate generation, broadcast scalars, keyed — never
+global — windows) are the same ones the operator docstrings document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators import dedup, similarity
+from . import QuerySpec
+from .llm import _docs_par, _embs_par, _minhash_lsh_ctes, _shingles_cte
+
+SPECS: list[QuerySpec] = []
+
+
+def _near_pairs(spark, sf_dir, threshold: float = 0.5):
+    """Verified near-dup pairs (doc_a < doc_b) via the standard chain —
+    shingles → MinHash16 → LSH 4×4 → Jaccard verify — shared by the r8
+    graph-structure probes. Cached by the caller when consumed more than
+    once."""
+    d = _docs_par(spark, sf_dir)
+    sh = dedup.shingles(d)
+    sigs = dedup.minhash_signatures(sh, num_hashes=16)
+    cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    return dedup.jaccard_pairs(sh, threshold=threshold, candidates=cands).select(
+        "doc_a", "doc_b"
+    )
+
+
+_PAIRS_CTES = f"""{_shingles_cte()},
+{_minhash_lsh_ctes()},
+pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5)"""
+
+
+# ------------------------------------------------------------- BFS layers
+def q_bfs_layers(spark, sf_dir):
+    """Multi-source BFS reachability layers over the near-dup graph: how
+    many nodes sit at hop distance 0..4 from the seed set (the 10 lowest
+    pair-graph node ids — deterministic, non-empty whenever the graph is,
+    and oracle-expressible) — the blast-radius probe a curation team
+    runs before acting on a flagged-document list ("if we drop these, how
+    much of the dup neighborhood goes with them?").
+
+    Scale shape: the undirected edge frame is built ONCE and cached (every
+    round joins it; uncached, Catalyst would recompile the whole LSH chain
+    per round), then 4 bounded rounds of frontier = neighbors(frontier)
+    MINUS visited — each round one keyed join + one distinct + one
+    left-anti, all hash-partitioned on node id. Depth counts come from ONE
+    union→groupBy(depth), not per-depth scalar aggregates. Rounds are a
+    FIXED constant (the query's semantics), so plan depth is bounded — no
+    convergence actions at construction."""
+    pairs = _near_pairs(spark, sf_dir).cache()
+    und = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    seeds = (
+        und.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(10)
+    )
+    # Frontier/visited re-reference their own previous round — the
+    # self-referencing-loop class: without per-round lineage truncation
+    # the logical plan (and Catalyst analysis time) DOUBLES per round
+    # (measured 0.5/0.7/1.6/3.5 s for rounds 1-4 uncached, and each
+    # level's subtree also re-executes once per consumer). LAZY
+    # localCheckpoint replaces the plan with an O(1) RDD leaf immediately
+    # — the kcore-peel convention — so analysis stays constant per round
+    # and every consumer shares the one materialized RDD. The
+    # checkpointed frames are node-id lists, tiny next to the corpus.
+    visited = seeds.localCheckpoint(eager=False)
+    layers = visited.withColumn("depth", F.lit(0))
+    frontier = visited
+    for r in range(1, 5):
+        frontier = (
+            und.join(frontier, und["doc_a"] == frontier["node"])
+            .select(F.col("doc_b").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        layers = layers.unionByName(frontier.withColumn("depth", F.lit(r)))
+        visited = (
+            visited.unionByName(frontier.select("node"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+    return layers.groupBy("depth").agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+
+
+ORACLE_BFS_LAYERS = f"""
+WITH RECURSIVE {_PAIRS_CTES},
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+seeds AS (SELECT DISTINCT s AS node FROM edges ORDER BY node LIMIT 10),
+walk(node, depth) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.d, w.depth + 1 FROM walk w JOIN edges e ON w.node = e.s
+  WHERE w.depth < 4
+)
+SELECT depth::INT AS depth, count(*)::BIGINT AS n_nodes
+FROM (SELECT node, min(depth) AS depth FROM walk GROUP BY node)
+GROUP BY 1
+"""
+
+
+# ------------------------------------------------------------- local bridges
+def q_bridge_edges(spark, sf_dir):
+    """Local-bridge edges of the near-dup graph: verified pairs whose
+    endpoints share NO common neighbor (the edge is in no triangle) — the
+    classic weak-tie detector. In dedup forensics these are the suspicious
+    links: triangle-supported pairs are dense boilerplate families, while
+    a bridge is a lone connection (often a threshold-skimming false
+    positive) whose removal splits a cluster — the first edges to audit
+    before trusting transitive (CC) dedup.
+
+    Scale shape: pair frame cached (three consumers), common-neighbor
+    evidence by joining the undirected adjacency on both endpoints
+    (wedge join — the x_triangle_count shape, bounded by Σ deg², never
+    corpus²), then one left-anti against the supported-edge set."""
+    pairs = _near_pairs(spark, sf_dir).cache()
+    und = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    adj_x = und.select(F.col("doc_a").alias("xa"), F.col("doc_b").alias("w"))
+    adj_y = und.select(F.col("doc_a").alias("ya"), F.col("doc_b").alias("yw"))
+    supported = (
+        pairs.join(adj_x, pairs["doc_a"] == adj_x["xa"])
+        .join(
+            adj_y,
+            (F.col("doc_b") == F.col("ya")) & (F.col("w") == F.col("yw")),
+            "left_semi",
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return pairs.join(supported, ["doc_a", "doc_b"], "left_anti").orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+ORACLE_BRIDGE_EDGES = f"""
+WITH {_PAIRS_CTES},
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+)
+SELECT p.doc_a, p.doc_b
+FROM pairs p
+WHERE NOT EXISTS (
+  SELECT 1 FROM edges x JOIN edges y ON x.d = y.d
+  WHERE x.s = p.doc_a AND y.s = p.doc_b
+)
+ORDER BY doc_a, doc_b
+"""
+
+
+# ------------------------------------------------------------- LSH band health
+def q_lsh_band_health(spark, sf_dir):
+    """Per-band LSH index health: for each of the 4 bands, how many
+    colliding buckets exist, how many docs sit in them, the candidate-pair
+    volume they imply (Σ sz·(sz−1)/2), and the largest bucket — the
+    dashboard that catches a degenerate band (boilerplate hub melting one
+    band into a giant bucket) BEFORE the pair-generation stage quadratically
+    blows up. At 100 TB this reads the band-signature table (a write-time
+    artifact) with two hash aggregates; the quadratic term is computed
+    arithmetically from bucket sizes, never by expanding pairs."""
+    d = _docs_par(spark, sf_dir)
+    sh = dedup.shingles(d)
+    sigs = dedup.minhash_signatures(sh, num_hashes=16)
+    banded = dedup.band_signatures(sigs, rows_per_band=4)
+    buckets = banded.groupBy("band", "band_sig").agg(
+        F.count(F.lit(1)).alias("sz")
+    ).filter(F.col("sz") > 1)
+    return (
+        buckets.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum("sz").cast("bigint").alias("n_docs"),
+            F.sum(F.expr("sz * (sz - 1) div 2")).cast("bigint").alias("n_cand_pairs"),
+            F.max("sz").cast("bigint").alias("max_bucket"),
+        )
+        .orderBy("band")
+    )
+
+
+ORACLE_LSH_BAND_HEALTH = f"""
+WITH {_shingles_cte()},
+{_minhash_lsh_ctes()},
+buckets AS (
+  SELECT band, band_sig, count(*) AS sz
+  FROM banded GROUP BY 1, 2 HAVING count(*) > 1
+)
+SELECT band, count(*)::BIGINT AS n_buckets, sum(sz)::BIGINT AS n_docs,
+       sum(sz * (sz - 1) // 2)::BIGINT AS n_cand_pairs,
+       max(sz)::BIGINT AS max_bucket
+FROM buckets GROUP BY band ORDER BY band
+"""
+
+
+# ------------------------------------------------------------- continuation pairs
+def q_suffix_dup(spark, sf_dir):
+    """Continuation-pair detection: doc A's LAST 3 normalized tokens equal
+    doc B's FIRST 3 — the signature of one source document split across
+    crawl records (pagination, shard boundaries, truncated re-fetches).
+    Re-joining such fragments (or at least not treating them as distinct
+    documents) is a standard pre-dedup repair pass.
+
+    Scale shape: head/tail 3-grams are pure array expressions (slice of
+    the token array — no explode), joined on the gram string: an equi-join
+    keyed by a 3-token text key (shingle-grade selectivity; raise k for
+    noisier corpora — k=5 yields zero candidates on this fixture).
+    Self-pairs and A==B text (identical head=tail both ways) are excluded
+    by doc_a != doc_b."""
+    d = _docs_par(spark, sf_dir)
+    toks = dedup.whitespace_tokens(dedup.normalize_text(F.col("text")))
+    base = d.select(
+        "doc_id",
+        F.when(F.size(toks) >= 3, F.array_join(F.slice(toks, 1, 3), " ")).alias("head3"),
+        F.when(F.size(toks) >= 3, F.array_join(F.slice(toks, -3, 3), " ")).alias("tail3"),
+    )
+    a = base.filter(F.col("tail3").isNotNull()).select(
+        F.col("doc_id").alias("doc_a"), F.col("tail3").alias("gram")
+    )
+    b = base.filter(F.col("head3").isNotNull()).select(
+        F.col("doc_id").alias("doc_b"), F.col("head3").alias("gram")
+    )
+    return (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_TOKS_NORM = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')"
+
+ORACLE_SUFFIX_DUP = f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN len({_TOKS_NORM}) >= 3
+              THEN array_to_string({_TOKS_NORM}[1:3], ' ') END AS head3,
+         CASE WHEN len({_TOKS_NORM}) >= 3
+              THEN array_to_string({_TOKS_NORM}[-3:], ' ') END AS tail3
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM base a JOIN base b ON a.tail3 = b.head3
+WHERE a.tail3 IS NOT NULL AND a.doc_id <> b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+# ------------------------------------------------------------- cross-shard dups
+def q_cross_shard_dup(spark, sf_dir):
+    """Cross-shard duplicate leakage: of the verified near-dup pairs, how
+    many land in the SAME hash shard (doc_id md5-hash mod 8 — the
+    x_hash_split scheme) vs across shards. Shard-local dedup (the cheap
+    per-worker pass) only removes same-shard pairs; this query measures
+    exactly the residue a shard-parallel pipeline would leave, the number
+    that justifies (or waives) the global dedup stage. Expected cross
+    share for an unclustered hash is 7/8 — a LOWER value means dup
+    clusters correlate with the sharding key (a red flag for id-derived
+    shards). One pair frame, two broadcast-free column derivations, one
+    grand-total aggregate (benign single-partition)."""
+    from ..functions.hashing import portable_hash64
+
+    pairs = _near_pairs(spark, sf_dir)
+    sh_a = F.pmod(portable_hash64(F.col("doc_a").cast("string")), F.lit(8))
+    sh_b = F.pmod(portable_hash64(F.col("doc_b").cast("string")), F.lit(8))
+    return pairs.select((sh_a != sh_b).alias("x")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.col("x").cast("bigint")).cast("bigint").alias("n_cross_shard"),
+        F.expr("sum(cast(x as bigint)) * 1000 div count(1)")
+        .cast("bigint")
+        .alias("cross_milli"),
+    )
+
+
+ORACLE_CROSS_SHARD_DUP = f"""
+WITH {_PAIRS_CTES},
+tagged AS (
+  SELECT (('0x' || substr(md5(doc_a::VARCHAR), 1, 15))::BIGINT % 8
+          <> ('0x' || substr(md5(doc_b::VARCHAR), 1, 15))::BIGINT % 8) AS x
+  FROM pairs
+)
+SELECT count(*)::BIGINT AS n_pairs,
+       sum(x::BIGINT)::BIGINT AS n_cross_shard,
+       (sum(x::BIGINT) * 1000 // count(*))::BIGINT AS cross_milli
+FROM tagged
+"""
+
+
+# ------------------------------------------------------------- IVF balance
+def q_ivf_balance(spark, sf_dir):
+    """IVF inverted-list balance: per-list vector counts and each list's
+    share (milli) of the corpus — the partition-skew gauge for the
+    list_id-partitioned ANN layout. A list holding ≫ 1/n_lists of the
+    corpus means its probe scans don't prune (the hot-partition failure
+    mode); production re-trains centroids (Lloyd) or splits hot lists when
+    this report skews. Zero-shuffle assignment (broadcast centroid array,
+    per-row argmax), one hash aggregate, one broadcast total."""
+    e = _embs_par(spark, sf_dir)
+    cents = similarity.ivf_centroids(e, n_centroids=16)
+    assigned = similarity.ivf_assign(e, cents)
+    sizes = assigned.groupBy("list_id").agg(F.count(F.lit(1)).alias("n_vecs")).cache()
+    tot = sizes.agg(F.sum("n_vecs").alias("_t"))
+    return (
+        sizes.join(F.broadcast(tot))
+        .select(
+            F.col("list_id").cast("bigint").alias("list_id"),
+            F.col("n_vecs").cast("bigint").alias("n_vecs"),
+            F.expr("n_vecs * 1000 div _t").cast("bigint").alias("share_milli"),
+        )
+        .orderBy("list_id")
+    )
+
+
+ORACLE_IVF_BALANCE = """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+assigned AS (
+  SELECT vec_id, cid AS list_id FROM (
+    SELECT c.vec_id, cents.cid,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY floor((list_cosine_similarity(c.embedding::DOUBLE[], cents.cvec)) * 1000000) / 1000000 DESC,
+                      cents.cid) AS rk
+    FROM embeddings c CROSS JOIN cents
+  ) WHERE rk = 1
+),
+sizes AS (SELECT list_id, count(*) AS n_vecs FROM assigned GROUP BY 1)
+SELECT list_id::BIGINT AS list_id, n_vecs::BIGINT AS n_vecs,
+       (n_vecs * 1000 // (SELECT sum(n_vecs) FROM sizes))::BIGINT AS share_milli
+FROM sizes ORDER BY list_id
+"""
+
+
+SPECS += [
+    QuerySpec("x_bfs_layers", q_bfs_layers, ORACLE_BFS_LAYERS,
+              doc="multi-source BFS reachability layers (hops 0-4) over the near-dup graph",
+              tags=("llm", "graph", "scale")),
+    QuerySpec("x_bridge_edges", q_bridge_edges, ORACLE_BRIDGE_EDGES,
+              doc="local-bridge near-dup edges (no common neighbor) — weak-tie / false-positive audit",
+              tags=("llm", "graph", "dedup")),
+    QuerySpec("x_lsh_band_health", q_lsh_band_health, ORACLE_LSH_BAND_HEALTH,
+              doc="per-band LSH bucket stats: colliding buckets, implied candidate pairs, max bucket",
+              tags=("llm", "dedup", "stats")),
+    QuerySpec("x_suffix_dup", q_suffix_dup, ORACLE_SUFFIX_DUP,
+              doc="continuation pairs: tail-3-gram of A == head-3-gram of B (split-document detector)",
+              tags=("llm", "dedup")),
+    QuerySpec("x_cross_shard_dup", q_cross_shard_dup, ORACLE_CROSS_SHARD_DUP,
+              doc="near-dup pairs crossing hash-shard boundaries — shard-local dedup residue",
+              tags=("llm", "dedup", "eval")),
+    QuerySpec("x_ivf_balance", q_ivf_balance, ORACLE_IVF_BALANCE,
+              doc="IVF inverted-list size balance — ANN partition-skew gauge",
+              tags=("llm", "similarity", "stats")),
+]
+
+
+# ------------------------------------------------------------- readability
+def q_readability(spark, sf_dir):
+    """Readability banding (Flesch-style, integer-milli grid): per doc,
+    words = normalized whitespace tokens, sentences = terminal-punct count
+    (min 1), syllables ≈ maximal vowel groups (min 1 — the standard cheap
+    proxy); score_milli = 206835 − 1015·words div sentences − 84600·syll
+    div words, then docs bucketed into the five classic bands. A quality
+    gate uses this exactly like x_quality_score — a pure narrow map over
+    the corpus (regex counts, no explode), one ≤5-row aggregate — and on
+    100 TB the per-doc pass is embarrassingly parallel with zero shuffle
+    before the tiny band rollup. Truncating integer division in BOTH
+    engines (all operands non-negative), so scores are bit-identical."""
+    d = _docs_par(spark, sf_dir)
+    toks = dedup.whitespace_tokens(dedup.normalize_text(F.col("text")))
+    per = d.select(
+        F.greatest(F.size(toks).cast("bigint"), F.lit(1)).alias("n_words"),
+        F.greatest(
+            F.length(F.regexp_replace(F.col("text"), r"[^.!?]", "")).cast("bigint"),
+            F.lit(1),
+        ).alias("n_sent"),
+        F.greatest(
+            F.expr("size(regexp_extract_all(lower(text), '[aeiou]+', 0))").cast("bigint"),
+            F.lit(1),
+        ).alias("n_syll"),
+    ).select(
+        (
+            F.lit(206835)
+            - F.expr("1015 * n_words div n_sent")
+            - F.expr("84600 * n_syll div n_words")
+        ).alias("score_milli")
+    )
+    band = (
+        F.when(F.col("score_milli") >= 90000, F.lit("very_easy"))
+        .when(F.col("score_milli") >= 70000, F.lit("easy"))
+        .when(F.col("score_milli") >= 50000, F.lit("medium"))
+        .when(F.col("score_milli") >= 30000, F.lit("hard"))
+        .otherwise(F.lit("very_hard"))
+    )
+    return (
+        per.groupBy(band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("score_milli").cast("bigint").alias("min_score_milli"),
+            F.max("score_milli").cast("bigint").alias("max_score_milli"),
+        )
+        .orderBy("band")
+    )
+
+
+ORACLE_READABILITY = f"""
+WITH per AS (
+  SELECT 206835
+         - (1015 * greatest(len({_TOKS_NORM}), 1))
+           // greatest(length(regexp_replace(text, '[^.!?]', '', 'g')), 1)
+         - (84600 * greatest(len(regexp_extract_all(lower(text), '[aeiou]+')), 1))
+           // greatest(len({_TOKS_NORM}), 1) AS score_milli
+  FROM documents
+),
+banded AS (
+  SELECT score_milli,
+         CASE WHEN score_milli >= 90000 THEN 'very_easy'
+              WHEN score_milli >= 70000 THEN 'easy'
+              WHEN score_milli >= 50000 THEN 'medium'
+              WHEN score_milli >= 30000 THEN 'hard'
+              ELSE 'very_hard' END AS band
+  FROM per
+)
+SELECT band, count(*)::BIGINT AS n_docs,
+       min(score_milli)::BIGINT AS min_score_milli,
+       max(score_milli)::BIGINT AS max_score_milli
+FROM banded GROUP BY band ORDER BY band
+"""
+
+
+# ------------------------------------------------------------- BPE compression
+def q_bpe_compression(spark, sf_dir):
+    """Tokenizer compression per source: raw symbols vs BPE-encoded
+    symbols aggregated over each source's token stream — the
+    tokens-per-byte dashboard that decides whether a tokenizer retrain is
+    warranted for a new source mix (code-heavy or non-Latin sources
+    compress visibly worse under a text-trained vocab). Rides the shared
+    _bpe_trained memo (train once per snapshot) and the per-doc encoded
+    counts; one broadcast-sized vocab join, two hash aggregates."""
+    from ..operators import text as _text
+    from .llm import _bpe_trained
+
+    _, vocab = _bpe_trained(spark, sf_dir, n_merges=3)
+    per_doc = _text.bpe_encoded_length_with_vocab(_docs_par(spark, sf_dir), vocab)
+    d = _docs_par(spark, sf_dir).select("doc_id", "source")
+    return (
+        per_doc.join(d, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("n_sym_raw").cast("bigint").alias("n_sym_raw"),
+            F.sum("n_sym_enc").cast("bigint").alias("n_sym_enc"),
+            F.expr("sum(n_sym_enc) * 1000 div sum(n_sym_raw)")
+            .cast("bigint")
+            .alias("compression_milli"),
+        )
+        .orderBy("source")
+    )
+
+
+def _bpe_compression_oracle() -> str:
+    from .llm import ORACLE_BPE_APPLY
+
+    return f"""
+WITH perdoc AS ({ORACLE_BPE_APPLY})
+SELECT d.source, count(*)::BIGINT AS n_docs,
+       sum(p.n_tokens)::BIGINT AS n_tokens,
+       sum(p.n_sym_raw)::BIGINT AS n_sym_raw,
+       sum(p.n_sym_enc)::BIGINT AS n_sym_enc,
+       (sum(p.n_sym_enc) * 1000 // sum(p.n_sym_raw))::BIGINT AS compression_milli
+FROM perdoc p JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+# ------------------------------------------------------------- temporal split
+def q_temporal_split(spark, sf_dir):
+    """Temporal-split contamination audit: cut the event log at the
+    midpoint date (min + span/2 — deterministic, no quantile) and count
+    users with activity on BOTH sides — the users whose "future" behavior
+    leaks into a time-based train/eval split (the eval-hygiene twin of
+    x_split_leakage, on the behavioral table instead of the text corpus).
+    One scalar bounds aggregate (benign), one per-user flag aggregate,
+    one grand total; cross-multiplied integer share."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("_mn"), F.max(F.to_date("ts")).alias("_mx")
+    )
+    per_user = (
+        ev.join(F.broadcast(bounds))
+        .select(
+            "user_id",
+            (
+                F.to_date("ts")
+                < F.date_add(F.col("_mn"), (F.datediff(F.col("_mx"), F.col("_mn")) / 2).cast("int"))
+            ).alias("is_train"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("is_train").cast("int")).alias("in_train"),
+            F.max((~F.col("is_train")).cast("int")).alias("in_eval"),
+        )
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("in_train").cast("bigint").alias("n_train_users"),
+        F.sum("in_eval").cast("bigint").alias("n_eval_users"),
+        F.sum(F.expr("in_train * in_eval")).cast("bigint").alias("n_both"),
+        F.expr("sum(in_train * in_eval) * 1000 div count(1)")
+        .cast("bigint")
+        .alias("both_milli"),
+    )
+
+
+ORACLE_TEMPORAL_SPLIT = """
+WITH bounds AS (
+  SELECT min(ts::DATE) AS mn, max(ts::DATE) AS mx FROM events
+),
+per_user AS (
+  SELECT user_id,
+         max((ts::DATE < mn + ((mx - mn) // 2)::INT)::INT) AS in_train,
+         max((ts::DATE >= mn + ((mx - mn) // 2)::INT)::INT) AS in_eval
+  FROM events CROSS JOIN bounds
+  GROUP BY user_id
+)
+SELECT count(*)::BIGINT AS n_users,
+       sum(in_train)::BIGINT AS n_train_users,
+       sum(in_eval)::BIGINT AS n_eval_users,
+       sum(in_train * in_eval)::BIGINT AS n_both,
+       (sum(in_train * in_eval) * 1000 // count(*))::BIGINT AS both_milli
+FROM per_user
+"""
+
+
+# ------------------------------------------------------------- burst hours
+def q_burst_hours(spark, sf_dir):
+    """Rate-anomaly listing: the hours where an event type ran at ≥ 2.5×
+    its own average hourly rate — the load-spike shortlist an on-call
+    pulls before correlating incidents. The comparison is exact integer
+    cross-multiplication (cnt · n_hours · 10 ≥ 25 · total), no float
+    rate anywhere; n_hours counts the type's ACTIVE hours, so quiet
+    types aren't flattered by empty buckets. Two hash aggregates plus a
+    broadcast of the ≤|types| per-type totals."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).cast("long").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    totals = hourly.groupBy("event_type").agg(
+        F.sum("cnt").alias("_tot"), F.count(F.lit(1)).alias("_nh")
+    )
+    return (
+        hourly.join(F.broadcast(totals), "event_type")
+        .filter(F.expr("cnt * _nh * 10 >= 25 * _tot"))
+        .select(
+            "event_type",
+            F.col("hr").cast("bigint").alias("hr"),
+            F.col("cnt").cast("bigint").alias("cnt"),
+        )
+        .orderBy("event_type", "hr")
+    )
+
+
+ORACLE_BURST_HOURS = """
+WITH hourly AS (
+  SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT AS hr, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+totals AS (
+  SELECT event_type, sum(cnt) AS tot, count(*) AS nh FROM hourly GROUP BY 1
+)
+SELECT h.event_type, h.hr, h.cnt::BIGINT AS cnt
+FROM hourly h JOIN totals t USING (event_type)
+WHERE h.cnt * t.nh * 10 >= 25 * t.tot
+ORDER BY event_type, hr
+"""
+
+
+# ------------------------------------------------------------- scene cuts
+def q_scene_cuts(spark, sf_dir):
+    """Scene-cut segmentation over the frame fan-out — the multimodal
+    sampling pass that picks per-scene keyframes instead of uniform
+    sampling: per doc (video stand-in), frames in order, a cut wherever
+    the frame feature jumps by > 500 milli-units from its predecessor.
+    The feature is the portable hash of the frame bytes mod 1000 — a
+    STAND-IN for a real per-frame embedding/histogram (decode libs absent
+    here; the fan-out, keyed-window ordering, and rollup are the real
+    plumbing, cf. operators/multimodal.py). Keyed window (doc_id, ordered
+    by frame_idx — never global), one per-doc aggregate, one per-source
+    rollup."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import portable_hash64
+    from ..operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.to_media_table(d)
+    frames = multimodal.explode_frames(media, frame_bytes=32)
+    feat = frames.select(
+        "doc_id",
+        "frame_idx",
+        F.pmod(portable_hash64(F.hex(F.col("frame"))), F.lit(1000)).alias("feat"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    cuts = feat.select(
+        "doc_id",
+        (
+            F.abs(F.col("feat") - F.lag("feat").over(w)) > 500
+        ).cast("int").alias("is_cut"),
+    )
+    per_doc = cuts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.coalesce(F.sum("is_cut"), F.lit(0)).alias("n_cuts"),
+    )
+    return (
+        per_doc.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_frames").cast("bigint").alias("n_frames"),
+            F.sum("n_cuts").cast("bigint").alias("n_cuts"),
+            F.expr("sum(n_cuts) * 1000 div sum(n_frames)")
+            .cast("bigint")
+            .alias("cuts_per_frame_milli"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SCENE_CUTS = """
+WITH m AS (
+  SELECT doc_id, source, to_hex(encode(text)) AS hexpay,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+),
+f AS (
+  SELECT doc_id, source, frame_idx,
+         ('0x' || substr(md5(upper(substring(hexpay, (frame_idx * 64 + 1)::BIGINT, 64))), 1, 15))::BIGINT % 1000 AS feat
+  FROM (
+    SELECT doc_id, source, hexpay, unnest(range(0, ((n_bytes + 31) // 32))) AS frame_idx
+    FROM m WHERE n_bytes > 0
+  )
+),
+cuts AS (
+  SELECT doc_id, source,
+         (abs(feat - lag(feat) OVER (PARTITION BY doc_id ORDER BY frame_idx)) > 500)::INT AS is_cut
+  FROM f
+),
+per_doc AS (
+  SELECT doc_id, source, count(*) AS n_frames, coalesce(sum(is_cut), 0) AS n_cuts
+  FROM cuts GROUP BY 1, 2
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(n_frames)::BIGINT AS n_frames,
+       sum(n_cuts)::BIGINT AS n_cuts,
+       (sum(n_cuts) * 1000 // sum(n_frames))::BIGINT AS cuts_per_frame_milli
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+SPECS += [
+    QuerySpec("x_readability", q_readability, ORACLE_READABILITY,
+              doc="Flesch-style readability banding on the integer-milli grid (5-band histogram)",
+              tags=("llm", "text", "quality")),
+    QuerySpec("x_bpe_compression", q_bpe_compression, _bpe_compression_oracle(),
+              doc="per-source BPE compression ratio — tokenizer-fit dashboard (rides the trained-vocab memo)",
+              tags=("llm", "text", "tokenizer")),
+    QuerySpec("x_temporal_split", q_temporal_split, ORACLE_TEMPORAL_SPLIT,
+              doc="temporal train/eval split contamination: users active on both sides of the midpoint cut",
+              tags=("llm", "eval")),
+    QuerySpec("e_burst_hours", q_burst_hours, ORACLE_BURST_HOURS,
+              doc="hours where an event type ran >= 2.5x its average hourly rate (integer cross-multiply)",
+              tags=("ext", "stats")),
+    QuerySpec("x_scene_cuts", q_scene_cuts, ORACLE_SCENE_CUTS,
+              doc="scene-cut segmentation over the frame fan-out (keyed lag window, per-source rollup)",
+              tags=("llm", "multimodal")),
+]
