@@ -2572,3 +2572,97 @@ SPECS = SPECS + (
               doc="incremental new-vs-returning split from an idempotent landed (user, day) index; shares e_new_vs_returning's oracle verbatim",
               tags=("stream", "analytics")),
 )
+
+
+def q_stream_quantile(spark, sf_dir):
+    """Streaming mergeable histogram-quantile: each replayed micro-batch
+    reduces its event values to a fixed-width bin histogram (value cents //
+    1000 — the e_hist_quantile sketch shape) inside a checkpointed
+    foreachBatch, landed under batch_id=N (overwrite ⇒ idempotent replay);
+    the read side merges histograms by bin-wise SUM — addition is
+    associative/commutative, so the merged table equals the single-pass
+    batch histogram regardless of micro-batch boundaries — and answers
+    p50/p90/p99 with exact integer ceiling ranks over a broadcast
+    triangular cumsum of the ≤~hundreds-row bin table. The online latency/
+    spend-quantile monitor at stream scale: per-batch state is the bin
+    table (KBs), never the value stream."""
+    ev = _events_stream(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="streamq_quant_")
+    store = os.path.join(tmp, "hists")
+    ck = os.path.join(tmp, "ck")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+
+    def _land(batch: DataFrame, batch_id: int) -> None:
+        hist = (
+            batch.select(F.floor(cents / F.lit(1000)).cast("bigint").alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        hist.write.mode("overwrite").parquet(os.path.join(store, f"batch_id={batch_id}"))
+
+    q = (
+        ev.writeStream.foreachBatch(_land)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    hist = (
+        spark.read.parquet(store)
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+        .cache()
+    )
+    n = hist.agg(F.sum("cnt").alias("n_rows"))
+    a, b = hist.alias("a"), hist.alias("b")
+    cum = (
+        a.join(F.broadcast(b), F.col("b.bin") <= F.col("a.bin"))
+        .groupBy(F.col("a.bin").alias("bin"))
+        .agg(F.sum(F.col("b.cnt")).alias("cum"))
+    )
+    qs = spark.createDataFrame([(500,), (900,), (990,)], ["q_milli"])
+    ranks = qs.crossJoin(F.broadcast(n)).withColumn(
+        "rank", F.expr("(q_milli * n_rows + 999) div 1000")
+    )
+    return (
+        ranks.join(F.broadcast(cum), F.col("cum") >= F.col("rank"))
+        .groupBy("q_milli", "n_rows", "rank")
+        .agg(F.min("bin").alias("bin"))
+        .select(
+            "q_milli",
+            "n_rows",
+            "rank",
+            "bin",
+            ((F.col("bin") + 1) * 1000 - 1).alias("approx_upper_cents"),
+        )
+    )
+
+
+ORACLE_STREAM_QUANTILE = """
+WITH bins AS (
+  SELECT floor(floor(value * 100 + 0.5) / 1000)::BIGINT AS bin, count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1
+),
+n AS (SELECT sum(cnt)::BIGINT AS n_rows FROM bins),
+cum AS (
+  SELECT a.bin, sum(b.cnt)::BIGINT AS cum
+  FROM bins a JOIN bins b ON b.bin <= a.bin
+  GROUP BY a.bin
+),
+qs AS (SELECT unnest([500, 900, 990]) AS q_milli),
+ranks AS (
+  SELECT q_milli, n_rows, (q_milli * n_rows + 999) // 1000 AS rank
+  FROM qs CROSS JOIN n
+)
+SELECT r.q_milli, r.n_rows, r.rank, min(c.bin) AS bin,
+       (min(c.bin) + 1) * 1000 - 1 AS approx_upper_cents
+FROM ranks r JOIN cum c ON c.cum >= r.rank
+GROUP BY 1, 2, 3
+"""
+
+
+SPECS = SPECS + (
+    QuerySpec("s_stream_quantile", q_stream_quantile, ORACLE_STREAM_QUANTILE,
+              doc="streaming mergeable histogram-quantile (p50/p90/p99): per-batch bin grids landed idempotently, merged by sum",
+              tags=("stream", "sketch")),
+)
