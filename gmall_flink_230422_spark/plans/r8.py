@@ -695,3 +695,218 @@ SPECS += [
               doc="scene-cut segmentation over the frame fan-out (keyed lag window, per-source rollup)",
               tags=("llm", "multimodal")),
 ]
+
+
+# ------------------------------------------------------------- weighted jaccard
+def q_weighted_jaccard(spark, sf_dir):
+    """Rarity-weighted near-dup verify: candidate pairs re-scored by
+    IDF-ish shingle weights (w = N div df, integer) so boilerplate
+    shingles shared by half the corpus barely count while rare shingles
+    dominate — the standard fix for boilerplate-inflated plain Jaccard.
+    Reported next to the unweighted score for the same LSH candidates so
+    a threshold migration can be A/B'd from one table.
+
+    Scale shape: one shingle-keyed aggregate builds the weight table
+    (bounded by vocabulary, Heaps-law small), per-doc weight sums are one
+    hash agg, pair intersections ride the SAME banded candidate set as
+    every LSH consumer (never all-pairs); the corpus-size scalar attaches
+    via one benign broadcast. All integer sums; milli ratios by truncating
+    division in both engines."""
+    d = _docs_par(spark, sf_dir)
+    sh = dedup.shingles(d).cache()
+    sigs = dedup.minhash_signatures(sh, num_hashes=16)
+    cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    n_docs = sh.select("doc_id").distinct().agg(F.count(F.lit(1)).alias("_n"))
+    w = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(F.broadcast(n_docs))
+        .select("shingle", F.expr("_n div df").cast("bigint").alias("w"))
+    )
+    shw = sh.join(w, "shingle").cache()
+    docw = shw.groupBy("doc_id").agg(F.sum("w").alias("wsum"))
+    inter = (
+        shw.select(F.col("doc_id").alias("doc_a"), "shingle", "w")
+        .join(
+            shw.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            "shingle",
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .join(cands, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum("w").alias("winter"), F.count(F.lit(1)).alias("ninter"))
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        inter.join(docw.select(F.col("doc_id").alias("doc_a"), F.col("wsum").alias("wa")), "doc_a")
+        .join(docw.select(F.col("doc_id").alias("doc_b"), F.col("wsum").alias("wb")), "doc_b")
+        .join(sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")), "doc_a")
+        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("ninter * 1000 div (sza + szb - ninter)").cast("bigint").alias("jaccard_milli"),
+            F.expr("winter * 1000 div (wa + wb - winter)").cast("bigint").alias("wjaccard_milli"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE_WEIGHTED_JACCARD = f"""
+WITH {_shingles_cte()},
+{_minhash_lsh_ctes()},
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM sh),
+w AS (
+  SELECT shingle, (nd.n // count(*))::BIGINT AS w
+  FROM sh CROSS JOIN nd GROUP BY shingle, nd.n
+),
+shw AS (SELECT s.doc_id, s.shingle, w.w FROM sh s JOIN w USING (shingle)),
+docw AS (SELECT doc_id, sum(w)::BIGINT AS wsum FROM shw GROUP BY 1),
+szs AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+wint AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         sum(a.w)::BIGINT AS winter, count(*)::BIGINT AS ninter
+  FROM shw a JOIN shw b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN cand c ON a.doc_id = c.doc_a AND b.doc_id = c.doc_b
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       (i.ninter * 1000 // (xa.sz + xb.sz - i.ninter))::BIGINT AS jaccard_milli,
+       (i.winter * 1000 // (wa.wsum + wb.wsum - i.winter))::BIGINT AS wjaccard_milli
+FROM wint i
+JOIN docw wa ON i.doc_a = wa.doc_id JOIN docw wb ON i.doc_b = wb.doc_id
+JOIN szs xa ON i.doc_a = xa.doc_id JOIN szs xb ON i.doc_b = xb.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+# ------------------------------------------------------------- simhash radius 2
+def q_simhash_radius2(spark, sf_dir):
+    """SimHash near-dup pairs at hamming radius 2 via the pigeonhole block
+    split: 16 bits → 3 blocks (6/5/5); any pair within hamming ≤ 2 differs
+    in at most 2 blocks, so it matches EXACTLY in at least one — candidate
+    generation is 3 block-keyed equi-joins (no recall loss at this radius),
+    then an exact bit_count verify. The standard scale recipe for wider
+    hamming search: candidate volume is Σ per-block bucket collisions,
+    never all-pairs, and each block join hash-partitions on a 5-6 bit key
+    extended by the block id."""
+    d = _docs_par(spark, sf_dir)
+    sig = dedup.simhash(d, bits=16).cache()
+    blocks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("blk"), F.expr("simhash & 63").alias("key")),
+                F.struct(F.lit(1).alias("blk"), F.expr("shiftright(simhash, 6) & 31").alias("key")),
+                F.struct(F.lit(2).alias("blk"), F.expr("shiftright(simhash, 11) & 31").alias("key")),
+            )
+        ).alias("_b"),
+    ).select("doc_id", "simhash", F.col("_b.blk").alias("blk"), F.col("_b.key").alias("key"))
+    a = blocks.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "blk", "key")
+    b = blocks.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "blk", "key")
+    return (
+        a.join(b, ["blk", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.expr("bit_count(ha ^ hb)").cast("int").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= 2)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE_SIMHASH_RADIUS2 = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS tok
+  FROM documents
+),
+h AS (SELECT doc_id, (('0x' || substr(md5(tok), 1, 15)))::BIGINT AS h FROM toks),
+votes AS (
+  SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS v
+  FROM h CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bits
+  GROUP BY doc_id, b
+),
+sig AS (
+  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+ORDER BY doc_a, doc_b
+"""
+
+
+# ------------------------------------------------------------- int8 quantization error
+def q_sq8_error(spark, sf_dir):
+    """Scalar (int8) quantization error audit per dimension: min/max per
+    dim over the corpus (milli grid), quantize q = (v−mn)·255 div (mx−mn),
+    dequantize, report each dimension's max and total absolute
+    reconstruction error — the go/no-go table before shipping an int8
+    compressed ANN index (dimensions with outlier-stretched ranges show
+    large errors and want clipping or PQ instead). Entirely integer: one
+    posexplode + per-dim min/max aggregate, a 64-row broadcast back onto
+    the component stream, one final per-dim aggregate."""
+    e = _embs_par(spark, sf_dir)
+    comps = e.select(
+        F.posexplode(F.col("embedding")).alias("dim", "val")
+    ).select("dim", F.floor(F.col("val").cast("double") * 1000).cast("bigint").alias("vm"))
+    rng = comps.groupBy("dim").agg(F.min("vm").alias("mn"), F.max("vm").alias("mx"))
+    q = (
+        comps.join(F.broadcast(rng), "dim")
+        .select(
+            "dim",
+            "vm",
+            "mn",
+            "mx",
+            F.expr(
+                "CASE WHEN mx > mn THEN mn + (((vm - mn) * 255 div (mx - mn)) * (mx - mn)) div 255 ELSE vm END"
+            ).alias("vq"),
+        )
+    )
+    return (
+        q.groupBy("dim")
+        .agg(
+            F.max("mn").cast("bigint").alias("mn_milli"),
+            F.max("mx").cast("bigint").alias("mx_milli"),
+            F.max(F.abs(F.col("vm") - F.col("vq"))).cast("bigint").alias("max_abs_err_milli"),
+            F.sum(F.abs(F.col("vm") - F.col("vq"))).cast("bigint").alias("sum_abs_err_milli"),
+        )
+        .orderBy("dim")
+    )
+
+
+ORACLE_SQ8_ERROR = """
+WITH comps AS (
+  SELECT (generate_subscripts(embedding, 1) - 1)::INT AS dim,
+         floor(unnest(embedding)::DOUBLE * 1000)::BIGINT AS vm
+  FROM embeddings
+),
+rng AS (SELECT dim, min(vm) AS mn, max(vm) AS mx FROM comps GROUP BY 1),
+q AS (
+  SELECT c.dim, c.vm,
+         CASE WHEN r.mx > r.mn
+              THEN r.mn + (((c.vm - r.mn) * 255 // (r.mx - r.mn)) * (r.mx - r.mn)) // 255
+              ELSE c.vm END AS vq,
+         r.mn, r.mx
+  FROM comps c JOIN rng r USING (dim)
+)
+SELECT dim, max(mn)::BIGINT AS mn_milli, max(mx)::BIGINT AS mx_milli,
+       max(abs(vm - vq))::BIGINT AS max_abs_err_milli,
+       sum(abs(vm - vq))::BIGINT AS sum_abs_err_milli
+FROM q GROUP BY dim ORDER BY dim
+"""
+
+
+SPECS += [
+    QuerySpec("x_weighted_jaccard", q_weighted_jaccard, ORACLE_WEIGHTED_JACCARD,
+              doc="IDF-weighted Jaccard re-score of LSH candidates next to the plain score",
+              tags=("llm", "dedup")),
+    QuerySpec("x_simhash_radius2", q_simhash_radius2, ORACLE_SIMHASH_RADIUS2,
+              doc="SimHash hamming<=2 pairs via pigeonhole 3-block candidate joins (recall-exact)",
+              tags=("llm", "dedup", "scale")),
+    QuerySpec("x_sq8_error", q_sq8_error, ORACLE_SQ8_ERROR,
+              doc="int8 scalar-quantization reconstruction error per embedding dimension",
+              tags=("llm", "similarity", "eval")),
+]

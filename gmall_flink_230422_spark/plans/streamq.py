@@ -2666,3 +2666,65 @@ SPECS = SPECS + (
               doc="streaming mergeable histogram-quantile (p50/p90/p99): per-batch bin grids landed idempotently, merged by sum",
               tags=("stream", "sketch")),
 )
+
+
+def q_stream_burst(spark, sf_dir):
+    """Streaming rate-anomaly monitor: each micro-batch lands its own
+    (event_type, hour) count grid under batch_id=N (overwrite ⇒ idempotent
+    replay); the read side merges grids by SUM — hourly counts are
+    additive, so the merged table equals the batch hourly table regardless
+    of micro-batch boundaries — then applies the e_burst_hours
+    cross-multiplied >= 2.5x-average filter. The online incident shortlist
+    at stream rates: per-batch state is |types|x|active hours| rows, and
+    the oracle is the batch twin's VERBATIM (same semantics, streaming
+    execution path)."""
+    ev = _events_stream(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="streamq_burst_")
+    store = os.path.join(tmp, "hourly")
+    ck = os.path.join(tmp, "ck")
+
+    def _land(batch: DataFrame, batch_id: int) -> None:
+        g = batch.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).cast("long").alias("hr")
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+        g.write.mode("overwrite").parquet(os.path.join(store, f"batch_id={batch_id}"))
+
+    q = (
+        ev.writeStream.foreachBatch(_land)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    hourly = (
+        spark.read.parquet(store)
+        .groupBy("event_type", "hr")
+        .agg(F.sum("cnt").alias("cnt"))
+        .cache()
+    )
+    totals = hourly.groupBy("event_type").agg(
+        F.sum("cnt").alias("_tot"), F.count(F.lit(1)).alias("_nh")
+    )
+    return (
+        hourly.join(F.broadcast(totals), "event_type")
+        .filter(F.expr("cnt * _nh * 10 >= 25 * _tot"))
+        .select(
+            "event_type",
+            F.col("hr").cast("bigint").alias("hr"),
+            F.col("cnt").cast("bigint").alias("cnt"),
+        )
+        .orderBy("event_type", "hr")
+    )
+
+
+def _oracle_stream_burst() -> str:
+    from .r8 import ORACLE_BURST_HOURS
+
+    return ORACLE_BURST_HOURS
+
+
+SPECS = SPECS + (
+    QuerySpec("s_stream_burst", q_stream_burst, _oracle_stream_burst(),
+              doc="incremental hourly-count grids merged by sum, then the >=2.5x-average burst filter; shares e_burst_hours' oracle verbatim",
+              tags=("stream", "stats")),
+)
