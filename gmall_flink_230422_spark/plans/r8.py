@@ -910,3 +910,199 @@ SPECS += [
               doc="int8 scalar-quantization reconstruction error per embedding dimension",
               tags=("llm", "similarity", "eval")),
 ]
+
+
+# ------------------------------------------------------------- 13-gram contamination
+def q_contam_13gram(spark, sf_dir):
+    """Benchmark decontamination at the canonical 13-token gram (the
+    GPT-3/PaLM recipe): an eval doc (doc_id % 17 == 0, the repo's standard
+    held-out stand-in) is contaminated if any of its distinct 13-grams
+    occurs anywhere in the training split. Longer grams than the
+    3-shingle x_contamination probe ⇒ near-zero false positives, the
+    setting actually shipped for eval-suite scrubbing.
+
+    Scale shape: grams are a pure array expression (slice window over the
+    token array, distinct per doc), the train side reduces to DISTINCT
+    grams (Heaps-law small relative to the stream), and the probe is one
+    gram-keyed left-semi-shaped join — at 100 TB the train gram set is the
+    bloom/shuffle side, eval is tiny by construction. Output: contaminated
+    eval docs with hit counts, integer milli rate."""
+    d = _docs_par(spark, sf_dir)
+    g = dedup.shingles(d, k=13)
+    train = g.filter(F.col("doc_id") % 17 != 0).select("shingle").distinct()
+    ev = g.filter(F.col("doc_id") % 17 == 0)
+    hits = ev.join(train, "shingle").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    per_doc = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        per_doc.join(hits, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.col("n_hit").cast("bigint").alias("n_hit"),
+            F.expr("n_hit * 1000 div n_grams").cast("bigint").alias("contam_milli"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_GRAM13 = " || ' ' || ".join(f"toks[i+{j}]" for j in range(13))
+
+ORACLE_CONTAM_13GRAM = f"""
+WITH t AS (SELECT doc_id, {_TOKS_NORM} AS toks FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, {_GRAM13} AS gram
+  FROM t, unnest(range(1, len(toks) - 11)) AS u(i)
+  WHERE len(toks) >= 13
+),
+train AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 != 0),
+ev AS (SELECT doc_id, gram FROM g WHERE doc_id % 17 = 0),
+hits AS (
+  SELECT doc_id, count(*)::BIGINT AS n_hit FROM ev JOIN train USING (gram) GROUP BY 1
+),
+per_doc AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM ev GROUP BY 1)
+SELECT p.doc_id, p.n_grams, h.n_hit,
+       (h.n_hit * 1000 // p.n_grams)::BIGINT AS contam_milli
+FROM per_doc p JOIN hits h USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------- type-token ratio
+def q_ttr_sources(spark, sf_dir):
+    """Lexical diversity per source: type-token ratio (distinct normalized
+    tokens / token occurrences, milli grid) — the cheap vocabulary-richness
+    signal that separates template/boilerplate feeds (TTR collapses) from
+    organic text, read next to x_vocab_overlap_sources when deciding mix
+    weights. Two hash aggregates ((source, tok) then source), both
+    map-side combinable."""
+    d = _docs_par(spark, sf_dir)
+    toks = d.select(
+        "source",
+        F.explode(dedup.whitespace_tokens(dedup.normalize_text(F.col("text")))).alias("tok"),
+    )
+    per = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("ct"))
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("ct").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.expr("count(1) * 1000 div sum(ct)").cast("bigint").alias("ttr_milli"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_TTR_SOURCES = f"""
+WITH toks AS (
+  SELECT source, unnest({_TOKS_NORM}) AS tok FROM documents
+),
+per AS (SELECT source, tok, count(*) AS ct FROM toks GROUP BY 1, 2)
+SELECT source, sum(ct)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+       (count(*) * 1000 // sum(ct))::BIGINT AS ttr_milli
+FROM per GROUP BY source ORDER BY source
+"""
+
+
+# ------------------------------------------------------------- dedup savings
+def q_dedup_savings(spark, sf_dir):
+    """The curation deliverable behind every dedup run: per source, docs
+    and token mass BEFORE vs AFTER component-exact keep-one dedup, with
+    integer milli retention — the table a data lead reads to see which
+    feeds are mostly duplicates. Survivors ride the shared cluster-map
+    memo exactly like x_dedup_corpus_cc (join the materialized snapshot
+    artifact, don't re-run the LSH chain); token counts are one narrow map
+    over the corpus."""
+    from .llm import _dup_members
+
+    d = _docs_par(spark, sf_dir)
+    canon = dedup.exact_dedup_groups(d).select(F.col("canonical_id").alias("doc_id"))
+    drop = (
+        _dup_members(spark, sf_dir)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    surv = canon.join(drop, "doc_id", "left_anti").withColumn("kept", F.lit(1))
+    toks = dedup.whitespace_tokens(dedup.normalize_text(F.col("text")))
+    base = d.select("doc_id", "source", F.size(toks).cast("bigint").alias("n_toks"))
+    return (
+        base.join(surv, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce(F.col("kept"), F.lit(0))).cast("bigint").alias("n_docs_kept"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("kept").isNotNull(), F.col("n_toks")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_tokens_kept"),
+            F.expr(
+                "sum(CASE WHEN kept IS NOT NULL THEN n_toks ELSE 0 END) * 1000 div sum(n_toks)"
+            )
+            .cast("bigint")
+            .alias("tokens_kept_milli"),
+        )
+        .orderBy("source")
+    )
+
+
+def _dedup_savings_oracle() -> str:
+    from .llm import ORACLE_DEDUP_CORPUS_CC
+
+    return f"""
+WITH surv AS ({ORACLE_DEDUP_CORPUS_CC}),
+base AS (
+  SELECT doc_id, source, len({_TOKS_NORM})::BIGINT AS n_toks FROM documents
+)
+SELECT b.source, count(*)::BIGINT AS n_docs,
+       sum((s.doc_id IS NOT NULL)::INT)::BIGINT AS n_docs_kept,
+       sum(b.n_toks)::BIGINT AS n_tokens,
+       sum(CASE WHEN s.doc_id IS NOT NULL THEN b.n_toks ELSE 0 END)::BIGINT AS n_tokens_kept,
+       (sum(CASE WHEN s.doc_id IS NOT NULL THEN b.n_toks ELSE 0 END) * 1000
+        // sum(b.n_toks))::BIGINT AS tokens_kept_milli
+FROM base b LEFT JOIN surv s USING (doc_id)
+GROUP BY b.source ORDER BY b.source
+"""
+
+
+# ------------------------------------------------------------- jaccard histogram
+def q_jaccard_hist(spark, sf_dir):
+    """Similarity-mass histogram of the verified near-dup pairs: pair
+    counts per Jaccard decile (floor(j·10)) — the distribution that tells
+    you whether a 0.5 threshold sits in a valley (robust) or on a cliff
+    (threshold-sensitive, re-tune before trusting the dedup). One extra
+    ≤6-row aggregate on top of the standard verified-pair chain."""
+    d = _docs_par(spark, sf_dir)
+    sh = dedup.shingles(d)
+    sigs = dedup.minhash_signatures(sh, num_hashes=16)
+    cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    near = dedup.jaccard_pairs(sh, threshold=0.5, candidates=cands)
+    return (
+        near.groupBy(F.floor(F.col("jaccard") * 10).cast("int").alias("decile"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("decile")
+    )
+
+
+ORACLE_JACCARD_HIST = f"""
+WITH {_PAIRS_CTES.replace("pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5)",
+                          "pairs AS (SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5)")}
+SELECT floor(jaccard * 10)::INT AS decile, count(*)::BIGINT AS n_pairs
+FROM pairs GROUP BY 1 ORDER BY 1
+"""
+
+
+SPECS += [
+    QuerySpec("x_contam_13gram", q_contam_13gram, ORACLE_CONTAM_13GRAM,
+              doc="canonical 13-token-gram eval decontamination probe (GPT-3 recipe)",
+              tags=("llm", "eval", "dedup")),
+    QuerySpec("x_ttr_sources", q_ttr_sources, ORACLE_TTR_SOURCES,
+              doc="type-token ratio per source — lexical-diversity / boilerplate signal",
+              tags=("llm", "text", "stats")),
+    QuerySpec("x_dedup_savings", q_dedup_savings, _dedup_savings_oracle(),
+              doc="per-source docs/token mass before vs after CC keep-one dedup (rides the cluster-map memo)",
+              tags=("llm", "dedup", "eval")),
+    QuerySpec("x_jaccard_hist", q_jaccard_hist, ORACLE_JACCARD_HIST,
+              doc="verified near-dup pair counts per Jaccard decile — threshold-sensitivity gauge",
+              tags=("llm", "dedup", "stats")),
+]

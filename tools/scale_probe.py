@@ -119,7 +119,6 @@ QUERIES = [
     "e_spearman",
     "x_frame_dedup",
     "x_split_leakage",
-    "x_mmr_rerank",
     # round-5 additions: wedge-bounded link prediction (the kNN-capped
     # common-neighbor join), Heaps growth (explode + two hash aggs + a
     # 10-row prefix sum), Gopher funnel (map pass + one grand total),
@@ -187,6 +186,21 @@ QUERIES = [
     "e_sequential_pattern",
     "e_dau_wau",
     "x_dedup_threshold_curve",
+    # round-8 additions (verdict #6 + the new batch's heavy plans):
+    # Zipf tail fit (exact ilog2 histogram), source mirror (full LSH
+    # chain + per-source rollup), bounded BFS layers (4 lazily
+    # checkpointed frontier rounds), local bridges (wedge join), weighted
+    # Jaccard (shingle-weight join over banded candidates), pigeonhole
+    # radius-2 simhash (3 block joins), band health (two hash aggs),
+    # per-source BPE compression (vocab join-back + rollup)
+    "x_zipf_fit",
+    "x_source_mirror",
+    "x_bfs_layers",
+    "x_bridge_edges",
+    "x_weighted_jaccard",
+    "x_simhash_radius2",
+    "x_lsh_band_health",
+    "x_bpe_compression",
 ]
 
 
