@@ -196,6 +196,17 @@ HEADLINE = [
     "e_sequential_pattern",
     "e_dau_wau",
     "x_dedup_threshold_curve",
+    # round-8 additions: graph-structure probes over the near-dup graph,
+    # weighted verify, pigeonhole hamming-2, canonical 13-gram decontam,
+    # dedup savings rollup, tokenizer-fit and LSH-health dashboards
+    "x_bfs_layers",
+    "x_bridge_edges",
+    "x_weighted_jaccard",
+    "x_simhash_radius2",
+    "x_contam_13gram",
+    "x_dedup_savings",
+    "x_bpe_compression",
+    "x_lsh_band_health",
 ]
 
 

@@ -82,3 +82,64 @@ def test_memo_evicts_stale_app_ids():
     memo = {("app-old", "sf"): "dead", ("app-new", "sf"): "live"}
     _evict_stale(memo, "app-new")
     assert memo == {("app-new", "sf"): "live"}
+
+
+def _rows(spark, name, sf="/root/testdata/sf0.001"):
+    from gmall_flink_230422_spark.plans import registry
+
+    return registry()[name].fn(spark, sf).collect()
+
+
+def test_bfs_layers_partition_invariants(spark):
+    """Layers partition reached nodes: depth-0 is min(10, |nodes|) seeds,
+    counts are positive, and depths are contiguous from 0."""
+    rows = sorted(_rows(spark, "x_bfs_layers"), key=lambda r: r["depth"])
+    assert rows, "graph should be non-empty at sf0.001"
+    assert rows[0]["depth"] == 0 and rows[0]["n_nodes"] <= 10
+    assert [r["depth"] for r in rows] == list(range(len(rows)))
+    assert all(r["n_nodes"] > 0 for r in rows)
+
+
+def test_simhash_radius2_superset_of_radius1(spark):
+    """Hamming<=1 pairs (x_simhash_pairs) must all appear among the
+    radius-2 pairs — the pigeonhole candidates are recall-exact."""
+    r1 = {(r["doc_a"], r["doc_b"]) for r in _rows(spark, "x_simhash_pairs")}
+    r2 = {(r["doc_a"], r["doc_b"]) for r in _rows(spark, "x_simhash_radius2")}
+    assert r1 <= r2
+    h = {r["hamming"] for r in _rows(spark, "x_simhash_radius2")}
+    assert h <= {0, 1, 2}
+
+
+def test_band_health_union_bound(spark):
+    """Distinct LSH candidate pairs can't exceed the per-band implied
+    pair volume summed over bands (union bound), and every band's max
+    bucket is at least 2."""
+    bands = _rows(spark, "x_lsh_band_health")
+    f1 = _rows(spark, "x_dedup_f1")[0]
+    assert sum(r["n_cand_pairs"] for r in bands) >= f1["n_candidate_pairs"]
+    assert all(r["max_bucket"] >= 2 for r in bands)
+
+
+def test_dedup_savings_matches_cc_survivors(spark):
+    """Σ per-source kept docs == |x_dedup_corpus_cc| survivors, and kept
+    mass never exceeds total mass."""
+    sav = _rows(spark, "x_dedup_savings")
+    surv = _rows(spark, "x_dedup_corpus_cc")
+    assert sum(r["n_docs_kept"] for r in sav) == len(surv)
+    for r in sav:
+        assert r["n_docs_kept"] <= r["n_docs"]
+        assert r["n_tokens_kept"] <= r["n_tokens"]
+        assert 0 <= r["tokens_kept_milli"] <= 1000
+
+
+def test_ttr_bounds(spark):
+    for r in _rows(spark, "x_ttr_sources"):
+        assert 0 < r["n_types"] <= r["n_tokens"]
+        assert 0 < r["ttr_milli"] <= 1000
+
+
+def test_temporal_split_set_identities(spark):
+    row = _rows(spark, "x_temporal_split")[0]
+    assert row["n_train_users"] + row["n_eval_users"] >= row["n_users"]
+    assert row["n_both"] == row["n_train_users"] + row["n_eval_users"] - row["n_users"]
+    assert row["n_both"] <= min(row["n_train_users"], row["n_eval_users"])
