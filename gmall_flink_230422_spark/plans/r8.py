@@ -1106,3 +1106,179 @@ SPECS += [
               doc="verified near-dup pair counts per Jaccard decile — threshold-sensitivity gauge",
               tags=("llm", "dedup", "stats")),
 ]
+
+
+# ------------------------------------------------------------- stop shingles
+def q_stop_shingles(spark, sf_dir):
+    """Hub-shingle report: the 20 highest-document-frequency shingles with
+    their corpus share and the pair volume each would route through ONE
+    reducer in a shingle-keyed join (df·(df−1)/2) — the table that picks
+    the stop_shingles max_doc_freq cut (operators/dedup.py skew guard)
+    before a boilerplate hub melts the intersection join. One shingle
+    aggregate + TakeOrdered top-20; the quadratic term is arithmetic on
+    bucket sizes, never expanded."""
+    d = _docs_par(spark, sf_dir)
+    sh = dedup.shingles(d)
+    n_docs = sh.select("doc_id").distinct().agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(F.broadcast(n_docs))
+        .select(
+            "shingle",
+            F.col("df").cast("bigint").alias("df"),
+            F.expr("df * 1000 div _n").cast("bigint").alias("doc_share_milli"),
+            F.expr("df * (df - 1) div 2").cast("bigint").alias("induced_pairs"),
+        )
+        .orderBy(F.col("df").desc(), "shingle")
+        .limit(20)
+    )
+
+
+ORACLE_STOP_SHINGLES = f"""
+WITH {_shingles_cte()},
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM sh),
+freq AS (SELECT shingle, count(*)::BIGINT AS df FROM sh GROUP BY 1)
+SELECT shingle, df,
+       (df * 1000 // nd.n)::BIGINT AS doc_share_milli,
+       (df * (df - 1) // 2)::BIGINT AS induced_pairs
+FROM freq CROSS JOIN nd
+ORDER BY df DESC, shingle LIMIT 20
+"""
+
+
+# ------------------------------------------------------------- IVF n_probe sweep
+def q_ivf_nprobe_sweep(spark, sf_dir):
+    """The IVF operating-point table: recall@10 vs brute-force truth at
+    n_probe ∈ {1, 2, 4} — the knob every vector-search deployment tunes
+    (each probe step trades one more list scan for recall). All three
+    operating points come from ONE assignment pass and ONE scored frame
+    (probe rank ≤ 4 computed once; each sweep point is a filter + keyed
+    top-k window over it), so the sweep costs barely more than the single
+    x_ann_recall probe instead of 3 full re-assignments."""
+    e = _embs_par(spark, sf_dir)
+    q = e.filter(F.col("vec_id").isin(0, 1, 2))
+    cents = similarity.ivf_centroids(e, n_centroids=16)
+    assigned = similarity.ivf_assign(e, cents)
+    # probe ranks 1..4 per query, once
+    cent_rows = cents.select(F.col("cid"), F.col("cvec"))
+    qp = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    from pyspark.sql import Window
+
+    pw = Window.partitionBy("query_id").orderBy(
+        F.col("_cs").desc(), F.col("cid")
+    )
+    probes = (
+        qp.join(F.broadcast(cent_rows))
+        .select(
+            "query_id",
+            "qv",
+            "cid",
+            (F.floor(similarity.cosine(F.col("qv"), F.col("cvec")) * 1000000) / 1000000).alias("_cs"),
+        )
+        .withColumn("prk", F.row_number().over(pw))
+        .filter(F.col("prk") <= 4)
+        .select("query_id", "qv", F.col("cid").alias("list_id"), "prk")
+    )
+    scored = (
+        assigned.join(probes, "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "prk",
+            (F.floor(similarity.cosine(F.col("embedding"), F.col("qv")) * 10000) / 10000).alias("cos_sim"),
+        )
+        .cache()
+    )
+    truth = similarity.brute_force_topk(e, q, k=10).select(
+        "query_id", "vec_id"
+    ).withColumn("_t", F.lit(1))
+    sweeps = spark.createDataFrame([(1,), (2,), (4,)], ["n_probe"])
+    rw = Window.partitionBy("n_probe", "query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    topk = (
+        scored.join(F.broadcast(sweeps), F.col("prk") <= F.col("n_probe"))
+        .withColumn("rk", F.row_number().over(rw))
+        .filter(F.col("rk") <= 10)
+    )
+    return (
+        topk.join(truth, ["query_id", "vec_id"], "left")
+        .groupBy("n_probe", "query_id")
+        .agg(
+            F.count("_t").cast("bigint").alias("n_hits"),
+            (F.count("_t") * 100).cast("bigint").alias("recall_milli"),
+        )
+        .orderBy("n_probe", "query_id")
+    )
+
+
+ORACLE_IVF_NPROBE_SWEEP = """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+assigned AS (
+  SELECT vec_id, embedding, cid AS list_id FROM (
+    SELECT c.vec_id, c.embedding, cents.cid,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY floor((list_cosine_similarity(c.embedding::DOUBLE[], cents.cvec)) * 1000000) / 1000000 DESC,
+                      cents.cid) AS rk
+    FROM embeddings c CROSS JOIN cents
+  ) WHERE rk = 1
+),
+probes AS (
+  SELECT query_id, qv, cid AS list_id, rk AS prk FROM (
+    SELECT q.vec_id AS query_id, q.embedding::DOUBLE[] AS qv, cents.cid,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY floor((list_cosine_similarity(q.embedding::DOUBLE[], cents.cvec)) * 1000000) / 1000000 DESC,
+                      cents.cid) AS rk
+    FROM embeddings q CROSS JOIN cents
+    WHERE q.vec_id IN (0, 1, 2)
+  ) WHERE rk <= 4
+),
+scored AS (
+  SELECT p.query_id, a.vec_id, p.prk,
+         floor((list_cosine_similarity(a.embedding::DOUBLE[], p.qv)) * 10000) / 10000 AS cos_sim
+  FROM assigned a JOIN probes p ON a.list_id = p.list_id
+  WHERE a.vec_id <> p.query_id
+),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY floor((list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[])) * 10000) / 10000 DESC,
+                      c.vec_id) AS rk
+    FROM embeddings c CROSS JOIN embeddings q
+    WHERE q.vec_id IN (0, 1, 2) AND c.vec_id <> q.vec_id
+  ) WHERE rk <= 10
+),
+topk AS (
+  SELECT query_id, vec_id, n_probe FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY n_probe, query_id ORDER BY cos_sim DESC, vec_id) AS rk
+    FROM scored CROSS JOIN (SELECT unnest([1, 2, 4]) AS n_probe) p
+    WHERE prk <= n_probe
+  ) WHERE rk <= 10
+)
+SELECT t.n_probe::INT AS n_probe, t.query_id,
+       sum((tr.vec_id IS NOT NULL)::INT)::BIGINT AS n_hits,
+       (sum((tr.vec_id IS NOT NULL)::INT) * 100)::BIGINT AS recall_milli
+FROM topk t LEFT JOIN truth tr
+  ON t.query_id = tr.query_id AND t.vec_id = tr.vec_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+SPECS += [
+    QuerySpec("x_stop_shingles", q_stop_shingles, ORACLE_STOP_SHINGLES,
+              doc="top-20 hub shingles: doc frequency, corpus share, induced join pair volume",
+              tags=("llm", "dedup", "stats")),
+    QuerySpec("x_ivf_nprobe_sweep", q_ivf_nprobe_sweep, ORACLE_IVF_NPROBE_SWEEP,
+              doc="IVF recall@10 at n_probe 1/2/4 from one shared assignment + scored frame",
+              tags=("llm", "similarity", "eval")),
+]
