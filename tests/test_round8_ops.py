@@ -143,3 +143,28 @@ def test_temporal_split_set_identities(spark):
     assert row["n_train_users"] + row["n_eval_users"] >= row["n_users"]
     assert row["n_both"] == row["n_train_users"] + row["n_eval_users"] - row["n_users"]
     assert row["n_both"] <= min(row["n_train_users"], row["n_eval_users"])
+
+
+def test_pigeonhole_blocks_cover_radius2():
+    """Mathematical core of x_simhash_radius2: ANY two 16-bit signatures
+    within hamming distance 2 agree exactly on at least one of the 6/5/5
+    blocks — so the block-keyed candidate joins are recall-exact at this
+    radius. Property-tested over random signatures and random <=2-bit
+    corruptions."""
+    from hypothesis import given, strategies as st
+
+    def blocks(h):
+        return (h & 63, (h >> 6) & 31, (h >> 11) & 31)
+
+    @given(
+        st.integers(min_value=0, max_value=(1 << 16) - 1),
+        st.sets(st.integers(min_value=0, max_value=15), max_size=2),
+    )
+    def check(sig, flips):
+        other = sig
+        for b in flips:
+            other ^= 1 << b
+        assert bin(sig ^ other).count("1") <= 2
+        assert any(x == y for x, y in zip(blocks(sig), blocks(other)))
+
+    check()
