@@ -1282,3 +1282,85 @@ SPECS += [
               doc="IVF recall@10 at n_probe 1/2/4 from one shared assignment + scored frame",
               tags=("llm", "similarity", "eval")),
 ]
+
+
+# ------------------------------------------------------------- quality rank corr
+def q_quality_rank_corr(spark, sf_dir):
+    """Detector-agreement for the two QUALITY scorers: Spearman rank
+    correlation between the heuristic composite (quality_features) and the
+    bigram-LM mean surprisal — the eval-hygiene check that the cheap
+    filter and the LM filter actually order the corpus consistently
+    (expected NEGATIVE: high surprisal = low quality). The rank twin of
+    x_detector_agreement's pair-set comparison for dedup detectors.
+
+    Ranks via two distributed_cumsum global rankings (the e_spearman
+    shape: range partition + bounded partition-total broadcast, never an
+    Exchange SinglePartition), unique (score, doc_id) tiebreaks ⇒ the
+    closed form ρ = 1 − 6Σd²/(n(n²−1)) is exact in BIGINTs."""
+    from ..operators import text as _text
+    from ..operators.windows import distributed_cumsum
+
+    d = _docs_par(spark, sf_dir)
+    qf = _text.quality_features(d).select(
+        "doc_id", F.floor(F.col("quality_score") * 10000).cast("bigint").alias("qx")
+    )
+    lm = _text.lm_surprisal_score(d).filter(F.col("avg_surprisal").isNotNull()).select(
+        "doc_id", F.floor(F.col("avg_surprisal") * 10000).cast("bigint").alias("qy")
+    )
+    per = qf.join(lm, "doc_id").withColumn("one", F.lit(1).cast("bigint")).cache()
+    rx = distributed_cumsum(
+        per.select("doc_id", "qx", "one"), ["qx", "doc_id"], "one", "rank_x"
+    ).select("doc_id", "rank_x")
+    ry = distributed_cumsum(
+        per.select("doc_id", "qy", "one"), ["qy", "doc_id"], "one", "rank_y"
+    ).select("doc_id", "rank_y")
+    dd = rx.join(ry, "doc_id").select((F.col("rank_x") - F.col("rank_y")).alias("dd"))
+    return dd.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("dd") * F.col("dd")).cast("bigint").alias("sum_d2"),
+    ).select(
+        "n_docs",
+        "sum_d2",
+        F.expr(
+            "CASE WHEN n_docs > 1 THEN "
+            "(1000000 * (n_docs * (n_docs * n_docs - 1) - 6 * sum_d2)) "
+            "div (n_docs * (n_docs * n_docs - 1)) "
+            "ELSE NULL END"
+        ).alias("rho_micro"),
+    )
+
+
+def _quality_rank_corr_oracle() -> str:
+    from .llm import ORACLE_LM_SCORE
+    from .llm import ORACLE_QUALITY as _OQS
+
+    return f"""
+WITH qsq AS ({_OQS}),
+lmq AS ({ORACLE_LM_SCORE}),
+per AS (
+  SELECT q.doc_id, floor(q.quality_score * 10000)::BIGINT AS qx,
+         floor(l.avg_surprisal * 10000)::BIGINT AS qy
+  FROM qsq q JOIN lmq l USING (doc_id)
+  WHERE l.avg_surprisal IS NOT NULL
+),
+r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY qx, doc_id) AS rank_x,
+         row_number() OVER (ORDER BY qy, doc_id) AS rank_y
+  FROM per
+),
+d AS (SELECT (rank_x - rank_y)::BIGINT AS dd FROM r)
+SELECT count(*)::BIGINT AS n_docs, sum(dd * dd)::BIGINT AS sum_d2,
+       CASE WHEN count(*) > 1 THEN
+         (1000000 * (count(*) * (count(*) * count(*) - 1) - 6 * sum(dd * dd)))
+         // (count(*) * (count(*) * count(*) - 1))
+       ELSE NULL END AS rho_micro
+FROM d
+"""
+
+
+SPECS += [
+    QuerySpec("x_quality_rank_corr", q_quality_rank_corr, _quality_rank_corr_oracle(),
+              doc="Spearman rank agreement between the heuristic and bigram-LM quality scorers",
+              tags=("llm", "eval", "stats")),
+]
