@@ -58,8 +58,12 @@ def q_bfs_layers(spark, sf_dir):
     MINUS visited — each round one keyed join + one distinct + one
     left-anti, all hash-partitioned on node id. Depth counts come from ONE
     union→groupBy(depth), not per-depth scalar aggregates. Rounds are a
-    FIXED constant (the query's semantics), so plan depth is bounded — no
-    convergence actions at construction."""
+    FIXED constant (the query's semantics), so plan depth is bounded and
+    there are no convergence COUNTS; the per-round checkpoints do
+    materialize at construction (creating an RDD under AQE executes its
+    stages — ~2.3 s / 27 jobs at sf0.1, charged transparently as
+    plan_actions_s in bench.py), which is the same total cost as running
+    them at first action, just paid earlier."""
     pairs = _near_pairs(spark, sf_dir).cache()
     und = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
