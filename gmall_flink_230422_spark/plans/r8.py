@@ -1368,3 +1368,396 @@ SPECS += [
               doc="Spearman rank agreement between the heuristic and bigram-LM quality scorers",
               tags=("llm", "eval", "stats")),
 ]
+
+
+# ============================================================= r8 batch 6:
+# rank-quality NDCG, privacy l-diversity, rank/robust statistics, DP release
+
+
+# ------------------------------------------------------------- NDCG@10 vs labels
+# floor(1e6 / log2(rank+1)) for rank 1..10 — the classic DCG discount on a
+# micro-integer grid, inlined identically on both engines so no runtime
+# float log is evaluated anywhere.
+_NDCG_DISC = (1000000, 630929, 500000, 430676, 386852, 356207, 333333, 315464, 301029, 289064)
+# prefix sums: _NDCG_PS[r] = sum of the first r discounts (ideal DCG with r
+# relevant docs in the top 10); index 0 = 0 relevant ⇒ IDCG undefined/0.
+_NDCG_PS = (0, 1000000, 1630929, 2130929, 2561605, 2948457, 3304664, 3637997, 3953461, 4254490, 4543554)
+
+
+def q_ndcg_labels(spark, sf_dir):
+    """NDCG@10 of exact-cosine retrieval against the embeddings' class
+    labels (binary relevance = same label as the query) — the graded
+    companion to x_mrr_labels: MRR scores the FIRST hit, NDCG@10 scores
+    the whole ranked page with the standard 1/log2(rank+1) discount.
+    Together they are the retrieval scorecard a curation team watches
+    when swapping embedding models or ANN index settings.
+
+    The discount table is 10 pre-computed micro-integers (no runtime
+    float log), the ideal DCG is a prefix-sum lookup at min(#relevant,
+    10), and ndcg_milli is one integer division — every value BIGINT
+    end-to-end, so the oracle hash-matches exactly.
+
+    Scale shape: identical to x_mrr_labels (broadcast |Q| query rows ×
+    corpus scan, ONE query-keyed ranking window, one aggregate) — rank
+    discounting adds zero new shuffles. Reference parity: retrieval eval
+    extends the reference's top-N ranking pattern
+    (R/app/dws/*ProvinceOrderWindow*.java keyed top-N)."""
+    from pyspark.sql import Window
+
+    from .llm import _QUERY_IDS
+
+    e = _embs_par(spark, sf_dir)
+    q = e.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id", "qlabel",
+        (F.col("label") == F.col("qlabel")).cast("bigint").alias("rel"),
+        (F.floor(similarity.cosine(F.col("embedding"), F.col("qvec")) * 10000) / 10000).alias("cos_sim"),
+        "vec_id",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    disc_arr = F.array(*[F.lit(d).cast("bigint") for d in _NDCG_DISC])
+    ps_arr = F.array(*[F.lit(p).cast("bigint") for p in _NDCG_PS])
+    ranked = scored.withColumn("rk", F.row_number().over(w)).withColumn(
+        "gain",
+        F.when(F.col("rk") <= 10, F.col("rel") * F.element_at(disc_arr, F.col("rk")))
+        .otherwise(F.lit(0).cast("bigint")),
+    )
+    return (
+        ranked.groupBy("query_id")
+        .agg(
+            F.sum("rel").cast("bigint").alias("n_rel"),
+            F.sum("gain").cast("bigint").alias("dcg_micro"),
+        )
+        .withColumn(
+            "idcg_micro",
+            F.element_at(ps_arr, F.least(F.col("n_rel"), F.lit(10)).cast("int") + 1),
+        )
+        .select(
+            "query_id", "n_rel", "dcg_micro", "idcg_micro",
+            F.expr(
+                "CASE WHEN idcg_micro > 0 THEN (1000 * dcg_micro) div idcg_micro "
+                "ELSE NULL END"
+            ).cast("bigint").alias("ndcg_milli"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _ndcg_oracle() -> str:
+    from .llm import _QUERY_IDS
+
+    disc = ", ".join(str(d) for d in _NDCG_DISC)
+    ps = ", ".join(str(p) for p in _NDCG_PS)
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id IN {_QUERY_IDS}
+),
+ranked AS (
+  SELECT q.query_id,
+         (c.label = q.qlabel)::BIGINT AS rel,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY floor(list_cosine_similarity(c.embedding::DOUBLE[], q.qv) * 10000) / 10000 DESC,
+                    c.vec_id
+         ) AS rk
+  FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id
+),
+agg AS (
+  SELECT query_id, sum(rel)::BIGINT AS n_rel,
+         sum(CASE WHEN rk <= 10 THEN rel * ([{disc}])[rk] ELSE 0 END)::BIGINT AS dcg_micro
+  FROM ranked GROUP BY query_id
+)
+SELECT query_id, n_rel, dcg_micro,
+       ([{ps}])[least(n_rel, 10) + 1]::BIGINT AS idcg_micro,
+       CASE WHEN ([{ps}])[least(n_rel, 10) + 1] > 0
+            THEN (1000 * dcg_micro) // ([{ps}])[least(n_rel, 10) + 1]
+            ELSE NULL END::BIGINT AS ndcg_milli
+FROM agg ORDER BY query_id
+"""
+
+
+# ------------------------------------------------------------- l-diversity audit
+def q_l_diversity(spark, sf_dir):
+    """k-anonymity + l-diversity audit over the document catalog before a
+    metadata release: quasi-identifier = (source, 200-char length bucket),
+    sensitive attribute = lang. A QI group is k-anonymous iff ≥5 docs
+    share it and l-diverse iff ≥2 distinct sensitive values appear — the
+    standard pair of release gates (l-diversity closes the homogeneity
+    attack k-anonymity alone misses). Extends x_k_anonymity, which checks
+    group sizes only.
+
+    Scale shape: ONE hash aggregate over the catalog scan (count +
+    count-distinct per QI group — Tungsten partial/final), no joins, no
+    windows; output is |QI groups|, bounded far below |docs|."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "source",
+            (F.col("n_chars").cast("bigint") / F.lit(200)).cast("bigint").alias("len_bucket"),
+            "lang",
+        )
+        .groupBy("source", "len_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k_size"),
+            F.countDistinct("lang").cast("bigint").alias("l_div"),
+        )
+        .select(
+            "source", "len_bucket", "k_size", "l_div",
+            (F.col("k_size") < 5).cast("bigint").alias("k_violation"),
+            (F.col("l_div") < 2).cast("bigint").alias("l_violation"),
+        )
+        .orderBy("source", "len_bucket")
+    )
+
+
+ORACLE_L_DIVERSITY = """
+SELECT source, (n_chars // 200)::BIGINT AS len_bucket,
+       count(*)::BIGINT AS k_size,
+       count(DISTINCT lang)::BIGINT AS l_div,
+       (count(*) < 5)::BIGINT AS k_violation,
+       (count(DISTINCT lang) < 2)::BIGINT AS l_violation
+FROM documents
+GROUP BY source, (n_chars // 200)
+ORDER BY source, len_bucket
+"""
+
+
+# ------------------------------------------------------------- Mann-Whitney U
+def q_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U rank-sum test: do 'click' and 'view' events draw
+    their `value` from the same distribution? The non-parametric
+    companion to e_welch_t2 (which compares means and assumes rough
+    normality) — rank tests are the workhorse for skewed engagement
+    metrics. Normal approximation WITHOUT tie correction (values sit on a
+    cent grid; ties are rare and the correction term is O(ties³/n³) —
+    documented choice, identical on both engines).
+
+    U is computed WITHOUT any global sort: bucket both samples on the
+    exact cent grid (one hash agg), then one distributed_cumsum over the
+    grid (range partition + bounded partition-total broadcast — never an
+    Exchange SinglePartition) gives each value's count-below; 2·U1 =
+    Σ n1(v)·(2·below2(v) + n2(v)) is exact in BIGINTs. At 100 TB the
+    cumsum frame is |distinct cents|, bounded by the value domain, not
+    the event count."""
+    from ..operators.windows import distributed_cumsum
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    g = (
+        ev.select(
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+            (F.col("event_type") == "click").cast("bigint").alias("is1"),
+            (F.col("event_type") == "view").cast("bigint").alias("is2"),
+        )
+        .groupBy("cents")
+        .agg(F.sum("is1").alias("n1"), F.sum("is2").alias("n2"))
+    )
+    cum = distributed_cumsum(g, ["cents"], ["n1", "n2"], ["c1", "c2"])
+    agg = cum.agg(
+        F.sum("n1").cast("bigint").alias("n_click"),
+        F.sum("n2").cast("bigint").alias("n_view"),
+        F.sum(F.col("n1") * (2 * (F.col("c2") - F.col("n2")) + F.col("n2")))
+        .cast("bigint")
+        .alias("u1_x2"),
+    )
+    return agg.select(
+        "n_click", "n_view", "u1_x2",
+        F.floor(
+            (F.lit(1000) * (F.col("u1_x2") - F.col("n_click") * F.col("n_view")))
+            / (
+                F.lit(2)
+                * F.sqrt(
+                    (
+                        F.col("n_click") * F.col("n_view")
+                        * (F.col("n_click") + F.col("n_view") + 1)
+                    ).cast("double")
+                    / F.lit(12.0)
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("z_milli"),
+    )
+
+
+ORACLE_MANN_WHITNEY = """
+WITH g AS (
+  SELECT round(value * 100)::BIGINT AS cents,
+         sum((event_type = 'click')::BIGINT)::BIGINT AS n1,
+         sum((event_type = 'view')::BIGINT)::BIGINT AS n2
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY 1
+),
+cum AS (
+  SELECT n1, n2,
+         sum(n2) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+  FROM g
+),
+agg AS (
+  SELECT sum(n1)::BIGINT AS n_click, sum(n2)::BIGINT AS n_view,
+         sum(n1 * (2 * (c2 - n2) + n2))::BIGINT AS u1_x2
+  FROM cum
+)
+SELECT n_click, n_view, u1_x2,
+       floor((1000 * (u1_x2 - n_click * n_view))
+             / (2 * sqrt((n_click * n_view * (n_click + n_view + 1))::DOUBLE / 12.0)))::BIGINT AS z_milli
+FROM agg
+"""
+
+
+# ------------------------------------------------------------- Theil-Sen slope
+def q_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend per event type: the MEDIAN of all pairwise
+    slopes between daily revenue points — up to ~29% corrupted days
+    cannot move it, unlike e_ols_trend's least-squares line which one
+    flash-sale outlier drags arbitrarily. Reported as the lower median
+    (rank ⌈n/2⌉ on the deterministic slope grid) so both engines pick the
+    identical element — no percentile interpolation.
+
+    Scale shape: the pairwise self-join is over the DAY GRID (bounded by
+    calendar × event types, ~30 rows per key — never over raw events), so
+    pair count is a few hundred per key; ranking is a KEYED window over
+    those bounded groups. The day rollup itself is one hash agg over the
+    event scan."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value") * 100).cast("bigint").alias("y_cents"))
+    ).cache()
+    b = daily.select(
+        "event_type",
+        F.col("day").alias("day2"),
+        F.col("y_cents").alias("y2"),
+    )
+    pairs = daily.join(b, "event_type").filter(F.col("day") < F.col("day2")).select(
+        "event_type",
+        F.expr("(1000 * (y2 - y_cents)) div datediff(day2, day)")
+        .cast("bigint")
+        .alias("slope_milli"),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope_milli")
+    ranked = pairs.withColumn("rk", F.row_number().over(w))
+    cnt = pairs.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    return (
+        ranked.join(F.broadcast(cnt), "event_type")
+        .filter(F.col("rk") == (F.col("n_pairs") + 1) / 2)
+        .select("event_type", "n_pairs", F.col("slope_milli").alias("med_slope_milli"))
+        .orderBy("event_type")
+    )
+
+
+ORACLE_THEIL_SEN = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day, round(sum(value) * 100)::BIGINT AS y_cents
+  FROM events GROUP BY event_type, ts::DATE
+),
+pairs AS (
+  SELECT a.event_type,
+         ((1000 * (b.y_cents - a.y_cents)) // (b.day - a.day))::BIGINT AS slope_milli
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+),
+ranked AS (
+  SELECT event_type, slope_milli,
+         row_number() OVER (PARTITION BY event_type ORDER BY slope_milli) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n_pairs
+  FROM pairs
+)
+SELECT event_type, n_pairs::BIGINT AS n_pairs, slope_milli AS med_slope_milli
+FROM ranked WHERE rk = (n_pairs + 1) // 2
+ORDER BY event_type
+"""
+
+
+# ------------------------------------------------------------- Kendall tau-a
+def q_kendall_tau(spark, sf_dir):
+    """Kendall tau-a concordance between the daily click series and the
+    daily purchase series: over all day pairs (i < j), do the two metrics
+    move the SAME way? The pair-counting alternative to e_spearman (rank
+    correlation) and x_quality_rank_corr — tau has a direct probabilistic
+    reading (P[concordant] − P[discordant]) and is the standard check
+    that an engagement proxy tracks the revenue metric.
+
+    Scale shape: the self-join is over the DAY GRID (bounded by calendar:
+    ~30 rows → ~435 pairs — never raw events); the day rollup is one
+    conditional hash agg over the event scan; the final reduce is one
+    scalar aggregate."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("bigint")).alias("x"),
+            F.sum((F.col("event_type") == "purchase").cast("bigint")).alias("y"),
+        )
+    ).cache()
+    b = daily.select(
+        F.col("day").alias("day2"), F.col("x").alias("x2"), F.col("y").alias("y2")
+    )
+    pairs = daily.crossJoin(b).filter(F.col("day") < F.col("day2")).select(
+        F.signum((F.col("x2") - F.col("x")).cast("double")).cast("bigint").alias("sx"),
+        F.signum((F.col("y2") - F.col("y")).cast("double")).cast("bigint").alias("sy"),
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum((F.col("sx") * F.col("sy") == 1).cast("bigint")).alias("concordant"),
+        F.sum((F.col("sx") * F.col("sy") == -1).cast("bigint")).alias("discordant"),
+        F.sum((F.col("sx") == 0).cast("bigint")).alias("ties_x"),
+        F.sum((F.col("sy") == 0).cast("bigint")).alias("ties_y"),
+    ).select(
+        "n_pairs", "concordant", "discordant", "ties_x", "ties_y",
+        F.expr("(1000 * (concordant - discordant)) div n_pairs")
+        .cast("bigint")
+        .alias("tau_a_milli"),
+    )
+
+
+ORACLE_KENDALL_TAU = """
+WITH daily AS (
+  SELECT ts::DATE AS day,
+         sum((event_type = 'click')::BIGINT)::BIGINT AS x,
+         sum((event_type = 'purchase')::BIGINT)::BIGINT AS y
+  FROM events GROUP BY ts::DATE
+),
+pairs AS (
+  SELECT sign(b.x - a.x)::BIGINT AS sx, sign(b.y - a.y)::BIGINT AS sy
+  FROM daily a JOIN daily b ON a.day < b.day
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_pairs,
+         sum((sx * sy = 1)::BIGINT)::BIGINT AS concordant,
+         sum((sx * sy = -1)::BIGINT)::BIGINT AS discordant,
+         sum((sx = 0)::BIGINT)::BIGINT AS ties_x,
+         sum((sy = 0)::BIGINT)::BIGINT AS ties_y
+  FROM pairs
+)
+SELECT n_pairs, concordant, discordant, ties_x, ties_y,
+       ((1000 * (concordant - discordant)) // n_pairs)::BIGINT AS tau_a_milli
+FROM agg
+"""
+
+
+SPECS += [
+    QuerySpec("x_ndcg_labels", q_ndcg_labels, _ndcg_oracle(),
+              doc="NDCG@10 of cosine retrieval vs class labels on a micro-integer discount grid",
+              tags=("llm", "eval", "similarity")),
+    QuerySpec("x_l_diversity", q_l_diversity, ORACLE_L_DIVERSITY,
+              doc="k-anonymity + l-diversity release audit over (source, length-bucket) QI groups",
+              tags=("llm", "privacy")),
+    QuerySpec("e_mann_whitney", q_mann_whitney, ORACLE_MANN_WHITNEY,
+              doc="Mann-Whitney U rank-sum z-score via value-grid cumsum (no global sort)",
+              tags=("analytics", "stats")),
+    QuerySpec("e_theil_sen", q_theil_sen, ORACLE_THEIL_SEN,
+              doc="Theil-Sen robust slope: median pairwise slope over the bounded day grid",
+              tags=("analytics", "stats")),
+    QuerySpec("e_kendall_tau", q_kendall_tau, ORACLE_KENDALL_TAU,
+              doc="Kendall tau-a concordance between daily click and purchase series",
+              tags=("analytics", "stats")),
+]

@@ -1,0 +1,136 @@
+"""Round-8 batch-6 operators: independent local mirrors for the new
+rank-eval / privacy / rank-statistics queries (x_ndcg_labels,
+x_l_diversity, e_mann_whitney, e_theil_sen, e_kendall_tau). Each test
+recomputes the statistic with plain Python on the sf0.001 fixtures and
+compares the Spark result exactly on the shared integer grids."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from gmall_flink_230422_spark.plans.r8 import (
+    _NDCG_DISC,
+    _NDCG_PS,
+    q_kendall_tau,
+    q_l_diversity,
+    q_mann_whitney,
+    q_ndcg_labels,
+    q_theil_sen,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _seq_dot(a, b):
+    # sequential left-fold, matching F.aggregate's evaluation order
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
+def test_ndcg_labels_matches_local_mirror(spark):
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    rows = {r["query_id"]: r for r in q_ndcg_labels(spark, SF).collect()}
+    for qid in (0, 1, 2):
+        q = emb[emb.vec_id == qid].iloc[0]
+        cand = emb[emb.vec_id != qid]
+        scored = []
+        for _, c in cand.iterrows():
+            cs = _seq_dot(c.embedding, q.embedding) / (
+                math.sqrt(_seq_dot(c.embedding, c.embedding))
+                * math.sqrt(_seq_dot(q.embedding, q.embedding))
+            )
+            scored.append((math.floor(cs * 10000) / 10000, int(c.vec_id), int(c.label)))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        rel = [1 if lab == q.label else 0 for _, _, lab in scored]
+        dcg = sum(r * d for r, d in zip(rel[:10], _NDCG_DISC))
+        idcg = _NDCG_PS[min(sum(rel), 10)]
+        got = rows[qid]
+        assert got["n_rel"] == sum(rel)
+        assert got["dcg_micro"] == dcg
+        assert got["idcg_micro"] == idcg
+        assert idcg > 0  # 10 labels over 500 docs: every query has relevant docs
+        assert got["ndcg_milli"] == (1000 * dcg) // idcg
+        assert 0 <= got["ndcg_milli"] <= 1000
+
+
+def test_l_diversity_mirror(spark):
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    docs["len_bucket"] = docs.n_chars // 200
+    g = docs.groupby(["source", "len_bucket"]).agg(
+        k_size=("doc_id", "size"), l_div=("lang", "nunique")
+    )
+    out = q_l_diversity(spark, SF).collect()
+    assert len(out) == len(g)
+    for r in out:
+        e = g.loc[(r["source"], r["len_bucket"])]
+        assert r["k_size"] == e.k_size and r["l_div"] == e.l_div
+        assert r["k_violation"] == int(e.k_size < 5)
+        assert r["l_violation"] == int(e.l_div < 2)
+
+
+def test_mann_whitney_exact_pair_count(spark):
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    a = sorted(round(v * 100) for v in ev[ev.event_type == "click"].value)
+    b = sorted(round(v * 100) for v in ev[ev.event_type == "view"].value)
+    # brute-force 2*U1: #(a>b) pairs twice + ties once
+    u1x2 = sum(2 if x > y else (1 if x == y else 0) for x in a for y in b)
+    r = q_mann_whitney(spark, SF).collect()[0]
+    assert (r["n_click"], r["n_view"], r["u1_x2"]) == (len(a), len(b), u1x2)
+    z = (1000 * (u1x2 - len(a) * len(b))) / (
+        2 * math.sqrt(len(a) * len(b) * (len(a) + len(b) + 1) / 12.0)
+    )
+    assert r["z_milli"] == math.floor(z)
+
+
+def _trunc_div(num: int, den: int) -> int:
+    """Integer division truncating toward zero — Spark `div` / DuckDB `//`."""
+    q = abs(num) // abs(den)
+    return q if (num >= 0) == (den > 0) else -q
+
+
+def test_theil_sen_is_lower_median_of_pair_slopes(spark):
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["day"] = ev.ts.dt.normalize()
+    daily = ev.groupby(["event_type", "day"]).value.sum().mul(100).round().astype(int)
+    got = {r["event_type"]: r for r in q_theil_sen(spark, SF).collect()}
+    for et in ev.event_type.unique():
+        s = daily[et]
+        days = list(s.index)
+        slopes = sorted(
+            _trunc_div(1000 * (int(s.iloc[j]) - int(s.iloc[i])), (days[j] - days[i]).days)
+            for i in range(len(days))
+            for j in range(i + 1, len(days))
+        )
+        n = len(slopes)
+        assert got[et]["n_pairs"] == n
+        assert got[et]["med_slope_milli"] == slopes[(n + 1) // 2 - 1]
+
+
+def test_kendall_tau_pair_counts(spark):
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["day"] = ev.ts.dt.normalize()
+    x = ev[ev.event_type == "click"].groupby("day").size()
+    y = ev[ev.event_type == "purchase"].groupby("day").size()
+    days = sorted(set(ev.day))
+    xs = [int(x.get(d, 0)) for d in days]
+    ys = [int(y.get(d, 0)) for d in days]
+    conc = disc = tx = ty = 0
+    n = len(days)
+    for i in range(n):
+        for j in range(i + 1, n):
+            sx = (xs[j] > xs[i]) - (xs[j] < xs[i])
+            sy = (ys[j] > ys[i]) - (ys[j] < ys[i])
+            conc += sx * sy == 1
+            disc += sx * sy == -1
+            tx += sx == 0
+            ty += sy == 0
+    r = q_kendall_tau(spark, SF).collect()[0]
+    assert (r["concordant"], r["discordant"], r["ties_x"], r["ties_y"]) == (
+        conc, disc, tx, ty,
+    )
+    assert r["n_pairs"] == n * (n - 1) // 2
+    assert r["tau_a_milli"] == _trunc_div(1000 * (conc - disc), r["n_pairs"])
