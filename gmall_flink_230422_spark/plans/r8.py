@@ -1761,3 +1761,282 @@ SPECS += [
               doc="Kendall tau-a concordance between daily click and purchase series",
               tags=("analytics", "stats")),
 ]
+
+
+# ------------------------------------------------------------- DP noisy counts
+def q_dp_counts(spark, sf_dir):
+    """Differentially-private release of the (source, lang) histogram:
+    each cell's count is perturbed with two-sided geometric noise — the
+    discrete Laplace mechanism (P[|noise|=k] = 2^-(k+1), i.e. α = 1/2 ⇒
+    ε = ln 2 per cell) — the integer-native DP release for count tables.
+    Noise is drawn WITHOUT any float RNG: the magnitude is the
+    trailing-zero count of a 16-bit slice of the portable md5 hash of the
+    cell key (trailing zeros of a uniform word ARE geometric(1/2)) and the
+    sign is the next hash bit, so both engines derive bit-identical noise.
+
+    TESTABILITY NOTE: hash-seeded noise makes the release reproducible and
+    oracle-checkable; a production release derives the same bits from a
+    SECRET per-release seed (key = secret || cell) — the mechanism and
+    plan shape are identical. true_n is emitted here for the audit only; a
+    real release drops it.
+
+    Scale shape: one hash aggregate over the catalog scan, then pure
+    per-row expression math (hash, trailing zeros via the exact ilog2
+    bit-length idiom, no UDFs) — rows = |cells|, bounded by the key
+    domain."""
+    from ..functions.hashing import portable_hash64
+
+    d = load_table(spark, sf_dir, "documents")
+    cells = (
+        d.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_n"))
+        .withColumn(
+            "h",
+            portable_hash64(F.concat(F.lit("dp:"), F.col("source"), F.lit("/"), F.col("lang"))),
+        )
+        .withColumn("hm", F.pmod(F.col("h"), F.lit(65536)).cast("bigint"))
+        .withColumn(
+            "mag",
+            F.when(F.col("hm") == 0, F.lit(16))
+            .otherwise(
+                F.length(F.bin(F.col("hm").bitwiseAND(-F.col("hm")))) - 1
+            )
+            .cast("bigint"),
+        )
+        .withColumn(
+            "noise",
+            (F.expr("(h div 65536) % 2") * 2 - 1).cast("bigint") * F.col("mag"),
+        )
+    )
+    return cells.select(
+        "source", "lang", "true_n", "noise",
+        F.greatest(F.col("true_n") + F.col("noise"), F.lit(0)).cast("bigint").alias("noisy_n"),
+    ).orderBy("source", "lang")
+
+
+def _dp_counts_oracle() -> str:
+    from ..functions.hashing import portable_hash64_sql
+
+    h = portable_hash64_sql("'dp:' || source || '/' || lang")
+    return f"""
+WITH cells AS (
+  SELECT source, lang, count(*)::BIGINT AS true_n, {h} AS h
+  FROM documents GROUP BY source, lang
+),
+n AS (
+  SELECT source, lang, true_n,
+         h % 65536 AS hm,
+         ((h // 65536) % 2) * 2 - 1 AS sgn
+  FROM cells
+),
+m AS (
+  SELECT source, lang, true_n,
+         sgn * (CASE WHEN hm = 0 THEN 16
+                     ELSE length(printf('%b', hm & (-hm))) - 1 END)::BIGINT AS noise
+  FROM n
+)
+SELECT source, lang, true_n, noise,
+       greatest(true_n + noise, 0)::BIGINT AS noisy_n
+FROM m ORDER BY source, lang
+"""
+
+
+# ------------------------------------------------------------- k-center coreset
+def _l2_fp(a, b):
+    """Euclidean distance on the shared fixed-point grid:
+    floor(sqrt(Σ(xᵢ−yᵢ)²)·10⁴) — sqrt is IEEE-correctly-rounded on both
+    engines, so equal sums give equal grids (same convention as cosine)."""
+    d2 = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.floor(F.sqrt(d2) * 10000).cast("bigint")
+
+
+_KC_ROUNDS = 4
+
+
+def q_kcenter_coreset(spark, sf_dir):
+    """Greedy k-center (farthest-point) coreset selection over the
+    embedding corpus: start from the lowest vec_id, then 3× pick the point
+    FARTHEST from the selected set (the classic 2-approximation to the
+    k-center cover). Output per round: the chosen center and the cover
+    radius (max over all points of distance-to-nearest-center) — the
+    radius curve is the "how many exemplars until the corpus is covered"
+    diagnostic behind diversity-aware data selection (coresets pick the
+    prompts/documents a human should actually look at).
+
+    Fully LAZY unrolled plan — no driver loop, no collect: each round is
+    corpus ⨯ broadcast(1-row center frame) → running min-distance frame
+    (cached: consumed by the next round's argmax AND the radius
+    aggregate; InMemoryRelation leaves also keep the compiled plan linear
+    in rounds, not exponential — the argmax subplan re-references the
+    previous round). Rounds are a FIXED constant (k=4), so plan depth is
+    bounded; per round the work is one corpus scan + one TakeOrdered(1) +
+    one scalar max — O(k·N) total, never all-pairs."""
+    e = _embs_par(spark, sf_dir).select("vec_id", "embedding")
+    rounds = []
+    c = e.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    ).cache()
+    md = None
+    for r in range(1, _KC_ROUNDS + 1):
+        if md is None:
+            md = e.crossJoin(F.broadcast(c)).select(
+                "vec_id", "embedding", _l2_fp(F.col("embedding"), F.col("c_vec")).alias("mind")
+            ).cache()
+        else:
+            md = md.crossJoin(F.broadcast(c)).select(
+                "vec_id", "embedding",
+                F.least(F.col("mind"), _l2_fp(F.col("embedding"), F.col("c_vec"))).alias("mind"),
+            ).cache()
+        radius = md.agg(F.max("mind").cast("bigint").alias("radius_fp"))
+        rounds.append(
+            c.select(F.lit(r).cast("bigint").alias("sel_round"), F.col("c_id").alias("center_id"))
+            .crossJoin(F.broadcast(radius))
+        )
+        if r < _KC_ROUNDS:
+            c = md.orderBy(F.col("mind").desc(), "vec_id").limit(1).select(
+                F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+            ).cache()
+    out = rounds[0]
+    for fr in rounds[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("sel_round")
+
+
+def _kcenter_oracle() -> str:
+    dist = "floor(list_distance({a}, {b}) * 10000)::BIGINT"
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "c1 AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id LIMIT 1)",
+        f"md1 AS (SELECT e.vec_id, e.v, {dist.format(a='e.v', b='c1.cv')} AS mind FROM e, c1)",
+    ]
+    sel = ["SELECT 1 AS sel_round, c1.c_id AS center_id, (SELECT max(mind) FROM md1) AS radius_fp FROM c1"]
+    for r in range(2, _KC_ROUNDS + 1):
+        p = r - 1
+        parts.append(
+            f"c{r} AS (SELECT vec_id AS c_id, v AS cv FROM md{p} ORDER BY mind DESC, vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"md{r} AS (SELECT m.vec_id, m.v, least(m.mind, {dist.format(a='m.v', b=f'c{r}.cv')}) AS mind "
+            f"FROM md{p} m, c{r})"
+        )
+        sel.append(
+            f"SELECT {r} AS sel_round, c{r}.c_id AS center_id, (SELECT max(mind) FROM md{r}) AS radius_fp FROM c{r}"
+        )
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sel) + "\nORDER BY sel_round"
+
+
+# ------------------------------------------------------------- label propagation
+_LP_ROUNDS = 2
+
+
+def q_label_prop_seeds(spark, sf_dir):
+    """Semi-supervised label propagation: 10% of vectors (vec_id % 10 = 0)
+    keep their true class label as SEEDS; everyone else takes the majority
+    label of their top-3 in-bucket kNN neighbors (tie → smallest label),
+    for 2 synchronized rounds — the cheap way a curation team spreads a
+    small set of human quality/topic labels over the whole corpus. Output
+    is the (true label × propagated label) confusion matrix with -1 for
+    still-unlabeled, i.e. the accuracy audit of the propagation itself.
+
+    Determinism contract: majority by (count DESC, label ASC); a node
+    with NO labeled neighbor keeps its current label (NULL in round 1);
+    seeds never change. Rounds are a FIXED constant — plan depth bounded.
+
+    Scale shape: the kNN edge frame is built once and CACHED (both rounds
+    join it); each round is one keyed edge→label join + one (src, label)
+    hash agg + one keyed top-1 window + one left join back — all
+    hash-partitioned on vector id, nothing global. The bucketed kNN
+    substrate (similarity.knn_graph) bounds candidate generation exactly
+    as x_knn_graph documents."""
+    from pyspark.sql import Window
+
+    e = _embs_par(spark, sf_dir)
+    edges = similarity.knn_graph(e, k=3, dims=6).select("src", "dst").cache()
+    lab = e.select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("true_label"),
+        F.when(F.pmod(F.col("vec_id"), F.lit(10)) == 0, F.col("label").cast("bigint")).alias("lab"),
+    )
+    for _ in range(_LP_ROUNDS):
+        nbr = (
+            edges.join(
+                lab.select(F.col("vec_id").alias("dst"), F.col("lab").alias("nlab")), "dst"
+            )
+            .filter(F.col("nlab").isNotNull())
+            .groupBy("src", "nlab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("src").orderBy(F.col("c").desc(), F.col("nlab"))
+        maj = (
+            nbr.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(F.col("src").alias("vec_id"), F.col("nlab").alias("maj"))
+        )
+        lab = (
+            lab.join(maj, "vec_id", "left")
+            .select(
+                "vec_id", "true_label",
+                F.when(F.pmod(F.col("vec_id"), F.lit(10)) == 0, F.col("lab"))
+                .otherwise(F.coalesce(F.col("maj"), F.col("lab")))
+                .alias("lab"),
+            )
+        )
+    return (
+        lab.groupBy(
+            "true_label", F.coalesce(F.col("lab"), F.lit(-1)).cast("bigint").alias("pred_label")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+        .orderBy("true_label", "pred_label")
+    )
+
+
+def _label_prop_oracle() -> str:
+    from .llm import _KNN_CTES
+
+    rounds = []
+    prev = "lab0"
+    for r in range(1, _LP_ROUNDS + 1):
+        rounds.append(f"""
+n{r} AS (
+  SELECT t.src, l.lab AS nlab, count(*) AS c
+  FROM top t JOIN {prev} l ON t.dst = l.vec_id
+  WHERE l.lab IS NOT NULL GROUP BY t.src, l.lab
+),
+m{r} AS (
+  SELECT src, nlab FROM (
+    SELECT src, nlab, row_number() OVER (PARTITION BY src ORDER BY c DESC, nlab) AS rk FROM n{r}
+  ) WHERE rk = 1
+),
+lab{r} AS (
+  SELECT l.vec_id, l.true_label,
+         CASE WHEN l.vec_id % 10 = 0 THEN l.lab ELSE coalesce(m{r}.nlab, l.lab) END AS lab
+  FROM {prev} l LEFT JOIN m{r} ON l.vec_id = m{r}.src
+)""")
+        prev = f"lab{r}"
+    return f"""
+WITH {_KNN_CTES},
+lab0 AS (
+  SELECT vec_id, label::BIGINT AS true_label,
+         CASE WHEN vec_id % 10 = 0 THEN label::BIGINT END AS lab
+  FROM embeddings
+),{",".join(rounds)}
+SELECT true_label, coalesce(lab, -1)::BIGINT AS pred_label, count(*)::BIGINT AS n_vecs
+FROM {prev} GROUP BY true_label, coalesce(lab, -1) ORDER BY true_label, pred_label
+"""
+
+
+SPECS += [
+    QuerySpec("x_dp_counts", q_dp_counts, _dp_counts_oracle(),
+              doc="discrete-Laplace DP release of the (source, lang) histogram via hash-derived two-sided geometric noise",
+              tags=("llm", "privacy")),
+    QuerySpec("x_kcenter_coreset", q_kcenter_coreset, _kcenter_oracle(),
+              doc="greedy k-center coreset: 4 farthest-point rounds with per-round cover radius, fully lazy unrolled plan",
+              tags=("llm", "similarity", "sampling")),
+    QuerySpec("x_label_prop_seeds", q_label_prop_seeds, _label_prop_oracle(),
+              doc="2-round majority label propagation from 10% seeds over the bucketed kNN graph, confusion-matrix output",
+              tags=("llm", "similarity", "eval")),
+]

@@ -134,3 +134,89 @@ def test_kendall_tau_pair_counts(spark):
     )
     assert r["n_pairs"] == n * (n - 1) // 2
     assert r["tau_a_milli"] == _trunc_div(1000 * (conc - disc), r["n_pairs"])
+
+
+def test_dp_counts_noise_mirror(spark):
+    """Noise must be the exact hash-derived two-sided geometric draw:
+    magnitude = trailing zeros of the low 16 hash bits, sign = bit 16."""
+    import hashlib
+
+    from gmall_flink_230422_spark.plans.r8 import q_dp_counts
+
+    out = q_dp_counts(spark, SF).collect()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    truth = docs.groupby(["source", "lang"]).size()
+    assert len(out) == len(truth)
+    for r in out:
+        h = int(hashlib.md5(f"dp:{r['source']}/{r['lang']}".encode()).hexdigest()[:15], 16)
+        hm = h % 65536
+        mag = 16 if hm == 0 else (hm & -hm).bit_length() - 1
+        sign = ((h // 65536) % 2) * 2 - 1
+        assert r["true_n"] == truth.loc[(r["source"], r["lang"])]
+        assert r["noise"] == sign * mag
+        assert abs(r["noise"]) <= 16
+        assert r["noisy_n"] == max(r["true_n"] + r["noise"], 0) >= 0
+
+
+def test_kcenter_coreset_matches_greedy_mirror(spark):
+    """Exact farthest-point greedy mirror: per-dim sequential fold (the
+    zip_with order), same fixed-point grid, same (mind DESC, vec_id)
+    tie-break — centers and radii must match round for round."""
+    import numpy as np
+
+    from gmall_flink_230422_spark.plans.r8 import _KC_ROUNDS, q_kcenter_coreset
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet").sort_values("vec_id")
+    ids = emb.vec_id.to_numpy()
+    X = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+
+    def grid_dist(c):
+        d2 = np.zeros(len(X))
+        for dim in range(X.shape[1]):  # sequential over dims = zip_with fold
+            d2 += (X[:, dim] - c[dim]) ** 2
+        return np.floor(np.sqrt(d2) * 10000).astype(np.int64)
+
+    centers, radii = [int(ids[0])], []
+    mind = grid_dist(X[0])
+    radii.append(int(mind.max()))
+    for _ in range(_KC_ROUNDS - 1):
+        best = np.lexsort((ids, -mind))[0]  # max mind, tie -> min vec_id
+        centers.append(int(ids[best]))
+        mind = np.minimum(mind, grid_dist(X[best]))
+        radii.append(int(mind.max()))
+    got = sorted(q_kcenter_coreset(spark, SF).collect(), key=lambda r: r["sel_round"])
+    assert [r["center_id"] for r in got] == centers
+    assert [r["radius_fp"] for r in got] == radii
+    assert all(a >= b for a, b in zip(radii, radii[1:]))  # cover radius shrinks
+
+
+def test_label_prop_seeds_mirror_given_edges(spark):
+    """Given the (already oracle-tested) kNN edges, the 2-round majority
+    propagation must match a plain-Python mirror exactly."""
+    from collections import Counter
+
+    from gmall_flink_230422_spark.operators import similarity as sim2
+    from gmall_flink_230422_spark.plans.llm import _embs_par
+    from gmall_flink_230422_spark.plans.r8 import _LP_ROUNDS, q_label_prop_seeds
+
+    e = _embs_par(spark, SF)
+    edges = [(r["src"], r["dst"]) for r in sim2.knn_graph(e, k=3, dims=6).collect()]
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    true = dict(zip(emb.vec_id, emb.label.astype(int)))
+    lab = {v: (true[v] if v % 10 == 0 else None) for v in true}
+    out_edges = {}
+    for s, d in edges:
+        out_edges.setdefault(s, []).append(d)
+    for _ in range(_LP_ROUNDS):
+        new = dict(lab)
+        for v in true:
+            if v % 10 == 0:
+                continue
+            votes = Counter(lab[u] for u in out_edges.get(v, []) if lab[u] is not None)
+            if votes:
+                best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+                new[v] = best
+        lab = new
+    mirror = Counter((true[v], lab[v] if lab[v] is not None else -1) for v in true)
+    got = {(r["true_label"], r["pred_label"]): r["n_vecs"] for r in q_label_prop_seeds(spark, SF).collect()}
+    assert got == dict(mirror)
