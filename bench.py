@@ -207,6 +207,16 @@ HEADLINE = [
     "x_dedup_savings",
     "x_bpe_compression",
     "x_lsh_band_health",
+    # round-8 batches 6-7: rank-eval + robust-stats + privacy + selection
+    # (heaviest of the batch: NDCG rides the broadcast brute-force scorer,
+    # k-center makes 4 corpus passes, label prop joins the kNN graph twice,
+    # Mann-Whitney pays one distributed cumsum over the cent grid)
+    "x_ndcg_labels",
+    "x_kcenter_coreset",
+    "x_label_prop_seeds",
+    "e_mann_whitney",
+    "x_graph_modularity",
+    "x_degree_assortativity",
 ]
 
 

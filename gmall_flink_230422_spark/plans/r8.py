@@ -2040,3 +2040,191 @@ SPECS += [
               doc="2-round majority label propagation from 10% seeds over the bucketed kNN graph, confusion-matrix output",
               tags=("llm", "similarity", "eval")),
 ]
+
+
+# ------------------------------------------------------------- label modularity
+def q_graph_modularity(spark, sf_dir):
+    """Newman modularity of the TRUE-label partition over the mutual kNN
+    graph: do the embedding classes form actual graph communities? High Q
+    ⇒ same-label vectors are each other's neighbors (healthy embedding);
+    Q ≈ 0 ⇒ the kNN structure ignores the labels. The graph-level twin of
+    x_mrr_labels/x_ndcg_labels (which score per-query retrieval).
+
+    Integer form: Q = Σ_c (4m·e_c − d_c²) / (4m²) — numerator exact in
+    BIGINTs (m = undirected edges, e_c = in-community edges, d_c = degree
+    sum), one final integer division to milli. Per-label rows carry the
+    inputs; the corpus-level q_milli is broadcast onto each row (the
+    x_zipf_fit convention).
+
+    Scale shape: mutual-kNN edge frame (bucketed self-join, see
+    similarity.knn_graph) cached for its three consumers (m, e_c, d_c);
+    everything after is label-keyed hash aggregates over ≤|edges| rows and
+    one 10-row broadcast."""
+    e = _embs_par(spark, sf_dir)
+    g = similarity.knn_graph(e, k=3, dims=6)
+    edges = (
+        g.filter((F.col("mutual") == 1) & (F.col("src") < F.col("dst")))
+        .select("src", "dst")
+        .cache()
+    )
+    lab = e.select("vec_id", F.col("label").cast("bigint").alias("label"))
+    el = (
+        edges.join(lab.select(F.col("vec_id").alias("src"), F.col("label").alias("la")), "src")
+        .join(lab.select(F.col("vec_id").alias("dst"), F.col("label").alias("lb")), "dst")
+    ).cache()
+    m = el.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    e_in = el.filter(F.col("la") == F.col("lb")).groupBy(F.col("la").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("e_in")
+    )
+    deg = (
+        el.select(F.col("src").alias("vec_id")).unionAll(el.select(F.col("dst").alias("vec_id")))
+        .join(lab, "vec_id")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d_sum"))
+    )
+    per = (
+        lab.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .join(e_in, "label", "left")
+        .join(deg, "label", "left")
+        .select(
+            "label", "n_nodes",
+            F.coalesce("e_in", F.lit(0)).cast("bigint").alias("e_in"),
+            F.coalesce("d_sum", F.lit(0)).cast("bigint").alias("d_sum"),
+        )
+        .cache()
+    )
+    q = per.crossJoin(F.broadcast(m)).agg(
+        F.expr(
+            "CASE WHEN max(m) > 0 THEN "
+            "(1000 * sum(4 * m * e_in - d_sum * d_sum)) div (4 * max(m) * max(m)) "
+            "ELSE NULL END"
+        ).cast("bigint").alias("q_milli")
+    )
+    return per.crossJoin(F.broadcast(q)).orderBy("label")
+
+
+def _modularity_oracle() -> str:
+    from .llm import _KNN_CTES
+
+    return f"""
+WITH {_KNN_CTES},
+mut AS (
+  SELECT t.src, t.dst FROM top t JOIN top r ON t.src = r.dst AND t.dst = r.src
+  WHERE t.src < t.dst
+),
+lab AS (SELECT vec_id, label::BIGINT AS label FROM embeddings),
+el AS (
+  SELECT a.label AS la, b.label AS lb
+  FROM mut JOIN lab a ON mut.src = a.vec_id JOIN lab b ON mut.dst = b.vec_id
+),
+m AS (SELECT count(*)::BIGINT AS m FROM el),
+ein AS (SELECT la AS label, count(*)::BIGINT AS e_in FROM el WHERE la = lb GROUP BY la),
+deg AS (
+  SELECT label, count(*)::BIGINT AS d_sum FROM (
+    SELECT la AS label FROM el UNION ALL SELECT lb FROM el
+  ) GROUP BY label
+),
+per AS (
+  SELECT l.label, count(*)::BIGINT AS n_nodes,
+         coalesce(any_value(ein.e_in), 0)::BIGINT AS e_in,
+         coalesce(any_value(deg.d_sum), 0)::BIGINT AS d_sum
+  FROM lab l LEFT JOIN ein ON l.label = ein.label LEFT JOIN deg ON l.label = deg.label
+  GROUP BY l.label
+),
+q AS (
+  SELECT CASE WHEN m.m > 0 THEN
+    (1000 * sum(4 * m.m * per.e_in - per.d_sum * per.d_sum)) // (4 * m.m * m.m)
+  ELSE NULL END::BIGINT AS q_milli
+  FROM per, m GROUP BY m.m
+)
+SELECT per.label, per.n_nodes, per.e_in, per.d_sum, q.q_milli
+FROM per, q ORDER BY per.label
+"""
+
+
+# ------------------------------------------------------------- degree assortativity
+def q_degree_assortativity(spark, sf_dir):
+    """Degree assortativity of the near-dup graph: Pearson correlation of
+    endpoint degrees over all directed edge instances. Strongly positive ⇒
+    hub-hub wiring (one template family snowballing — transitive dedup
+    will over-merge); negative ⇒ hub-and-spoke (one canonical page with
+    many skimming variants). The one-number wiring diagnostic on top of
+    x_degree_hist's shape view.
+
+    All five Pearson sums are exact BIGINTs over the degree frame; the
+    two variance factors are cast to double ONLY for the final sqrt
+    (their product can exceed int64 — documented), then one floor to
+    milli. Scale shape: verified-pair frame → node-keyed degree agg →
+    two broadcast-friendly joins back onto the edge list → one scalar
+    aggregate. Nothing beyond the LSH chain that produced the pairs."""
+    pairs = _near_pairs(spark, sf_dir)
+    und = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).cache()
+    deg = und.groupBy(F.col("doc_a").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    ed = (
+        und.join(deg.select(F.col("node").alias("doc_a"), F.col("deg").alias("dx")), "doc_a")
+        .join(deg.select(F.col("node").alias("doc_b"), F.col("deg").alias("dy")), "doc_b")
+    )
+    agg = ed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum("dy").cast("bigint").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy"),
+    )
+    return agg.select(
+        "n_edges",
+        F.when(
+            (F.col("n_edges") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+            & (F.col("n_edges") * F.col("syy") - F.col("sy") * F.col("sy") > 0),
+            F.floor(
+                (F.lit(1000) * (F.col("n_edges") * F.col("sxy") - F.col("sx") * F.col("sy")))
+                / F.sqrt(
+                    (F.col("n_edges") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+                    * (F.col("n_edges") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+                )
+            ),
+        ).cast("bigint").alias("r_milli"),
+    )
+
+
+ORACLE_DEGREE_ASSORTATIVITY = f"""
+WITH {_PAIRS_CTES},
+und AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+deg AS (SELECT doc_a AS node, count(*)::BIGINT AS deg FROM und GROUP BY doc_a),
+ed AS (
+  SELECT a.deg AS dx, b.deg AS dy
+  FROM und JOIN deg a ON und.doc_a = a.node JOIN deg b ON und.doc_b = b.node
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_edges,
+         sum(dx)::BIGINT AS sx, sum(dy)::BIGINT AS sy,
+         sum(dx * dy)::BIGINT AS sxy, sum(dx * dx)::BIGINT AS sxx,
+         sum(dy * dy)::BIGINT AS syy
+  FROM ed
+)
+SELECT n_edges,
+       CASE WHEN n_edges * sxx - sx * sx > 0 AND n_edges * syy - sy * sy > 0 THEN
+         floor((1000 * (n_edges * sxy - sx * sy))
+               / sqrt((n_edges * sxx - sx * sx)::DOUBLE * (n_edges * syy - sy * sy)::DOUBLE))
+       ELSE NULL END::BIGINT AS r_milli
+FROM agg
+"""
+
+
+SPECS += [
+    QuerySpec("x_graph_modularity", q_graph_modularity, _modularity_oracle(),
+              doc="Newman modularity of the label partition over the mutual kNN graph, exact-integer numerator",
+              tags=("llm", "similarity", "graph", "eval")),
+    QuerySpec("x_degree_assortativity", q_degree_assortativity, ORACLE_DEGREE_ASSORTATIVITY,
+              doc="degree assortativity (endpoint-degree Pearson) of the near-dup graph",
+              tags=("llm", "dedup", "graph")),
+]

@@ -220,3 +220,51 @@ def test_label_prop_seeds_mirror_given_edges(spark):
     mirror = Counter((true[v], lab[v] if lab[v] is not None else -1) for v in true)
     got = {(r["true_label"], r["pred_label"]): r["n_vecs"] for r in q_label_prop_seeds(spark, SF).collect()}
     assert got == dict(mirror)
+
+
+def test_graph_modularity_mirror_given_edges(spark):
+    """Given the mutual kNN edges, per-label tallies and the integer Q
+    must match a plain-Python mirror; Q bounded in [-1000, 1000]."""
+    from gmall_flink_230422_spark.operators import similarity as sim2
+    from gmall_flink_230422_spark.plans.llm import _embs_par
+    from gmall_flink_230422_spark.plans.r8 import q_graph_modularity
+
+    e = _embs_par(spark, SF)
+    g = sim2.knn_graph(e, k=3, dims=6).collect()
+    edges = [(r["src"], r["dst"]) for r in g if r["mutual"] == 1 and r["src"] < r["dst"]]
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    lab = dict(zip(emb.vec_id, emb.label.astype(int)))
+    m = len(edges)
+    e_in, d_sum = {}, {}
+    for s, d in edges:
+        if lab[s] == lab[d]:
+            e_in[lab[s]] = e_in.get(lab[s], 0) + 1
+        d_sum[lab[s]] = d_sum.get(lab[s], 0) + 1
+        d_sum[lab[d]] = d_sum.get(lab[d], 0) + 1
+    labels = sorted(set(lab.values()))
+    q = _trunc_div(
+        1000 * sum(4 * m * e_in.get(c, 0) - d_sum.get(c, 0) ** 2 for c in labels),
+        4 * m * m,
+    )
+    got = q_graph_modularity(spark, SF).collect()
+    assert len(got) == len(labels)
+    for r in got:
+        c = r["label"]
+        assert r["n_nodes"] == sum(1 for v in lab.values() if v == c)
+        assert r["e_in"] == e_in.get(c, 0)
+        assert r["d_sum"] == d_sum.get(c, 0)
+        assert r["q_milli"] == q
+        assert -1000 <= r["q_milli"] <= 1000
+    assert sum(r["d_sum"] for r in got) == 2 * m
+
+
+def test_degree_assortativity_bounds(spark):
+    """r_milli is a Pearson correlation scaled to milli: |r| <= 1000, and
+    the edge count equals twice the undirected verified-pair count."""
+    from gmall_flink_230422_spark.plans.r8 import _near_pairs, q_degree_assortativity
+
+    n_pairs = _near_pairs(spark, SF).count()
+    r = q_degree_assortativity(spark, SF).collect()[0]
+    assert r["n_edges"] == 2 * n_pairs
+    if r["r_milli"] is not None:
+        assert -1000 <= r["r_milli"] <= 1000

@@ -201,6 +201,19 @@ QUERIES = [
     "x_simhash_radius2",
     "x_lsh_band_health",
     "x_bpe_compression",
+    # round-8 batches 6-7: the ratio of interest per query — NDCG: broadcast
+    # scorer is linear in corpus; k-center: 4 fixed corpus passes; label
+    # prop: kNN self-join bounded by bucket width; Mann-Whitney: cumsum over
+    # the bounded cent grid; Theil-Sen: calendar-bounded pair join
+    "x_ndcg_labels",
+    "x_kcenter_coreset",
+    "x_label_prop_seeds",
+    "e_mann_whitney",
+    "e_theil_sen",
+    # batch 8: modularity rides the bucketed kNN self-join, assortativity
+    # the full LSH pair chain + two degree joins
+    "x_graph_modularity",
+    "x_degree_assortativity",
 ]
 
 
