@@ -2155,16 +2155,17 @@ def q_degree_assortativity(spark, sf_dir):
     All five Pearson sums are exact BIGINTs over the degree frame; the
     two variance factors are cast to double ONLY for the final sqrt
     (their product can exceed int64 — documented), then one floor to
-    milli. Scale shape: verified-pair frame → node-keyed degree agg →
-    two broadcast-friendly joins back onto the edge list → one scalar
-    aggregate. Nothing beyond the LSH chain that produced the pairs."""
-    pairs = _near_pairs(spark, sf_dir)
+    milli. Scale shape: verified-pair frame CACHED (three consumers via
+    the doubled edge list), node-keyed degree agg CACHED (joined on both
+    endpoints), then one scalar aggregate. Nothing beyond the LSH chain
+    that produced the pairs."""
+    pairs = _near_pairs(spark, sf_dir).cache()
     und = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).cache()
+    )
     deg = und.groupBy(F.col("doc_a").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("deg")
-    )
+    ).cache()
     ed = (
         und.join(deg.select(F.col("node").alias("doc_a"), F.col("deg").alias("dx")), "doc_a")
         .join(deg.select(F.col("node").alias("doc_b"), F.col("deg").alias("dy")), "doc_b")
