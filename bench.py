@@ -217,6 +217,11 @@ HEADLINE = [
     "e_mann_whitney",
     "x_graph_modularity",
     "x_degree_assortativity",
+    # round-8 batch 9: greedy coverage (3 anti-join rounds over the
+    # (source, token) set), top-weighted rank overlap (two quality scans
+    # + TakeOrdered(50) arms)
+    "x_coverage_max",
+    "x_rbo_rankings",
 ]
 
 

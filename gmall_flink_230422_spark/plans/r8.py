@@ -2229,3 +2229,346 @@ SPECS += [
               doc="degree assortativity (endpoint-degree Pearson) of the near-dup graph",
               tags=("llm", "dedup", "graph")),
 ]
+
+
+# ============================================================= r8 batch 9:
+# submodular coverage selection, top-weighted rank overlap, independence
+# tests
+
+
+# ------------------------------------------------------------- greedy max-coverage
+_MC_ROUNDS = 3
+
+
+def q_coverage_max(spark, sf_dir):
+    """Greedy maximum-coverage source selection: pick the 3 sources whose
+    union covers the most vocabulary, one greedy round at a time (the
+    (1−1/e) submodular guarantee) — the data-buying question "which three
+    feeds give the broadest token coverage?" answered exactly the way
+    facility-location selection runs in practice. Output per round: the
+    chosen source, its MARGINAL gain (new tokens), and the cumulative
+    covered-vocabulary size.
+
+    Fully lazy unrolled like x_kcenter_coreset: the (source, token) frame
+    is built once and CACHED; each round is one left-anti against the
+    covered set (cached per round — also lineage truncation), one
+    source-keyed count, one TakeOrdered(1), and the covered set grows by
+    a semi-join union. Rounds are a FIXED constant; candidate work per
+    round is |source×vocab|, never pairwise."""
+    from ..operators.text import normalize_text, whitespace_tokens
+
+    d = _docs_par(spark, sf_dir)
+    st = (
+        d.select("source", F.explode(whitespace_tokens(normalize_text(F.col("text")))).alias("tok"))
+        .distinct()
+        .cache()
+    )
+    srcs = st.select("source").distinct().cache()
+    covered = None
+    picked = None
+    rounds = []
+    for r in range(1, _MC_ROUNDS + 1):
+        rem = st if covered is None else st.join(covered, "tok", "left_anti")
+        gains = rem.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("gain"))
+        # candidates = unpicked sources, 0-gain ones included (a saturated
+        # corpus still yields a deterministic full selection, never a
+        # silently short result)
+        cand = srcs if picked is None else srcs.join(picked, "source", "left_anti")
+        scored = cand.join(gains, "source", "left").select(
+            "source", F.coalesce("gain", F.lit(0)).cast("bigint").alias("gain")
+        )
+        pick = scored.orderBy(F.col("gain").desc(), "source").limit(1).cache()
+        picked = pick.select("source") if picked is None else picked.unionByName(
+            pick.select("source")
+        )
+        new_toks = st.join(pick.select("source"), "source", "left_semi").select("tok")
+        covered = (
+            new_toks if covered is None else covered.unionByName(new_toks)
+        ).distinct().cache()
+        total = covered.agg(F.count(F.lit(1)).cast("bigint").alias("covered_total"))
+        rounds.append(
+            pick.select(F.lit(r).cast("bigint").alias("sel_round"), "source", "gain")
+            .crossJoin(F.broadcast(total))
+        )
+    out = rounds[0]
+    for fr in rounds[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("sel_round")
+
+
+def _coverage_max_oracle() -> str:
+    from .llm import _TOKS
+
+    parts = [
+        f"WITH st AS (SELECT DISTINCT source, unnest({_TOKS}) AS tok FROM documents)",
+        "srcs AS (SELECT DISTINCT source FROM st)",
+        "g1 AS (SELECT s.source, coalesce(c.gain, 0)::BIGINT AS gain FROM srcs s LEFT JOIN "
+        "(SELECT source, count(*)::BIGINT AS gain FROM st GROUP BY source) c USING (source) "
+        "ORDER BY gain DESC, s.source LIMIT 1)",
+        "cov1 AS (SELECT DISTINCT st.tok FROM st JOIN g1 USING (source))",
+    ]
+    sel = ["SELECT 1 AS sel_round, source, gain, (SELECT count(*) FROM cov1)::BIGINT AS covered_total FROM g1"]
+    picked = ["g1"]
+    for r in range(2, _MC_ROUNDS + 1):
+        p = r - 1
+        not_in = " AND ".join(f"s.source NOT IN (SELECT source FROM {g})" for g in picked)
+        parts.append(
+            f"g{r} AS (SELECT s.source, coalesce(c.gain, 0)::BIGINT AS gain FROM srcs s LEFT JOIN "
+            f"(SELECT source, count(*)::BIGINT AS gain FROM st "
+            f"WHERE tok NOT IN (SELECT tok FROM cov{p}) GROUP BY source) c USING (source) "
+            f"WHERE {not_in} ORDER BY gain DESC, s.source LIMIT 1)"
+        )
+        parts.append(
+            f"cov{r} AS (SELECT tok FROM cov{p} UNION SELECT st.tok FROM st JOIN g{r} USING (source))"
+        )
+        sel.append(
+            f"SELECT {r} AS sel_round, source, gain, (SELECT count(*) FROM cov{r})::BIGINT AS covered_total FROM g{r}"
+        )
+        picked.append(f"g{r}")
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sel) + "\nORDER BY sel_round"
+
+
+# ------------------------------------------------------------- rank-biased overlap
+# SUFFIX_W[m] = Σ_{d=m..50} floor((1-p)·p^(d-1)/d · 1e9) with p = 0.9: an
+# item ranked ra/rb in the two lists contributes SUFFIX_W[max(ra, rb)] to
+# the RBO sum (it is inside both depth-d prefixes for every d ≥ max), so
+# RBO@50 collapses to ONE aggregate over the joined top-50 lists — no
+# depth grid. Identical rankings score Σ w_d·d ≈ 0.9948e9 (= 1 − p^50,
+# truncated RBO without residual extrapolation — documented).
+_RBO_SUF = (
+    255755116, 155755117, 110755118, 83755119, 65530119, 52408120, 42566620,
+    34974606, 28995895, 24212926, 20338722, 17168918, 14553830, 12381296,
+    10565678, 9040559, 7753740, 6663729, 5737219, 4947248, 4271823, 3692887,
+    3195528, 2767367, 2398078, 2079013, 1802899, 1563600, 1355923, 1175459,
+    1018455, 881710, 762485, 658434, 567543, 488078, 418546, 357659, 304303,
+    257514, 216456, 180406, 148733, 120890, 96401, 74851, 55878, 39165,
+    24437, 11452,
+)
+
+
+def q_rbo_rankings(spark, sf_dir):
+    """Rank-biased overlap (Webber et al. '10) at depth 50, p = 0.9,
+    between the two quality orderings (heuristic composite vs bigram-LM
+    surprisal): the TOP-WEIGHTED agreement measure — Spearman
+    (x_quality_rank_corr) weights every position equally, but what a
+    filtering pipeline acts on is the head of the ranking, and RBO scores
+    exactly that. The suffix-weight table turns the depth sum into one
+    per-item lookup (see _RBO_SUF), all BIGINT.
+
+    Scale shape: both arms end in TakeOrdered(50) (per-partition partial
+    top-k + merge — the x_rrf_fusion precedent); ranks are windows over
+    the BOUNDED 50-row frames; the overlap join and final aggregate touch
+    ≤50 rows."""
+    from pyspark.sql import Window
+
+    from ..operators import text as _text
+
+    d = _docs_par(spark, sf_dir)
+    qf = _text.quality_features(d).select(
+        "doc_id", F.floor(F.col("quality_score") * 10000).cast("bigint").alias("qx")
+    )
+    lm = _text.lm_surprisal_score(d).filter(F.col("avg_surprisal").isNotNull()).select(
+        "doc_id", F.floor(F.col("avg_surprisal") * 10000).cast("bigint").alias("qy")
+    )
+    per = qf.join(lm, "doc_id").cache()
+    a_top = per.orderBy(F.col("qx").desc(), "doc_id").limit(50)
+    wa = Window.orderBy(F.col("qx").desc(), "doc_id")
+    a = a_top.withColumn("ra", F.row_number().over(wa)).select("doc_id", "ra")
+    b_top = per.orderBy(F.col("qy").asc(), "doc_id").limit(50)
+    wb = Window.orderBy(F.col("qy").asc(), "doc_id")
+    b = b_top.withColumn("rb", F.row_number().over(wb)).select("doc_id", "rb")
+    suf = F.array(*[F.lit(s).cast("bigint") for s in _RBO_SUF])
+    j = a.join(b, "doc_id").select(
+        F.element_at(suf, F.greatest(F.col("ra"), F.col("rb")).cast("int")).alias("w")
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        F.coalesce(F.sum("w"), F.lit(0)).cast("bigint").alias("rbo_nano"),
+    ).select(
+        "n_common", "rbo_nano",
+        F.expr("rbo_nano div 1000000").cast("bigint").alias("rbo_milli"),
+    )
+
+
+def _rbo_oracle() -> str:
+    from .llm import ORACLE_LM_SCORE
+    from .llm import ORACLE_QUALITY as _OQS
+
+    suf = ", ".join(str(s) for s in _RBO_SUF)
+    return f"""
+WITH qsq AS ({_OQS}),
+lmq AS ({ORACLE_LM_SCORE}),
+per AS (
+  SELECT q.doc_id, floor(q.quality_score * 10000)::BIGINT AS qx,
+         floor(l.avg_surprisal * 10000)::BIGINT AS qy
+  FROM qsq q JOIN lmq l USING (doc_id)
+  WHERE l.avg_surprisal IS NOT NULL
+),
+a AS (
+  SELECT doc_id, row_number() OVER (ORDER BY qx DESC, doc_id) AS ra
+  FROM per ORDER BY qx DESC, doc_id LIMIT 50
+),
+b AS (
+  SELECT doc_id, row_number() OVER (ORDER BY qy ASC, doc_id) AS rb
+  FROM per ORDER BY qy ASC, doc_id LIMIT 50
+),
+j AS (
+  SELECT ([{suf}])[greatest(a.ra, b.rb)]::BIGINT AS w
+  FROM a JOIN b USING (doc_id)
+)
+SELECT count(*)::BIGINT AS n_common,
+       coalesce(sum(w), 0)::BIGINT AS rbo_nano,
+       (coalesce(sum(w), 0) // 1000000)::BIGINT AS rbo_milli
+FROM j
+"""
+
+
+# ------------------------------------------------------------- chi-square independence
+def q_chisq_independence(spark, sf_dir):
+    """Chi-square test of independence between event type and day-of-week
+    plus Cramér's V — "is engagement mix a weekday phenomenon?" as a
+    single significance-tested number (e_dow_divergence reports the
+    per-type mix distances; this is the corpus-level test over the full
+    contingency table). Per-cell statistic: d = N·o − r·c stays exact
+    BIGINT (≤ ~3e11 at sf0.1); d² would overflow int64 at scale, so the
+    cell value floor(d·d·1e6 / (N·r·c)) is evaluated in DOUBLE with the
+    identical left-assoc operation order in both engines — every step is
+    one correctly-rounded IEEE op over identical operands, so the floors
+    agree bit-for-bit; V from one final sqrt.
+
+    Scale shape: one conditional hash agg over the event scan builds the
+    |types|×7 table; margins and the statistic are broadcast arithmetic
+    over ≤ dozens of rows."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            "event_type",
+            F.expr("((cast(unix_timestamp(ts) as bigint) div 86400) + 4) % 7").alias("dow"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+        .cache()
+    )
+    rows = cells.groupBy("event_type").agg(F.sum("o").cast("bigint").alias("r"))
+    colsf = cells.groupBy("dow").agg(F.sum("o").cast("bigint").alias("c"))
+    tot = cells.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.countDistinct("event_type").cast("bigint").alias("nr"),
+        F.countDistinct("dow").cast("bigint").alias("nc"),
+    )
+    full = (
+        cells.join(F.broadcast(rows), "event_type")
+        .join(F.broadcast(colsf), "dow")
+        .crossJoin(F.broadcast(tot))
+    )
+    agg = full.agg(
+        F.max("n").alias("n_events"),
+        F.max("nr").alias("n_types"),
+        F.max("nc").alias("n_dows"),
+        F.sum(
+            F.expr(
+                "cast(floor(cast(n * o - r * c as double) * cast(n * o - r * c as double) "
+                "* 1000000.0 / (cast(n as double) * cast(r as double) * cast(c as double))) as bigint)"
+            )
+        ).cast("bigint").alias("chi2_micro"),
+    )
+    return agg.select(
+        "n_events", "n_types", "n_dows", "chi2_micro",
+        F.floor(
+            F.lit(1000)
+            * F.sqrt(
+                (F.col("chi2_micro") / F.lit(1000000.0))
+                / (
+                    F.col("n_events")
+                    * F.least(F.col("n_types") - 1, F.col("n_dows") - 1)
+                ).cast("double")
+            )
+        ).cast("bigint").alias("cramers_v_milli"),
+    )
+
+
+ORACLE_CHISQ_INDEPENDENCE = """
+WITH cells AS (
+  SELECT event_type, ((floor(epoch(ts))::BIGINT // 86400) + 4) % 7 AS dow,
+         count(*)::BIGINT AS o
+  FROM events GROUP BY 1, 2
+),
+r AS (SELECT event_type, sum(o)::BIGINT AS r FROM cells GROUP BY event_type),
+c AS (SELECT dow, sum(o)::BIGINT AS c FROM cells GROUP BY dow),
+t AS (SELECT sum(o)::BIGINT AS n, count(DISTINCT event_type)::BIGINT AS nr,
+             count(DISTINCT dow)::BIGINT AS nc FROM cells),
+agg AS (
+  SELECT max(t.n) AS n_events, max(t.nr) AS n_types, max(t.nc) AS n_dows,
+         sum(floor((t.n * cells.o - r.r * c.c)::DOUBLE * (t.n * cells.o - r.r * c.c)::DOUBLE
+             * 1000000.0 / (t.n::DOUBLE * r.r::DOUBLE * c.c::DOUBLE)))::BIGINT AS chi2_micro
+  FROM cells JOIN r USING (event_type) JOIN c USING (dow), t
+)
+SELECT n_events, n_types, n_dows, chi2_micro,
+       floor(1000 * sqrt((chi2_micro / 1000000.0)
+             / (n_events * least(n_types - 1, n_dows - 1))::DOUBLE))::BIGINT AS cramers_v_milli
+FROM agg
+"""
+
+
+# ------------------------------------------------------------- two-proportion z
+def q_two_proportion_z(spark, sf_dir):
+    """Two-proportion z-test on the purchase share between the two
+    hash-split user cohorts (user_id % 2 — the A/B assignment every
+    experiment table carries): pooled-variance normal approximation, the
+    proportions companion to e_welch_t2 (means) and e_mann_whitney
+    (distributions). Exact BIGINT counts; one final sqrt + floor to
+    milli.
+
+    Scale shape: ONE conditional hash aggregate over the event scan — no
+    joins, no windows; four counters in, one row out."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.sum(F.expr("case when user_id % 2 = 0 then 1 else 0 end")).cast("bigint").alias("n_a"),
+        F.sum(F.expr("case when user_id % 2 = 0 and event_type = 'purchase' then 1 else 0 end")).cast("bigint").alias("x_a"),
+        F.sum(F.expr("case when user_id % 2 = 1 then 1 else 0 end")).cast("bigint").alias("n_b"),
+        F.sum(F.expr("case when user_id % 2 = 1 and event_type = 'purchase' then 1 else 0 end")).cast("bigint").alias("x_b"),
+    )
+    return agg.select(
+        "n_a", "x_a", "n_b", "x_b",
+        F.floor(
+            (F.lit(1000.0) * (F.col("x_a") / F.col("n_a") - F.col("x_b") / F.col("n_b")))
+            / F.sqrt(
+                ((F.col("x_a") + F.col("x_b")) / (F.col("n_a") + F.col("n_b")))
+                * (1 - (F.col("x_a") + F.col("x_b")) / (F.col("n_a") + F.col("n_b")))
+                * (1 / F.col("n_a") + 1 / F.col("n_b"))
+            )
+        ).cast("bigint").alias("z_milli"),
+    )
+
+
+ORACLE_TWO_PROPORTION_Z = """
+WITH agg AS (
+  SELECT sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         sum(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS x_a,
+         sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+         sum(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS x_b
+  FROM events
+)
+SELECT n_a, x_a, n_b, x_b,
+       floor((1000.0 * (x_a / n_a::DOUBLE - x_b / n_b::DOUBLE))
+             / sqrt(((x_a + x_b) / (n_a + n_b)::DOUBLE)
+                    * (1 - (x_a + x_b) / (n_a + n_b)::DOUBLE)
+                    * (1.0 / n_a + 1.0 / n_b)))::BIGINT AS z_milli
+FROM agg
+"""
+
+
+SPECS += [
+    QuerySpec("x_coverage_max", q_coverage_max, _coverage_max_oracle(),
+              doc="greedy max-coverage source selection (3 submodular rounds): marginal gain + cumulative vocab covered",
+              tags=("llm", "sampling", "text")),
+    QuerySpec("x_rbo_rankings", q_rbo_rankings, _rbo_oracle(),
+              doc="rank-biased overlap @50 (p=0.9) between the heuristic and LM quality rankings via suffix-weight lookup",
+              tags=("llm", "eval", "stats")),
+    QuerySpec("e_chisq_independence", q_chisq_independence, ORACLE_CHISQ_INDEPENDENCE,
+              doc="chi-square independence of event type x day-of-week + Cramer's V on the exact micro grid",
+              tags=("analytics", "stats")),
+    QuerySpec("e_two_proportion_z", q_two_proportion_z, ORACLE_TWO_PROPORTION_Z,
+              doc="two-proportion z-test of purchase share between hash-split cohorts",
+              tags=("analytics", "stats")),
+]

@@ -9,6 +9,7 @@ from __future__ import annotations
 import math
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from gmall_flink_230422_spark.plans.r8 import (
     _NDCG_DISC,
@@ -268,3 +269,107 @@ def test_degree_assortativity_bounds(spark):
     assert r["n_edges"] == 2 * n_pairs
     if r["r_milli"] is not None:
         assert -1000 <= r["r_milli"] <= 1000
+
+
+def test_coverage_max_greedy_mirror(spark):
+    """Given the (source, token) set, the 3 greedy picks, marginal gains
+    and cumulative coverage must match a plain-Python greedy mirror."""
+    from gmall_flink_230422_spark.operators.text import normalize_text, whitespace_tokens
+    from gmall_flink_230422_spark.plans.llm import _docs_par
+    from gmall_flink_230422_spark.plans.r8 import _MC_ROUNDS, q_coverage_max
+
+    d = _docs_par(spark, SF)
+    st = (
+        d.select("source", F.explode(whitespace_tokens(normalize_text(F.col("text")))).alias("tok"))
+        .distinct()
+        .collect()
+    )
+    by_src = {}
+    for r in st:
+        by_src.setdefault(r["source"], set()).add(r["tok"])
+    covered: set = set()
+    picked: set = set()
+    expect = []
+    for rnd in range(1, _MC_ROUNDS + 1):
+        gains = sorted(
+            ((len(toks - covered), s) for s, toks in by_src.items() if s not in picked),
+            key=lambda t: (-t[0], t[1]),
+        )
+        g, s = gains[0]
+        covered |= by_src[s]
+        picked.add(s)
+        expect.append((rnd, s, g, len(covered)))
+    got = [
+        (r["sel_round"], r["source"], r["gain"], r["covered_total"])
+        for r in sorted(q_coverage_max(spark, SF).collect(), key=lambda r: r["sel_round"])
+    ]
+    assert got == expect
+    # marginal gains are non-increasing (submodularity of set cover)
+    assert all(a[2] >= b[2] for a, b in zip(expect, expect[1:]))
+
+
+def test_rbo_rankings_mirror(spark):
+    """RBO@50 must equal the suffix-weight mirror over the two top-50
+    lists built from the same integer score grids."""
+    from gmall_flink_230422_spark.operators import text as _text
+    from gmall_flink_230422_spark.plans.llm import _docs_par
+    from gmall_flink_230422_spark.plans.r8 import _RBO_SUF, q_rbo_rankings
+
+    d = _docs_par(spark, SF)
+    qf = {r["doc_id"]: r["qx"] for r in _text.quality_features(d).select(
+        "doc_id", F.floor(F.col("quality_score") * 10000).cast("bigint").alias("qx")).collect()}
+    lm = {r["doc_id"]: r["qy"] for r in _text.lm_surprisal_score(d)
+          .filter(F.col("avg_surprisal").isNotNull()).select(
+        "doc_id", F.floor(F.col("avg_surprisal") * 10000).cast("bigint").alias("qy")).collect()}
+    both = sorted(set(qf) & set(lm))
+    a = sorted(both, key=lambda i: (-qf[i], i))[:50]
+    b = sorted(both, key=lambda i: (lm[i], i))[:50]
+    ra = {i: k + 1 for k, i in enumerate(a)}
+    rb = {i: k + 1 for k, i in enumerate(b)}
+    common = set(a) & set(b)
+    nano = sum(_RBO_SUF[max(ra[i], rb[i]) - 1] for i in common)
+    r = q_rbo_rankings(spark, SF).collect()[0]
+    assert r["n_common"] == len(common)
+    assert r["rbo_nano"] == nano
+    assert r["rbo_milli"] == nano // 1000000
+    assert 0 <= r["rbo_milli"] <= 995  # 1 - 0.9^50 truncation ceiling
+
+
+def test_chisq_independence_mirror(spark):
+    from gmall_flink_230422_spark.plans.r8 import q_chisq_independence
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    # parquet ts is timestamp[us]; epoch seconds = int64 value // 1e6
+    ev["dow"] = ((ev.ts.astype("int64") // 10**6) // 86400 + 4) % 7
+    tab = ev.groupby(["event_type", "dow"]).size()
+    n = len(ev)
+    rows = tab.groupby("event_type").sum()
+    cols = tab.groupby("dow").sum()
+    chi2 = sum(
+        math.floor(
+            float(n * o - rows[et] * cols[dw]) * float(n * o - rows[et] * cols[dw])
+            * 1000000.0 / (float(n) * float(rows[et]) * float(cols[dw]))
+        )
+        for (et, dw), o in tab.items()
+    )
+    r = q_chisq_independence(spark, SF).collect()[0]
+    assert (r["n_events"], r["n_types"], r["n_dows"]) == (n, tab.index.get_level_values(0).nunique(), tab.index.get_level_values(1).nunique())
+    assert r["chi2_micro"] == chi2
+    dof_min = min(r["n_types"] - 1, r["n_dows"] - 1)
+    assert r["cramers_v_milli"] == math.floor(1000 * math.sqrt((chi2 / 1e6) / (n * dof_min)))
+    assert 0 <= r["cramers_v_milli"] <= 1000
+
+
+def test_two_proportion_z_mirror(spark):
+    from gmall_flink_230422_spark.plans.r8 import q_two_proportion_z
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    a = ev[ev.user_id % 2 == 0]
+    b = ev[ev.user_id % 2 == 1]
+    xa, xb = (a.event_type == "purchase").sum(), (b.event_type == "purchase").sum()
+    na, nb = len(a), len(b)
+    p = (xa + xb) / (na + nb)
+    z = (1000.0 * (xa / na - xb / nb)) / math.sqrt(p * (1 - p) * (1 / na + 1 / nb))
+    r = q_two_proportion_z(spark, SF).collect()[0]
+    assert (r["n_a"], r["x_a"], r["n_b"], r["x_b"]) == (na, xa, nb, xb)
+    assert r["z_milli"] == math.floor(z)

@@ -214,6 +214,12 @@ QUERIES = [
     # the full LSH pair chain + two degree joins
     "x_graph_modularity",
     "x_degree_assortativity",
+    # batch 9: coverage = 3 bounded anti-join rounds over |source×vocab|;
+    # RBO = two quality-score scans + bounded 50-row windows; chi-square =
+    # one conditional hash agg over the event scan
+    "x_coverage_max",
+    "x_rbo_rankings",
+    "e_chisq_independence",
 ]
 
 
