@@ -81,12 +81,12 @@ def test_registry_superset_of_r7_names():
 
 
 def test_registry_superset_of_r8_names():
-    """r8 shipped 345 queries, all green in the committed full-registry
+    """r8 shipped 349 queries, all green in the committed full-registry
     sweeps (CORRECTNESS_local_r08*.json); keep the exact-superset streak."""
     reg = set(_registry())
     r8 = json.load(
         open(Path(__file__).resolve().parent.parent / "CORRECTNESS_local_r08.json")
     )
-    assert len(r8) >= 345
+    assert len(r8) >= 349
     missing = sorted(set(r8) - reg)
     assert not missing, missing
