@@ -1198,3 +1198,117 @@ def power_iteration_top1(
     if v[lead] < 0:
         v = [-x for x in v]
     return v
+
+
+def l2_fp(a: Column, b: Column) -> Column:
+    """Euclidean distance on the shared fixed-point grid:
+    floor(sqrt(Σ(xᵢ−yᵢ)²)·10⁴) as BIGINT — sqrt is IEEE-correctly-rounded
+    on both engines, so equal sums give equal grids (the cosine
+    convention applied to distance)."""
+    d2 = F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.floor(F.sqrt(d2) * 10000).cast("bigint")
+
+
+def kcenter_greedy(
+    corpus: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (farthest-point) selection — the classic
+    2-approximation to the k-center cover (Gonzalez '85): start from the
+    lowest id, then repeatedly pick the point farthest from the selected
+    set. Output one row per round: (sel_round, center_id, radius_fp)
+    where radius_fp is the cover radius (max over points of
+    distance-to-nearest-center) AFTER that round's center joins.
+
+    Fully LAZY unrolled plan — no driver loop, no collect: each round is
+    corpus ⨯ broadcast(1-row center frame) → running min-distance frame
+    (cached: consumed by the next round's argmax AND the radius
+    aggregate; InMemoryRelation leaves keep the compiled plan linear in
+    rounds). k is a FIXED small constant; per round the work is one
+    corpus scan + one TakeOrdered(1) + one scalar max — O(k·N) total,
+    never all-pairs. Deterministic: (min-dist DESC, id) argmax tiebreak
+    on the fixed-point grid."""
+    e = corpus.select(F.col(id_col), F.col(vec_col))
+    rounds = []
+    c = e.orderBy(id_col).limit(1).select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    ).cache()
+    md = None
+    for r in range(1, k + 1):
+        if md is None:
+            md = e.crossJoin(F.broadcast(c)).select(
+                id_col, vec_col, l2_fp(F.col(vec_col), F.col("c_vec")).alias("mind")
+            ).cache()
+        else:
+            md = md.crossJoin(F.broadcast(c)).select(
+                id_col, vec_col,
+                F.least(F.col("mind"), l2_fp(F.col(vec_col), F.col("c_vec"))).alias("mind"),
+            ).cache()
+        radius = md.agg(F.max("mind").cast("bigint").alias("radius_fp"))
+        rounds.append(
+            c.select(F.lit(r).cast("bigint").alias("sel_round"), F.col("c_id").alias("center_id"))
+            .crossJoin(F.broadcast(radius))
+        )
+        if r < k:
+            c = md.orderBy(F.col("mind").desc(), id_col).limit(1).select(
+                F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+            ).cache()
+    out = rounds[0]
+    for fr in rounds[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("sel_round")
+
+
+def label_propagate(
+    edges: DataFrame,
+    labels: DataFrame,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    lab_col: str = "lab",
+) -> DataFrame:
+    """Synchronized majority label propagation over a directed edge frame
+    (src, dst): each round, every node whose ``seed`` flag is false takes
+    the majority label of its out-neighbors' current labels (tie →
+    smallest label; no labeled neighbor → keeps its current label); seed
+    nodes never change. ``labels`` must carry (id_col, lab_col, seed
+    boolean). Returns the final (id_col, lab_col) assignment.
+
+    Rounds are a FIXED constant — plan depth bounded. Each round is one
+    keyed edge→label join, one (src, label) hash agg, one keyed top-1
+    window, one left join back — all hash-partitioned on node id,
+    nothing global. Callers cache ``edges`` (every round joins it)."""
+    from pyspark.sql import Window
+
+    lab = labels.select(id_col, "seed", F.col(lab_col).alias("lab"))
+    for _ in range(rounds):
+        nbr = (
+            edges.join(
+                lab.select(F.col(id_col).alias("dst"), F.col("lab").alias("nlab")), "dst"
+            )
+            .filter(F.col("nlab").isNotNull())
+            .groupBy("src", "nlab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("src").orderBy(F.col("c").desc(), F.col("nlab"))
+        maj = (
+            nbr.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(F.col("src").alias(id_col), F.col("nlab").alias("maj"))
+        )
+        lab = lab.join(maj, id_col, "left").select(
+            id_col, "seed",
+            F.when(F.col("seed"), F.col("lab"))
+            .otherwise(F.coalesce(F.col("maj"), F.col("lab")))
+            .alias("lab"),
+        )
+    return lab.select(id_col, F.col("lab").alias(lab_col))

@@ -1842,68 +1842,19 @@ FROM m ORDER BY source, lang
 
 
 # ------------------------------------------------------------- k-center coreset
-def _l2_fp(a, b):
-    """Euclidean distance on the shared fixed-point grid:
-    floor(sqrt(Σ(xᵢ−yᵢ)²)·10⁴) — sqrt is IEEE-correctly-rounded on both
-    engines, so equal sums give equal grids (same convention as cosine)."""
-    d2 = F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    return F.floor(F.sqrt(d2) * 10000).cast("bigint")
-
-
 _KC_ROUNDS = 4
 
 
 def q_kcenter_coreset(spark, sf_dir):
     """Greedy k-center (farthest-point) coreset selection over the
-    embedding corpus: start from the lowest vec_id, then 3× pick the point
-    FARTHEST from the selected set (the classic 2-approximation to the
-    k-center cover). Output per round: the chosen center and the cover
-    radius (max over all points of distance-to-nearest-center) — the
-    radius curve is the "how many exemplars until the corpus is covered"
-    diagnostic behind diversity-aware data selection (coresets pick the
-    prompts/documents a human should actually look at).
-
-    Fully LAZY unrolled plan — no driver loop, no collect: each round is
-    corpus ⨯ broadcast(1-row center frame) → running min-distance frame
-    (cached: consumed by the next round's argmax AND the radius
-    aggregate; InMemoryRelation leaves also keep the compiled plan linear
-    in rounds, not exponential — the argmax subplan re-references the
-    previous round). Rounds are a FIXED constant (k=4), so plan depth is
-    bounded; per round the work is one corpus scan + one TakeOrdered(1) +
-    one scalar max — O(k·N) total, never all-pairs."""
-    e = _embs_par(spark, sf_dir).select("vec_id", "embedding")
-    rounds = []
-    c = e.orderBy("vec_id").limit(1).select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
-    ).cache()
-    md = None
-    for r in range(1, _KC_ROUNDS + 1):
-        if md is None:
-            md = e.crossJoin(F.broadcast(c)).select(
-                "vec_id", "embedding", _l2_fp(F.col("embedding"), F.col("c_vec")).alias("mind")
-            ).cache()
-        else:
-            md = md.crossJoin(F.broadcast(c)).select(
-                "vec_id", "embedding",
-                F.least(F.col("mind"), _l2_fp(F.col("embedding"), F.col("c_vec"))).alias("mind"),
-            ).cache()
-        radius = md.agg(F.max("mind").cast("bigint").alias("radius_fp"))
-        rounds.append(
-            c.select(F.lit(r).cast("bigint").alias("sel_round"), F.col("c_id").alias("center_id"))
-            .crossJoin(F.broadcast(radius))
-        )
-        if r < _KC_ROUNDS:
-            c = md.orderBy(F.col("mind").desc(), "vec_id").limit(1).select(
-                F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
-            ).cache()
-    out = rounds[0]
-    for fr in rounds[1:]:
-        out = out.unionByName(fr)
-    return out.orderBy("sel_round")
+    embedding corpus (operators/similarity.kcenter_greedy — the Gonzalez
+    2-approximation, property-tested against brute-force optimal centers
+    in tests/test_round8_properties.py): the per-round cover-radius curve
+    is the "how many exemplars until the corpus is covered" diagnostic
+    behind diversity-aware data selection. Plan shape documented on the
+    operator: fully lazy unrolled rounds, no driver loop, no collect,
+    O(k·N) total."""
+    return similarity.kcenter_greedy(_embs_par(spark, sf_dir), k=_KC_ROUNDS)
 
 
 def _kcenter_oracle() -> str:
@@ -1947,46 +1898,22 @@ def q_label_prop_seeds(spark, sf_dir):
     seeds never change. Rounds are a FIXED constant — plan depth bounded.
 
     Scale shape: the kNN edge frame is built once and CACHED (both rounds
-    join it); each round is one keyed edge→label join + one (src, label)
-    hash agg + one keyed top-1 window + one left join back — all
-    hash-partitioned on vector id, nothing global. The bucketed kNN
-    substrate (similarity.knn_graph) bounds candidate generation exactly
-    as x_knn_graph documents."""
-    from pyspark.sql import Window
-
+    join it); per-round shape documented on operators/similarity.
+    label_propagate (keyed joins + hash agg + keyed top-1 window, nothing
+    global). The bucketed kNN substrate (similarity.knn_graph) bounds
+    candidate generation exactly as x_knn_graph documents."""
     e = _embs_par(spark, sf_dir)
     edges = similarity.knn_graph(e, k=3, dims=6).select("src", "dst").cache()
-    lab = e.select(
+    seeds = e.select(
         "vec_id",
-        F.col("label").cast("bigint").alias("true_label"),
+        (F.pmod(F.col("vec_id"), F.lit(10)) == 0).alias("seed"),
         F.when(F.pmod(F.col("vec_id"), F.lit(10)) == 0, F.col("label").cast("bigint")).alias("lab"),
     )
-    for _ in range(_LP_ROUNDS):
-        nbr = (
-            edges.join(
-                lab.select(F.col("vec_id").alias("dst"), F.col("lab").alias("nlab")), "dst"
-            )
-            .filter(F.col("nlab").isNotNull())
-            .groupBy("src", "nlab")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        w = Window.partitionBy("src").orderBy(F.col("c").desc(), F.col("nlab"))
-        maj = (
-            nbr.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1)
-            .select(F.col("src").alias("vec_id"), F.col("nlab").alias("maj"))
-        )
-        lab = (
-            lab.join(maj, "vec_id", "left")
-            .select(
-                "vec_id", "true_label",
-                F.when(F.pmod(F.col("vec_id"), F.lit(10)) == 0, F.col("lab"))
-                .otherwise(F.coalesce(F.col("maj"), F.col("lab")))
-                .alias("lab"),
-            )
-        )
+    final = similarity.label_propagate(edges, seeds, rounds=_LP_ROUNDS)
+    truth = e.select("vec_id", F.col("label").cast("bigint").alias("true_label"))
     return (
-        lab.groupBy(
+        truth.join(final, "vec_id")
+        .groupBy(
             "true_label", F.coalesce(F.col("lab"), F.lit(-1)).cast("bigint").alias("pred_label")
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))

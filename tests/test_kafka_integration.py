@@ -13,7 +13,7 @@ broker — no kafka binaries anywhere on disk (`find / -iname '*kafka*'`
 is empty outside this test), no spark-sql-kafka jar in
 /opt/spark-4.1.2-bin-hadoop3/jars, no kafka Python client, and no
 package installation permitted. Both skip conditions are therefore
-permanent HERE; re-probed r5, r6 and r7 (no broker binary, no
+permanent HERE; re-probed r5, r6, r7 and r8 (no broker binary, no
 spark-sql-kafka jar under either /opt Spark install, no kafka-python)
 with the same result. On any host with a broker + the connector jar
 (`--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>`) the
