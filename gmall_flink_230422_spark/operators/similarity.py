@@ -1231,14 +1231,20 @@ def kcenter_greedy(
     distance-to-nearest-center) AFTER that round's center joins.
 
     Fully LAZY unrolled plan — no driver loop, no collect: each round is
-    corpus ⨯ broadcast(1-row center frame) → running min-distance frame
-    (cached: consumed by the next round's argmax AND the radius
-    aggregate; InMemoryRelation leaves keep the compiled plan linear in
-    rounds). k is a FIXED small constant; per round the work is one
-    corpus scan + one TakeOrdered(1) + one scalar max — O(k·N) total,
-    never all-pairs. Deterministic: (min-dist DESC, id) argmax tiebreak
-    on the fixed-point grid."""
-    e = corpus.select(F.col(id_col), F.col(vec_col))
+    corpus ⨯ broadcast(1-row center frame) → running min-distance frame.
+    ONLY the corpus projection is cached (one corpus-sized
+    InMemoryRelation, reused by every round) and each 1-row center frame
+    is cached; the per-round min-distance frames stay UNCACHED lineage
+    chains of narrow broadcast crossJoin + least() maps over the cached
+    corpus — whole-stage-codegen'd, no shuffle — so memory stays O(N),
+    not O(k·N): caching every round's corpus-sized frame would hold k
+    full-corpus InMemoryRelations simultaneously (the r8 advisor
+    finding). Recompute cost of the uncached chains is O(k²·N) distance
+    evaluations instead of O(k·N) — for the fixed small k this is the
+    right trade at 100 TB, where k corpus-sized caches cannot fit but k²
+    scans of one cached frame stream fine. Deterministic: (min-dist
+    DESC, id) argmax tiebreak on the fixed-point grid."""
+    e = corpus.select(F.col(id_col), F.col(vec_col)).cache()
     rounds = []
     c = e.orderBy(id_col).limit(1).select(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
@@ -1248,12 +1254,12 @@ def kcenter_greedy(
         if md is None:
             md = e.crossJoin(F.broadcast(c)).select(
                 id_col, vec_col, l2_fp(F.col(vec_col), F.col("c_vec")).alias("mind")
-            ).cache()
+            )
         else:
             md = md.crossJoin(F.broadcast(c)).select(
                 id_col, vec_col,
                 F.least(F.col("mind"), l2_fp(F.col(vec_col), F.col("c_vec"))).alias("mind"),
-            ).cache()
+            )
         radius = md.agg(F.max("mind").cast("bigint").alias("radius_fp"))
         rounds.append(
             c.select(F.lit(r).cast("bigint").alias("sel_round"), F.col("c_id").alias("center_id"))

@@ -1543,7 +1543,10 @@ def q_mann_whitney(spark, sf_dir):
     Exchange SinglePartition) gives each value's count-below; 2·U1 =
     Σ n1(v)·(2·below2(v) + n2(v)) is exact in BIGINTs. At 100 TB the
     cumsum frame is |distinct cents|, bounded by the value domain, not
-    the event count."""
+    the event count. The variance product n1·n2·(n1+n2+1) is computed
+    with each factor cast to DOUBLE first (identically in the oracle):
+    in BIGINT it overflows int64 once both samples reach ~1.5M rows, and
+    Spark would wrap silently (non-ANSI) where DuckDB raises."""
     from ..operators.windows import distributed_cumsum
 
     ev = load_table(spark, sf_dir, "events").filter(
@@ -1573,10 +1576,9 @@ def q_mann_whitney(spark, sf_dir):
             / (
                 F.lit(2)
                 * F.sqrt(
-                    (
-                        F.col("n_click") * F.col("n_view")
-                        * (F.col("n_click") + F.col("n_view") + 1)
-                    ).cast("double")
+                    F.col("n_click").cast("double")
+                    * F.col("n_view").cast("double")
+                    * (F.col("n_click") + F.col("n_view") + 1).cast("double")
                     / F.lit(12.0)
                 )
             )
@@ -1606,7 +1608,7 @@ agg AS (
 )
 SELECT n_click, n_view, u1_x2,
        floor((1000 * (u1_x2 - n_click * n_view))
-             / (2 * sqrt((n_click * n_view * (n_click + n_view + 1))::DOUBLE / 12.0)))::BIGINT AS z_milli
+             / (2 * sqrt(n_click::DOUBLE * n_view::DOUBLE * (n_click + n_view + 1)::DOUBLE / 12.0)))::BIGINT AS z_milli
 FROM agg
 """
 
@@ -1618,7 +1620,10 @@ def q_theil_sen(spark, sf_dir):
     cannot move it, unlike e_ols_trend's least-squares line which one
     flash-sale outlier drags arbitrarily. Reported as the lower median
     (rank ⌈n/2⌉ on the deterministic slope grid) so both engines pick the
-    identical element — no percentile interpolation.
+    identical element — no percentile interpolation. The rank target is
+    INTEGER division ((n_pairs + 1) div 2) to match the oracle's `//` —
+    double division would miss the x.5 target whenever C(n,2) is even
+    (day count ≡ 0 or 1 mod 4) and silently drop the key.
 
     Scale shape: the pairwise self-join is over the DAY GRID (bounded by
     calendar × event types, ~30 rows per key — never over raw events), so
@@ -1648,7 +1653,7 @@ def q_theil_sen(spark, sf_dir):
     cnt = pairs.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
     return (
         ranked.join(F.broadcast(cnt), "event_type")
-        .filter(F.col("rk") == (F.col("n_pairs") + 1) / 2)
+        .filter(F.col("rk") == F.expr("(n_pairs + 1) div 2"))
         .select("event_type", "n_pairs", F.col("slope_milli").alias("med_slope_milli"))
         .orderBy("event_type")
     )
@@ -2079,10 +2084,12 @@ def q_degree_assortativity(spark, sf_dir):
     many skimming variants). The one-number wiring diagnostic on top of
     x_degree_hist's shape view.
 
-    All five Pearson sums are exact BIGINTs over the degree frame; the
-    two variance factors are cast to double ONLY for the final sqrt
-    (their product can exceed int64 — documented), then one floor to
-    milli. Scale shape: verified-pair frame CACHED (three consumers via
+    All five Pearson sums are exact BIGINTs over the degree frame; every
+    derived term (numerator n·sxy − sx·sy, both variance factors, and
+    the positivity guards) is computed in DOUBLE — identically in the
+    oracle — because each of those products can exceed int64 at scale
+    and Spark would wrap silently (non-ANSI) where DuckDB raises. One
+    floor to milli at the end. Scale shape: verified-pair frame CACHED (three consumers via
     the doubled edge list), node-keyed degree agg CACHED (joined on both
     endpoints), then one scalar aggregate. Nothing beyond the LSH chain
     that produced the pairs."""
@@ -2105,17 +2112,17 @@ def q_degree_assortativity(spark, sf_dir):
         F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
         F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy"),
     )
+    ne = F.col("n_edges").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
     return agg.select(
         "n_edges",
         F.when(
-            (F.col("n_edges") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
-            & (F.col("n_edges") * F.col("syy") - F.col("sy") * F.col("sy") > 0),
+            (ne * sxx - sx * sx > 0) & (ne * syy - sy * sy > 0),
             F.floor(
-                (F.lit(1000) * (F.col("n_edges") * F.col("sxy") - F.col("sx") * F.col("sy")))
-                / F.sqrt(
-                    (F.col("n_edges") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-                    * (F.col("n_edges") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-                )
+                (F.lit(1000.0) * (ne * sxy - sx * sy))
+                / F.sqrt((ne * sxx - sx * sx) * (ne * syy - sy * sy))
             ),
         ).cast("bigint").alias("r_milli"),
     )
@@ -2140,9 +2147,11 @@ agg AS (
   FROM ed
 )
 SELECT n_edges,
-       CASE WHEN n_edges * sxx - sx * sx > 0 AND n_edges * syy - sy * sy > 0 THEN
-         floor((1000 * (n_edges * sxy - sx * sy))
-               / sqrt((n_edges * sxx - sx * sx)::DOUBLE * (n_edges * syy - sy * sy)::DOUBLE))
+       CASE WHEN n_edges::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0
+             AND n_edges::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE > 0 THEN
+         floor((1000.0 * (n_edges::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE))
+               / sqrt((n_edges::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                      * (n_edges::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)))
        ELSE NULL END::BIGINT AS r_milli
 FROM agg
 """
