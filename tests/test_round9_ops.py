@@ -158,3 +158,29 @@ def test_kcenter_greedy_single_corpus_cache(spark):
     radii = [r["radius_fp"] for r in res]
     assert all(a >= b for a, b in zip(radii, radii[1:]))
     corpus.unpersist()
+
+
+def test_audit_plans_subset_preserves_full_artifact(tmp_path):
+    """r8 verdict hygiene item: a subset `audit_plans.py name...` run must
+    write PLANS_partial.md and leave the committed PLANS.md untouched."""
+    import shutil
+    import subprocess
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    work = tmp_path / "repo"
+    work.mkdir()
+    sentinel = "# PLANS — sentinel: must survive subset runs\n"
+    (work / "PLANS.md").write_text(sentinel)
+    r = subprocess.run(
+        [shutil.which("python") or "python", str(repo / "tools" / "audit_plans.py"),
+         "p2_route_filter"],
+        cwd=work,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (work / "PLANS.md").read_text() == sentinel
+    partial = (work / "PLANS_partial.md").read_text()
+    assert "p2_route_filter" in partial and "SUBSET" in partial

@@ -6,7 +6,11 @@ products, no unexpected single-partition exchanges).
 Usage:
     python tools/audit_plans.py           # write PLANS.md (full registry)
     python tools/audit_plans.py --check   # also exit 1 on invariant breaks
-    python tools/audit_plans.py name ...  # subset
+    python tools/audit_plans.py name ...  # subset -> PLANS_partial.md ONLY
+                                          # (never overwrites PLANS.md —
+                                          # the r8 verdict found a subset
+                                          # spot-check clobbering the
+                                          # committed 349-query artifact)
 
 The invariants (the same ones tests/test_plan_invariants.py guards for the
 bench headliners):
@@ -232,10 +236,14 @@ def main() -> None:
     names = [a for a in argv if not a.startswith("--")]
     spark = get_spark("audit-plans")
     specs = registry()
+    # Subset runs write PLANS_partial.md so a spot-check can never
+    # overwrite the committed full-registry artifact; only the no-name
+    # run regenerates PLANS.md.
+    out_path = Path("PLANS_partial.md") if names else Path("PLANS.md")
     if not names:
         names = sorted(specs)
     out = [
-        "# PLANS — physical-plan audit (full registry)",
+        f"# PLANS — physical-plan audit ({'SUBSET — see PLANS.md for the full registry' if out_path.name == 'PLANS_partial.md' else 'full registry'})",
         "",
         "Generated by `python tools/audit_plans.py` at sf0.1. For each query:",
         "the operator pipeline, exchange (shuffle) count, broadcast joins, and",
@@ -319,8 +327,8 @@ def main() -> None:
         out.extend(f"- {v}" for v in violations)
         out.append("")
     out.extend(body)
-    Path("PLANS.md").write_text("\n".join(out))
-    print(f"wrote PLANS.md ({len(summary)} queries)")
+    out_path.write_text("\n".join(out))
+    print(f"wrote {out_path.name} ({len(summary)} queries)")
     if violations:
         print("violations:")
         for v in violations:
