@@ -53,6 +53,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def lazy_checkpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=False)`` that is ACTUALLY lazy under AQE.
+
+    ``DataFrame.localCheckpoint`` compiles the plan to an RDD; with
+    adaptive execution enabled, ``toRdd`` on an AdaptiveSparkPlan
+    MATERIALIZES every shuffle stage immediately — a "lazy" checkpoint
+    still runs all its jobs at DataFrame-CONSTRUCTION time (bench.py
+    surfaces these as ``plan_actions_s``; x_bfs_layers paid ~2.5 s / 27
+    jobs per construction this way). Compiling with AQE momentarily
+    disabled yields the classic lazy RDD DAG: zero jobs now, the
+    checkpoint materializes at the query's first real action, and
+    downstream plans see an O(1) RDD leaf, so Catalyst analysis stays
+    constant per round instead of doubling (the self-referencing-loop
+    class). The non-adaptive compile affects only the checkpointed
+    subtree (static shuffle partition count, no runtime coalescing or
+    skew handling) — callers checkpoint TINY iterative frames (node-id
+    lists, frontiers) where AQE has nothing to optimize; heavy upstream
+    frames should be cache()d BEFORE the checkpointed loop so their
+    InMemoryRelation (built adaptively) is what the loop re-reads.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        return df.localCheckpoint(eager=False)
+    finally:
+        spark.conf.set(key, prev)
+
+
 def undirected(edges: DataFrame) -> DataFrame:
     """src↔dst symmetric closure of a directed edge list (columns src, dst).
 

@@ -52,55 +52,48 @@ def q_bfs_layers(spark, sf_dir):
     runs before acting on a flagged-document list ("if we drop these, how
     much of the dup neighborhood goes with them?").
 
-    Scale shape: the undirected edge frame is built ONCE and cached (every
-    round joins it; uncached, Catalyst would recompile the whole LSH chain
-    per round), then 4 bounded rounds of frontier = neighbors(frontier)
-    MINUS visited — each round one keyed join + one distinct + one
-    left-anti, all hash-partitioned on node id. Depth counts come from ONE
-    union→groupBy(depth), not per-depth scalar aggregates. Rounds are a
-    FIXED constant (the query's semantics), so plan depth is bounded and
-    there are no convergence COUNTS; the per-round checkpoints do
-    materialize at construction (creating an RDD under AQE executes its
-    stages — ~2.3 s / 27 jobs at sf0.1, charged transparently as
-    plan_actions_s in bench.py), which is the same total cost as running
-    them at first action, just paid earlier."""
-    pairs = _near_pairs(spark, sf_dir).cache()
+    Scale shape (r9 rewrite — MIN-DEPTH formulation over lazy RDD
+    leaves): instead of the frontier/visited/anti-join loop, each round
+    is simply h_r = distinct(neighbors(h_{r-1})): the set of nodes
+    reachable in EXACTLY r steps (revisits allowed). A node first
+    reachable at depth d appears in h_d, so min over the unioned
+    (h_r × depth r) frames IS the BFS depth — exactly the oracle's
+    recursive-walk min(depth) semantics, with no visited set and no
+    anti-join. Lineage: the verified-pair frame and every h_r are
+    truncated with graph.lazy_checkpoint (AQE-off compile — a plain lazy
+    localCheckpoint under AQE runs all its stages at CONSTRUCTION time,
+    which this query used to pay as ~2.5 s / 27 jobs of plan_actions_s;
+    and a cache()-only variant re-pays seconds of Catalyst analysis of
+    the exponentially nested logical plan on EVERY action). Result:
+    construction runs zero jobs, the first action materializes each
+    leaf exactly once, and repeat actions read O(1) RDD leaves. Every
+    join is hash-partitioned on node id against the pair leaf; depth
+    counts come from ONE union → min-depth agg → groupBy(depth). Rounds
+    are a FIXED constant, so plan depth is bounded."""
+    from ..operators.graph import lazy_checkpoint
+
+    pairs = lazy_checkpoint(_near_pairs(spark, sf_dir))
     und = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
-    seeds = (
-        und.select(F.col("doc_a").alias("node"))
-        .distinct()
-        .orderBy("node")
-        .limit(10)
+    seeds = lazy_checkpoint(
+        und.select(F.col("doc_a").alias("node")).distinct().orderBy("node").limit(10)
     )
-    # Frontier/visited re-reference their own previous round — the
-    # self-referencing-loop class: without per-round lineage truncation
-    # the logical plan (and Catalyst analysis time) DOUBLES per round
-    # (measured 0.5/0.7/1.6/3.5 s for rounds 1-4 uncached, and each
-    # level's subtree also re-executes once per consumer). LAZY
-    # localCheckpoint replaces the plan with an O(1) RDD leaf immediately
-    # — the kcore-peel convention — so analysis stays constant per round
-    # and every consumer shares the one materialized RDD. The
-    # checkpointed frames are node-id lists, tiny next to the corpus.
-    visited = seeds.localCheckpoint(eager=False)
-    layers = visited.withColumn("depth", F.lit(0))
-    frontier = visited
+    h = seeds
+    layers = seeds.withColumn("depth", F.lit(0).cast("int"))
     for r in range(1, 5):
-        frontier = (
-            und.join(frontier, und["doc_a"] == frontier["node"])
+        h = lazy_checkpoint(
+            und.join(h, und["doc_a"] == h["node"])
             .select(F.col("doc_b").alias("node"))
             .distinct()
-            .join(visited, "node", "left_anti")
-            .localCheckpoint(eager=False)
         )
-        layers = layers.unionByName(frontier.withColumn("depth", F.lit(r)))
-        visited = (
-            visited.unionByName(frontier.select("node"))
-            .distinct()
-            .localCheckpoint(eager=False)
-        )
-    return layers.groupBy("depth").agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        layers = layers.unionByName(h.withColumn("depth", F.lit(r).cast("int")))
+    return (
+        layers.groupBy("node")
+        .agg(F.min("depth").alias("depth"))
+        .groupBy("depth")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    )
 
 
 ORACLE_BFS_LAYERS = f"""

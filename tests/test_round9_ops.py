@@ -184,3 +184,26 @@ def test_audit_plans_subset_preserves_full_artifact(tmp_path):
     assert (work / "PLANS.md").read_text() == sentinel
     partial = (work / "PLANS_partial.md").read_text()
     assert "p2_route_filter" in partial and "SUBSET" in partial
+
+
+def test_lazy_checkpoint_runs_no_jobs(spark):
+    """graph.lazy_checkpoint must be ACTUALLY lazy: zero Spark jobs at
+    construction (a plain localCheckpoint(eager=False) under AQE runs all
+    its shuffle stages eagerly via toRdd), and the checkpointed frame must
+    still compute correctly at first action."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_230422_spark.operators.graph import lazy_checkpoint
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    df = spark.range(10000).groupBy((F.col("id") % 13).alias("k")).count()
+    sc.setJobGroup("lazy-ckpt-test", "t")
+    ck = lazy_checkpoint(df)
+    assert len(tracker.getJobIdsForGroup("lazy-ckpt-test")) == 0
+    # conf restored
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert ck.count() == 13
+    # downstream plans see an O(1) leaf, not the grouped lineage
+    plan = ck._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan
