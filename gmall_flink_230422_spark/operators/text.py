@@ -1060,6 +1060,15 @@ def backoff_trigram_score(
     Only the ~10% held-out stream is re-shuffled per join; N is a broadcast
     scalar. Nothing collects; no Python touches a row.
 
+    The tokenized ``base`` frame is deliberately NOT cached (scan repeat
+    7 = 3 n-gram orders × 2 join sides + N): the r9 A/B at sf0.1 (hot
+    session, best-of-3) measured cache-base warm 1.06 s / cold 1.39 s vs
+    no-cache warm 1.09 s / cold 1.02 s — a tie on warm, a loss on cold,
+    because the n-gram explodes dominate and re-tokenizing from the
+    pruned parquet scan is cheap next to them. At 100 TB a corpus-sized
+    token-array cache is also the wrong memory trade; the no-cache form
+    is the keeper (BENCHNOTES.md r9).
+
     Output: (doc_id, n_trigrams, sum_score_micro, avg_score_micro), one row
     per held-out doc with ≥3 tokens.
     """
