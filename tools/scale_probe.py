@@ -220,6 +220,14 @@ QUERIES = [
     "x_coverage_max",
     "x_rbo_rankings",
     "e_chisq_independence",
+    # round-9 additions (r8 verdict #6 — the unprobed wide plans):
+    # cross-shard dup rides the LSH chain twice (per-shard + cross-shard
+    # rollup, 20 shuffles); ccnet bucket is the perplexity-grid histogram
+    # + keyed bucket windows (19); mad outliers post-A/B (cached ev, the
+    # med/dev/flag three-pass)
+    "x_cross_shard_dup",
+    "x_ccnet_bucket",
+    "e_mad_outliers",
 ]
 
 
@@ -230,10 +238,16 @@ def run_once(spec, spark, sf):
 
 
 def main():
+    # subset mode (`python tools/scale_probe.py name ...`) probes just the
+    # named queries and writes SCALING_partial.md — never the committed
+    # full artifact (the audit_plans.py clobber class, fixed r9)
+    names = [a for a in sys.argv[1:] if not a.startswith("--")]
+    queries = names or QUERIES
+    out_name = "SCALING_partial.md" if names else "SCALING.md"
     spark = get_spark("scale-probe")
     specs = registry()
     rows = []
-    for name in QUERIES:
+    for name in queries:
         spec = specs[name]
         times = []
         for sf in SFS:
@@ -326,8 +340,8 @@ def main():
         "in its summary table.",
         "",
     ]
-    Path("SCALING.md").write_text("\n".join(out))
-    print(f"wrote SCALING.md ({len(rows)} queries)")
+    Path(out_name).write_text("\n".join(out))
+    print(f"wrote {out_name} ({len(rows)} queries)")
 
 
 if __name__ == "__main__":
