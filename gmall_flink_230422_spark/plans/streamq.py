@@ -2728,3 +2728,156 @@ SPECS = SPECS + (
               doc="incremental hourly-count grids merged by sum, then the >=2.5x-average burst filter; shares e_burst_hours' oracle verbatim",
               tags=("stream", "stats")),
 )
+
+
+# ===================================================================== r9:
+# streaming twins of the r8 batch heavies with natural incremental forms —
+# 13-gram decontamination (persisted gram index probed per batch, the
+# s_stream_dedup_incremental pattern) and LSH band health (mergeable
+# per-batch bucket grids, the s_stream_quantile pattern).
+
+
+def q_stream_contam_13gram(spark, sf_dir):
+    """Streaming benchmark decontamination at the 13-token gram: the TRAIN
+    split's distinct 13-grams are PERSISTED once (the index build — at
+    100 TB this is the write-time artifact a decontamination service keeps
+    hot), then the EVAL docs stream in micro-batches and each batch probes
+    the index inside a checkpointed foreachBatch: distinct grams per
+    incoming doc, one gram-keyed join against the index, per-doc
+    (n_grams, n_hit) landed under batch_id=N (overwrite ⇒ idempotent
+    replay). Batch boundaries cannot change results — each eval doc's
+    verdict depends only on that doc and the static index, never on other
+    eval docs — so the read-back equals the batch twin and the oracle is
+    ORACLE_CONTAM_13GRAM VERBATIM. Per-batch state: the incoming docs'
+    gram lists; the index side stays parquet-pruned to the join."""
+    from ..operators import dedup
+    from .llm import _docs_par
+
+    _clamp_shuffle(spark)
+    d = _docs_par(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="streamq_contam13_")
+    idx_dir = os.path.join(tmp, "gram_index")
+    src = os.path.join(tmp, "eval_docs")
+    store = os.path.join(tmp, "verdicts")
+    ck = os.path.join(tmp, "ck")
+
+    # ---- index build (batch, once): train split -> distinct 13-grams
+    dedup.shingles(d.filter(F.col("doc_id") % 17 != 0), k=13) \
+        .select("shingle").distinct().write.parquet(idx_dir)
+
+    # ---- eval docs as a multi-file replay stream
+    d.filter(F.col("doc_id") % 17 == 0).repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = files.stream_parquet(spark, src, schema, files_per_trigger=1)
+
+    def _probe(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        g = dedup.shingles(batch, k=13)
+        idx = s.read.parquet(idx_dir)
+        hits = g.join(idx, "shingle").groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_hit")
+        )
+        per_doc = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+        per_doc.join(hits, "doc_id").write.mode("overwrite").parquet(
+            os.path.join(store, f"batch_id={batch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(store)
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.col("n_hit").cast("bigint").alias("n_hit"),
+            F.expr("n_hit * 1000 div n_grams").cast("bigint").alias("contam_milli"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_stream_band_health(spark, sf_dir):
+    """Streaming LSH index-health monitor: each micro-batch reduces its
+    docs to the (band, band_sig) bucket-count grid inside a checkpointed
+    foreachBatch, landed under batch_id=N (overwrite ⇒ idempotent replay);
+    the read side merges grids by bucket-wise SUM — bucket membership
+    counts are additive across batches because a doc lands in exactly one
+    batch — then applies the x_lsh_band_health rollup (colliding buckets
+    only, candidate-pair volume computed ARITHMETICALLY from merged sizes,
+    never by expanding pairs). The quadratic-blowup early-warning running
+    continuously as docs ingest: per-batch state is the batch's bucket
+    grid; the merged table is the same band-signature index the batch
+    query reads. Oracle: ORACLE_LSH_BAND_HEALTH VERBATIM."""
+    from ..operators import dedup
+    from .llm import _docs_par
+
+    _clamp_shuffle(spark)
+    d = _docs_par(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="streamq_bandh_")
+    src = os.path.join(tmp, "docs")
+    store = os.path.join(tmp, "grids")
+    ck = os.path.join(tmp, "ck")
+
+    d.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = files.stream_parquet(spark, src, schema, files_per_trigger=1)
+
+    def _land(batch: DataFrame, batch_id: int) -> None:
+        sigs = dedup.minhash_signatures(dedup.shingles(batch), num_hashes=16)
+        grid = (
+            dedup.band_signatures(sigs, rows_per_band=4)
+            .groupBy("band", "band_sig")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        grid.write.mode("overwrite").parquet(os.path.join(store, f"batch_id={batch_id}"))
+
+    q = (
+        stream.writeStream.foreachBatch(_land)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    buckets = (
+        spark.read.parquet(store)
+        .groupBy("band", "band_sig")
+        .agg(F.sum("cnt").alias("sz"))
+        .filter(F.col("sz") > 1)
+    )
+    return (
+        buckets.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum("sz").cast("bigint").alias("n_docs"),
+            F.sum(F.expr("sz * (sz - 1) div 2")).cast("bigint").alias("n_cand_pairs"),
+            F.max("sz").cast("bigint").alias("max_bucket"),
+        )
+        .orderBy("band")
+    )
+
+
+def _oracle_stream_contam_13gram() -> str:
+    from .r8 import ORACLE_CONTAM_13GRAM
+
+    return ORACLE_CONTAM_13GRAM
+
+
+def _oracle_stream_band_health() -> str:
+    from .r8 import ORACLE_LSH_BAND_HEALTH
+
+    return ORACLE_LSH_BAND_HEALTH
+
+
+SPECS = SPECS + (
+    QuerySpec("s_stream_contam_13gram", q_stream_contam_13gram, _oracle_stream_contam_13gram(),
+              doc="streaming 13-gram decontamination: persisted train-gram index probed per micro-batch; batch oracle verbatim",
+              tags=("stream", "llm", "dedup")),
+    QuerySpec("s_stream_band_health", q_stream_band_health, _oracle_stream_band_health(),
+              doc="streaming LSH band health: per-batch bucket grids merged by sum, quadratic term computed from sizes; batch oracle verbatim",
+              tags=("stream", "llm", "dedup")),
+)
