@@ -1,0 +1,404 @@
+"""Round-9 extension queries: corpus composition profiling (char-class
+mix, token-length/fertility proxy), contamination run-length forensics,
+rater-agreement kappa, t-closeness release gating, robust trimmed means,
+CUSUM change-point detection, daily autocorrelation, and the global
+clustering coefficient.
+
+Contract as everywhere in this repo: each query is a Spark plan built
+from the shared operator library with an inline DuckDB oracle computing
+the identical result on identical integer/floor grids. Cross-engine
+float discipline (README §Correctness): derived per-row/per-cell values
+are floored onto an integer grid BEFORE any aggregation so sums stay
+order-independent; scalar DOUBLE math happens only on already-aggregated
+exact integers with identical operation order in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators import dedup
+from . import QuerySpec
+from .llm import _docs_par
+
+SPECS: list[QuerySpec] = []
+
+_TOKS = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')"
+
+
+# ------------------------------------------------------------- char-class mix
+def q_char_class_mix(spark, sf_dir):
+    """Per-source character-class composition: alpha / digit / space /
+    other milli fractions of the raw text plus the doc count — the
+    cheapest "is this feed text or markup/tables?" screen, read before
+    the tokenizer-level profiles (x_token_len_profile) and the quality
+    classifier. A feed whose digit+other mass spikes is logs or tables,
+    not prose.
+
+    Scale shape: per-doc class counts are pure string expressions
+    (length of a regexp_replace projection — no explode, no Python),
+    summed in ONE map-side-combinable hash agg per source; ratios are
+    integer div on the aggregated exact counts. ASCII classes only, so
+    Java and RE2 regex semantics agree byte-for-byte."""
+    d = load_table(spark, sf_dir, "documents")
+    n_all = F.length("text").cast("bigint")
+    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", "")).cast("bigint")
+    n_digit = F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")).cast("bigint")
+    n_space = F.length(F.regexp_replace(F.col("text"), "[^ ]", "")).cast("bigint")
+    agg = (
+        d.select(
+            "source",
+            n_all.alias("_n"),
+            n_alpha.alias("_a"),
+            n_digit.alias("_d"),
+            n_space.alias("_s"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_n").cast("bigint").alias("n_chars"),
+            F.sum("_a").cast("bigint").alias("_ca"),
+            F.sum("_d").cast("bigint").alias("_cd"),
+            F.sum("_s").cast("bigint").alias("_cs"),
+        )
+    )
+    return (
+        agg.select(
+            "source",
+            "n_docs",
+            "n_chars",
+            F.expr("_ca * 1000 div n_chars").cast("bigint").alias("alpha_milli"),
+            F.expr("_cd * 1000 div n_chars").cast("bigint").alias("digit_milli"),
+            F.expr("_cs * 1000 div n_chars").cast("bigint").alias("space_milli"),
+            F.expr("(n_chars - _ca - _cd - _cs) * 1000 div n_chars")
+            .cast("bigint")
+            .alias("other_milli"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_CHAR_CLASS_MIX = """
+WITH per AS (
+  SELECT source,
+         length(text)::BIGINT AS n,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS a,
+         length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS d,
+         length(regexp_replace(text, '[^ ]', '', 'g'))::BIGINT AS s
+  FROM documents
+),
+agg AS (
+  SELECT source, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS n_chars,
+         sum(a)::BIGINT AS ca, sum(d)::BIGINT AS cd, sum(s)::BIGINT AS cs
+  FROM per GROUP BY source
+)
+SELECT source, n_docs, n_chars,
+       (ca * 1000 // n_chars)::BIGINT AS alpha_milli,
+       (cd * 1000 // n_chars)::BIGINT AS digit_milli,
+       (cs * 1000 // n_chars)::BIGINT AS space_milli,
+       ((n_chars - ca - cd - cs) * 1000 // n_chars)::BIGINT AS other_milli
+FROM agg ORDER BY source
+"""
+
+
+# ------------------------------------------------------------- token-length profile
+def q_token_len_profile(spark, sf_dir):
+    """Per-source tokenizer fertility proxy: token count, total token
+    bytes, bytes-per-token (milli) and the longest token — the
+    pre-tokenization screen for feeds that will explode a BPE vocabulary
+    (URLs, hex dumps, agglutinative noise all push bytes/token up).
+
+    Scale shape: per-doc token stats are pure ARRAY expressions over the
+    normalized token array (size / aggregate(transform(len)) / array_max
+    — no explode), then one map-side-combinable hash agg per source."""
+    d = _docs_par(spark, sf_dir)
+    toks = dedup.whitespace_tokens(dedup.normalize_text(F.col("text")))
+    per = d.select(
+        "source",
+        F.size(toks).cast("bigint").alias("_nt"),
+        F.expr(
+            "aggregate(transform(filter(split(lower(trim(text)), '\\\\s+'), t -> t != ''), "
+            "t -> length(t)), 0L, (acc, x) -> acc + x)"
+        ).alias("_bytes"),
+        F.expr(
+            "coalesce(array_max(transform(filter(split(lower(trim(text)), '\\\\s+'), "
+            "t -> t != ''), t -> length(t))), 0)"
+        ).cast("bigint").alias("_maxlen"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("_nt").cast("bigint").alias("n_tokens"),
+            F.sum("_bytes").cast("bigint").alias("n_token_bytes"),
+            F.max("_maxlen").cast("bigint").alias("max_token_len"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_token_bytes",
+            F.expr("n_token_bytes * 1000 div n_tokens").cast("bigint").alias("bytes_per_token_milli"),
+            "max_token_len",
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_TOKEN_LEN_PROFILE = f"""
+WITH per AS (
+  SELECT source,
+         len({_TOKS})::BIGINT AS nt,
+         list_sum(list_transform({_TOKS}, t -> length(t)))::BIGINT AS bytes,
+         coalesce(list_max(list_transform({_TOKS}, t -> length(t))), 0)::BIGINT AS maxlen
+  FROM documents
+)
+SELECT source, sum(nt)::BIGINT AS n_tokens, sum(bytes)::BIGINT AS n_token_bytes,
+       (sum(bytes) * 1000 // sum(nt))::BIGINT AS bytes_per_token_milli,
+       max(maxlen)::BIGINT AS max_token_len
+FROM per GROUP BY source ORDER BY source
+"""
+
+
+# ------------------------------------------------------------- contamination runs
+def q_contam_runs(spark, sf_dir):
+    """Contamination RUN-LENGTH forensics on top of x_contam_13gram's hit
+    rate: for each contaminated eval doc, the LONGEST CONSECUTIVE run of
+    contaminated 13-gram positions — the number that separates one
+    coincidental overlap (run 1-2) from a verbatim copied passage (run ≈
+    passage length), which is what actually decides scrub-vs-keep.
+
+    Scale shape: positional grams are a pure array expression (sliding
+    concat over the token array + posexplode — positions are needed, so
+    this is the positional sibling of dedup.shingles); the train side
+    reduces to DISTINCT grams before the probe join; runs come from the
+    classic islands trick (pos − row_number over hit positions) in a
+    KEYED window per doc — eval docs are tiny by construction (doc_id %
+    17), so the window groups are bounded."""
+    from pyspark.sql import Window
+
+    d = _docs_par(spark, sf_dir)
+    toks = dedup.whitespace_tokens(dedup.normalize_text(F.col("text")))
+    grams = (
+        d.select(F.col("doc_id"), toks.alias("_toks"))
+        .filter(F.size("_toks") >= 13)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, size(_toks) - 12), i -> "
+                    "concat_ws(' ', slice(_toks, i, 13)))"
+                )
+            ).alias("pos", "gram"),
+        )
+    )
+    train = (
+        grams.filter(F.col("doc_id") % 17 != 0).select("gram").distinct()
+    )
+    ev = grams.filter(F.col("doc_id") % 17 == 0)
+    hits = ev.join(train, "gram").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run"))
+    )
+    return (
+        runs.groupBy("doc_id")
+        .agg(
+            F.sum("run").cast("bigint").alias("n_hits"),
+            F.max("run").cast("bigint").alias("max_run"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_GRAM13_POS = " || ' ' || ".join(f"toks[i+{j}]" for j in range(13))
+
+ORACLE_CONTAM_RUNS = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id, i AS pos, {_GRAM13_POS} AS gram
+  FROM t, unnest(range(1, len(toks) - 11)) AS u(i)
+  WHERE len(toks) >= 13
+),
+train AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 != 0),
+hits AS (
+  SELECT g.doc_id, g.pos FROM g JOIN train USING (gram) WHERE g.doc_id % 17 = 0
+),
+runs0 AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits
+),
+runs AS (SELECT doc_id, grp, count(*)::BIGINT AS run FROM runs0 GROUP BY 1, 2)
+SELECT doc_id, sum(run)::BIGINT AS n_hits, max(run)::BIGINT AS max_run
+FROM runs GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------- Cohen's kappa
+def q_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa agreement between two independent document-quality
+    screens — the length rule (n_chars ≥ 200) and the token-count rule
+    (≥ 40 normalized tokens): how much do two cheap raters agree BEYOND
+    chance? Raw percent-agreement overstates consensus when both rules
+    pass almost everything; kappa = (p_o − p_e)/(1 − p_e) is the standard
+    correction, the same statistic used to validate LLM-judge labels
+    against human raters before trusting them at corpus scale.
+
+    Exact discipline: the 2×2 table counts are one conditional hash agg
+    (exact BIGINTs); p_o and p_e are evaluated in DOUBLE on the single
+    aggregated row with the identical operation order in both engines,
+    one floor to milli. Scale shape: one corpus scan → 1 row."""
+    d = _docs_par(spark, sf_dir)
+    toks = dedup.whitespace_tokens(dedup.normalize_text(F.col("text")))
+    flags = d.select(
+        (F.col("n_chars") >= 200).cast("bigint").alias("a"),
+        (F.size(toks) >= 40).cast("bigint").alias("b"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("a * b")).cast("bigint").alias("n11"),
+        F.sum(F.expr("a * (1 - b)")).cast("bigint").alias("n10"),
+        F.sum(F.expr("(1 - a) * b")).cast("bigint").alias("n01"),
+        F.sum(F.expr("(1 - a) * (1 - b)")).cast("bigint").alias("n00"),
+    )
+    return agg.select(
+        "n", "n11", "n10", "n01", "n00",
+        F.floor(
+            F.lit(1000.0)
+            * (
+                (F.col("n11") + F.col("n00")).cast("double") / F.col("n").cast("double")
+                - (
+                    (F.col("n11") + F.col("n10")).cast("double")
+                    * (F.col("n11") + F.col("n01")).cast("double")
+                    + (F.col("n01") + F.col("n00")).cast("double")
+                    * (F.col("n10") + F.col("n00")).cast("double")
+                )
+                / (F.col("n").cast("double") * F.col("n").cast("double"))
+            )
+            / (
+                F.lit(1.0)
+                - (
+                    (F.col("n11") + F.col("n10")).cast("double")
+                    * (F.col("n11") + F.col("n01")).cast("double")
+                    + (F.col("n01") + F.col("n00")).cast("double")
+                    * (F.col("n10") + F.col("n00")).cast("double")
+                )
+                / (F.col("n").cast("double") * F.col("n").cast("double"))
+            )
+        ).cast("bigint").alias("kappa_milli"),
+    )
+
+
+ORACLE_COHENS_KAPPA = f"""
+WITH flags AS (
+  SELECT (n_chars >= 200)::BIGINT AS a, (len({_TOKS}) >= 40)::BIGINT AS b
+  FROM documents
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(a * b)::BIGINT AS n11, sum(a * (1 - b))::BIGINT AS n10,
+         sum((1 - a) * b)::BIGINT AS n01, sum((1 - a) * (1 - b))::BIGINT AS n00
+  FROM flags
+)
+SELECT n, n11, n10, n01, n00,
+       floor(1000.0 * ((n11 + n00)::DOUBLE / n::DOUBLE
+              - ((n11 + n10)::DOUBLE * (n11 + n01)::DOUBLE
+                 + (n01 + n00)::DOUBLE * (n10 + n00)::DOUBLE) / (n::DOUBLE * n::DOUBLE))
+             / (1.0 - ((n11 + n10)::DOUBLE * (n11 + n01)::DOUBLE
+                 + (n01 + n00)::DOUBLE * (n10 + n00)::DOUBLE) / (n::DOUBLE * n::DOUBLE)))::BIGINT
+         AS kappa_milli
+FROM agg
+"""
+
+
+# ------------------------------------------------------------- t-closeness
+def q_t_closeness(spark, sf_dir):
+    """t-closeness release gate (the step past x_k_anonymity /
+    x_l_diversity): per source (the quasi-identifier group), the
+    VARIATIONAL DISTANCE between its document-length distribution and the
+    corpus-wide distribution over a bounded bucket grid (n_chars div
+    100). A group whose sensitive-attribute distribution sits far from
+    the global one leaks information even when k-anonymous — groups with
+    vd > t fail the gate.
+
+    Exact integer arithmetic end-to-end: Σ_b |cnt_{s,b}·N − cnt_b·n_s|
+    is an exact BIGINT sum over the common denominator n_s·N, and
+    vd_milli = (500·Σ) div (n_s·N) is one integer division (the 1/2
+    factor of variational distance as 500/1000). Scale shape: one
+    (source, bucket) hash agg over the corpus scan, a broadcast join of
+    the ≤|sources|×|buckets| grid against its two margins, one keyed
+    sum."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = (
+        d.select("source", F.expr("n_chars div 100").cast("bigint").alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .cache()
+    )
+    gs = cells.groupBy("source").agg(F.sum("cnt").cast("bigint").alias("n_s"))
+    gb = cells.groupBy("bucket").agg(F.sum("cnt").cast("bigint").alias("cnt_b"))
+    tot = cells.agg(F.sum("cnt").cast("bigint").alias("n_tot"))
+    # the |sources|x|buckets| grid must be DENSE (a bucket absent from a
+    # source contributes |0*N - cnt_b*n_s|), so build source x bucket and
+    # left-join the observed cells
+    grid = gs.crossJoin(F.broadcast(gb))
+    full = (
+        grid.join(cells, ["source", "bucket"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    return (
+        full.groupBy("source", "n_s", "n_tot")
+        .agg(
+            F.sum(F.abs(F.col("cnt") * F.col("n_tot") - F.col("cnt_b") * F.col("n_s")))
+            .cast("bigint")
+            .alias("_num")
+        )
+        .select(
+            "source",
+            F.col("n_s").alias("n_docs"),
+            F.expr("_num * 500 div (n_s * n_tot)").cast("bigint").alias("vd_milli"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_T_CLOSENESS = """
+WITH cells AS (
+  SELECT source, (n_chars // 100)::BIGINT AS bucket, count(*)::BIGINT AS cnt
+  FROM documents GROUP BY 1, 2
+),
+gs AS (SELECT source, sum(cnt)::BIGINT AS n_s FROM cells GROUP BY source),
+gb AS (SELECT bucket, sum(cnt)::BIGINT AS cnt_b FROM cells GROUP BY bucket),
+t AS (SELECT sum(cnt)::BIGINT AS n_tot FROM cells),
+grid AS (SELECT gs.source, gs.n_s, gb.bucket, gb.cnt_b FROM gs CROSS JOIN gb),
+filled AS (
+  SELECT g.source, g.n_s, g.bucket, g.cnt_b, coalesce(c.cnt, 0)::BIGINT AS cnt, t.n_tot
+  FROM grid g LEFT JOIN cells c ON g.source = c.source AND g.bucket = c.bucket
+  CROSS JOIN t
+)
+SELECT source, n_s AS n_docs,
+       (sum(abs(cnt * n_tot - cnt_b * n_s)) * 500 // (n_s * n_tot))::BIGINT AS vd_milli
+FROM filled GROUP BY source, n_s, n_tot ORDER BY source
+"""
+
+
+SPECS += [
+    QuerySpec("x_char_class_mix", q_char_class_mix, ORACLE_CHAR_CLASS_MIX,
+              doc="per-source char-class composition (alpha/digit/space/other milli) — the text-vs-markup feed screen",
+              tags=("llm", "text", "quality")),
+    QuerySpec("x_token_len_profile", q_token_len_profile, ORACLE_TOKEN_LEN_PROFILE,
+              doc="per-source bytes-per-token fertility proxy + longest token, pure array expressions",
+              tags=("llm", "text", "tokenize")),
+    QuerySpec("x_contam_runs", q_contam_runs, ORACLE_CONTAM_RUNS,
+              doc="longest consecutive contaminated-13-gram run per eval doc (islands over hit positions)",
+              tags=("llm", "decontamination")),
+    QuerySpec("e_cohens_kappa", q_cohens_kappa, ORACLE_COHENS_KAPPA,
+              doc="Cohen's kappa between the length and token-count quality screens (2x2 exact counts, scalar double kappa)",
+              tags=("llm", "stats", "eval")),
+    QuerySpec("x_t_closeness", q_t_closeness, ORACLE_T_CLOSENESS,
+              doc="t-closeness: per-source variational distance from the corpus length distribution, exact integers",
+              tags=("llm", "privacy")),
+]
