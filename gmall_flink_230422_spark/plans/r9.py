@@ -402,3 +402,347 @@ SPECS += [
               doc="t-closeness: per-source variational distance from the corpus length distribution, exact integers",
               tags=("llm", "privacy")),
 ]
+
+
+# ------------------------------------------------------------- trimmed mean
+def q_trimmed_mean(spark, sf_dir):
+    """10%-two-sided trimmed mean of event value per type — the robust
+    location estimate between the mean (e_* aggregates) and the median
+    (e_mad_outliers): drop the bottom and top n div 10 observations, then
+    average the middle 80%. The estimator revenue dashboards want when a
+    few refunds and whale orders distort the mean but the median is too
+    coarse.
+
+    Exact integer arithmetic via the VALUE HISTOGRAM (the e_winsorize /
+    mad shape — never a global sort): per (type, cents) counts, keyed
+    cumsum over the bounded cent axis, then each bin's KEPT multiplicity
+    is clamp(min(cum, n−k) − max(cum−cnt, k), 0, cnt) — handles ties
+    across the trim boundary exactly; trimmed sum/count are exact BIGINTs
+    and the mean one integer division to milli-cents."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    hist = ev.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select("event_type", "cents", "cnt", F.sum("cnt").over(wc).alias("cum"))
+    tot = hist.groupBy("event_type").agg(F.sum("cnt").cast("bigint").alias("n"))
+    kept = (
+        cum.join(F.broadcast(tot), "event_type")
+        .withColumn("k", F.expr("n div 10"))
+        .withColumn(
+            "keep",
+            F.greatest(
+                F.lit(0),
+                F.least(F.col("cum"), F.col("n") - F.col("k"))
+                - F.greatest(F.col("cum") - F.col("cnt"), F.col("k")),
+            ),
+        )
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_rows"),
+            F.sum("keep").cast("bigint").alias("trimmed_n"),
+            F.sum(F.col("cents") * F.col("keep")).cast("bigint").alias("_ts"),
+        )
+        .select(
+            "event_type",
+            "n_rows",
+            "trimmed_n",
+            F.expr("_ts * 1000 div trimmed_n").cast("bigint").alias("trimmed_mean_milli"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_TRIMMED_MEAN = """
+WITH ev AS (
+  SELECT event_type, floor(value * 100 + 0.5)::BIGINT AS cents FROM events
+),
+hist AS (SELECT event_type, cents, count(*)::BIGINT AS cnt FROM ev GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, cents, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS cum
+  FROM hist
+),
+tot AS (SELECT event_type, sum(cnt)::BIGINT AS n FROM hist GROUP BY 1),
+kept AS (
+  SELECT c.event_type, c.cents, t.n,
+         greatest(0, least(c.cum, t.n - t.n // 10) - greatest(c.cum - c.cnt, t.n // 10)) AS keep
+  FROM cum c JOIN tot t USING (event_type)
+)
+SELECT event_type, max(n)::BIGINT AS n_rows, sum(keep)::BIGINT AS trimmed_n,
+       (sum(cents * keep) * 1000 // sum(keep))::BIGINT AS trimmed_mean_milli
+FROM kept GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ------------------------------------------------------------- CUSUM change point
+def q_changepoint_cusum(spark, sf_dir):
+    """CUSUM change-point detection per event type: the day where the
+    cumulative daily revenue deviates FARTHEST from the straight line
+    between zero and the period total — the classic "when did the level
+    shift?" screen that flags a pricing change, an outage, or a feed
+    break, without assuming any distribution.
+
+    Exact integer arithmetic by cross-multiplication: dev_d =
+    |cum_d · D − C · d| (no division, so no float drift; ties broken by
+    the EARLIEST day). Scale shape: one hash agg to the bounded day grid,
+    a keyed cumsum + row-number window over ≤ calendar-many rows per
+    type, one keyed top-1 window."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value") * 100).cast("bigint").alias("c"))
+    )
+    wd = Window.partitionBy("event_type").orderBy("day")
+    wcum = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(wd).alias("d"),
+        F.sum("c").over(wcum).alias("cum"),
+    )
+    tot = g.groupBy("event_type").agg(
+        F.max("d").cast("bigint").alias("n_days"), F.max("cum").cast("bigint").alias("_c")
+    )
+    dev = g.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "day",
+        "n_days",
+        F.abs(F.col("cum") * F.col("n_days") - F.col("_c") * F.col("d")).alias("dev"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.col("dev").desc(), F.col("day"))
+    return (
+        dev.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            "n_days",
+            F.col("day").alias("change_day"),
+            F.col("dev").cast("bigint").alias("dev_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_CHANGEPOINT_CUSUM = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day, round(sum(value) * 100)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type, day,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS d,
+         sum(c) OVER (PARTITION BY event_type ORDER BY day) AS cum
+  FROM daily
+),
+tot AS (
+  SELECT event_type, max(d)::BIGINT AS n_days, max(cum)::BIGINT AS ctot
+  FROM g GROUP BY 1
+),
+dev AS (
+  SELECT g.event_type, g.day, t.n_days,
+         abs(g.cum * t.n_days - t.ctot * g.d) AS dev
+  FROM g JOIN tot t USING (event_type)
+),
+rk AS (
+  SELECT event_type, day, n_days, dev,
+         row_number() OVER (PARTITION BY event_type ORDER BY dev DESC, day) AS rk
+  FROM dev
+)
+SELECT event_type, n_days, day AS change_day, dev::BIGINT AS dev_max
+FROM rk WHERE rk = 1 ORDER BY event_type
+"""
+
+
+# ------------------------------------------------------------- lag-1 autocorrelation
+def q_autocorr_daily(spark, sf_dir):
+    """Lag-1 autocorrelation of daily revenue per event type: does today
+    predict tomorrow (momentum, r→1), anti-correlate (oscillating batch
+    effects, r→−1), or is the series white noise? The one-number
+    stationarity screen read before fitting any trend (e_ols_trend,
+    e_theil_sen) — autocorrelated residuals invalidate their confidence
+    story.
+
+    All five Pearson sums are exact BIGINTs over the bounded day-pair
+    frame (consecutive-day join on the calendar grid — never raw
+    events); every derived term is DOUBLE with identical operation order
+    in both engines (the x_degree_assortativity overflow discipline),
+    one floor to milli."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value") * 100).cast("bigint").alias("y"))
+    ).cache()
+    nxt = daily.select(
+        F.col("event_type").alias("_et2"),
+        F.col("day").alias("_d2"),
+        F.col("y").alias("y2"),
+    )
+    pairs = daily.join(
+        nxt,
+        (F.col("event_type") == F.col("_et2"))
+        & (F.col("_d2") == F.date_add(F.col("day"), 1)),
+    ).select("event_type", "y", "y2")
+    agg = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("y").cast("bigint").alias("sx"),
+        F.sum("y2").cast("bigint").alias("sy"),
+        F.sum(F.col("y") * F.col("y2")).cast("bigint").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y2") * F.col("y2")).cast("bigint").alias("syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    return agg.select(
+        "event_type",
+        "n_pairs",
+        F.when(
+            (n * sxx - sx * sx > 0) & (n * syy - sy * sy > 0),
+            F.floor(
+                (F.lit(1000.0) * (n * sxy - sx * sy))
+                / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+            ),
+        ).cast("bigint").alias("r1_milli"),
+    ).orderBy("event_type")
+
+
+ORACLE_AUTOCORR_DAILY = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day, round(sum(value) * 100)::BIGINT AS y
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type, a.y, b.y AS y2
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND b.day = a.day + 1
+),
+agg AS (
+  SELECT event_type, count(*)::BIGINT AS n_pairs,
+         sum(y)::BIGINT AS sx, sum(y2)::BIGINT AS sy,
+         sum(y * y2)::BIGINT AS sxy, sum(y * y)::BIGINT AS sxx,
+         sum(y2 * y2)::BIGINT AS syy
+  FROM pairs GROUP BY 1
+)
+SELECT event_type, n_pairs,
+       CASE WHEN n_pairs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0
+             AND n_pairs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE > 0 THEN
+         floor((1000.0 * (n_pairs::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE))
+               / sqrt((n_pairs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                      * (n_pairs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)))
+       END::BIGINT AS r1_milli
+FROM agg ORDER BY event_type
+"""
+
+
+SPECS += [
+    QuerySpec("e_trimmed_mean", q_trimmed_mean, ORACLE_TRIMMED_MEAN,
+              doc="10% two-sided trimmed mean per event type via exact value-histogram trim counts",
+              tags=("ext", "stats", "robust")),
+    QuerySpec("e_changepoint_cusum", q_changepoint_cusum, ORACLE_CHANGEPOINT_CUSUM,
+              doc="CUSUM change-point day per event type, cross-multiplied integer deviation",
+              tags=("ext", "stats", "timeseries")),
+    QuerySpec("e_autocorr_daily", q_autocorr_daily, ORACLE_AUTOCORR_DAILY,
+              doc="lag-1 autocorrelation of daily revenue per event type, double-guarded Pearson",
+              tags=("ext", "stats", "timeseries")),
+]
+
+
+# ------------------------------------------------------------- global clustering coefficient
+def q_clustering_coeff(spark, sf_dir):
+    """GLOBAL clustering coefficient (transitivity) of the mutual k-NN
+    semantic graph: 3·triangles / wedges — the one-number clumpiness
+    summary on top of x_triangle_count's per-node view, read next to
+    x_graph_modularity when deciding whether the embedding space is
+    clique-structured (dedup families) or stringy (topic chains).
+    Computed EXACTLY from the per-node frame the shared
+    graph.triangle_count operator already emits: Σ n_triangles = 3T
+    (each triangle counted at its three corners) and wedges =
+    Σ deg·(deg−1)/2 — both exact BIGINTs, one integer division to micro.
+
+    Scale shape: the degree-ordered triangle pipeline is O(m^1.5)
+    wedge-bounded (hub-safe); the rollup here is ONE scalar aggregate
+    over the per-node frame."""
+    from ..operators import graph as _graph
+    from ..operators import similarity
+    from .llm import _embs_par
+
+    e = _embs_par(spark, sf_dir)
+    g = similarity.knn_graph(e, k=3, dims=6)
+    edges = g.filter((F.col("mutual") == 1) & (F.col("src") < F.col("dst"))).select(
+        "src", "dst"
+    )
+    per = _graph.triangle_count(edges)
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.expr("sum(degree) div 2").cast("bigint").alias("n_edges"),
+        F.expr("sum(n_triangles) div 3").cast("bigint").alias("n_triangles"),
+        F.expr("sum(degree * (degree - 1) div 2)").cast("bigint").alias("n_wedges"),
+        F.expr(
+            "CASE WHEN sum(degree * (degree - 1) div 2) > 0 THEN "
+            "sum(n_triangles) * 1000000 div sum(degree * (degree - 1) div 2) "
+            "ELSE 0 END"
+        ).cast("bigint").alias("gcc_micro"),
+    )
+
+
+def _oracle_clustering_coeff() -> str:
+    from .llm import _KNN_CTES
+
+    return f"""
+WITH {_KNN_CTES},
+mut AS (
+  SELECT t.src, t.dst FROM top t JOIN top r ON t.src = r.dst AND t.dst = r.src
+  WHERE t.src < t.dst
+),
+e AS (SELECT DISTINCT src AS a, dst AS b FROM mut),
+deg AS (
+  SELECT node, count(*)::BIGINT AS degree FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY 1
+),
+tri AS (
+  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tn AS (
+  SELECT node, count(*)::BIGINT AS n FROM (
+    SELECT u AS node FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri
+  ) GROUP BY 1
+),
+per AS (
+  SELECT d.node, d.degree, coalesce(tn.n, 0)::BIGINT AS n_tri
+  FROM deg d LEFT JOIN tn ON d.node = tn.node
+)
+SELECT count(*)::BIGINT AS n_nodes,
+       (sum(degree) // 2)::BIGINT AS n_edges,
+       (sum(n_tri) // 3)::BIGINT AS n_triangles,
+       sum(degree * (degree - 1) // 2)::BIGINT AS n_wedges,
+       (CASE WHEN sum(degree * (degree - 1) // 2) > 0 THEN
+          sum(n_tri) * 1000000 // sum(degree * (degree - 1) // 2)
+        ELSE 0 END)::BIGINT AS gcc_micro
+FROM per
+"""
+
+
+SPECS += [
+    QuerySpec("x_clustering_coeff", q_clustering_coeff, _oracle_clustering_coeff(),
+              doc="global clustering coefficient (3T/wedges) of the mutual kNN graph, exact integer rollup",
+              tags=("llm", "similarity", "graph")),
+]
