@@ -746,3 +746,196 @@ SPECS += [
               doc="global clustering coefficient (3T/wedges) of the mutual kNN graph, exact integer rollup",
               tags=("llm", "similarity", "graph")),
 ]
+
+
+# ------------------------------------------------------------- bloom FPR audit
+_BLOOM_M = 2048  # bits; 32-bit words so masks never touch the sign bit
+_BLOOM_K = 3
+
+
+def q_bloom_fpr(spark, sf_dir):
+    """Measured Bloom-filter false-positive rate — the audit that tells
+    you what a given (m, k) bloom ACTUALLY costs in wasted post-prune work
+    before you ship it as a 100 TB pre-shuffle guard (sketches.bloom_prune):
+    build the bitset from the member split (doc_id % 3 == 0), probe every
+    non-member, report fill ratio and measured FPR.
+
+    Unlike the production bloom (xxhash64, result-invisible), this audit
+    uses the PORTABLE md5 hash + the repo's universal affine family so the
+    DuckDB oracle reproduces the bitset bit-for-bit. Fully distributed and
+    collect-free: the bitset lives as a ≤64-row (word, bits) table built
+    by one bit_or hash agg; probes explode to k (probe, word) rows and
+    BROADCAST-join the word table — membership is all-k-bits-set via a
+    keyed min. 32-bit words keep every mask in positive BIGINT range in
+    both engines (1<<63 sign-wraps differently-checked engines)."""
+    from ..functions.hashing import portable_hash64
+    from ..operators.dedup import MINHASH_A_STEP, MINHASH_B_STEP, MINHASH_P
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.pmod(
+            portable_hash64(F.concat(F.lit("bloom:"), F.col("doc_id").cast("string"))),
+            F.lit(MINHASH_P),
+        ).alias("hb"),
+    )
+    s_seq = F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("s")
+    pos = F.expr(
+        f"((1 + s * {MINHASH_A_STEP}) * hb + 7 + s * {MINHASH_B_STEP}) "
+        f"% {MINHASH_P} % {_BLOOM_M}"
+    )
+    mem = d.filter(F.col("doc_id") % 3 == 0)
+    cells = (
+        mem.select("hb", s_seq)
+        .withColumn("pos", pos)
+        .select(
+            F.expr("pos div 32").alias("word"),
+            F.expr("shiftleft(1L, CAST(pos % 32 AS INT))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    ).cache()
+    fill = cells.agg(F.sum(F.bit_count("bits")).cast("bigint").alias("bits_set"))
+    n_mem = mem.agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    probes = (
+        d.filter(F.col("doc_id") % 3 != 0)
+        .select("doc_id", "hb", s_seq)
+        .withColumn("pos", pos)
+        .select("doc_id", F.expr("pos div 32").alias("word"),
+                F.expr("CAST(pos % 32 AS INT)").alias("bitpos"))
+    )
+    hit = (
+        probes.join(F.broadcast(cells), "word", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                (F.expr("bits & shiftleft(1L, bitpos)") != 0).cast("int"), F.lit(0)
+            ).alias("h"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("h").alias("all_hit"))
+    )
+    agg = hit.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum("all_hit").cast("bigint").alias("n_fp"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(n_mem))
+        .crossJoin(F.broadcast(fill))
+        .select(
+            "n_members",
+            "n_probes",
+            "n_fp",
+            F.expr("n_fp * 1000000 div n_probes").cast("bigint").alias("fpr_micro"),
+            "bits_set",
+            F.expr(f"bits_set * 1000 div {_BLOOM_M}").cast("bigint").alias("fill_milli"),
+        )
+    )
+
+
+def _oracle_bloom_fpr() -> str:
+    from ..functions.hashing import portable_hash64_sql
+    from ..operators.dedup import MINHASH_A_STEP, MINHASH_B_STEP, MINHASH_P
+
+    h_in = "'bloom:' || doc_id::VARCHAR"
+    hb = f"({portable_hash64_sql(h_in)} % {MINHASH_P})"
+    pos = (
+        f"((1 + s * {MINHASH_A_STEP}) * hb + 7 + s * {MINHASH_B_STEP}) "
+        f"% {MINHASH_P} % {_BLOOM_M}"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, {hb} AS hb FROM documents),
+ks AS (SELECT unnest(range({_BLOOM_K}))::BIGINT AS s),
+mem AS (SELECT hb FROM d WHERE doc_id % 3 = 0),
+cells AS (
+  SELECT ({pos}) // 32 AS word, bit_or((1::BIGINT << (({pos}) % 32)::INT)) AS bits
+  FROM mem CROSS JOIN ks GROUP BY 1
+),
+fill AS (SELECT sum(bit_count(bits))::BIGINT AS bits_set FROM cells),
+nm AS (SELECT count(*)::BIGINT AS n_members FROM mem),
+probes AS (
+  SELECT doc_id, ({pos}) // 32 AS word, (({pos}) % 32)::INT AS bitpos
+  FROM d CROSS JOIN ks WHERE doc_id % 3 != 0
+),
+hit AS (
+  SELECT p.doc_id,
+         min(CASE WHEN c.bits IS NOT NULL
+                   AND (c.bits & (1::BIGINT << p.bitpos)) != 0
+              THEN 1 ELSE 0 END) AS all_hit
+  FROM probes p LEFT JOIN cells c USING (word)
+  GROUP BY p.doc_id
+),
+agg AS (SELECT count(*)::BIGINT AS n_probes, sum(all_hit)::BIGINT AS n_fp FROM hit)
+SELECT nm.n_members, agg.n_probes, agg.n_fp,
+       (agg.n_fp * 1000000 // agg.n_probes)::BIGINT AS fpr_micro,
+       fill.bits_set,
+       (fill.bits_set * 1000 // {_BLOOM_M})::BIGINT AS fill_milli
+FROM agg, nm, fill
+"""
+
+
+# ------------------------------------------------------------- shard skew audit
+def q_shard_skew(spark, sf_dir):
+    """Hash-shard balance audit: token mass per md5-hash shard (32 shards)
+    and the max/mean skew ratio — the number that predicts straggler tasks
+    when the corpus is hash-partitioned by doc_id at 100 TB. A skew_milli
+    near 1000 means the hash spreads mass evenly; a hot shard shows up as
+    the ratio, BEFORE a real job discovers it as a 10× task.
+
+    One map-side-combinable hash agg over the corpus scan to 32 rows, one
+    scalar rollup — exact integers throughout (mean via cross-multiply:
+    max·n_shards vs total)."""
+    from ..functions.hashing import portable_hash64
+
+    d = _docs_par(spark, sf_dir)
+    toks = dedup.whitespace_tokens(dedup.normalize_text(F.col("text")))
+    per = (
+        d.select(
+            F.pmod(
+                portable_hash64(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+                F.lit(32),
+            ).alias("shard"),
+            F.size(toks).cast("bigint").alias("_nt"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_nt").cast("bigint").alias("n_tokens"),
+        )
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+        F.sum("n_tokens").cast("bigint").alias("tot_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_shard_tokens"),
+        F.min("n_tokens").cast("bigint").alias("min_shard_tokens"),
+        F.expr("max(n_tokens) * count(1) * 1000 div sum(n_tokens)")
+        .cast("bigint")
+        .alias("skew_milli"),
+    )
+
+
+def _oracle_shard_skew() -> str:
+    from ..functions.hashing import portable_hash64_sql
+
+    h = portable_hash64_sql("'shard:' || doc_id::VARCHAR")
+    return f"""
+WITH per AS (
+  SELECT ({h} % 32) AS shard, count(*)::BIGINT AS n_docs,
+         sum(len({_TOKS}))::BIGINT AS n_tokens
+  FROM documents GROUP BY 1
+)
+SELECT count(*)::BIGINT AS n_shards, sum(n_tokens)::BIGINT AS tot_tokens,
+       max(n_tokens)::BIGINT AS max_shard_tokens,
+       min(n_tokens)::BIGINT AS min_shard_tokens,
+       (max(n_tokens) * count(*) * 1000 // sum(n_tokens))::BIGINT AS skew_milli
+FROM per
+"""
+
+
+SPECS += [
+    QuerySpec("x_bloom_fpr", q_bloom_fpr, _oracle_bloom_fpr(),
+              doc="measured Bloom false-positive rate + fill ratio over the portable-hash bitset, collect-free broadcast probe",
+              tags=("llm", "sketch")),
+    QuerySpec("x_shard_skew", q_shard_skew, _oracle_shard_skew(),
+              doc="hash-shard token-mass balance audit (max/mean skew, exact integer cross-multiply)",
+              tags=("llm", "scale")),
+]

@@ -2881,3 +2881,93 @@ SPECS = SPECS + (
               doc="streaming LSH band health: per-batch bucket grids merged by sum, quadratic term computed from sizes; batch oracle verbatim",
               tags=("stream", "llm", "dedup")),
 )
+
+
+def q_stream_char_class(spark, sf_dir):
+    """Streaming corpus-composition monitor: each micro-batch reduces its
+    docs to the per-source char-class count grid (doc count, chars, alpha/
+    digit/space sums — all pure string expressions, no Python) inside a
+    checkpointed foreachBatch, landed under batch_id=N (overwrite ⇒
+    idempotent replay); the read side merges grids by SUM — every column
+    is additive — and computes the milli ratios on the merged exact
+    integers, so the result equals the batch twin regardless of
+    micro-batch boundaries. The live "did the feed turn into markup?"
+    screen as docs ingest; per-batch state is |sources| rows. Oracle:
+    ORACLE_CHAR_CLASS_MIX VERBATIM."""
+    from .llm import _docs_par
+
+    _clamp_shuffle(spark)
+    d = _docs_par(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="streamq_charclass_")
+    src = os.path.join(tmp, "docs")
+    store = os.path.join(tmp, "grids")
+    ck = os.path.join(tmp, "ck")
+    d.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = files.stream_parquet(spark, src, schema, files_per_trigger=1)
+
+    def _land(batch: DataFrame, batch_id: int) -> None:
+        g = (
+            batch.select(
+                "source",
+                F.length("text").cast("bigint").alias("_n"),
+                F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", "")).cast("bigint").alias("_a"),
+                F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")).cast("bigint").alias("_d"),
+                F.length(F.regexp_replace(F.col("text"), "[^ ]", "")).cast("bigint").alias("_s"),
+            )
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("_n").cast("bigint").alias("n_chars"),
+                F.sum("_a").cast("bigint").alias("ca"),
+                F.sum("_d").cast("bigint").alias("cd"),
+                F.sum("_s").cast("bigint").alias("cs"),
+            )
+        )
+        g.write.mode("overwrite").parquet(os.path.join(store, f"batch_id={batch_id}"))
+
+    q = (
+        stream.writeStream.foreachBatch(_land)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    merged = (
+        spark.read.parquet(store)
+        .groupBy("source")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.sum("ca").cast("bigint").alias("_ca"),
+            F.sum("cd").cast("bigint").alias("_cd"),
+            F.sum("cs").cast("bigint").alias("_cs"),
+        )
+    )
+    return (
+        merged.select(
+            "source",
+            "n_docs",
+            "n_chars",
+            F.expr("_ca * 1000 div n_chars").cast("bigint").alias("alpha_milli"),
+            F.expr("_cd * 1000 div n_chars").cast("bigint").alias("digit_milli"),
+            F.expr("_cs * 1000 div n_chars").cast("bigint").alias("space_milli"),
+            F.expr("(n_chars - _ca - _cd - _cs) * 1000 div n_chars")
+            .cast("bigint")
+            .alias("other_milli"),
+        )
+        .orderBy("source")
+    )
+
+
+def _oracle_stream_char_class() -> str:
+    from .r9 import ORACLE_CHAR_CLASS_MIX
+
+    return ORACLE_CHAR_CLASS_MIX
+
+
+SPECS = SPECS + (
+    QuerySpec("s_stream_char_class", q_stream_char_class, _oracle_stream_char_class(),
+              doc="streaming per-source char-class composition: additive count grids merged by sum; batch oracle verbatim",
+              tags=("stream", "llm", "text")),
+)
