@@ -222,6 +222,20 @@ HEADLINE = [
     # + TakeOrdered(50) arms)
     "x_coverage_max",
     "x_rbo_rankings",
+    # round-9 additions: composition/fertility profiles (one corpus hash
+    # agg each), positional contamination runs (the islands window over
+    # hit positions), the portable-hash bloom FPR audit (bit_or bitset +
+    # broadcast probe join), the mutual-kNN global clustering coefficient
+    # (O(m^1.5) oriented wedge join), trimmed mean (value histogram +
+    # keyed cumsum), and the two streaming twins of r8 heavies
+    "x_char_class_mix",
+    "x_token_len_profile",
+    "x_contam_runs",
+    "x_bloom_fpr",
+    "x_clustering_coeff",
+    "e_trimmed_mean",
+    "s_stream_contam_13gram",
+    "s_stream_band_health",
 ]
 
 

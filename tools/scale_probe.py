@@ -228,6 +228,19 @@ QUERIES = [
     "x_cross_shard_dup",
     "x_ccnet_bucket",
     "e_mad_outliers",
+    # round-9 additions: one-agg composition profiles (ratio proves the
+    # map-side-combine claim), positional contamination runs (islands
+    # window over the tiny eval split), bloom FPR (bounded bitset + probe
+    # join), global clustering coefficient (oriented wedge join), trimmed
+    # mean (bounded cent-axis histogram), t-closeness (bounded grid)
+    "x_char_class_mix",
+    "x_token_len_profile",
+    "x_contam_runs",
+    "x_bloom_fpr",
+    "x_clustering_coeff",
+    "e_trimmed_mean",
+    "x_t_closeness",
+    "x_shard_skew",
 ]
 
 
