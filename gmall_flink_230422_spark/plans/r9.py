@@ -939,3 +939,240 @@ SPECS += [
               doc="hash-shard token-mass balance audit (max/mean skew, exact integer cross-multiply)",
               tags=("llm", "scale")),
 ]
+
+
+# ------------------------------------------------------------- frame byte flatness
+def q_frame_byte_flatness(spark, sf_dir):
+    """Multimodal payload health: per-source BYTE-VALUE distribution
+    flatness — the variational distance between the observed byte
+    histogram of the media payloads and the uniform 1/256 — plus distinct
+    byte coverage. A stuck sensor / constant-frame feed collapses to a
+    few byte values (vd→~1000); healthy compressed media sits near
+    uniform (vd→0). The entropy-style screen with NO logs, so both
+    engines agree bit-for-bit.
+
+    Scale shape: byte fan-out is JVM-side (hex(payload) sliced by an
+    exploded position sequence — one row per byte, linear and
+    partition-local, the explode_frames contract), then ONE
+    (source, byte) hash agg; the 256-value axis is DENSIFIED by a
+    broadcast cross join so absent bytes contribute their full uniform
+    mass; the final rollup is exact integers over the common denominator
+    256·n_s."""
+    from ..operators import multimodal
+
+    d = _docs_par(spark, sf_dir)
+    media = multimodal.to_media_table(d).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    by = (
+        media.filter(F.col("n_bytes") > 0)
+        .select(
+            "source",
+            F.upper(F.hex(F.col("media"))).alias("_hx"),
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_bytes") - 1)).alias("_i"),
+        )
+        .select(
+            "source",
+            F.expr("substring(_hx, cast(_i * 2 + 1 as int), 2)").alias("byte"),
+        )
+        .groupBy("source", "byte")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    totals = by.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_bytes_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_bytes"),
+    )
+    axis = spark.range(256).select(
+        F.format_string("%02X", F.col("id").cast("int")).alias("byte")
+    )
+    dense = (
+        totals.crossJoin(F.broadcast(axis))
+        .join(by, ["source", "byte"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+    )
+    return (
+        dense.groupBy("source", "n_bytes_total", "n_distinct_bytes")
+        .agg(
+            F.sum(F.abs(F.col("cnt") * 256 - F.col("n_bytes_total")))
+            .cast("bigint")
+            .alias("_num")
+        )
+        .select(
+            "source",
+            "n_bytes_total",
+            "n_distinct_bytes",
+            F.expr("_num * 500 div (n_bytes_total * 256)").cast("bigint").alias("vd_milli"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_FRAME_BYTE_FLATNESS = """
+WITH media AS (
+  SELECT doc_id, source, encode(text) AS m, octet_length(encode(text))::BIGINT AS nb
+  FROM documents
+),
+by AS (
+  SELECT source, substring(upper(hex(m)), (i * 2 + 1)::INT, 2) AS byte,
+         count(*)::BIGINT AS cnt
+  FROM media, unnest(range(nb)) AS u(i)
+  WHERE nb > 0
+  GROUP BY 1, 2
+),
+totals AS (
+  SELECT source, sum(cnt)::BIGINT AS n_bytes_total,
+         count(*)::BIGINT AS n_distinct_bytes
+  FROM by GROUP BY source
+),
+axis AS (SELECT printf('%02X', i::INT) AS byte FROM unnest(range(256)) AS u(i)),
+dense AS (
+  SELECT t.source, t.n_bytes_total, t.n_distinct_bytes, a.byte,
+         coalesce(b.cnt, 0)::BIGINT AS cnt
+  FROM totals t CROSS JOIN axis a
+  LEFT JOIN by b ON b.source = t.source AND b.byte = a.byte
+)
+SELECT source, n_bytes_total, n_distinct_bytes,
+       (sum(abs(cnt * 256 - n_bytes_total)) * 500 // (n_bytes_total * 256))::BIGINT AS vd_milli
+FROM dense GROUP BY source, n_bytes_total, n_distinct_bytes ORDER BY source
+"""
+
+
+# ------------------------------------------------------------- seasonal index
+def q_seasonal_index(spark, sf_dir):
+    """Day-of-week seasonal index per event type: average daily revenue on
+    each weekday relative to the type's overall daily average, as an exact
+    cross-multiplied milli ratio — the multiplicative seasonal profile a
+    forecast divides out before trend fitting (e_ols_trend / e_holt_winters
+    operate on the deseasonalized series this query defines).
+
+    index_milli(dow) = (sum_dow · n_days_all · 1000) div (sum_all ·
+    n_days_dow): every term an exact BIGINT from the bounded
+    (type, day) grid — no float averages. One hash agg to the day grid,
+    one to the (type, dow) grid, a broadcast type-total join."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.to_date("ts").alias("day"),
+        )
+        .agg(F.round(F.sum("value") * 100).cast("bigint").alias("c"))
+        .withColumn(
+            "dow",
+            F.expr("((cast(unix_timestamp(day) as bigint) div 86400) + 4) % 7"),
+        )
+    )
+    per_dow = daily.groupBy("event_type", "dow").agg(
+        F.sum("c").cast("bigint").alias("sum_dow"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days_dow"),
+    )
+    per_type = daily.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("sum_all"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days_all"),
+    )
+    return (
+        per_dow.join(F.broadcast(per_type), "event_type")
+        .select(
+            "event_type",
+            F.col("dow").cast("bigint").alias("dow"),
+            "n_days_dow",
+            F.expr("sum_dow * n_days_all * 1000 div (sum_all * n_days_dow)")
+            .cast("bigint")
+            .alias("index_milli"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+ORACLE_SEASONAL_INDEX = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day, round(sum(value) * 100)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+d2 AS (
+  SELECT event_type, day, c,
+         ((floor(epoch(day))::BIGINT // 86400) + 4) % 7 AS dow
+  FROM daily
+),
+per_dow AS (
+  SELECT event_type, dow, sum(c)::BIGINT AS sum_dow, count(*)::BIGINT AS n_days_dow
+  FROM d2 GROUP BY 1, 2
+),
+per_type AS (
+  SELECT event_type, sum(c)::BIGINT AS sum_all, count(*)::BIGINT AS n_days_all
+  FROM d2 GROUP BY 1
+)
+SELECT p.event_type, p.dow::BIGINT AS dow, p.n_days_dow,
+       (p.sum_dow * t.n_days_all * 1000 // (t.sum_all * p.n_days_dow))::BIGINT AS index_milli
+FROM per_dow p JOIN per_type t USING (event_type)
+ORDER BY p.event_type, p.dow
+"""
+
+
+# ------------------------------------------------------------- classifier calibration
+def q_quality_calibration(spark, sf_dir):
+    """Calibration curve of the fixed-weight quality classifier against an
+    INDEPENDENT proxy gold label (the n_chars ≥ 200 length rule — the
+    other rater from e_cohens_kappa): per 100-milli logit bucket, doc
+    count and observed gold rate. A well-calibrated scorer's gold rate
+    rises monotonically with the bucket; a flat curve means the logit is
+    noise and its threshold (x_quality_classifier's keep gate) is
+    arbitrary. The audit run before trusting any learned filter at corpus
+    scale.
+
+    Shape: the classifier is the shared map-only operator; ONE hash agg
+    over (bucket) with conditional sums — exact integers, milli rate by
+    integer division."""
+    from ..operators import text as _text
+
+    cls = _text.quality_classifier(_docs_par(spark, sf_dir)).select(
+        "doc_id", "logit_milli"
+    )
+    gold = _docs_par(spark, sf_dir).select(
+        "doc_id", (F.col("n_chars") >= 200).cast("bigint").alias("gold")
+    )
+    return (
+        cls.join(gold, "doc_id")
+        .withColumn("bucket", F.expr("logit_milli div 100"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("gold").cast("bigint").alias("n_gold"),
+        )
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            "n_docs",
+            "n_gold",
+            F.expr("n_gold * 1000 div n_docs").cast("bigint").alias("gold_rate_milli"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _oracle_quality_calibration() -> str:
+    from .llm import ORACLE_QUALITY_CLASSIFIER
+
+    return f"""
+WITH cls AS ({ORACLE_QUALITY_CLASSIFIER}),
+j AS (
+  SELECT c.doc_id, c.logit_milli, (d.n_chars >= 200)::BIGINT AS gold
+  FROM cls c JOIN documents d USING (doc_id)
+)
+SELECT (CASE WHEN logit_milli >= 0 THEN logit_milli // 100
+             ELSE -((-logit_milli) // 100) END)::BIGINT AS bucket,  -- Spark div truncates toward zero
+       count(*)::BIGINT AS n_docs, sum(gold)::BIGINT AS n_gold,
+       (sum(gold) * 1000 // count(*))::BIGINT AS gold_rate_milli
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
+SPECS += [
+    QuerySpec("x_frame_byte_flatness", q_frame_byte_flatness, ORACLE_FRAME_BYTE_FLATNESS,
+              doc="per-source media byte-distribution flatness (TV from uniform, log-free) — stuck-sensor screen",
+              tags=("llm", "multimodal")),
+    QuerySpec("e_seasonal_index", q_seasonal_index, ORACLE_SEASONAL_INDEX,
+              doc="day-of-week multiplicative seasonal index per event type, exact cross-multiplied milli",
+              tags=("ext", "stats", "timeseries")),
+    QuerySpec("x_quality_calibration", q_quality_calibration, _oracle_quality_calibration(),
+              doc="calibration curve of the quality classifier vs the independent length gold, per logit bucket",
+              tags=("llm", "text", "quality", "eval")),
+]
