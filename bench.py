@@ -236,6 +236,12 @@ HEADLINE = [
     "e_trimmed_mean",
     "s_stream_contam_13gram",
     "s_stream_band_health",
+    # round-9 batches 4-5: byte-flatness (per-byte fan-out, the heaviest
+    # r9 plan), MinHash estimator accuracy (signature match join over
+    # candidates), Mann-Kendall (calendar-bounded pair join)
+    "x_frame_byte_flatness",
+    "x_minhash_accuracy",
+    "e_mann_kendall",
 ]
 
 

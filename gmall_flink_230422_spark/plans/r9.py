@@ -1047,15 +1047,19 @@ def q_seasonal_index(spark, sf_dir):
 
     index_milli(dow) = (sum_dow · n_days_all · 1000) div (sum_all ·
     n_days_dow): every term an exact BIGINT from the bounded
-    (type, day) grid — no float averages. One hash agg to the day grid,
-    one to the (type, dow) grid, a broadcast type-total join."""
+    (type, day) grid — no float averages. Daily totals are SUMS OF
+    PER-ROW CENTS (floor(value·100 + 0.5) per event — exact on the money
+    grid and ADDITIVE, so the streaming twin's per-batch partial sums
+    merge to the identical number; round-of-float-sum would not be
+    batch-invariant). One hash agg to the day grid, one to the
+    (type, dow) grid, a broadcast type-total join."""
     daily = (
         load_table(spark, sf_dir, "events")
         .groupBy(
             "event_type",
             F.to_date("ts").alias("day"),
         )
-        .agg(F.round(F.sum("value") * 100).cast("bigint").alias("c"))
+        .agg(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")).cast("bigint").alias("c"))
         .withColumn(
             "dow",
             F.expr("((cast(unix_timestamp(day) as bigint) div 86400) + 4) % 7"),
@@ -1085,7 +1089,7 @@ def q_seasonal_index(spark, sf_dir):
 
 ORACLE_SEASONAL_INDEX = """
 WITH daily AS (
-  SELECT event_type, ts::DATE AS day, round(sum(value) * 100)::BIGINT AS c
+  SELECT event_type, ts::DATE AS day, sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS c
   FROM events GROUP BY 1, 2
 ),
 d2 AS (
@@ -1175,4 +1179,183 @@ SPECS += [
     QuerySpec("x_quality_calibration", q_quality_calibration, _oracle_quality_calibration(),
               doc="calibration curve of the quality classifier vs the independent length gold, per logit bucket",
               tags=("llm", "text", "quality", "eval")),
+]
+
+
+# ------------------------------------------------------------- Mann-Kendall trend
+def q_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend test per event type: S = Σ_{i<j} sign(y_j − y_i)
+    over the daily-revenue day grid, with the normal-approximation z — the
+    nonparametric SIGNIFICANCE companion to e_theil_sen's slope (Theil-Sen
+    says how steep; Mann-Kendall says whether the monotone trend is real).
+    No distributional assumption, immune to outlier magnitudes.
+
+    S is an exact BIGINT over the calendar-bounded pairwise day join
+    (never raw events); the variance n(n−1)(2n+5)/18 is evaluated with
+    each factor cast to DOUBLE before multiplying (the e_mann_whitney
+    int64-overflow discipline — identical in the oracle), one floor to
+    milli. Tie correction is omitted (documented): daily cent totals on
+    this grid are effectively tie-free, and both engines omit it
+    identically."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")).alias("y"))
+    ).cache()
+    b = daily.select(
+        F.col("event_type").alias("_et2"),
+        F.col("day").alias("_d2"),
+        F.col("y").alias("y2"),
+    )
+    pairs = daily.join(
+        b, (F.col("event_type") == F.col("_et2")) & (F.col("day") < F.col("_d2"))
+    ).select("event_type", F.signum(F.col("y2") - F.col("y")).cast("bigint").alias("sg"))
+    n_days = daily.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    agg = pairs.groupBy("event_type").agg(F.sum("sg").cast("bigint").alias("s_stat"))
+    nd = F.col("n_days").cast("double")
+    return (
+        agg.join(F.broadcast(n_days), "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            F.when(
+                F.col("n_days") >= 2,
+                F.floor(
+                    F.lit(1000.0)
+                    * F.col("s_stat").cast("double")
+                    / F.sqrt(nd * (nd - 1.0) * (2.0 * nd + 5.0) / 18.0)
+                ),
+            ).cast("bigint").alias("z_milli"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_MANN_KENDALL = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day, sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS y
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type, sign(b.y - a.y)::BIGINT AS sg
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+),
+nd AS (SELECT event_type, count(*)::BIGINT AS n_days FROM daily GROUP BY 1),
+agg AS (SELECT event_type, sum(sg)::BIGINT AS s_stat FROM pairs GROUP BY 1)
+SELECT a.event_type, n.n_days, a.s_stat,
+       CASE WHEN n.n_days >= 2 THEN
+         floor(1000.0 * a.s_stat::DOUBLE
+               / sqrt(n.n_days::DOUBLE * (n.n_days::DOUBLE - 1.0)
+                      * (2.0 * n.n_days::DOUBLE + 5.0) / 18.0))
+       END::BIGINT AS z_milli
+FROM agg a JOIN nd n USING (event_type)
+ORDER BY a.event_type
+"""
+
+
+# ------------------------------------------------------------- MinHash estimator accuracy
+def q_minhash_accuracy(spark, sf_dir):
+    """MinHash estimator-accuracy audit: over the LSH candidate pairs, the
+    distribution of |estimated − exact| Jaccard error, where the estimate
+    is matching-seeds/16 from the very signatures the index is built on —
+    the empirical answer to "is 16 hashes enough for our threshold?"
+    before anyone tunes bands/rows (x_lsh_tune consumes this). Error is
+    bucketed to deciles (err div 100 milli).
+
+    Exact integers end-to-end: est_milli = matches·1000 div 16; the true
+    Jaccard is recomputed as inter·1000 div union over candidate-pruned
+    shingle joins (never the 1e-4 float grid, so no representability
+    corner). Scale shape: the signature match join is candidates × 16
+    seed rows; the exact join is the candidate-first pruned co-shingle
+    join the verify stage already pays — nothing beyond the LSH chain."""
+    d = _docs_par(spark, sf_dir)
+    sh = dedup.shingles(d)
+    sigs = dedup.minhash_signatures(sh, num_hashes=16).cache()
+    cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4).cache()
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), "seed", F.col("minhash").alias("mh_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), "seed", F.col("minhash").alias("mh_b"))
+    est = (
+        cands.join(sa, "doc_a")
+        .join(sb, ["doc_b", "seed"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum((F.col("mh_a") == F.col("mh_b")).cast("bigint")).alias("matches"))
+        .withColumn("est_milli", F.expr("matches * 1000 div 16"))
+    )
+    cdocs_a = cands.select(F.col("doc_a").alias("doc_id")).distinct()
+    cdocs_b = cands.select(F.col("doc_b").alias("doc_id")).distinct()
+    sh_a = sh.join(cdocs_a, "doc_id", "left_semi")
+    sh_b = sh.join(cdocs_b, "doc_id", "left_semi")
+    inter = (
+        sh_a.alias("a")
+        .join(
+            sh_b.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    true = (
+        cands.join(inter, ["doc_a", "doc_b"], "left")
+        .withColumn("i", F.coalesce(F.col("i"), F.lit(0)))
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .withColumn("true_milli", F.expr("i * 1000 div (sz_a + sz_b - i)"))
+    )
+    err = (
+        est.join(true, ["doc_a", "doc_b"])
+        .withColumn("err", F.abs(F.col("est_milli") - F.col("true_milli")))
+    )
+    return (
+        err.groupBy(F.expr("err div 100").cast("bigint").alias("err_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("err").cast("bigint").alias("sum_err_milli"),
+        )
+        .orderBy("err_bucket")
+    )
+
+
+def _oracle_minhash_accuracy() -> str:
+    from .llm import _minhash_lsh_ctes, _shingles_cte
+
+    return f"""
+WITH {_shingles_cte()},
+{_minhash_lsh_ctes()},
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         sum(CASE WHEN x.minhash = y.minhash THEN 1 ELSE 0 END)::BIGINT AS matches
+  FROM cand c
+  JOIN seeded x ON x.doc_id = c.doc_a
+  JOIN seeded y ON y.doc_id = c.doc_b AND y.seed = x.seed
+  GROUP BY 1, 2
+),
+true_j AS (
+  SELECT c.doc_a, c.doc_b,
+         coalesce(i.i, 0)::BIGINT AS i, x.sz AS sz_a, y.sz AS sz_b
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id
+),
+err AS (
+  SELECT abs((e.matches * 1000 // 16)
+             - (t.i * 1000 // (t.sz_a + t.sz_b - t.i))) AS err
+  FROM est e JOIN true_j t ON e.doc_a = t.doc_a AND e.doc_b = t.doc_b
+)
+SELECT (err // 100)::BIGINT AS err_bucket, count(*)::BIGINT AS n_pairs,
+       sum(err)::BIGINT AS sum_err_milli
+FROM err GROUP BY 1 ORDER BY 1
+"""
+
+
+SPECS += [
+    QuerySpec("e_mann_kendall", q_mann_kendall, ORACLE_MANN_KENDALL,
+              doc="Mann-Kendall monotone-trend z per event type over the daily grid (significance companion to Theil-Sen)",
+              tags=("ext", "stats", "timeseries")),
+    QuerySpec("x_minhash_accuracy", q_minhash_accuracy, _oracle_minhash_accuracy(),
+              doc="MinHash estimated-vs-exact Jaccard error distribution over LSH candidates (is 16 hashes enough?)",
+              tags=("llm", "dedup")),
 ]

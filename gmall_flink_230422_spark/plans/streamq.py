@@ -2971,3 +2971,75 @@ SPECS = SPECS + (
               doc="streaming per-source char-class composition: additive count grids merged by sum; batch oracle verbatim",
               tags=("stream", "llm", "text")),
 )
+
+
+def q_stream_seasonal_index(spark, sf_dir):
+    """Streaming seasonal-profile monitor: each micro-batch lands its
+    (event_type, day) PARTIAL CENT SUMS (per-row floor(value·100 + 0.5) —
+    exact on the money grid and additive, which is why the batch twin
+    defines daily totals this way) under batch_id=N inside a checkpointed
+    foreachBatch (overwrite ⇒ idempotent replay); the read side merges by
+    sum to the identical daily grid and applies e_seasonal_index's
+    cross-multiplied dow rollup. Per-batch state is |types|×|active days|
+    rows; the oracle is ORACLE_SEASONAL_INDEX VERBATIM."""
+    ev = _events_stream(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="streamq_seasonal_")
+    store = os.path.join(tmp, "daily")
+    ck = os.path.join(tmp, "ck")
+
+    def _land(batch: DataFrame, batch_id: int) -> None:
+        g = batch.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")).alias("c")
+        )
+        g.write.mode("overwrite").parquet(os.path.join(store, f"batch_id={batch_id}"))
+
+    q = (
+        ev.writeStream.foreachBatch(_land)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    daily = (
+        spark.read.parquet(store)
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+        .withColumn(
+            "dow",
+            F.expr("((cast(unix_timestamp(day) as bigint) div 86400) + 4) % 7"),
+        )
+        .cache()
+    )
+    per_dow = daily.groupBy("event_type", "dow").agg(
+        F.sum("c").cast("bigint").alias("sum_dow"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days_dow"),
+    )
+    per_type = daily.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("sum_all"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days_all"),
+    )
+    return (
+        per_dow.join(F.broadcast(per_type), "event_type")
+        .select(
+            "event_type",
+            F.col("dow").cast("bigint").alias("dow"),
+            "n_days_dow",
+            F.expr("sum_dow * n_days_all * 1000 div (sum_all * n_days_dow)")
+            .cast("bigint")
+            .alias("index_milli"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+def _oracle_stream_seasonal_index() -> str:
+    from .r9 import ORACLE_SEASONAL_INDEX
+
+    return ORACLE_SEASONAL_INDEX
+
+
+SPECS = SPECS + (
+    QuerySpec("s_stream_seasonal_index", q_stream_seasonal_index, _oracle_stream_seasonal_index(),
+              doc="streaming dow seasonal index: additive per-batch cent grids merged by sum; batch oracle verbatim",
+              tags=("stream", "stats", "timeseries")),
+)

@@ -241,6 +241,11 @@ QUERIES = [
     "e_trimmed_mean",
     "x_t_closeness",
     "x_shard_skew",
+    "x_frame_byte_flatness",
+    "x_minhash_accuracy",
+    "e_mann_kendall",
+    "e_seasonal_index",
+    "x_quality_calibration",
 ]
 
 
