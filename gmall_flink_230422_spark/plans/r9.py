@@ -569,12 +569,15 @@ FROM rk WHERE rk = 1 ORDER BY event_type
 
 # ------------------------------------------------------------- lag-1 autocorrelation
 def q_autocorr_daily(spark, sf_dir):
-    """Lag-1 autocorrelation of daily revenue per event type: does today
+    """Lag-1 autocorrelation of daily revenue PER EVENT TYPE: does today
     predict tomorrow (momentum, r→1), anti-correlate (oscillating batch
     effects, r→−1), or is the series white noise? The one-number
     stationarity screen read before fitting any trend (e_ols_trend,
     e_theil_sen) — autocorrelated residuals invalidate their confidence
-    story.
+    story. The KEYED sibling of e_autocorr (analytics.py), which measures
+    the single global order-revenue series on the orders table; this one
+    runs the same gap-safe adjacent-day join per behavioral event type,
+    where per-type persistence differs (purchases cluster, views don't).
 
     All five Pearson sums are exact BIGINTs over the bounded day-pair
     frame (consecutive-day join on the calendar grid — never raw
