@@ -90,3 +90,16 @@ def test_registry_superset_of_r8_names():
     assert len(r8) >= 349
     missing = sorted(set(r8) - reg)
     assert not missing, missing
+
+
+def test_registry_superset_of_r9_names():
+    """r9 shipped 369 queries (r8's 349 + 20), all green in the committed
+    full-registry sweeps (CORRECTNESS_local_r09*.json); keep the
+    exact-superset streak."""
+    reg = set(_registry())
+    r9 = json.load(
+        open(Path(__file__).resolve().parent.parent / "CORRECTNESS_local_r09.json")
+    )
+    assert len(r9) >= 369
+    missing = sorted(set(r9) - reg)
+    assert not missing, missing
