@@ -263,31 +263,22 @@ def q_cohens_kappa(spark, sf_dir):
         F.sum(F.expr("(1 - a) * b")).cast("bigint").alias("n01"),
         F.sum(F.expr("(1 - a) * (1 - b)")).cast("bigint").alias("n00"),
     )
+    pe = (
+        (F.col("n11") + F.col("n10")).cast("double")
+        * (F.col("n11") + F.col("n01")).cast("double")
+        + (F.col("n01") + F.col("n00")).cast("double")
+        * (F.col("n10") + F.col("n00")).cast("double")
+    ) / (F.col("n").cast("double") * F.col("n").cast("double"))
+    po = (F.col("n11") + F.col("n00")).cast("double") / F.col("n").cast("double")
+    # pe == 1 (every doc in one agreement cell) makes kappa 0/0: NULL in
+    # BOTH engines (unguarded, Spark's NaN would cast to 0 while DuckDB
+    # casts NaN to NULL — the cross-engine divergence the repo's when()
+    # guards exist to prevent)
     return agg.select(
         "n", "n11", "n10", "n01", "n00",
-        F.floor(
-            F.lit(1000.0)
-            * (
-                (F.col("n11") + F.col("n00")).cast("double") / F.col("n").cast("double")
-                - (
-                    (F.col("n11") + F.col("n10")).cast("double")
-                    * (F.col("n11") + F.col("n01")).cast("double")
-                    + (F.col("n01") + F.col("n00")).cast("double")
-                    * (F.col("n10") + F.col("n00")).cast("double")
-                )
-                / (F.col("n").cast("double") * F.col("n").cast("double"))
-            )
-            / (
-                F.lit(1.0)
-                - (
-                    (F.col("n11") + F.col("n10")).cast("double")
-                    * (F.col("n11") + F.col("n01")).cast("double")
-                    + (F.col("n01") + F.col("n00")).cast("double")
-                    * (F.col("n10") + F.col("n00")).cast("double")
-                )
-                / (F.col("n").cast("double") * F.col("n").cast("double"))
-            )
-        ).cast("bigint").alias("kappa_milli"),
+        F.when(pe < 1.0, F.floor(F.lit(1000.0) * (po - pe) / (F.lit(1.0) - pe)))
+        .cast("bigint")
+        .alias("kappa_milli"),
     )
 
 
@@ -303,12 +294,14 @@ agg AS (
   FROM flags
 )
 SELECT n, n11, n10, n01, n00,
-       floor(1000.0 * ((n11 + n00)::DOUBLE / n::DOUBLE
-              - ((n11 + n10)::DOUBLE * (n11 + n01)::DOUBLE
-                 + (n01 + n00)::DOUBLE * (n10 + n00)::DOUBLE) / (n::DOUBLE * n::DOUBLE))
-             / (1.0 - ((n11 + n10)::DOUBLE * (n11 + n01)::DOUBLE
-                 + (n01 + n00)::DOUBLE * (n10 + n00)::DOUBLE) / (n::DOUBLE * n::DOUBLE)))::BIGINT
-         AS kappa_milli
+       CASE WHEN ((n11 + n10)::DOUBLE * (n11 + n01)::DOUBLE
+                  + (n01 + n00)::DOUBLE * (n10 + n00)::DOUBLE) / (n::DOUBLE * n::DOUBLE) < 1.0
+            THEN floor(1000.0 * ((n11 + n00)::DOUBLE / n::DOUBLE
+                   - ((n11 + n10)::DOUBLE * (n11 + n01)::DOUBLE
+                      + (n01 + n00)::DOUBLE * (n10 + n00)::DOUBLE) / (n::DOUBLE * n::DOUBLE))
+                  / (1.0 - ((n11 + n10)::DOUBLE * (n11 + n01)::DOUBLE
+                      + (n01 + n00)::DOUBLE * (n10 + n00)::DOUBLE) / (n::DOUBLE * n::DOUBLE)))
+       END::BIGINT AS kappa_milli
 FROM agg
 """
 
@@ -504,7 +497,11 @@ def q_changepoint_cusum(spark, sf_dir):
     daily = (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type", F.to_date("ts").alias("day"))
-        .agg(F.round(F.sum("value") * 100).cast("bigint").alias("c"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("c")
+        )
     )
     wd = Window.partitionBy("event_type").orderBy("day")
     wcum = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -539,7 +536,7 @@ def q_changepoint_cusum(spark, sf_dir):
 
 ORACLE_CHANGEPOINT_CUSUM = """
 WITH daily AS (
-  SELECT event_type, ts::DATE AS day, round(sum(value) * 100)::BIGINT AS c
+  SELECT event_type, ts::DATE AS day, sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS c
   FROM events GROUP BY 1, 2
 ),
 g AS (
@@ -587,7 +584,11 @@ def q_autocorr_daily(spark, sf_dir):
     daily = (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type", F.to_date("ts").alias("day"))
-        .agg(F.round(F.sum("value") * 100).cast("bigint").alias("y"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
     ).cache()
     nxt = daily.select(
         F.col("event_type").alias("_et2"),
@@ -626,7 +627,7 @@ def q_autocorr_daily(spark, sf_dir):
 
 ORACLE_AUTOCORR_DAILY = """
 WITH daily AS (
-  SELECT event_type, ts::DATE AS day, round(sum(value) * 100)::BIGINT AS y
+  SELECT event_type, ts::DATE AS day, sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS y
   FROM events GROUP BY 1, 2
 ),
 pairs AS (
@@ -980,7 +981,8 @@ def q_frame_byte_flatness(spark, sf_dir):
         )
         .groupBy("source", "byte")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    )
+    ).cache()  # <=256 x |sources| rows, two consumers (totals + dense join):
+    # uncached, the corpus-sized per-byte fan-out would compile and run twice
     totals = by.groupBy("source").agg(
         F.sum("cnt").cast("bigint").alias("n_bytes_total"),
         F.count(F.lit(1)).cast("bigint").alias("n_distinct_bytes"),
@@ -1067,7 +1069,7 @@ def q_seasonal_index(spark, sf_dir):
             "dow",
             F.expr("((cast(unix_timestamp(day) as bigint) div 86400) + 4) % 7"),
         )
-    )
+    ).cache()  # bounded |types| x |days| grid, two consumers (per_dow, per_type)
     per_dow = daily.groupBy("event_type", "dow").agg(
         F.sum("c").cast("bigint").alias("sum_dow"),
         F.count(F.lit(1)).cast("bigint").alias("n_days_dow"),
@@ -1164,8 +1166,7 @@ j AS (
   SELECT c.doc_id, c.logit_milli, (d.n_chars >= 200)::BIGINT AS gold
   FROM cls c JOIN documents d USING (doc_id)
 )
-SELECT (CASE WHEN logit_milli >= 0 THEN logit_milli // 100
-             ELSE -((-logit_milli) // 100) END)::BIGINT AS bucket,  -- Spark div truncates toward zero
+SELECT (logit_milli // 100)::BIGINT AS bucket,  -- DuckDB integer // truncates toward zero, same as Spark div
        count(*)::BIGINT AS n_docs, sum(gold)::BIGINT AS n_gold,
        (sum(gold) * 1000 // count(*))::BIGINT AS gold_rate_milli
 FROM j GROUP BY 1 ORDER BY 1

@@ -175,3 +175,19 @@ def test_cohens_kappa_perfect_agreement(spark, tmp_path):
     assert len(out) == 1
     assert out[0]["n11"] == 5 and out[0]["n00"] == 5
     assert out[0]["kappa_milli"] == 1000
+
+
+def test_cohens_kappa_degenerate_pe_is_null(spark, tmp_path):
+    """All docs in one agreement cell → p_e == 1 → kappa undefined: both
+    engines must emit NULL (unguarded, Spark's NaN cast to bigint is 0
+    while DuckDB's is NULL — the r9 review find)."""
+    long_text = " ".join(f"tok{i:03d}" for i in range(50))
+    sf = _write_docs(spark, tmp_path, [_doc(i, long_text) for i in range(4)])
+    out = r9.q_cohens_kappa(spark, sf).collect()
+    assert len(out) == 1 and out[0]["n11"] == 4
+    assert out[0]["kappa_milli"] is None
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'")
+    assert con.execute(r9.ORACLE_COHENS_KAPPA).fetchall()[0][-1] is None
