@@ -242,6 +242,10 @@ HEADLINE = [
     "x_frame_byte_flatness",
     "x_minhash_accuracy",
     "e_mann_kendall",
+    # round-9 batch 6: rare-token detector (df join), decile audit sample
+    # (full LSH chain + keyed min-by window)
+    "x_rare_token_docs",
+    "x_dedup_audit_sample",
 ]
 
 

@@ -1363,3 +1363,203 @@ SPECS += [
               doc="MinHash estimated-vs-exact Jaccard error distribution over LSH candidates (is 16 hashes enough?)",
               tags=("llm", "dedup")),
 ]
+
+
+# ------------------------------------------------------------- context-length histogram
+def q_context_len_hist(spark, sf_dir):
+    """Sequence-length planning histogram: docs and token mass per
+    power-of-2 token-length bin, with each bin's milli share of total
+    tokens — the distribution a packing stage (x_seq_pack) reads to pick
+    the context length: bins above the context leak truncation, bins far
+    below it leak padding/packing overhead. Bins are exact integer
+    bit-lengths (floor(log2) with no float log — the e_funnel_latency
+    idiom), so both engines agree bit-for-bit.
+
+    One map pass (token count per doc is an array expression), one hash
+    agg over ≤ ~40 bins, one broadcast total."""
+    d = _docs_par(spark, sf_dir)
+    toks = dedup.whitespace_tokens(dedup.normalize_text(F.col("text")))
+    per = d.select(F.size(toks).cast("bigint").alias("_nt")).filter(F.col("_nt") > 0)
+    # bit-length bin without float log: position of the highest set bit
+    binned = per.select(
+        "_nt",
+        (F.length(F.conv(F.col("_nt").cast("string"), 10, 2)) - 1)
+        .cast("bigint")
+        .alias("len_bin"),
+    )
+    agg = binned.groupBy("len_bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("_nt").cast("bigint").alias("n_tokens"),
+    )
+    tot = agg.agg(F.sum("n_tokens").cast("bigint").alias("_tt"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "len_bin",
+            "n_docs",
+            "n_tokens",
+            F.expr("n_tokens * 1000 div _tt").cast("bigint").alias("token_share_milli"),
+        )
+        .orderBy("len_bin")
+    )
+
+
+ORACLE_CONTEXT_LEN_HIST = f"""
+WITH per AS (
+  SELECT len({_TOKS})::BIGINT AS nt FROM documents
+  WHERE len({_TOKS}) > 0
+),
+agg AS (
+  SELECT (length(bin(nt)) - 1)::BIGINT AS len_bin, count(*)::BIGINT AS n_docs,
+         sum(nt)::BIGINT AS n_tokens
+  FROM per GROUP BY 1
+),
+t AS (SELECT sum(n_tokens)::BIGINT AS tt FROM agg)
+SELECT len_bin, n_docs, n_tokens,
+       (n_tokens * 1000 // t.tt)::BIGINT AS token_share_milli
+FROM agg, t ORDER BY len_bin
+"""
+
+
+# ------------------------------------------------------------- rare-token docs
+def q_rare_token_docs(spark, sf_dir):
+    """OCR-garbage / gibberish detector: the 20 docs with the highest
+    share of corpus-RARE tokens (document frequency ≤ 2), milli grid,
+    ties broken by doc_id — a high rare share means the doc's vocabulary
+    appears nowhere else: scanner noise, hex dumps, mangled encodings.
+    The distributional complement of x_repetition_filter (which catches
+    the opposite failure).
+
+    Scale shape: the document-frequency table is one (token → df) hash
+    agg over distinct (doc, token) pairs (Heaps-law small next to the
+    token stream); per-doc rare counts are one token-keyed join + one
+    doc-keyed agg; the final cut is TakeOrdered(20), never a global
+    sort."""
+    d = _docs_par(spark, sf_dir)
+    toks = dedup.whitespace_tokens(dedup.normalize_text(F.col("text")))
+    dt = d.select("doc_id", F.explode(toks).alias("tok"))
+    df_tab = (
+        dt.select("doc_id", "tok").distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    per = (
+        dt.join(df_tab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum((F.col("df") <= 2).cast("bigint")).cast("bigint").alias("n_rare"),
+        )
+        .withColumn("rare_milli", F.expr("n_rare * 1000 div n_tokens"))
+    )
+    return per.orderBy(F.col("rare_milli").desc(), "doc_id").limit(20).select(
+        "doc_id", "n_tokens", "n_rare", "rare_milli"
+    )
+
+
+ORACLE_RARE_TOKEN_DOCS = f"""
+WITH dt AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+df_tab AS (
+  SELECT tok, count(*)::BIGINT AS df
+  FROM (SELECT DISTINCT doc_id, tok FROM dt) GROUP BY tok
+),
+per AS (
+  SELECT dt.doc_id, count(*)::BIGINT AS n_tokens,
+         sum((f.df <= 2)::BIGINT)::BIGINT AS n_rare
+  FROM dt JOIN df_tab f USING (tok)
+  GROUP BY dt.doc_id
+)
+SELECT doc_id, n_tokens, n_rare,
+       (n_rare * 1000 // n_tokens)::BIGINT AS rare_milli
+FROM per
+ORDER BY rare_milli DESC, doc_id LIMIT 20
+"""
+
+
+# ------------------------------------------------------------- dedup audit sample
+def q_dedup_audit_sample(spark, sf_dir):
+    """Deterministic stratified review queue for the dedup threshold: ONE
+    representative verified pair per Jaccard decile — the sample a human
+    (or an LLM judge) reviews to sanity-check where the keep/drop
+    threshold actually separates rewrites from coincidences. The
+    representative is the pair with the smallest portable pair-hash in
+    its decile: deterministic, unbiased by storage order, reproducible
+    across engines and runs (a `LIMIT` without this key would be
+    partition-order dependent).
+
+    Scale shape: rides the standard banded-LSH verify chain; the decile
+    pick is one keyed min-by window over the verified pairs."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import portable_hash64
+    from .r8 import _near_pairs
+
+    pairs = dedup.jaccard_pairs(
+        dedup.shingles(_docs_par(spark, sf_dir)),
+        threshold=0.0,
+        candidates=dedup.lsh_candidate_pairs(
+            dedup.minhash_signatures(dedup.shingles(_docs_par(spark, sf_dir)), num_hashes=16),
+            bands=4,
+            rows_per_band=4,
+        ),
+    )
+    dec = pairs.select(
+        "doc_a",
+        "doc_b",
+        F.floor(F.col("jaccard") * 10).cast("bigint").alias("decile"),
+        F.pmod(
+            portable_hash64(
+                F.concat(
+                    F.lit("audit:"),
+                    F.col("doc_a").cast("string"),
+                    F.lit(":"),
+                    F.col("doc_b").cast("string"),
+                )
+            ),
+            F.lit(1_000_000_007),
+        ).alias("pick"),
+    )
+    w = Window.partitionBy("decile").orderBy("pick", "doc_a", "doc_b")
+    return (
+        dec.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("decile", "doc_a", "doc_b")
+        .orderBy("decile")
+    )
+
+
+def _oracle_dedup_audit_sample() -> str:
+    from ..functions.hashing import portable_hash64_sql
+    from .llm import _minhash_lsh_ctes, _shingles_cte
+
+    h_in = "'audit:' || doc_a::VARCHAR || ':' || doc_b::VARCHAR"
+    return f"""
+WITH {_shingles_cte()},
+{_minhash_lsh_ctes()},
+dec AS (
+  SELECT doc_a, doc_b, floor(jaccard * 10)::BIGINT AS decile,
+         ({portable_hash64_sql(h_in)} % 1000000007) AS pick
+  FROM verified
+),
+rk AS (
+  SELECT decile, doc_a, doc_b,
+         row_number() OVER (PARTITION BY decile ORDER BY pick, doc_a, doc_b) AS rk
+  FROM dec
+)
+SELECT decile, doc_a, doc_b FROM rk WHERE rk = 1 ORDER BY decile
+"""
+
+
+SPECS += [
+    QuerySpec("x_context_len_hist", q_context_len_hist, ORACLE_CONTEXT_LEN_HIST,
+              doc="docs/token mass per power-of-2 token-length bin + token share — the context-length planning histogram",
+              tags=("llm", "text", "tokenize")),
+    QuerySpec("x_rare_token_docs", q_rare_token_docs, ORACLE_RARE_TOKEN_DOCS,
+              doc="top-20 docs by corpus-rare-token share (df<=2) — the OCR-garbage detector",
+              tags=("llm", "text", "quality")),
+    QuerySpec("x_dedup_audit_sample", q_dedup_audit_sample, _oracle_dedup_audit_sample(),
+              doc="deterministic one-pair-per-Jaccard-decile review queue (min portable pair-hash per decile)",
+              tags=("llm", "dedup", "eval")),
+]

@@ -3043,3 +3043,85 @@ SPECS = SPECS + (
               doc="streaming dow seasonal index: additive per-batch cent grids merged by sum; batch oracle verbatim",
               tags=("stream", "stats", "timeseries")),
 )
+
+
+def q_stream_shard_skew(spark, sf_dir):
+    """Streaming partition-balance monitor: each micro-batch lands its
+    per-shard (doc count, token count) grid — both ADDITIVE — inside a
+    checkpointed foreachBatch under batch_id=N (overwrite ⇒ idempotent
+    replay); the read side merges by sum and applies x_shard_skew's exact
+    cross-multiplied rollup. The live straggler predictor as docs ingest:
+    a hot shard shows up in the merged ratio long before a real job
+    discovers it as a 10× task. Per-batch state is 32 rows; oracle is
+    x_shard_skew's VERBATIM."""
+    from ..functions.hashing import portable_hash64
+    from ..operators import dedup as _dedup
+    from .llm import _docs_par
+
+    _clamp_shuffle(spark)
+    d = _docs_par(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="streamq_shard_")
+    src = os.path.join(tmp, "docs")
+    store = os.path.join(tmp, "grids")
+    ck = os.path.join(tmp, "ck")
+    d.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = files.stream_parquet(spark, src, schema, files_per_trigger=1)
+
+    def _land(batch: DataFrame, batch_id: int) -> None:
+        toks = _dedup.whitespace_tokens(_dedup.normalize_text(F.col("text")))
+        g = (
+            batch.select(
+                F.pmod(
+                    portable_hash64(
+                        F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))
+                    ),
+                    F.lit(32),
+                ).alias("shard"),
+                F.size(toks).cast("bigint").alias("_nt"),
+            )
+            .groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("_nt").cast("bigint").alias("n_tokens"),
+            )
+        )
+        g.write.mode("overwrite").parquet(os.path.join(store, f"batch_id={batch_id}"))
+
+    q = (
+        stream.writeStream.foreachBatch(_land)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    per = (
+        spark.read.parquet(store)
+        .groupBy("shard")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+        F.sum("n_tokens").cast("bigint").alias("tot_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_shard_tokens"),
+        F.min("n_tokens").cast("bigint").alias("min_shard_tokens"),
+        F.expr("max(n_tokens) * count(1) * 1000 div sum(n_tokens)")
+        .cast("bigint")
+        .alias("skew_milli"),
+    )
+
+
+def _oracle_stream_shard_skew() -> str:
+    from .r9 import _oracle_shard_skew
+
+    return _oracle_shard_skew()
+
+
+SPECS = SPECS + (
+    QuerySpec("s_stream_shard_skew", q_stream_shard_skew, _oracle_stream_shard_skew(),
+              doc="streaming shard-balance monitor: additive per-batch shard grids merged by sum; batch oracle verbatim",
+              tags=("stream", "llm", "scale")),
+)

@@ -246,6 +246,9 @@ QUERIES = [
     "e_mann_kendall",
     "e_seasonal_index",
     "x_quality_calibration",
+    "x_context_len_hist",
+    "x_rare_token_docs",
+    "x_dedup_audit_sample",
 ]
 
 
