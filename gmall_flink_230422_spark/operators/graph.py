@@ -49,8 +49,18 @@ test_dedup_similarity.py::test_connected_components_shuffled_path_log_rounds.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Serializes the AQE-conf flip in lazy_checkpoint: without it two
+# overlapping calls can race the restore and leave AQE off session-wide
+# (r9 advice). NOTE the residual assumption, documented in the
+# lazy_checkpoint docstring: any OTHER plan compiled concurrently on the
+# same session during the (lock-held, milliseconds) flip window compiles
+# without AQE.
+_AQE_FLIP_LOCK = threading.RLock()
 
 
 def lazy_checkpoint(df: DataFrame) -> DataFrame:
@@ -72,15 +82,24 @@ def lazy_checkpoint(df: DataFrame) -> DataFrame:
     lists, frontiers) where AQE has nothing to optimize; heavy upstream
     frames should be cache()d BEFORE the checkpointed loop so their
     InMemoryRelation (built adaptively) is what the loop re-reads.
+
+    Concurrency: the session-global conf flip is serialized by
+    _AQE_FLIP_LOCK so overlapping lazy_checkpoint calls cannot race the
+    restore (r9 advice). A plan compiled by ANOTHER thread on the same
+    session inside the held window still sees AQE off — callers running
+    concurrent compilation (parallel bench drivers, streaming
+    micro-batch threads) should compile via a child ``spark.newSession()``
+    instead of sharing this one.
     """
     spark = df.sparkSession
     key = "spark.sql.adaptive.enabled"
-    prev = spark.conf.get(key, "true")
-    spark.conf.set(key, "false")
-    try:
-        return df.localCheckpoint(eager=False)
-    finally:
-        spark.conf.set(key, prev)
+    with _AQE_FLIP_LOCK:
+        prev = spark.conf.get(key, "true")
+        spark.conf.set(key, "false")
+        try:
+            return df.localCheckpoint(eager=False)
+        finally:
+            spark.conf.set(key, prev)
 
 
 def undirected(edges: DataFrame) -> DataFrame:

@@ -316,10 +316,15 @@ def q_t_closeness(spark, sf_dir):
     the global one leaks information even when k-anonymous — groups with
     vd > t fail the gate.
 
-    Exact integer arithmetic end-to-end: Σ_b |cnt_{s,b}·N − cnt_b·n_s|
-    is an exact BIGINT sum over the common denominator n_s·N, and
-    vd_milli = (500·Σ) div (n_s·N) is one integer division (the 1/2
-    factor of variational distance as 500/1000). Scale shape: one
+    Exact integer arithmetic end-to-end, at micro-probability
+    resolution: each side is quantized to p_micro = cnt·1e6 div margin
+    (≤ 1 000 000) BEFORE differencing, so no intermediate ever exceeds
+    cnt·1e6 — int64-safe to ~9.2e12 docs per source, vs the naive
+    cross-product cnt·N − cnt_b·n_s which wraps int64 at ~3e9 docs
+    total (the r9-advice overflow class). vd_milli =
+    Σ_b |p_s_micro − p_g_micro| div 2000 (the 1/2 variational factor,
+    micro→milli). Both engines compute the identical integer
+    expression, so quantization cancels cross-engine. Scale shape: one
     (source, bucket) hash agg over the corpus scan, a broadcast join of
     the ≤|sources|×|buckets| grid against its two margins, one keyed
     sum."""
@@ -343,16 +348,21 @@ def q_t_closeness(spark, sf_dir):
         .crossJoin(F.broadcast(tot))
     )
     return (
-        full.groupBy("source", "n_s", "n_tot")
+        full.groupBy("source", "n_s")
         .agg(
-            F.sum(F.abs(F.col("cnt") * F.col("n_tot") - F.col("cnt_b") * F.col("n_s")))
+            F.sum(
+                F.abs(
+                    F.expr("cnt * 1000000 div n_s")
+                    - F.expr("cnt_b * 1000000 div n_tot")
+                )
+            )
             .cast("bigint")
             .alias("_num")
         )
         .select(
             "source",
             F.col("n_s").alias("n_docs"),
-            F.expr("_num * 500 div (n_s * n_tot)").cast("bigint").alias("vd_milli"),
+            F.expr("_num div 2000").cast("bigint").alias("vd_milli"),
         )
         .orderBy("source")
     )
@@ -373,8 +383,8 @@ filled AS (
   CROSS JOIN t
 )
 SELECT source, n_s AS n_docs,
-       (sum(abs(cnt * n_tot - cnt_b * n_s)) * 500 // (n_s * n_tot))::BIGINT AS vd_milli
-FROM filled GROUP BY source, n_s, n_tot ORDER BY source
+       (sum(abs(cnt * 1000000 // n_s - cnt_b * 1000000 // n_tot)) // 2000)::BIGINT AS vd_milli
+FROM filled GROUP BY source, n_s ORDER BY source
 """
 
 
@@ -961,7 +971,11 @@ def q_frame_byte_flatness(spark, sf_dir):
     (source, byte) hash agg; the 256-value axis is DENSIFIED by a
     broadcast cross join so absent bytes contribute their full uniform
     mass; the final rollup is exact integers over the common denominator
-    256·n_s."""
+    256·n_s. int64 bound (r9 advice): the 500/256 milli factor is
+    reduced to 125/64, so the largest intermediate is _num·125 ≤
+    64000·n_bytes_total — safe to ~1.4e14 payload bytes PER SOURCE
+    (above the 100 TB total design point); beyond that, shard the rollup
+    by source before the final division."""
     from ..operators import multimodal
 
     d = _docs_par(spark, sf_dir)
@@ -1006,7 +1020,7 @@ def q_frame_byte_flatness(spark, sf_dir):
             "source",
             "n_bytes_total",
             "n_distinct_bytes",
-            F.expr("_num * 500 div (n_bytes_total * 256)").cast("bigint").alias("vd_milli"),
+            F.expr("_num * 125 div (n_bytes_total * 64)").cast("bigint").alias("vd_milli"),
         )
         .orderBy("source")
     )
@@ -1037,7 +1051,7 @@ dense AS (
   LEFT JOIN by b ON b.source = t.source AND b.byte = a.byte
 )
 SELECT source, n_bytes_total, n_distinct_bytes,
-       (sum(abs(cnt * 256 - n_bytes_total)) * 500 // (n_bytes_total * 256))::BIGINT AS vd_milli
+       (sum(abs(cnt * 256 - n_bytes_total)) * 125 // (n_bytes_total * 64))::BIGINT AS vd_milli
 FROM dense GROUP BY source, n_bytes_total, n_distinct_bytes ORDER BY source
 """
 
@@ -1066,8 +1080,11 @@ def q_seasonal_index(spark, sf_dir):
         )
         .agg(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")).cast("bigint").alias("c"))
         .withColumn(
+            # datediff from the epoch DATE is timezone-independent in both
+            # engines (r9 advice: unix_timestamp(DATE) evaluates at
+            # session-tz midnight and shifts every dow on a non-UTC host)
             "dow",
-            F.expr("((cast(unix_timestamp(day) as bigint) div 86400) + 4) % 7"),
+            F.expr("(datediff(day, date'1970-01-01') + 4) % 7"),
         )
     ).cache()  # bounded |types| x |days| grid, two consumers (per_dow, per_type)
     per_dow = daily.groupBy("event_type", "dow").agg(
@@ -1099,7 +1116,7 @@ WITH daily AS (
 ),
 d2 AS (
   SELECT event_type, day, c,
-         ((floor(epoch(day))::BIGINT // 86400) + 4) % 7 AS dow
+         ((day - DATE '1970-01-01') + 4) % 7 AS dow
   FROM daily
 ),
 per_dow AS (
@@ -1494,7 +1511,6 @@ def q_dedup_audit_sample(spark, sf_dir):
     from pyspark.sql import Window
 
     from ..functions.hashing import portable_hash64
-    from .r8 import _near_pairs
 
     pairs = dedup.jaccard_pairs(
         dedup.shingles(_docs_par(spark, sf_dir)),

@@ -3005,8 +3005,9 @@ def q_stream_seasonal_index(spark, sf_dir):
         .groupBy("event_type", "day")
         .agg(F.sum("c").cast("bigint").alias("c"))
         .withColumn(
+            # tz-independent dow (r9 advice; keep identical to e_seasonal_index)
             "dow",
-            F.expr("((cast(unix_timestamp(day) as bigint) div 86400) + 4) % 7"),
+            F.expr("(datediff(day, date'1970-01-01') + 4) % 7"),
         )
         .cache()
     )

@@ -93,13 +93,38 @@ def test_registry_superset_of_r8_names():
 
 
 def test_registry_superset_of_r9_names():
-    """r9 shipped 369 queries (r8's 349 + 20), all green in the committed
+    """r9 shipped 373 queries (r8's 349 + 24), all green in the committed
     full-registry sweeps (CORRECTNESS_local_r09*.json); keep the
-    exact-superset streak."""
+    exact-superset streak. (r9 verdict item 8: the pin previously said 369
+    because the last 4 queries landed after the pin was written — the
+    committed sweep file has 373 entries, so pin the real number.)"""
     reg = set(_registry())
     r9 = json.load(
         open(Path(__file__).resolve().parent.parent / "CORRECTNESS_local_r09.json")
     )
-    assert len(r9) >= 369
+    assert len(r9) >= 373
     missing = sorted(set(r9) - reg)
     assert not missing, missing
+
+
+def test_make_evidence_name_set_gate():
+    """r9 verdict item 1: tools/make_evidence.py must FAIL when any
+    committed sweep's name set differs from the live registry's — this
+    is the mechanism that prevents the r7/r8/r9 'evidence covers N-4
+    queries' split-brain. Prove the gate trips on a synthetic mismatch
+    and passes on a faithful copy."""
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from make_evidence import check_name_sets
+
+    reg_names = set(_registry())
+    ok, msgs = check_name_sets({"fake_sweep.json": reg_names}, reg_names)
+    assert ok, msgs
+    ok, msgs = check_name_sets(
+        {"fake_sweep.json": reg_names - {sorted(reg_names)[0]}}, reg_names
+    )
+    assert not ok
+    assert "fake_sweep.json" in " ".join(msgs)
+    ok, msgs = check_name_sets(
+        {"fake_sweep.json": reg_names | {"zz_not_in_registry"}}, reg_names
+    )
+    assert not ok

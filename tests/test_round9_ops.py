@@ -103,11 +103,24 @@ def test_mann_whitney_variance_in_double(spark, tmp_path):
         )
     ]
     sf = _write_events(spark, tmp_path, rows)
-    import inspect
+    import re
 
-    src = inspect.getsource(r8.q_mann_whitney)
-    assert 'F.col("n_click").cast("double")' in src, "factors must be DOUBLE before multiply"
     df = r8.q_mann_whitney(spark, sf)
+    # r9 advice: pin the OPTIMIZED PLAN, not source text (a rename or
+    # reformat must not break this). The variance product must multiply
+    # DOUBLE-cast factors; the only permitted raw BIGINT product is the
+    # U-shift numerator (n_click * n_view), which is never itself a
+    # factor of another multiply.
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert re.search(
+        r"cast\(n_click#\d+L as double\) \* cast\(n_view#\d+L as double\)", plan
+    ), "variance factors must be cast to double BEFORE multiplying"
+    assert re.search(
+        r"cast\(\(\(n_click#\d+L \+ n_view#\d+L\) \+ 1\) as double\)", plan
+    ), "the (n1+n2+1) factor must be cast to double before the product"
+    assert not re.search(
+        r"\(n_click#\d+L \* n_view#\d+L\) \*", plan
+    ), "bigint triple product (the pre-r8-fix overflow shape) reappeared"
     out = df.collect()
     assert len(out) == 1
     # n1=2, n2=3, exact U and z against the oracle
@@ -117,16 +130,21 @@ def test_mann_whitney_variance_in_double(spark, tmp_path):
     assert (out[0]["n_click"], out[0]["n_view"], out[0]["u1_x2"], out[0]["z_milli"]) == oracle[0]
 
 
-def test_degree_assortativity_double_numerator():
+def test_degree_assortativity_double_numerator(spark):
     """r8 advisor (low): every derived Pearson term must be DOUBLE before
-    multiplication. Pin the source so a BIGINT product can't sneak back."""
-    import inspect
+    multiplication. r9 advice: pin the OPTIMIZED PLAN (no bigint multiply
+    of n_edges with any Pearson sum), not source text."""
+    import re
 
-    src = inspect.getsource(r8.q_degree_assortativity)
-    assert 'F.col("n_edges").cast("double")' in src
-    assert 'F.lit(1000.0)' in src
-    # no raw bigint product of the Pearson sums in the final select
-    assert 'F.lit(1000) * (F.col("n_edges")' not in src
+    df = r8.q_degree_assortativity(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert not re.search(
+        r"n_edges#\d+L \* s[xy]", plan
+    ), "raw bigint product of n_edges with a Pearson sum reappeared"
+    assert re.search(
+        r"cast\(n_edges#\d+L as double\) \* cast\(s[xy][xy]?#\d+L as double\)", plan
+    ), "Pearson terms must be double-cast before multiplication"
+    assert "1000.0 * " in plan, "milli scaling must be the double literal"
 
 
 def test_kcenter_greedy_single_corpus_cache(spark):

@@ -45,6 +45,26 @@ EVIDENCE_GLOBS = [
 ]
 
 
+def check_name_sets(
+    sweeps: dict[str, set[str]], registry_names: set[str]
+) -> tuple[bool, list[str]]:
+    """r9 verdict item 1: every sweep must cover EXACTLY the live registry —
+    this round two committed sweeps were at 373 names and two at 369 and
+    the old untracked-file gate never noticed. Pure function so the gate
+    itself is unit-testable (tests/test_registry_meta.py)."""
+    msgs: list[str] = []
+    for fname, names in sorted(sweeps.items()):
+        missing = sorted(registry_names - names)
+        extra = sorted(names - registry_names)
+        if missing:
+            msgs.append(f"{fname}: registry queries absent from sweep: {missing[:8]}"
+                        f"{' …' if len(missing) > 8 else ''} ({len(missing)} total)")
+        if extra:
+            msgs.append(f"{fname}: sweep names not in registry: {extra[:8]}"
+                        f"{' …' if len(extra) > 8 else ''} ({len(extra)} total)")
+    return (not msgs, msgs)
+
+
 def run(label: str, cmd: list[str]) -> None:
     print(f"== {label}: {' '.join(cmd)}", flush=True)
     r = subprocess.run(cmd, cwd=REPO)
@@ -78,6 +98,31 @@ def main() -> None:
         run("scale probe", [py, "tools/scale_probe.py"])
     if not a.skip_bench:
         run("bench", [py, "bench.py"])
+
+    # ---- the sweep-vs-registry name-set gate (r9 verdict item 1)
+    import json as _json
+
+    sys.path.insert(0, str(REPO))
+    from gmall_flink_230422_spark.plans import registry as _registry
+
+    reg_names = set(_registry())
+    sweeps: dict[str, set[str]] = {}
+    for suffix in ("", "_sf0001", "_sf01", "_vanilla"):
+        p = REPO / f"CORRECTNESS_local_{rn}{suffix}.json"
+        if p.exists():
+            sweeps[p.name] = set(_json.load(open(p)))
+        else:
+            print(f"NAME-SET GATE: missing sweep file {p.name}", file=sys.stderr)
+            sys.exit(1)
+    ok, msgs = check_name_sets(sweeps, reg_names)
+    if not ok:
+        print("\nNAME-SET GATE: sweep name sets disagree with the live registry "
+              f"({len(reg_names)} queries) — re-run the sweeps:", file=sys.stderr)
+        for m in msgs:
+            print("  " + m, file=sys.stderr)
+        sys.exit(1)
+    print(f"name-set gate: all {len(sweeps)} sweeps cover exactly the "
+          f"{len(reg_names)}-query registry")
 
     # ---- the untracked-evidence gate
     status = subprocess.run(
