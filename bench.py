@@ -246,6 +246,31 @@ HEADLINE = [
     # (full LSH chain + keyed min-by window)
     "x_rare_token_docs",
     "x_dedup_audit_sample",
+    # round-10: the persisted-index ANN contract (build-if-absent index +
+    # partition-pruned probe; the streaming twin probes the same artifact)
+    "x_ann_ivf_persisted",
+    "s_stream_ann_ivf_persisted",
+]
+
+# Noise-robust protocol (r9 verdict item 2): a fixed 10-query CANARY set —
+# cheap, plan-stable queries untouched since r7 or earlier — is re-timed at
+# the START, MIDDLE and END of the run on DataFrames built once up front.
+# The median of the three canary totals is the run's session-speed ANCHOR:
+# cross-round common-set ratios divide by the anchor ratio to cancel
+# uniform session drift (the 0.81x/1.34x r8/r9 artifacts), and end/start is
+# the measured within-run drift. Membership is pinned; changing it breaks
+# anchor comparability and requires a BENCHNOTES note.
+CANARY = [
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "a1_tumble_keyed",
+    "t3_daily_uv",
+    "u1_keyword_count",
+    "x_cosine_topk",
+    "e_hll_distinct",
+    "x_vocab_topk",
+    "e_gini",
+    "e_theil",
 ]
 
 
@@ -266,6 +291,25 @@ def main() -> None:
     # warm the JVM + parquet footers once so timings measure the queries
     specs["q1_pricing_summary"].fn(spark, sf_dir).count()
 
+    # ---- canary anchors (r9 verdict item 2): build each canary once,
+    # re-time it warm best-of-3 at three session positions
+    canary_dfs = {n: specs[n].fn(spark, sf_dir) for n in CANARY}
+    for df in canary_dfs.values():  # absorb codegen/first-action cost up front
+        df.write.format("noop").mode("overwrite").save()
+
+    def canary_pass() -> dict[str, float]:
+        out = {}
+        for n, df in canary_dfs.items():
+            reps = []
+            for _ in range(3):
+                t0 = time.time()
+                df.write.format("noop").mode("overwrite").save()
+                reps.append(time.time() - t0)
+            out[n] = round(min(reps), 3)
+        return out
+
+    canary_at: dict[str, dict[str, float]] = {"start": canary_pass()}
+
     # Methodology (r3, amended r6): the DataFrame is built ONCE per query;
     # cold = plan build + first action (codegen, cache materialization, and
     # any jobs the builder runs eagerly), warm = best-of-3 repeat actions on
@@ -285,7 +329,9 @@ def main() -> None:
     jvm_system = sc._jvm.System
     tracker = sc.statusTracker()
 
-    for name in names:
+    for qi, name in enumerate(names):
+        if qi == len(names) // 2:
+            canary_at["middle"] = canary_pass()
         group = f"plan:{name}"
         sc.setJobGroup(group, f"construction of {name}")
         t0 = time.time()
@@ -324,6 +370,22 @@ def main() -> None:
         if os.environ.get("SPARK_GRAFT_CLEARCACHE"):
             spark.catalog.clearCache()
 
+    canary_at["end"] = canary_pass()
+    canary_totals = {
+        pos: round(sum(m.values()), 3) for pos, m in canary_at.items()
+    }
+    _ct = sorted(canary_totals.values())
+    canary_anchor = _ct[len(_ct) // 2]
+    within_run_drift = round(
+        canary_totals["end"] / max(canary_totals["start"], 1e-9), 3
+    )
+
+    # r9 verdict item 6: streaming twins run whole foreachBatch index builds
+    # at construction BY DESIGN — split their construction cost out so the
+    # batch plan_actions headline stays comparable round-over-round
+    pa_stream = {n: v for n, v in plan_actions.items() if n.startswith("s_stream")}
+    pa_batch = {n: v for n, v in plan_actions.items() if not n.startswith("s_stream")}
+
     sp = sorted(spread.values())
     full = {
         "metric": "headline_queries_total",
@@ -336,9 +398,19 @@ def main() -> None:
         "plan": plan,
         "plan_actions_s": plan_actions,
         "plan_jobs": plan_jobs,
+        "canary": {
+            "per_query": canary_at,
+            "totals": canary_totals,
+            "anchor_s": canary_anchor,
+            "within_run_drift": within_run_drift,
+            "note": "anchor_s = median of start/middle/end canary totals; "
+            "cross-round common-set ratios should be divided by the anchor "
+            "ratio to cancel uniform session drift (BENCHNOTES.md)",
+        },
         "method": "same-plan warm best-of-3; gc pacing between queries; "
         "construction under a job group so eager plan-time actions are "
-        "charged to their query (plan_actions_s)",
+        "charged to their query (plan_actions_s); fixed 10-query canary "
+        "re-timed at start/middle/end as the session-speed anchor",
         "variance": {
             "per_query_rel_spread": spread,
             "median_rel_spread": round(sp[len(sp) // 2], 3) if sp else None,
@@ -368,6 +440,10 @@ def main() -> None:
         "cold_total": full["cold_total"],
         "plan_total": full["plan_total"],
         "plan_actions_total": round(sum(plan_actions.values()), 3),
+        "plan_actions_batch_total": round(sum(pa_batch.values()), 3),
+        "plan_actions_stream_total": round(sum(pa_stream.values()), 3),
+        "canary_anchor_s": canary_anchor,
+        "canary_drift": within_run_drift,
         "median_rel_spread": full["variance"]["median_rel_spread"],
         "p90_rel_spread": full["variance"]["p90_rel_spread"],
         "sf": sf_dir,

@@ -557,9 +557,20 @@ def lm_crossentropy_components(
     (see `lm_surprisal_score` for the parity rationale). Scale shape
     unchanged: two hash aggregates for the model, natural-key joins for
     scoring, V as a broadcast scalar.
+
+    Tokenize-once contract (r9 verdict item 5): a frame that already
+    carries a ``_toks`` array column is used as-is — callers scoring the
+    same corpus under several models (DSIR) tokenize ONCE into a cached
+    frame and pass it as ``docs``/``model_docs``, collapsing the text-scan
+    repeat (6 → 1 for x_dsir_resample).
     """
     toks = whitespace_tokens(normalize_text(F.col(text_col)))
-    base = docs.select(F.col(id_col), toks.alias("_toks")).filter(F.size("_toks") >= 2)
+    if "_toks" in docs.columns:
+        base = docs.select(id_col, "_toks").filter(F.size("_toks") >= 2)
+    else:
+        base = docs.select(F.col(id_col), toks.alias("_toks")).filter(
+            F.size("_toks") >= 2
+        )
     pairs = base.select(
         id_col,
         F.explode(
@@ -571,7 +582,10 @@ def lm_crossentropy_components(
     ).select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
 
     m_toks = whitespace_tokens(normalize_text(F.col(text_col)))
-    m_base = model_docs.select(m_toks.alias("_toks"))
+    if "_toks" in model_docs.columns:
+        m_base = model_docs.select("_toks")
+    else:
+        m_base = model_docs.select(m_toks.alias("_toks"))
     m_pairs = m_base.filter(F.size("_toks") >= 2).select(
         F.explode(
             F.arrays_zip(

@@ -2027,10 +2027,17 @@ def q_dsir_resample(spark, sf_dir):
     output — no float sums anywhere (repo parity rule). Scale shape: two
     model trainings (hash aggregates over the two pools), one scoring pass
     per model over the raw pool with natural-key joins; the target model
-    tables are benchmark-sized and broadcastable at 100 TB."""
+    tables are benchmark-sized and broadcastable at 100 TB. The corpus is
+    TOKENIZED ONCE into a cached (doc_id, _toks) frame shared by both
+    trainings and both scoring passes (r9 verdict item 5: the old shape
+    re-tokenized per role — text-scan repeat 6; measured A/B in
+    BENCHNOTES r10). At 100 TB the cache becomes a materialized token
+    table — the same artifact, written instead of cached."""
     d = _docs_par(spark, sf_dir)
-    train = d.filter(F.col("doc_id") % 17 != 0)
-    target = d.filter(F.col("doc_id") % 17 == 0)
+    toks = text.whitespace_tokens(text.normalize_text(F.col("text")))
+    tokd = d.select("doc_id", toks.alias("_toks")).cache()
+    train = tokd.filter(F.col("doc_id") % 17 != 0)
+    target = tokd.filter(F.col("doc_id") % 17 == 0)
     raw = text.lm_crossentropy_components(train, train)
     tgt = text.lm_crossentropy_components(train, target).select(
         "doc_id", F.col("ssum").alias("ssum_target")
@@ -4867,7 +4874,10 @@ def q_span_corruption(spark, sf_dir):
             (F.col("pos") % 3 == 0).alias("is_first"),
             F.concat(F.lit("<extra_id_"), F.col("k"), F.lit(">")).alias("sent"),
         )
-    )
+    ).cache()  # three union branches consume pieces; uncached, each branch
+    # re-runs the explode + block window + join from the text scan (repeat 6
+    # — r9 verdict item 5; cached, one materialization feeds all three.
+    # Measured A/B in BENCHNOTES r10. At 100 TB: a materialized shard table.
     inp = pieces.filter(~F.col("masked") | F.col("is_first")).select(
         "doc_id",
         (F.col("pos") * 2).alias("key"),

@@ -1,0 +1,179 @@
+"""Round-10 extension queries: the PERSISTED-INDEX ANN contract.
+
+Until now every ANN query (x_ann_ivf, x_ann_ivf_lloyd, s_stream_ann_probe)
+rebuilt its IVF index inside the query — fine for oracle checking, wrong
+as the production shape: at 100 TB the index is built ONCE at write time
+and probed by every later session (r9 verdict item 7). These queries add
+that contract:
+
+- ``ensure_ivf_index`` writes the inverted lists as a parquet dataset
+  PARTITIONED BY list_id (probes partition-prune at the scan) plus a
+  tiny centroid dataset, under a warehouse root keyed by the sf tag —
+  and is build-IF-ABSENT: when the datasets already exist and the index
+  row count matches the corpus, the build is skipped entirely, so a
+  fresh session probing the same corpus pays zero index cost. The
+  artifacts are PATH-addressed (exactly the files a catalog table
+  manages underneath) rather than catalog-registered because the driver
+  harness builds bare in-memory-catalog sessions whose catalog dies with
+  the JVM — the parquet layout is what actually outlives sessions, and
+  the cross-JVM property is proven by tests/test_persisted_ann.py, which
+  builds in one subprocess and probes, rebuild-free, from another. On a
+  metastore-backed cluster the same layout is one ``saveAsTable`` away.
+- ``x_ann_ivf_persisted`` probes the persisted index and must equal
+  x_ann_ivf bit-for-bit (same ORACLE_ANN_IVF oracle): parquet round-trips
+  of float arrays are exact, so index-through-storage cannot move a
+  score.
+- ``s_stream_ann_ivf_persisted`` is the serving twin: micro-batched
+  queries probe the SAME catalog index from checkpointed foreachBatch —
+  the index is a standing artifact shared by batch and streaming readers,
+  not per-query scratch (contrast s_stream_ann_probe, which demonstrates
+  the probe path with per-invocation temp dirs).
+
+Reference parity note: the reference engine has no vector index; this is
+part of the LLM-data-pipeline extension surface (SURVEY.md §2-extension),
+designed Spark-first: write-time partitioning + dynamic partition pruning
+instead of a server-side index structure.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from ..operators import similarity
+from . import QuerySpec
+from .llm import ORACLE_ANN_IVF, _QUERY_IDS, _embs_par
+
+SPECS: list[QuerySpec] = []
+
+# Path-addressed warehouse for persisted indexes (gitignored; overridable so
+# tests can isolate). The layout under it is exactly what a catalog table
+# would manage: <root>/ann_ivf_index_<tag>/list_id=<N>/part-*.parquet.
+_WAREHOUSE_ENV = "SPARK_GRAFT_INDEX_DIR"
+
+
+def _warehouse_root() -> Path:
+    env = os.environ.get(_WAREHOUSE_ENV)
+    if env:
+        return Path(env)
+    return Path(__file__).resolve().parents[2] / "spark-warehouse"
+
+
+def _sf_tag(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return "".join(c if c.isalnum() else "_" for c in base)
+
+
+def ensure_ivf_index(spark, sf_dir, n_centroids: int = 16) -> tuple[str, str]:
+    """Build-if-absent persisted IVF index; returns (index_path,
+    centroids_path) of the partitioned parquet datasets.
+
+    Freshness gate: the index is reused only when its row count equals the
+    corpus row count (an sf re-generation under the same tag would
+    otherwise serve stale lists; the index count is a metadata-only
+    footer read). The index dataset is partitioned by ``list_id``: a
+    probe that joins on the partition column prunes every unprobed list
+    at the scan, which is the entire 100 TB read-path win (touch
+    n_probe/n_centroids of the data)."""
+    tag = _sf_tag(sf_dir)
+    root = _warehouse_root()
+    index_p = str(root / f"ann_ivf_index_{tag}")
+    cents_p = str(root / f"ann_ivf_cents_{tag}")
+    e = _embs_par(spark, sf_dir)
+    if os.path.exists(os.path.join(cents_p, "_SUCCESS")) and os.path.isdir(index_p):
+        try:
+            if spark.read.parquet(index_p).count() == e.count():
+                return index_p, cents_p
+        except Exception:
+            pass  # unreadable/partial dataset → rebuild below
+    cents = similarity.ivf_centroids(e, n_centroids=n_centroids)
+    cents.write.mode("overwrite").parquet(cents_p)
+    # assign against the read-back centroids so the persisted artifacts are
+    # self-consistent even if the in-flight frame and the files ever diverge
+    (
+        similarity.ivf_assign(e, spark.read.parquet(cents_p))
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(index_p)
+    )
+    return index_p, cents_p
+
+
+def _read_index(spark, index_p: str):
+    # the partition column comes back type-inferred (int) — restore the
+    # bigint the join/oracle contract expects
+    return spark.read.parquet(index_p).withColumn(
+        "list_id", F.col("list_id").cast("bigint")
+    )
+
+
+def q_ann_ivf_persisted(spark, sf_dir):
+    """IVF probe against the PERSISTED index (build-if-absent): identical
+    semantics and oracle as x_ann_ivf — the equality is the
+    storage-round-trip guarantee. The probe itself reads only the
+    partition-pruned lists: the broadcast probe join on the partition
+    column list_id."""
+    index_p, cents_p = ensure_ivf_index(spark, sf_dir)
+    q = _embs_par(spark, sf_dir).filter(F.col("vec_id").isin(*_QUERY_IDS))
+    return similarity.ivf_probe_topk(
+        _read_index(spark, index_p), spark.read.parquet(cents_p), q, k=10, n_probe=4
+    )
+
+
+def q_stream_ann_ivf_persisted(spark, sf_dir):
+    """ANN serving against the SHARED persisted index: a query stream
+    (vec_id % 100 == 1 — disjoint from s_stream_ann_probe's % 100 == 0
+    set) arrives in micro-batches; each checkpointed batch probes the
+    persisted datasets ensure_ivf_index guarantees exist. Per-query
+    results are batch-boundary-invariant, so the batch IVF oracle applies
+    with the same predicate."""
+    from ..sources import files
+
+    index_p, cents_p = ensure_ivf_index(spark, sf_dir)
+    e = _embs_par(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="streamq_annpersist_")
+    src = os.path.join(tmp, "queries")
+    sink = os.path.join(tmp, "sink")
+    ck = os.path.join(tmp, "ck")
+    e.filter(F.col("vec_id") % 100 == 1).repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = files.stream_parquet(spark, src, schema, files_per_trigger=1)
+
+    def _probe(batch, _i: int) -> None:
+        s = batch.sparkSession
+        out = similarity.ivf_probe_topk(
+            _read_index(s, index_p), s.read.parquet(cents_p), batch, k=10, n_probe=4
+        )
+        out.write.mode("append").parquet(sink)
+
+    q = (
+        stream.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink)
+
+
+ORACLE_STREAM_ANN_IVF_PERSISTED = ORACLE_ANN_IVF.replace(
+    f"WHERE q.vec_id IN {_QUERY_IDS}", "WHERE q.vec_id % 100 = 1"
+)
+assert ORACLE_STREAM_ANN_IVF_PERSISTED != ORACLE_ANN_IVF, "predicate splice failed"
+
+SPECS += [
+    QuerySpec(
+        "x_ann_ivf_persisted", q_ann_ivf_persisted, ORACLE_ANN_IVF,
+        doc="IVF probe against a persisted list_id-partitioned catalog index (build-if-absent, cross-session)",
+        tags=("llm", "similarity", "index"),
+    ),
+    QuerySpec(
+        "s_stream_ann_ivf_persisted", q_stream_ann_ivf_persisted,
+        ORACLE_STREAM_ANN_IVF_PERSISTED,
+        doc="streaming ANN serving against the shared persisted catalog index (disjoint query set)",
+        tags=("llm", "similarity", "index", "streaming", "T11"),
+    ),
+]
