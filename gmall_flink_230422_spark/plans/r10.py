@@ -77,7 +77,13 @@ def ensure_ivf_index(spark, sf_dir, n_centroids: int = 16) -> tuple[str, str]:
     footer read). The index dataset is partitioned by ``list_id``: a
     probe that joins on the partition column prunes every unprobed list
     at the scan, which is the entire 100 TB read-path win (touch
-    n_probe/n_centroids of the data)."""
+    n_probe/n_centroids of the data).
+
+    Single-writer assumption: two processes ensure-ing the same absent
+    index concurrently would race the overwrite (the evidence pipeline is
+    sequential by design — tools/make_evidence.py; a production deployment
+    would take a write lock or build under a temp name + atomic rename).
+    """
     tag = _sf_tag(sf_dir)
     root = _warehouse_root()
     index_p = str(root / f"ann_ivf_index_{tag}")

@@ -28,6 +28,30 @@ def test_bench_headline_names_exist():
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate headliners"
 
 
+def test_bench_canary_names_pinned():
+    """The canary set is the cross-round session-speed anchor (r9 verdict
+    item 2): members must exist in the registry AND in HEADLINE, and the
+    set must not silently change (that would break anchor comparability —
+    BENCHNOTES r10 methodology)."""
+    import bench
+
+    reg = _registry()
+    assert [n for n in bench.CANARY if n not in reg] == []
+    assert [n for n in bench.CANARY if n not in bench.HEADLINE] == []
+    assert bench.CANARY == [
+        "q1_pricing_summary",
+        "q6_forecast_revenue",
+        "a1_tumble_keyed",
+        "t3_daily_uv",
+        "u1_keyword_count",
+        "x_cosine_topk",
+        "e_hll_distinct",
+        "x_vocab_topk",
+        "e_gini",
+        "e_theil",
+    ], "canary membership changed — document in BENCHNOTES and update this pin"
+
+
 def test_scale_probe_names_exist():
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
     import scale_probe
