@@ -170,6 +170,139 @@ ORACLE_STREAM_ANN_IVF_PERSISTED = ORACLE_ANN_IVF.replace(
 )
 assert ORACLE_STREAM_ANN_IVF_PERSISTED != ORACLE_ANN_IVF, "predicate splice failed"
 
+
+# ------------------------------------------------------ index health stats
+def q_ann_index_stats(spark, sf_dir):
+    """Index-health audit of the PERSISTED IVF index: per-list vector
+    count and milli fraction of the corpus. The operational dashboard a
+    100 TB index owner reads before trusting probe latency: one hot list
+    (frac → 1000) means the centroids collapsed and every probe scans
+    the corpus; many empty lists mean wasted partitions. Reads only the
+    index's list_id column — a partition-column-only scan, no vector
+    bytes move."""
+    index_p, _cents_p = ensure_ivf_index(spark, sf_dir)
+    idx = _read_index(spark, index_p)
+    per = idx.groupBy("list_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    tot = per.agg(F.sum("n_vecs").cast("bigint").alias("n_tot"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "list_id",
+            "n_vecs",
+            F.expr("n_vecs * 1000 div n_tot").cast("bigint").alias("frac_milli"),
+        )
+        .orderBy("list_id")
+    )
+
+
+ORACLE_ANN_INDEX_STATS = """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+assigned AS (
+  SELECT vec_id, cid AS list_id FROM (
+    SELECT c.vec_id, cents.cid,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY floor((list_cosine_similarity(c.embedding::DOUBLE[], cents.cvec)) * 1000000) / 1000000 DESC,
+                      cents.cid) AS rk
+    FROM embeddings c CROSS JOIN cents
+  ) WHERE rk = 1
+),
+per AS (SELECT list_id, count(*)::BIGINT AS n_vecs FROM assigned GROUP BY list_id),
+t AS (SELECT sum(n_vecs)::BIGINT AS n_tot FROM per)
+SELECT list_id, n_vecs, (n_vecs * 1000 // n_tot)::BIGINT AS frac_milli
+FROM per CROSS JOIN t ORDER BY list_id
+"""
+
+
+# -------------------------------------------------- streaming index upsert
+def q_stream_ann_index_upsert(spark, sf_dir):
+    """INCREMENTAL INDEX MAINTENANCE — the production shape after the
+    persisted contract: the index is built once over the standing corpus
+    (vec_id % 10 != 7), then NEW vectors stream in and each checkpointed
+    micro-batch assigns them to the FIXED centroids and lands them as an
+    idempotent per-batch delta (overwrite of delta/ingest_batch=<id> —
+    replay-safe, the repo's exactly-once file-sink pattern). The final
+    index = base ∪ deltas; at 100 TB a compactor folds deltas into the
+    list_id partitions on a schedule, probes read both sides until then.
+
+    Centroids are intentionally NOT retrained on arrival (assignment must
+    be immutable for the delta to be append-only); the oracle therefore
+    trains on the base slice but assigns the FULL corpus. Result: the
+    per-list census of the final index — equal to a from-scratch batch
+    build with the same centroids, which is the correctness statement of
+    incremental maintenance."""
+    from ..sources import files
+
+    e = _embs_par(spark, sf_dir)
+    base = e.filter(F.col("vec_id") % 10 != 7)
+    fresh = e.filter(F.col("vec_id") % 10 == 7)
+    tmp = tempfile.mkdtemp(prefix="streamq_annupsert_")
+    cents_p = os.path.join(tmp, "cents")
+    base_p = os.path.join(tmp, "base")
+    delta_p = os.path.join(tmp, "delta")
+    src = os.path.join(tmp, "arrivals")
+    ck = os.path.join(tmp, "ck")
+
+    similarity.ivf_centroids(base, n_centroids=16).write.parquet(cents_p)
+    cents = spark.read.parquet(cents_p)
+    (
+        similarity.ivf_assign(base, cents)
+        .write.partitionBy("list_id")
+        .parquet(base_p)
+    )
+
+    fresh.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = files.stream_parquet(spark, src, schema, files_per_trigger=1)
+
+    def _ingest(batch, batch_id: int) -> None:
+        s = batch.sparkSession
+        out = similarity.ivf_assign(batch, s.read.parquet(cents_p))
+        out.write.mode("overwrite").partitionBy("list_id").parquet(
+            os.path.join(delta_p, f"ingest_batch={batch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # hive-style discovery reads both partition levels (ingest_batch, list_id)
+    full = spark.read.parquet(base_p).select("vec_id", "list_id").unionByName(
+        spark.read.parquet(delta_p).select("vec_id", "list_id")
+    )
+    return (
+        full.groupBy(F.col("list_id").cast("bigint").alias("list_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+        .orderBy("list_id")
+    )
+
+
+ORACLE_STREAM_ANN_INDEX_UPSERT = """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+  FROM embeddings WHERE vec_id % 10 <> 7 ORDER BY vec_id LIMIT 16
+),
+assigned AS (
+  SELECT vec_id, cid AS list_id FROM (
+    SELECT c.vec_id, cents.cid,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY floor((list_cosine_similarity(c.embedding::DOUBLE[], cents.cvec)) * 1000000) / 1000000 DESC,
+                      cents.cid) AS rk
+    FROM embeddings c CROSS JOIN cents
+  ) WHERE rk = 1
+)
+SELECT list_id, count(*)::BIGINT AS n_vecs
+FROM assigned GROUP BY list_id ORDER BY list_id
+"""
+
 SPECS += [
     QuerySpec(
         "x_ann_ivf_persisted", q_ann_ivf_persisted, ORACLE_ANN_IVF,
@@ -180,6 +313,17 @@ SPECS += [
         "s_stream_ann_ivf_persisted", q_stream_ann_ivf_persisted,
         ORACLE_STREAM_ANN_IVF_PERSISTED,
         doc="streaming ANN serving against the shared persisted catalog index (disjoint query set)",
+        tags=("llm", "similarity", "index", "streaming", "T11"),
+    ),
+    QuerySpec(
+        "x_ann_index_stats", q_ann_index_stats, ORACLE_ANN_INDEX_STATS,
+        doc="persisted-IVF index health: per-list census + milli fraction from a partition-column-only scan",
+        tags=("llm", "similarity", "index"),
+    ),
+    QuerySpec(
+        "s_stream_ann_index_upsert", q_stream_ann_index_upsert,
+        ORACLE_STREAM_ANN_INDEX_UPSERT,
+        doc="incremental index maintenance: streamed vectors assigned to fixed centroids, idempotent per-batch deltas, final census equals from-scratch build",
         tags=("llm", "similarity", "index", "streaming", "T11"),
     ),
 ]

@@ -249,6 +249,11 @@ QUERIES = [
     "x_context_len_hist",
     "x_rare_token_docs",
     "x_dedup_audit_sample",
+    # round-10: persisted-IVF probe (index built once per SF at the warm-up
+    # run — the probed warm time is the pure partition-pruned read path)
+    # and the partition-column-only index census
+    "x_ann_ivf_persisted",
+    "x_ann_index_stats",
 ]
 
 
