@@ -248,8 +248,11 @@ HEADLINE = [
     "x_dedup_audit_sample",
     # round-10: the persisted-index ANN contract (build-if-absent index +
     # partition-pruned probe; the streaming twin probes the same artifact)
+    # and the index lifecycle (census, incremental upsert)
     "x_ann_ivf_persisted",
     "s_stream_ann_ivf_persisted",
+    "x_ann_index_stats",
+    "s_stream_ann_index_upsert",
 ]
 
 # Noise-robust protocol (r9 verdict item 2): a fixed 10-query CANARY set —
