@@ -87,14 +87,20 @@ def plan_of(spark, spec, sf_dir: str) -> str:
 
 
 def _tree_section(plan: str) -> list[str]:
-    """The ASCII tree at the top of a formatted explain (everything before
-    the first ``(N) OpName`` detail block)."""
-    tree: list[str] = []
-    for ln in plan.splitlines():
-        if re.match(r"^\(\d+\)\s", ln):
-            break
-        tree.append(ln)
-    return tree
+    """ALL ASCII tree lines of a formatted explain: the main tree at the
+    top plus each subquery's tree in the ``===== Subqueries =====``
+    section (r10: dynamic-partition-pruning subqueries — the persisted-IVF
+    probe's centroid pack lives there; the old head-only parse returned
+    parent '?' for any exchange inside a subquery and misflagged it).
+    Tree lines are the ``OpName (N)`` art lines, as opposed to the
+    ``(N) OpName`` detail-block heads; collecting every such line keeps
+    the parent-by-indent search working per tree because subquery trees
+    restart at indent 0 below their host's lines."""
+    return [
+        ln
+        for ln in plan.splitlines()
+        if re.search(r"[A-Za-z]+ \(\d+\)", ln) and not re.match(r"^\(\d+\)\s", ln)
+    ]
 
 
 def _detail_blocks(plan: str) -> dict[int, list[str]]:
