@@ -88,6 +88,38 @@ def ensure_parallelism(spark: SparkSession, df: DataFrame, key: str) -> DataFram
     return df
 
 
+def ensure_dataset(spark: SparkSession, path: str, fingerprint: int, build) -> str:
+    """Build-IF-ABSENT persisted parquet dataset (r10 standing-artifact
+    contract, generalizing plans/r10.ensure_ivf_index): ``build(path)``
+    runs only when the dataset is missing or its stored integer
+    ``fingerprint`` (a cheap corpus stat — row count, max id) disagrees
+    with the caller's. The fingerprint lives in a 1-row ``<path>_meta``
+    dataset written AFTER the build, so a crashed build (no meta or stale
+    meta) rebuilds rather than serving a partial artifact.
+
+    The gate is deliberately cheap, not cryptographic: a corpus regenerated
+    with identical row count would be served stale — the same trade
+    ensure_ivf_index documents. Existence checks are local-fs (_SUCCESS
+    markers); a cluster deployment would check via the FileSystem API and
+    take a write lock (single-writer assumption, as everywhere in the
+    evidence pipeline)."""
+    meta_p = path + "_meta"
+    if os.path.exists(os.path.join(path, "_SUCCESS")) and os.path.exists(
+        os.path.join(meta_p, "_SUCCESS")
+    ):
+        try:
+            row = spark.read.parquet(meta_p).first()
+            if row is not None and row["fingerprint"] == fingerprint:
+                return path
+        except Exception:
+            pass  # unreadable meta → rebuild
+    build(path)
+    spark.createDataFrame(
+        [(int(fingerprint),)], "fingerprint bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(meta_p)
+    return path
+
+
 def write_bucketed(
     df: DataFrame, table: str, keys: list[str], n_buckets: int = 32
 ) -> None:

@@ -2749,21 +2749,37 @@ def q_stream_contam_13gram(spark, sf_dir):
     verdict depends only on that doc and the static index, never on other
     eval docs — so the read-back equals the batch twin and the oracle is
     ORACLE_CONTAM_13GRAM VERBATIM. Per-batch state: the incoming docs'
-    gram lists; the index side stays parquet-pruned to the join."""
+    gram lists; the index side stays parquet-pruned to the join.
+
+    r10: the gram index is a STANDING artifact (io.ensure_dataset under
+    the warehouse root, fingerprinted by the train-split doc count) —
+    built on first touch per sf, reused by every later invocation and
+    session, exactly like the persisted IVF index. A decontamination
+    service does not re-shingle its train corpus per probe."""
+    from ..io import ensure_dataset
     from ..operators import dedup
     from .llm import _docs_par
+    from .r10 import _sf_tag, _warehouse_root
 
     _clamp_shuffle(spark)
     d = _docs_par(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="streamq_contam13_")
-    idx_dir = os.path.join(tmp, "gram_index")
     src = os.path.join(tmp, "eval_docs")
     store = os.path.join(tmp, "verdicts")
     ck = os.path.join(tmp, "ck")
 
-    # ---- index build (batch, once): train split -> distinct 13-grams
-    dedup.shingles(d.filter(F.col("doc_id") % 17 != 0), k=13) \
-        .select("shingle").distinct().write.parquet(idx_dir)
+    # ---- index ensure (batch, once per sf): train split -> distinct 13-grams
+    train = d.filter(F.col("doc_id") % 17 != 0)
+    idx_dir = ensure_dataset(
+        spark,
+        str(_warehouse_root() / f"contam13_index_{_sf_tag(sf_dir)}"),
+        train.count(),
+        lambda p: dedup.shingles(train, k=13)
+        .select("shingle")
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(p),
+    )
 
     # ---- eval docs as a multi-file replay stream
     d.filter(F.col("doc_id") % 17 == 0).repartition(4).write.parquet(src)
