@@ -410,10 +410,16 @@ def main() -> None:
             "cross-round common-set ratios should be divided by the anchor "
             "ratio to cancel uniform session drift (BENCHNOTES.md)",
         },
+        "cold_non_canary_total": round(
+            sum(v for k, v in cold.items() if k not in CANARY), 3
+        ),
         "method": "same-plan warm best-of-3; gc pacing between queries; "
         "construction under a job group so eager plan-time actions are "
         "charged to their query (plan_actions_s); fixed 10-query canary "
-        "re-timed at start/middle/end as the session-speed anchor",
+        "re-timed at start/middle/end as the session-speed anchor. NOTE: "
+        "the canary warm-up compiles the 10 canary plans before the main "
+        "loop, so those queries' cold/plan values are codegen-warm-biased "
+        "— compare cold across rounds via cold_non_canary_total",
         "variance": {
             "per_query_rel_spread": spread,
             "median_rel_spread": round(sp[len(sp) // 2], 3) if sp else None,

@@ -67,14 +67,31 @@ def _sf_tag(sf_dir: str) -> str:
     return "".join(c if c.isalnum() else "_" for c in base)
 
 
-def ensure_ivf_index(spark, sf_dir, n_centroids: int = 16) -> tuple[str, str]:
-    """Build-if-absent persisted IVF index; returns (index_path,
-    centroids_path) of the partitioned parquet datasets.
+# Bump when the index ALGORITHM changes (score truncation grid, assignment
+# tiebreak, storage layout): the fingerprint folds this in, so old persisted
+# artifacts are rebuilt instead of silently served to new-code probes (r10
+# review finding: a count-only gate cannot see code changes).
+_IVF_INDEX_VERSION = 1
 
-    Freshness gate: the index is reused only when its row count equals the
-    corpus row count (an sf re-generation under the same tag would
-    otherwise serve stale lists; the index count is a metadata-only
-    footer read). The index dataset is partitioned by ``list_id``: a
+
+def index_fingerprint(version: int, params: int, n_rows: int) -> int:
+    """Composite int64 fingerprint for io.ensure_dataset gates: algorithm
+    version + build parameter + corpus row count. Any of the three moving
+    forces a rebuild; n_rows alone caught only corpus regeneration."""
+    return (version * 1_000 + params) * 1_000_000_000_000 + n_rows
+
+
+def ensure_ivf_index(spark, sf_dir, n_centroids: int = 16) -> tuple[str, str]:
+    """Build-if-absent persisted IVF index via io.ensure_dataset; returns
+    (index_path, centroids_path) of the partitioned parquet datasets.
+
+    Freshness gate: io.ensure_dataset's meta fingerprint =
+    index_fingerprint(_IVF_INDEX_VERSION, n_centroids, corpus row count) —
+    corpus regeneration, a parameter change, or an algorithm bump all
+    force a rebuild; the meta is written AFTER the build so a crashed
+    build re-runs. The two datasets share one gate (the index meta),
+    with centroids written first so a gate-passing index implies its
+    centroids exist. The index dataset is partitioned by ``list_id``: a
     probe that joins on the partition column prunes every unprobed list
     at the scan, which is the entire 100 TB read-path win (touch
     n_probe/n_centroids of the data).
@@ -84,26 +101,31 @@ def ensure_ivf_index(spark, sf_dir, n_centroids: int = 16) -> tuple[str, str]:
     sequential by design — tools/make_evidence.py; a production deployment
     would take a write lock or build under a temp name + atomic rename).
     """
+    from ..io import ensure_dataset
+
     tag = _sf_tag(sf_dir)
     root = _warehouse_root()
     index_p = str(root / f"ann_ivf_index_{tag}")
     cents_p = str(root / f"ann_ivf_cents_{tag}")
     e = _embs_par(spark, sf_dir)
-    if os.path.exists(os.path.join(cents_p, "_SUCCESS")) and os.path.isdir(index_p):
-        try:
-            if spark.read.parquet(index_p).count() == e.count():
-                return index_p, cents_p
-        except Exception:
-            pass  # unreadable/partial dataset → rebuild below
-    cents = similarity.ivf_centroids(e, n_centroids=n_centroids)
-    cents.write.mode("overwrite").parquet(cents_p)
-    # assign against the read-back centroids so the persisted artifacts are
-    # self-consistent even if the in-flight frame and the files ever diverge
-    (
-        similarity.ivf_assign(e, spark.read.parquet(cents_p))
-        .write.mode("overwrite")
-        .partitionBy("list_id")
-        .parquet(index_p)
+
+    def _build(p: str) -> None:
+        cents = similarity.ivf_centroids(e, n_centroids=n_centroids)
+        cents.write.mode("overwrite").parquet(cents_p)
+        # assign against the read-back centroids so the persisted artifacts
+        # are self-consistent even if frame and files ever diverge
+        (
+            similarity.ivf_assign(e, spark.read.parquet(cents_p))
+            .write.mode("overwrite")
+            .partitionBy("list_id")
+            .parquet(p)
+        )
+
+    ensure_dataset(
+        spark,
+        index_p,
+        index_fingerprint(_IVF_INDEX_VERSION, n_centroids, e.count()),
+        _build,
     )
     return index_p, cents_p
 

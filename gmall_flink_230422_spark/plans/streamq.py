@@ -2759,7 +2759,7 @@ def q_stream_contam_13gram(spark, sf_dir):
     from ..io import ensure_dataset
     from ..operators import dedup
     from .llm import _docs_par
-    from .r10 import _sf_tag, _warehouse_root
+    from .r10 import _sf_tag, _warehouse_root, index_fingerprint
 
     _clamp_shuffle(spark)
     d = _docs_par(spark, sf_dir)
@@ -2768,12 +2768,16 @@ def q_stream_contam_13gram(spark, sf_dir):
     store = os.path.join(tmp, "verdicts")
     ck = os.path.join(tmp, "ck")
 
-    # ---- index ensure (batch, once per sf): train split -> distinct 13-grams
+    # ---- index ensure (batch, once per sf): train split -> distinct 13-grams.
+    # Fingerprint folds in the gram width k and an algorithm version so a
+    # shingling/normalization change rebuilds instead of serving stale grams
+    # (r10 review finding); version 1 = whitespace-normalized 13-gram md5.
+    _GRAM_INDEX_VERSION = 1
     train = d.filter(F.col("doc_id") % 17 != 0)
     idx_dir = ensure_dataset(
         spark,
         str(_warehouse_root() / f"contam13_index_{_sf_tag(sf_dir)}"),
-        train.count(),
+        index_fingerprint(_GRAM_INDEX_VERSION, 13, train.count()),
         lambda p: dedup.shingles(train, k=13)
         .select("shingle")
         .distinct()

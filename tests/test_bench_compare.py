@@ -37,11 +37,25 @@ def test_corrected_null_without_anchor():
     assert r["corrected_ratio"] is None
 
 
-def test_min_fold(tmp_path):
+def test_min_fold_anchor_normalized(tmp_path):
+    """r10 review: folding must not pair a slow-session time with a
+    fast-session anchor — runs are rescaled to the fastest session before
+    the min."""
     p1 = tmp_path / "r1.json"
     p2 = tmp_path / "r2.json"
     json.dump(_art({"a": 2.0, "b": 1.0}, anchor=2.0), open(p1, "w"))
     json.dump(_art({"a": 1.0, "b": 3.0}, anchor=1.5), open(p2, "w"))
     folded = _load_min([str(p1), str(p2)])
-    assert folded["queries"] == {"a": 1.0, "b": 1.0}
+    # run1 rescaled by 1.5/2.0=0.75 -> a:1.5 b:0.75; run2 kept -> a:1.0 b:3.0
+    assert folded["queries"] == {"a": 1.0, "b": 0.75}
     assert folded["canary"]["anchor_s"] == 1.5
+
+
+def test_min_fold_plain_without_anchors(tmp_path):
+    p1 = tmp_path / "r1.json"
+    p2 = tmp_path / "r2.json"
+    json.dump(_art({"a": 2.0, "b": 1.0}), open(p1, "w"))
+    json.dump(_art({"a": 1.0, "b": 3.0}, anchor=1.5), open(p2, "w"))
+    folded = _load_min([str(p1), str(p2)])
+    assert folded["queries"] == {"a": 1.0, "b": 1.0}
+    assert "canary" not in folded  # mixed-anchor fold must not claim one

@@ -60,7 +60,7 @@ SINGLE_PARTITION_OK: set[str] = set()
 #     Legit self-joins (kNN bucket join, LSH pair-gen, wedge closure)
 #     land at 2-4; the registry's honest max today is 6 (x_backoff_lm's
 #     three n-gram orders × two sides of the backoff join; x_dsir_resample
-#     dropped 9→1 in r10 via the tokenize-once cache).
+#     dropped 6→1 in r10 via the tokenize-once cache).
 #     Every known instance of the bug class lands >10.
 #   - MAX_SHUFFLES: absolute exchange-count cap. The registry's widest
 #     honest plan is x_dedup_residual at 43 (a deliberate exact→LSH→

@@ -23,23 +23,36 @@ import json
 
 
 def _load_min(paths: list[str]) -> dict:
-    """Fold multiple runs into one artifact by per-query MIN (warm)."""
+    """Fold multiple runs into one artifact by per-query MIN (warm).
+
+    Anchor-aware (r10 review finding): independently min-folding queries
+    and the anchor can pair a slow-session measurement with a fast-session
+    anchor, corrupting corrected_ratio. When EVERY run carries an anchor,
+    each run's times are first drift-normalized to the fastest session's
+    speed (q * anchor_min / anchor_run) and the fold's anchor is
+    anchor_min — every folded number then shares one session basis.
+    Anchor-less runs (pre-r10 artifacts) fold by plain min, and the fold
+    carries no anchor (corrected_ratio stays null, visibly)."""
     arts = [json.load(open(p)) for p in paths]
-    base = arts[0]
-    q = dict(base["queries"])
-    for a in arts[1:]:
-        for k, v in a["queries"].items():
-            q[k] = min(q.get(k, v), v)
-    out = dict(base)
-    out["queries"] = q
-    # anchor: min across runs (same rationale — discard slow sessions)
-    anchors = [
-        a.get("canary", {}).get("anchor_s")
-        for a in arts
-        if a.get("canary", {}).get("anchor_s") is not None
-    ]
-    if anchors:
-        out.setdefault("canary", {})["anchor_s"] = min(anchors)
+    anchors = [a.get("canary", {}).get("anchor_s") for a in arts]
+    out = dict(arts[0])
+    if all(a is not None for a in anchors):
+        a_min = min(anchors)
+        q: dict[str, float] = {}
+        for art, a_run in zip(arts, anchors):
+            scale = a_min / a_run
+            for k, v in art["queries"].items():
+                nv = v * scale
+                q[k] = min(q.get(k, nv), nv)
+        out["queries"] = q
+        out["canary"] = dict(out.get("canary", {}), anchor_s=a_min)
+    else:
+        q = dict(arts[0]["queries"])
+        for a in arts[1:]:
+            for k, v in a["queries"].items():
+                q[k] = min(q.get(k, v), v)
+        out["queries"] = q
+        out.pop("canary", None)
     return out
 
 

@@ -92,14 +92,10 @@ def main() -> None:
                             "--json", f"CORRECTNESS_local_{rn}_sf01.json"])
         run("sweep vanilla", [py, "tools/check_oracle.py", "--vanilla",
                               "--json", f"CORRECTNESS_local_{rn}_vanilla.json"])
-    if not a.skip_plans:
-        run("plan audit", [py, "tools/audit_plans.py", "--check"])
-    if not a.skip_scaling:
-        run("scale probe", [py, "tools/scale_probe.py"])
-    if not a.skip_bench:
-        run("bench", [py, "bench.py"])
-
-    # ---- the sweep-vs-registry name-set gate (r9 verdict item 1)
+    # ---- the sweep-vs-registry name-set gate (r9 verdict item 1), run
+    # IMMEDIATELY after the sweep stage (r10 review: placing it after the
+    # ~30-min audit/probe/bench stages meant a --skip-sweeps resume with
+    # stale sweeps burned the whole pipeline before the free check fired)
     import json as _json
 
     sys.path.insert(0, str(REPO))
@@ -123,6 +119,13 @@ def main() -> None:
         sys.exit(1)
     print(f"name-set gate: all {len(sweeps)} sweeps cover exactly the "
           f"{len(reg_names)}-query registry")
+
+    if not a.skip_plans:
+        run("plan audit", [py, "tools/audit_plans.py", "--check"])
+    if not a.skip_scaling:
+        run("scale probe", [py, "tools/scale_probe.py"])
+    if not a.skip_bench:
+        run("bench", [py, "bench.py"])
 
     # ---- the untracked-evidence gate
     status = subprocess.run(
