@@ -88,36 +88,113 @@ def ensure_parallelism(spark: SparkSession, df: DataFrame, key: str) -> DataFram
     return df
 
 
-def ensure_dataset(spark: SparkSession, path: str, fingerprint: int, build) -> str:
-    """Build-IF-ABSENT persisted parquet dataset (r10 standing-artifact
-    contract, generalizing plans/r10.ensure_ivf_index): ``build(path)``
-    runs only when the dataset is missing or its stored integer
-    ``fingerprint`` (a cheap corpus stat — row count, max id) disagrees
-    with the caller's. The fingerprint lives in a 1-row ``<path>_meta``
-    dataset written AFTER the build, so a crashed build (no meta or stale
-    meta) rebuilds rather than serving a partial artifact.
+def dataset_fingerprint(path: str) -> str:
+    """Cheap freshness token for a parquet dataset from FOOTER stats only:
+    per-file (name, byte size, footer row count) folded through md5, plus
+    the total row count in clear. Never reads a data page — at 100 TB this
+    is a file-listing plus one ~8 KB footer per file (parallelizable over
+    the listing on a cluster; serial over the local listing here), which is
+    the right cost shape for a freshness check that runs per probing
+    session (r10 verdict item 3: the previous gate ran a full-corpus
+    ``count()`` job per probe).
 
-    The gate is deliberately cheap, not cryptographic: a corpus regenerated
-    with identical row count would be served stale — the same trade
-    ensure_ivf_index documents. Existence checks are local-fs (_SUCCESS
-    markers); a cluster deployment would check via the FileSystem API and
-    take a write lock (single-writer assumption, as everywhere in the
-    evidence pipeline)."""
-    meta_p = path + "_meta"
-    if os.path.exists(os.path.join(path, "_SUCCESS")) and os.path.exists(
-        os.path.join(meta_p, "_SUCCESS")
-    ):
+    Regenerating the corpus — even to identical row counts — changes file
+    sizes with overwhelming probability and therefore the token; appending
+    a file always changes it. Content-identical rewrites that also
+    byte-identically reproduce every file are (correctly) a cache hit."""
+    import hashlib
+
+    from pathlib import Path
+
+    p = Path(path)
+    files = sorted(p.rglob("*.parquet")) if p.is_dir() else [p]
+    h = hashlib.md5()
+    n_rows = 0
+    for f in files:
+        nr = _footer_num_rows(str(f))
+        n_rows += nr
+        h.update(f"{f.relative_to(p) if p.is_dir() else f.name}:{f.stat().st_size}:{nr};".encode())
+    return f"n{n_rows}-{h.hexdigest()[:10]}"
+
+
+def _footer_num_rows(f: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f).metadata.num_rows
+
+
+def fingerprint_token(*parts) -> str:
+    """Join fingerprint components into one filesystem-safe token. String
+    components replace the r10 integer bit-packing (``index_fingerprint``),
+    whose fixed-width fields could collide on out-of-range inputs (r10
+    advisor find: n_rows ≥ 1e12 bled into the params field); distinct
+    string tuples can never alias because the separator is escaped."""
+    toks = []
+    for x in parts:
+        s = str(x)
+        # "_" is the part separator: it must not survive inside a part, or
+        # ("a_b",) would alias ("a", "b")
+        toks.append("".join(c if (c.isalnum() or c in ".-") else "-" for c in s))
+    return "_".join(toks)
+
+
+def ensure_dataset(path: str, fingerprint, build) -> str:
+    """Build-IF-ABSENT persisted artifact with ATOMIC publication (r10
+    standing-artifact contract, hardened per r10 verdict item 2): the live
+    artifact is the IMMUTABLE directory ``<path>/fp=<fingerprint>/``.
+
+    - ``fingerprint`` (any str/int; sanitized into the dir name) addresses
+      the artifact: an algorithm bump, parameter change, or corpus change
+      (see :func:`dataset_fingerprint`) yields a new directory instead of
+      mutating the old one — readers of the old artifact are never broken
+      mid-query, and a stale artifact can never be served to a new-code
+      probe.
+    - ``build(staging_dir)`` writes the artifact's dataset(s) UNDER the
+      staging directory (a single parquet dataset directly at the staging
+      path, or several companion datasets as subdirectories — companions
+      share the one gate by construction, closing the r10 advisor's
+      missing-centroids hole). Publication is one ``os.rename`` of the
+      staging dir to ``fp=<token>`` — atomic on POSIX, so a concurrent
+      reader sees either no artifact or a complete one, NEVER a partial
+      write.
+    - Concurrent ensure calls are safe without a lock: each builds in a
+      private staging dir; the first rename wins, losers see the target
+      exists, discard their staging work, and read the winner's (both
+      built the same fingerprint, hence the same artifact).
+    - A crashed build leaves only a ``.tmp-*`` staging dir that is never
+      addressed; stale staging dirs older than a day are swept
+      opportunistically (young ones may belong to a live concurrent
+      builder). Old ``fp=*`` generations are kept — immutability is the
+      point; a production deployment GCs them by retention policy.
+    """
+    token = fingerprint_token(fingerprint)
+    final = os.path.join(path, f"fp={token}")
+    if os.path.exists(final):
+        return final
+    import shutil
+    import time
+    import uuid
+
+    os.makedirs(path, exist_ok=True)
+    # opportunistic sweep of staging debris from crashed builds
+    for d in os.listdir(path):
+        full = os.path.join(path, d)
         try:
-            row = spark.read.parquet(meta_p).first()
-            if row is not None and row["fingerprint"] == fingerprint:
-                return path
-        except Exception:
-            pass  # unreadable meta → rebuild
-    build(path)
-    spark.createDataFrame(
-        [(int(fingerprint),)], "fingerprint bigint"
-    ).coalesce(1).write.mode("overwrite").parquet(meta_p)
-    return path
+            if d.startswith(".tmp-") and time.time() - os.path.getmtime(full) > 86400:
+                shutil.rmtree(full, ignore_errors=True)
+        except OSError:
+            pass
+    staging = os.path.join(path, f".tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}")
+    build(staging)
+    try:
+        os.rename(staging, final)
+    except OSError:
+        # another writer published the same fingerprint first: theirs is
+        # byte-equivalent by construction — discard ours, serve theirs
+        if not os.path.exists(final):
+            raise
+        shutil.rmtree(staging, ignore_errors=True)
+    return final
 
 
 def write_bucketed(

@@ -9,9 +9,10 @@ that contract:
 - ``ensure_ivf_index`` writes the inverted lists as a parquet dataset
   PARTITIONED BY list_id (probes partition-prune at the scan) plus a
   tiny centroid dataset, under a warehouse root keyed by the sf tag —
-  and is build-IF-ABSENT: when the datasets already exist and the index
-  row count matches the corpus, the build is skipped entirely, so a
-  fresh session probing the same corpus pays zero index cost. The
+  and is build-IF-ABSENT: when the fingerprint-addressed artifact
+  directory (algorithm version + params + corpus footer stats) already
+  exists, the build is skipped entirely, so a fresh session probing the
+  same corpus pays zero index cost (not even a corpus count job). The
   artifacts are PATH-addressed (exactly the files a catalog table
   manages underneath) rather than catalog-registered because the driver
   harness builds bare in-memory-catalog sessions whose catalog dies with
@@ -63,8 +64,17 @@ def _warehouse_root() -> Path:
 
 
 def _sf_tag(sf_dir: str) -> str:
-    base = os.path.basename(os.path.normpath(sf_dir))
-    return "".join(c if c.isalnum() else "_" for c in base)
+    """Corpus-location tag for warehouse paths: basename for readability
+    PLUS an 8-hex digest of the normalized absolute path, so two distinct
+    corpora whose directories share a basename (regenerated testdata in
+    another tree) can never alias to one persisted artifact (r10 advisor
+    find)."""
+    import hashlib
+
+    norm = os.path.normpath(os.path.abspath(sf_dir))
+    base = os.path.basename(norm)
+    safe = "".join(c if c.isalnum() else "_" for c in base)
+    return f"{safe}_{hashlib.md5(norm.encode()).hexdigest()[:8]}"
 
 
 # Bump when the index ALGORITHM changes (score truncation grid, assignment
@@ -74,60 +84,59 @@ def _sf_tag(sf_dir: str) -> str:
 _IVF_INDEX_VERSION = 1
 
 
-def index_fingerprint(version: int, params: int, n_rows: int) -> int:
-    """Composite int64 fingerprint for io.ensure_dataset gates: algorithm
-    version + build parameter + corpus row count. Any of the three moving
-    forces a rebuild; n_rows alone caught only corpus regeneration."""
-    return (version * 1_000 + params) * 1_000_000_000_000 + n_rows
+def corpus_token(sf_dir: str, table: str) -> str:
+    """Footer-stats freshness token of one fixture table — the corpus leg
+    of every standing-artifact fingerprint. Replaces the r10 per-probe
+    ``df.count()`` Spark job (r10 verdict item 3): at 100 TB a freshness
+    check that scans the corpus per probing session is the wrong cost
+    shape; this reads only parquet footers (io.dataset_fingerprint)."""
+    from ..io import dataset_fingerprint
+
+    return dataset_fingerprint(os.path.join(sf_dir, f"{table}.parquet"))
 
 
 def ensure_ivf_index(spark, sf_dir, n_centroids: int = 16) -> tuple[str, str]:
     """Build-if-absent persisted IVF index via io.ensure_dataset; returns
-    (index_path, centroids_path) of the partitioned parquet datasets.
+    (index_path, centroids_path) — the ``index`` and ``cents`` companion
+    datasets inside ONE immutable fingerprint-addressed artifact directory
+    ``ann_ivf_<tag>/fp=<version_params_corpusstats>/``.
 
-    Freshness gate: io.ensure_dataset's meta fingerprint =
-    index_fingerprint(_IVF_INDEX_VERSION, n_centroids, corpus row count) —
-    corpus regeneration, a parameter change, or an algorithm bump all
-    force a rebuild; the meta is written AFTER the build so a crashed
-    build re-runs. The two datasets share one gate (the index meta),
-    with centroids written first so a gate-passing index implies its
-    centroids exist. The index dataset is partitioned by ``list_id``: a
-    probe that joins on the partition column prunes every unprobed list
-    at the scan, which is the entire 100 TB read-path win (touch
-    n_probe/n_centroids of the data).
-
-    Single-writer assumption: two processes ensure-ing the same absent
-    index concurrently would race the overwrite (the evidence pipeline is
-    sequential by design — tools/make_evidence.py; a production deployment
-    would take a write lock or build under a temp name + atomic rename).
+    Freshness gate: the fingerprint folds the algorithm version, the
+    build parameter, and the corpus FOOTER stats (corpus_token — no
+    full-corpus job in the probe path); any of the three moving addresses
+    a new directory, so stale artifacts are never served. Both datasets
+    live inside the one atomically-published directory, so a gate-passing
+    index cannot be missing its centroids (r10 advisor find), publication
+    is build-to-staging + atomic rename (r10 verdict item 2 — concurrent
+    ensure calls race safely, losers discard), and a crashed build leaves
+    only unaddressed staging debris. The index dataset is partitioned by
+    ``list_id``: a probe that joins on the partition column prunes every
+    unprobed list at the scan, which is the entire 100 TB read-path win
+    (touch n_probe/n_centroids of the data).
     """
     from ..io import ensure_dataset
 
-    tag = _sf_tag(sf_dir)
-    root = _warehouse_root()
-    index_p = str(root / f"ann_ivf_index_{tag}")
-    cents_p = str(root / f"ann_ivf_cents_{tag}")
+    base = str(_warehouse_root() / f"ann_ivf_{_sf_tag(sf_dir)}")
     e = _embs_par(spark, sf_dir)
 
-    def _build(p: str) -> None:
+    def _build(staging: str) -> None:
+        cents_s = os.path.join(staging, "cents")
         cents = similarity.ivf_centroids(e, n_centroids=n_centroids)
-        cents.write.mode("overwrite").parquet(cents_p)
+        cents.write.parquet(cents_s)
         # assign against the read-back centroids so the persisted artifacts
         # are self-consistent even if frame and files ever diverge
         (
-            similarity.ivf_assign(e, spark.read.parquet(cents_p))
-            .write.mode("overwrite")
-            .partitionBy("list_id")
-            .parquet(p)
+            similarity.ivf_assign(e, spark.read.parquet(cents_s))
+            .write.partitionBy("list_id")
+            .parquet(os.path.join(staging, "index"))
         )
 
-    ensure_dataset(
-        spark,
-        index_p,
-        index_fingerprint(_IVF_INDEX_VERSION, n_centroids, e.count()),
+    art = ensure_dataset(
+        base,
+        f"v{_IVF_INDEX_VERSION}-c{n_centroids}-{corpus_token(sf_dir, 'embeddings')}",
         _build,
     )
-    return index_p, cents_p
+    return os.path.join(art, "index"), os.path.join(art, "cents")
 
 
 def _read_index(spark, index_p: str):
@@ -170,12 +179,17 @@ def q_stream_ann_ivf_persisted(spark, sf_dir):
     schema = spark.read.parquet(src).schema
     stream = files.stream_parquet(spark, src, schema, files_per_trigger=1)
 
-    def _probe(batch, _i: int) -> None:
+    def _probe(batch, batch_id: int) -> None:
         s = batch.sparkSession
         out = similarity.ivf_probe_topk(
             _read_index(s, index_p), s.read.parquet(cents_p), batch, k=10, n_probe=4
         )
-        out.write.mode("append").parquet(sink)
+        # replay-safe per-batch-dir overwrite (the repo's exactly-once
+        # file-sink pattern, r10 advisor find: a bare append duplicates
+        # rows if a batch is retried after a failure)
+        out.write.mode("overwrite").parquet(
+            os.path.join(sink, f"batch_id={batch_id}")
+        )
 
     q = (
         stream.writeStream.foreachBatch(_probe)
@@ -184,7 +198,9 @@ def q_stream_ann_ivf_persisted(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(sink)
+    # drop the discovered batch_id partition column — physical lineage,
+    # not part of the probe result contract
+    return spark.read.parquet(sink).drop("batch_id")
 
 
 ORACLE_STREAM_ANN_IVF_PERSISTED = ORACLE_ANN_IVF.replace(

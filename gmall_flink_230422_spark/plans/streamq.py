@@ -2759,7 +2759,7 @@ def q_stream_contam_13gram(spark, sf_dir):
     from ..io import ensure_dataset
     from ..operators import dedup
     from .llm import _docs_par
-    from .r10 import _sf_tag, _warehouse_root, index_fingerprint
+    from .r10 import _sf_tag, _warehouse_root, corpus_token
 
     _clamp_shuffle(spark)
     d = _docs_par(spark, sf_dir)
@@ -2769,20 +2769,21 @@ def q_stream_contam_13gram(spark, sf_dir):
     ck = os.path.join(tmp, "ck")
 
     # ---- index ensure (batch, once per sf): train split -> distinct 13-grams.
-    # Fingerprint folds in the gram width k and an algorithm version so a
-    # shingling/normalization change rebuilds instead of serving stale grams
-    # (r10 review finding); version 1 = whitespace-normalized 13-gram md5.
+    # Fingerprint folds in the gram width k, an algorithm version, and the
+    # documents table's FOOTER stats (corpus_token — no corpus-count job in
+    # the probe path, r10 verdict item 3) so a shingling change or a corpus
+    # regeneration rebuilds instead of serving stale grams; version 1 =
+    # whitespace-normalized 13-gram md5. Publication is atomic (fp-addressed
+    # immutable dir, io.ensure_dataset r11 contract).
     _GRAM_INDEX_VERSION = 1
     train = d.filter(F.col("doc_id") % 17 != 0)
     idx_dir = ensure_dataset(
-        spark,
-        str(_warehouse_root() / f"contam13_index_{_sf_tag(sf_dir)}"),
-        index_fingerprint(_GRAM_INDEX_VERSION, 13, train.count()),
+        str(_warehouse_root() / f"contam13_{_sf_tag(sf_dir)}"),
+        f"v{_GRAM_INDEX_VERSION}-k13-{corpus_token(sf_dir, 'documents')}",
         lambda p: dedup.shingles(train, k=13)
         .select("shingle")
         .distinct()
-        .write.mode("overwrite")
-        .parquet(p),
+        .write.parquet(p),
     )
 
     # ---- eval docs as a multi-file replay stream
