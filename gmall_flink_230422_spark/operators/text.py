@@ -581,6 +581,20 @@ def lm_crossentropy_components(
         ).alias("_bg"),
     ).select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
 
+    uni, bg = lm_bigram_model(model_docs, text_col)
+    return _lm_score_pairs(pairs, uni, bg, id_col)
+
+
+def lm_bigram_model(
+    model_docs: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """The bigram-LM MODEL as two count tables — ``uni`` (tok, c1) and
+    ``bg`` (w1, w2, c2) — the persistable standing artifact of LM scoring
+    (r11: plans/r11.ensure_lm_model writes exactly these two frames as
+    companion parquet datasets; vocabulary size V is derived from ``uni``
+    at score time, so the artifact carries no extra scalar sidecar).
+    Respects the tokenize-once ``_toks`` contract of
+    :func:`lm_crossentropy_components`."""
     m_toks = whitespace_tokens(normalize_text(F.col(text_col)))
     if "_toks" in model_docs.columns:
         m_base = model_docs.select("_toks")
@@ -597,6 +611,43 @@ def lm_crossentropy_components(
     m_flat = m_base.select(F.explode("_toks").alias("tok"))
     uni = m_flat.groupBy("tok").agg(F.count(F.lit(1)).alias("c1")).cache()
     bg = m_pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    return uni, bg
+
+
+def lm_score_with_model(
+    docs: DataFrame,
+    uni: DataFrame,
+    bg: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score ``docs`` against an ALREADY-BUILT bigram model (the two
+    :func:`lm_bigram_model` count tables, typically read back from a
+    persisted artifact): same joins, smoothing, and integer milli-nat
+    arithmetic as :func:`lm_crossentropy_components`, so scoring through
+    storage is bit-exact vs scoring in-session."""
+    toks = whitespace_tokens(normalize_text(F.col(text_col)))
+    if "_toks" in docs.columns:
+        base = docs.select(id_col, "_toks").filter(F.size("_toks") >= 2)
+    else:
+        base = docs.select(F.col(id_col), toks.alias("_toks")).filter(
+            F.size("_toks") >= 2
+        )
+    pairs = base.select(
+        id_col,
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(_toks, 1, size(_toks) - 1)").alias("w1"),
+                F.expr("slice(_toks, 2, size(_toks) - 1)").alias("w2"),
+            )
+        ).alias("_bg"),
+    ).select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+    return _lm_score_pairs(pairs, uni, bg, id_col)
+
+
+def _lm_score_pairs(
+    pairs: DataFrame, uni: DataFrame, bg: DataFrame, id_col: str
+) -> DataFrame:
     v = uni.agg(F.count(F.lit(1)).alias("_v"))
 
     scored = (

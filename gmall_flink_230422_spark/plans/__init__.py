@@ -22,10 +22,10 @@ class QuerySpec:
 
 
 def registry() -> dict[str, QuerySpec]:
-    from . import analytics, dwd, gmall, graphq, llm, r8, r9, r10, streamq, tpch, tpch_ext
+    from . import analytics, dwd, gmall, graphq, llm, r8, r9, r10, r11, streamq, tpch, tpch_ext
 
     out: dict[str, QuerySpec] = {}
-    for mod in (gmall, llm, tpch, tpch_ext, analytics, dwd, streamq, graphq, r8, r9, r10):
+    for mod in (gmall, llm, tpch, tpch_ext, analytics, dwd, streamq, graphq, r8, r9, r10, r11):
         for spec in mod.SPECS:
             assert spec.name not in out, f"duplicate query name {spec.name}"
             out[spec.name] = spec

@@ -1,0 +1,298 @@
+"""Round-11 extension queries: the standing-artifact contract GENERALIZED.
+
+r10 made two artifacts outlive their sessions (the IVF ANN index and the
+contamination gram index). Three more registry families still rebuilt
+their corpus-snapshot-level artifacts on every invocation — the LSH
+band-signature store, the trained BPE vocabulary, and the bigram-LM count
+tables. These are exactly the artifacts a production pipeline materializes
+ONCE per corpus snapshot and serves to every later job; r11 gives each the
+same contract as the IVF index (r10 verdict item 1):
+
+- build-IF-ABSENT behind ``io.ensure_dataset`` — now with ATOMIC
+  publication (fingerprint-addressed immutable ``fp=`` directory, staged
+  build + rename, so a concurrent reader never sees a partial artifact and
+  racing builders converge);
+- fingerprint = algorithm version + build params + corpus FOOTER stats
+  (``corpus_token`` — no corpus scan in the probe path);
+- a probe query whose result must equal the in-session form BIT-FOR-BIT,
+  enforced by sharing the SAME DuckDB oracle verbatim (the storage
+  round-trip proof, the x_ann_ivf_persisted pattern);
+- a cross-JVM rebuild-freedom test (tests/test_persisted_artifacts.py):
+  build in one subprocess, probe from another, assert zero file mtime
+  changes.
+
+Reference parity note: the reference engine (Flink gmall tutorial) has no
+standing model artifacts; this is the LLM-data-pipeline extension surface
+(SURVEY.md §2-extension). The Spark-first shape: artifacts are parquet
+datasets (band-partitioned where probes key on the partition column), not
+server-side state.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup, text
+from . import QuerySpec
+from .llm import ORACLE_BPE_APPLY, ORACLE_LM_SCORE, _docs_par
+from .r10 import _sf_tag, _warehouse_root, corpus_token
+from .streamq import ORACLE_STREAM_LSH_INCR
+
+SPECS: list[QuerySpec] = []
+
+# Bump on algorithm change (shingle width, hash family, band geometry /
+# merge tiebreak / smoothing formula): forces a rebuild instead of serving
+# a stale artifact to new-code probes.
+_LSH_STORE_VERSION = 1
+_BPE_VOCAB_VERSION = 1
+_LM_MODEL_VERSION = 1
+
+
+def ensure_lsh_store(spark, sf_dir, num_hashes: int = 16, rows_per_band: int = 4) -> str:
+    """Build-if-absent persisted LSH band-signature store: (doc_id, band,
+    band_sig) PARTITIONED BY band — the standing near-dup index a nightly
+    ingest probes (s_stream_lsh_incremental built a per-invocation fixture
+    of exactly this shape; the store is its production home). Partitioning
+    by band means a probe that joins on (band, band_sig) prunes to the
+    probed band's partition at the scan; at 100 TB each band partition is
+    further bucketed by band_sig. Returns the store path inside the
+    atomically-published fingerprint directory."""
+    from ..io import ensure_dataset
+
+    base = str(_warehouse_root() / f"lsh_store_{_sf_tag(sf_dir)}")
+    d = _docs_par(spark, sf_dir)
+
+    def _build(staging: str) -> None:
+        (
+            dedup.band_signatures(
+                dedup.minhash_signatures(dedup.shingles(d), num_hashes=num_hashes),
+                rows_per_band=rows_per_band,
+            )
+            .write.partitionBy("band")
+            .parquet(staging)
+        )
+
+    return ensure_dataset(
+        base,
+        f"v{_LSH_STORE_VERSION}-h{num_hashes}-r{rows_per_band}-"
+        + corpus_token(sf_dir, "documents"),
+        _build,
+    )
+
+
+def _read_lsh_store(spark, store_p: str):
+    # the partition column comes back type-inferred — restore the int the
+    # band_signatures contract emits
+    return spark.read.parquet(store_p).withColumn("band", F.col("band").cast("int"))
+
+
+def q_lsh_persisted(spark, sf_dir):
+    """Near-dup flags computed ENTIRELY from the persisted band store
+    (build-if-absent): a doc is dup iff it shares any (band, band_sig)
+    bucket with an EARLIER doc — identical semantics and oracle as
+    s_stream_lsh_incremental, which derives the same flags while building
+    its signature state per invocation. Equality through the persisted
+    store is the storage round-trip proof. The self-semi-join keys on the
+    partition column band first, so each band's bucket match scans only
+    its own partition."""
+    store_p = ensure_lsh_store(spark, sf_dir)
+    banded = _read_lsh_store(spark, store_p)
+    a, b = banded.alias("a"), banded.alias("b")
+    dup = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_sig") == F.col("b.band_sig"))
+        & (F.col("a.doc_id") > F.col("b.doc_id")),
+        "left_semi",
+    ).select("doc_id").distinct()
+    d = _docs_par(spark, sf_dir).select("doc_id")
+    return d.join(dup.withColumn("_dup", F.lit(True)), "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup")
+    )
+
+
+def q_stream_lsh_persisted(spark, sf_dir):
+    """LSH serving against the SHARED persisted band store: a document
+    stream (doc_id % 3 == 1) arrives in micro-batches; each checkpointed
+    batch computes the incoming docs' band signatures and probes the
+    STANDING store for an earlier-doc bucket partner — the decontamination/
+    dedup service shape where the corpus index is a standing artifact, not
+    per-invocation state (contrast s_stream_lsh_incremental, which also
+    MAINTAINS its store incrementally; here the store is the immutable
+    snapshot artifact). Per-doc verdicts depend only on the doc and the
+    static store, so results are batch-boundary-invariant and the batch
+    oracle applies with the stream's predicate."""
+    from ..sources import files
+
+    store_p = ensure_lsh_store(spark, sf_dir)
+    d = _docs_par(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="streamq_lshpersist_")
+    src = os.path.join(tmp, "docs")
+    sink = os.path.join(tmp, "flags")
+    ck = os.path.join(tmp, "ck")
+    d.filter(F.col("doc_id") % 3 == 1).select("doc_id", "text").repartition(
+        4
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = files.stream_parquet(spark, src, schema, files_per_trigger=1)
+
+    def _probe(batch, batch_id: int) -> None:
+        s = batch.sparkSession
+        banded = dedup.band_signatures(
+            dedup.minhash_signatures(dedup.shingles(batch))
+        )
+        store = _read_lsh_store(s, store_p).alias("b")
+        dup = (
+            banded.alias("a")
+            .join(
+                store,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_sig") == F.col("b.band_sig"))
+                & (F.col("b.doc_id") < F.col("a.doc_id")),
+                "left_semi",
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        flags = batch.select("doc_id").join(
+            dup.withColumn("_dup", F.lit(True)), "doc_id", "left"
+        ).select(
+            "doc_id", F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup")
+        )
+        # replay-safe per-batch-dir overwrite (exactly-once file sink)
+        flags.write.mode("overwrite").parquet(
+            os.path.join(sink, f"batch_id={batch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink).drop("batch_id")
+
+
+_LSH_FROM = "FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id"
+ORACLE_STREAM_LSH_PERSISTED = ORACLE_STREAM_LSH_INCR.replace(
+    _LSH_FROM, _LSH_FROM + "\nWHERE d.doc_id % 3 = 1"
+)
+assert ORACLE_STREAM_LSH_PERSISTED != ORACLE_STREAM_LSH_INCR, "predicate splice failed"
+
+
+# ----------------------------------------------------- persisted BPE vocab
+def ensure_bpe_vocab(spark, sf_dir, n_merges: int = 3) -> tuple[str, str]:
+    """Build-if-absent persisted BPE tokenizer artifact: the ``merges``
+    table (step, p1, p2, pair_count — the model itself, one row per merge)
+    and the ``vocab`` companion (word, freq, sym[] — the corpus vocabulary
+    already folded through every merge, which is what the apply stage
+    joins against). Both live in ONE fingerprint directory, so a
+    gate-passing vocab always matches its merges. This replaces the
+    in-session ``_bpe_trained`` memo for cross-session use: training is a
+    per-snapshot cost, paid once, never per JVM."""
+    from ..io import ensure_dataset
+
+    base = str(_warehouse_root() / f"bpe_vocab_{_sf_tag(sf_dir)}")
+    d = _docs_par(spark, sf_dir)
+
+    def _build(staging: str) -> None:
+        merges, vocab = text._bpe_train(d, n_merges)
+        spark.createDataFrame(
+            merges, "step int, p1 string, p2 string, pair_count bigint"
+        ).coalesce(1).write.parquet(os.path.join(staging, "merges"))
+        vocab.write.parquet(os.path.join(staging, "vocab"))
+
+    art = ensure_dataset(
+        base,
+        f"v{_BPE_VOCAB_VERSION}-m{n_merges}-" + corpus_token(sf_dir, "documents"),
+        _build,
+    )
+    return os.path.join(art, "merges"), os.path.join(art, "vocab")
+
+
+def q_bpe_persisted(spark, sf_dir):
+    """Tokenizer apply against the PERSISTED vocabulary (build-if-absent):
+    identical semantics and oracle as x_bpe_apply, which trains (memoized
+    per session) and applies in-session — the equality through parquet is
+    the storage round-trip proof. The apply itself is unchanged: encoded
+    vocab joined back to the corpus token stream on the word key."""
+    _merges_p, vocab_p = ensure_bpe_vocab(spark, sf_dir)
+    return text.bpe_encoded_length_with_vocab(
+        _docs_par(spark, sf_dir), spark.read.parquet(vocab_p)
+    )
+
+
+# ------------------------------------------------------ persisted bigram LM
+def ensure_lm_model(spark, sf_dir) -> tuple[str, str]:
+    """Build-if-absent persisted bigram-LM model: the ``uni`` (tok, c1)
+    and ``bg`` (w1, w2, c2) count tables of operators/text.lm_bigram_model
+    as companion datasets in one fingerprint directory. The KenLM-style
+    standing artifact: at 100 TB the model is counted once per corpus
+    snapshot and every quality-scoring job joins against it; vocabulary
+    size V is derived from ``uni`` at score time (one broadcast scalar),
+    so the artifact needs no sidecar."""
+    from ..io import ensure_dataset
+
+    base = str(_warehouse_root() / f"lm_model_{_sf_tag(sf_dir)}")
+    d = _docs_par(spark, sf_dir)
+
+    def _build(staging: str) -> None:
+        uni, bg = text.lm_bigram_model(d)
+        uni.write.parquet(os.path.join(staging, "uni"))
+        bg.write.parquet(os.path.join(staging, "bg"))
+
+    art = ensure_dataset(
+        base,
+        f"v{_LM_MODEL_VERSION}-" + corpus_token(sf_dir, "documents"),
+        _build,
+    )
+    return os.path.join(art, "uni"), os.path.join(art, "bg")
+
+
+def q_lm_persisted(spark, sf_dir):
+    """Bigram-LM scoring against the PERSISTED model tables
+    (build-if-absent): same joins, smoothing, and integer milli-nat
+    arithmetic as x_lm_score (text.lm_score_with_model shares the scoring
+    body with the in-session path), same oracle verbatim — bit-exact
+    through storage because every per-bigram surprisal is floored to an
+    integer before the order-independent sum."""
+    uni_p, bg_p = ensure_lm_model(spark, sf_dir)
+    comp = text.lm_score_with_model(
+        _docs_par(spark, sf_dir),
+        spark.read.parquet(uni_p),
+        spark.read.parquet(bg_p),
+    )
+    return comp.select(
+        "doc_id",
+        "n_bigrams",
+        (F.expr("(ssum * 10) div n_bigrams") / F.lit(10000.0)).alias("avg_surprisal"),
+    )
+
+
+SPECS += [
+    QuerySpec(
+        "x_lsh_persisted", q_lsh_persisted, ORACLE_STREAM_LSH_INCR,
+        doc="near-dup flags from the persisted band-partitioned LSH signature store (build-if-absent, cross-session); same oracle as s_stream_lsh_incremental",
+        tags=("llm", "dedup", "index"),
+    ),
+    QuerySpec(
+        "s_stream_lsh_persisted", q_stream_lsh_persisted,
+        ORACLE_STREAM_LSH_PERSISTED,
+        doc="streaming near-dup serving against the shared persisted LSH store (doc_id%3==1 stream)",
+        tags=("llm", "dedup", "index", "streaming", "T11"),
+    ),
+    QuerySpec(
+        "x_bpe_persisted", q_bpe_persisted, ORACLE_BPE_APPLY,
+        doc="BPE encode against the persisted trained vocabulary (build-if-absent, cross-session); same oracle as x_bpe_apply",
+        tags=("llm", "text", "tokenizer", "index"),
+    ),
+    QuerySpec(
+        "x_lm_persisted", q_lm_persisted, ORACLE_LM_SCORE,
+        doc="bigram-LM surprisal scoring against the persisted model count tables (build-if-absent, cross-session); same oracle as x_lm_score",
+        tags=("llm", "text", "index"),
+    ),
+]
