@@ -253,6 +253,14 @@ HEADLINE = [
     "s_stream_ann_ivf_persisted",
     "x_ann_index_stats",
     "s_stream_ann_index_upsert",
+    # round-11: the standing-artifact contract generalized (persisted LSH
+    # band store, BPE vocab, bigram-LM model — probes against atomic
+    # fingerprint-addressed artifacts; the streaming twin serves from the
+    # shared LSH store)
+    "x_lsh_persisted",
+    "s_stream_lsh_persisted",
+    "x_bpe_persisted",
+    "x_lm_persisted",
 ]
 
 # Noise-robust protocol (r9 verdict item 2): a fixed 10-query CANARY set —
@@ -276,6 +284,22 @@ CANARY = [
     "e_theil",
 ]
 
+# r10 verdict item 1/3: the ten light canaries are all sub-0.5 s
+# plan-stable queries, and the r10 driver-vs-final pair showed session
+# pressure lands disproportionately on the 1-2 s class (anchors 2.343 vs
+# 2.336 while the heavy tail moved ~16%). Three MID-WEIGHT canaries make
+# the anchor total duration-weighted toward the pressure-sensitive class;
+# the anchor is the median of start/middle/end totals over ALL thirteen.
+# Membership change documented in BENCHNOTES r11 — anchor_s is NOT
+# directly comparable to r10's (light_total_s is, and is emitted for
+# exactly that bridge).
+CANARY_MID = [
+    "x_curate_corpus",
+    "x_pq_ann",
+    "x_contam_13gram",
+]
+CANARY_ALL = CANARY + CANARY_MID
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -296,7 +320,7 @@ def main() -> None:
 
     # ---- canary anchors (r9 verdict item 2): build each canary once,
     # re-time it warm best-of-3 at three session positions
-    canary_dfs = {n: specs[n].fn(spark, sf_dir) for n in CANARY}
+    canary_dfs = {n: specs[n].fn(spark, sf_dir) for n in CANARY_ALL}
     for df in canary_dfs.values():  # absorb codegen/first-action cost up front
         df.write.format("noop").mode("overwrite").save()
 
@@ -377,6 +401,12 @@ def main() -> None:
     canary_totals = {
         pos: round(sum(m.values()), 3) for pos, m in canary_at.items()
     }
+    # r10→r11 anchor bridge: the r10-comparable light-10 subtotal alongside
+    # the new duration-weighted 13-query anchor
+    canary_light_totals = {
+        pos: round(sum(v for k, v in m.items() if k in CANARY), 3)
+        for pos, m in canary_at.items()
+    }
     _ct = sorted(canary_totals.values())
     canary_anchor = _ct[len(_ct) // 2]
     within_run_drift = round(
@@ -404,20 +434,24 @@ def main() -> None:
         "canary": {
             "per_query": canary_at,
             "totals": canary_totals,
+            "light_totals": canary_light_totals,
             "anchor_s": canary_anchor,
             "within_run_drift": within_run_drift,
-            "note": "anchor_s = median of start/middle/end canary totals; "
-            "cross-round common-set ratios should be divided by the anchor "
-            "ratio to cancel uniform session drift (BENCHNOTES.md)",
+            "note": "anchor_s = median of start/middle/end totals over the "
+            "13 canaries (10 light + 3 mid-weight, r11); light_totals is "
+            "the r10-comparable 10-query subtotal. Cross-round common-set "
+            "ratios should be divided by the anchor ratio to cancel "
+            "session drift (BENCHNOTES.md)",
         },
         "cold_non_canary_total": round(
-            sum(v for k, v in cold.items() if k not in CANARY), 3
+            sum(v for k, v in cold.items() if k not in CANARY_ALL), 3
         ),
         "method": "same-plan warm best-of-3; gc pacing between queries; "
         "construction under a job group so eager plan-time actions are "
-        "charged to their query (plan_actions_s); fixed 10-query canary "
-        "re-timed at start/middle/end as the session-speed anchor. NOTE: "
-        "the canary warm-up compiles the 10 canary plans before the main "
+        "charged to their query (plan_actions_s); fixed 13-query canary "
+        "(10 light + 3 mid-weight) re-timed at start/middle/end as the "
+        "session-speed anchor. NOTE: "
+        "the canary warm-up compiles the 13 canary plans before the main "
         "loop, so those queries' cold/plan values are codegen-warm-biased "
         "— compare cold across rounds via cold_non_canary_total",
         "variance": {

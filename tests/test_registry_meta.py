@@ -32,12 +32,15 @@ def test_bench_canary_names_pinned():
     """The canary set is the cross-round session-speed anchor (r9 verdict
     item 2): members must exist in the registry AND in HEADLINE, and the
     set must not silently change (that would break anchor comparability —
-    BENCHNOTES r10 methodology)."""
+    BENCHNOTES r10/r11 methodology). r11 added three pinned MID-WEIGHT
+    canaries (r10 verdict item 3: sub-0.5 s canaries under-corrected
+    heavy-tail session pressure); the light-10 subtotal is still emitted
+    as the r10 anchor bridge."""
     import bench
 
     reg = _registry()
-    assert [n for n in bench.CANARY if n not in reg] == []
-    assert [n for n in bench.CANARY if n not in bench.HEADLINE] == []
+    assert [n for n in bench.CANARY_ALL if n not in reg] == []
+    assert [n for n in bench.CANARY_ALL if n not in bench.HEADLINE] == []
     assert bench.CANARY == [
         "q1_pricing_summary",
         "q6_forecast_revenue",
@@ -50,6 +53,12 @@ def test_bench_canary_names_pinned():
         "e_gini",
         "e_theil",
     ], "canary membership changed — document in BENCHNOTES and update this pin"
+    assert bench.CANARY_MID == [
+        "x_curate_corpus",
+        "x_pq_ann",
+        "x_contam_13gram",
+    ], "mid-weight canary membership changed — document in BENCHNOTES and update this pin"
+    assert bench.CANARY_ALL == bench.CANARY + bench.CANARY_MID
 
 
 def test_scale_probe_names_exist():
