@@ -176,9 +176,10 @@ def jdbc_sink(
     """S10: the ClickHouse-style JDBC batch sink (MyClickHouseUtil.java:
     80-129) — ordered-column contract + batched inserts via Spark's JDBC
     writer (`batchsize` ≙ the reference's JdbcExecutionOptions batch of 5).
-    No JDBC driver ships in this container, so this builder is exercised by
-    the parquet-backed `write_topic` path in tests; on a real cluster it is
-    the drop-in ClickHouse/MySQL writer.
+    Exercised against a REAL JDBC database in tests/test_jdbc_derby.py
+    (embedded Apache Derby, which Spark ships — round-trip + filter
+    pushdown); on a real cluster the same writer is the drop-in
+    ClickHouse/MySQL sink.
     """
     (
         select_contract(df, columns)
