@@ -2,10 +2,10 @@
 SURVEY §2.5 T2/T3/T5, sharing semantics with operators.stateful (whose batch
 forms are the DuckDB-checked oracles).
 
-  - daily_first_stream  (T3): watermarked dropDuplicates on (key, day) —
-    Spark keeps one state entry per (key, day); the watermark bounds state
-    exactly where the reference used a 1-day StateTtlConfig
-    (DwdTrafficUniqueVisitorDetail.java:62-65).
+  - daily_first_stream  (T3): dropDuplicatesWithinWatermark on (key, day)
+    — one state entry per (key, day), EXPIRED once the watermark passes
+    its first event + 1 day, exactly where the reference used a 1-day
+    StateTtlConfig (DwdTrafficUniqueVisitorDetail.java:62-65).
   - repair_is_new_stream (T2): applyInPandasWithState with a per-visitor
     first-seen-date state — the GroupState analog of the reference's
     ValueState<lastVisitDate> (BaseLogApp.java:56-91).
@@ -27,11 +27,25 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
 def daily_first_stream(df: DataFrame, key_cols: list[str], ts_col: str, watermark: str = "1 day") -> DataFrame:
-    """T3 streaming: first event per (key, day); state evicted by watermark."""
+    """T3 streaming: first event per (key, day); state evicted by watermark.
+
+    ``dropDuplicatesWithinWatermark``, NOT plain ``dropDuplicates``: the
+    plain form only evicts state when the event-time column is itself a
+    dedup key, so keying on (key, day) would retain every (key, day) pair
+    FOREVER — the r11 state-bounds test caught exactly that leak (state
+    grew linearly over a 6-day replay). The within-watermark form expires
+    each entry once the watermark passes first_ts + delay, which is
+    precisely the reference's 1-day StateTtlConfig
+    (DwdTrafficUniqueVisitorDetail.java:62-65). Semantics are unchanged
+    for day-keyed dedup: a same-day duplicate is at most 24 h after its
+    day's first event, and the watermark (lagging max event time by the
+    same 1-day delay) cannot reach first_ts + 1 day before every same-day
+    event has arrived, so within-day dedup is exact for any lateness up
+    to the watermark delay."""
     return (
         df.withColumn("cur_date", F.to_date(F.col(ts_col)))
         .withWatermark(ts_col, watermark)
-        .dropDuplicates([*key_cols, "cur_date"])
+        .dropDuplicatesWithinWatermark([*key_cols, "cur_date"])
     )
 
 
