@@ -68,6 +68,8 @@ def test_scale_probe_names_exist():
     reg = _registry()
     missing = [n for n in scale_probe.QUERIES if n not in reg]
     assert not missing, missing
+    missing_sf1 = [n for n in scale_probe.HEAVY_SF1 if n not in reg]
+    assert not missing_sf1, missing_sf1
 
 
 def test_every_query_has_oracle():
@@ -137,6 +139,19 @@ def test_registry_superset_of_r9_names():
     )
     assert len(r9) >= 373
     missing = sorted(set(r9) - reg)
+    assert not missing, missing
+
+
+def test_registry_superset_of_r10_names():
+    """r10 shipped 377 queries (r9's 373 + the 4 persisted-index ANN
+    queries), all green across four committed sweep tiers
+    (CORRECTNESS_local_r10*.json); keep the exact-superset streak."""
+    reg = set(_registry())
+    r10 = json.load(
+        open(Path(__file__).resolve().parent.parent / "CORRECTNESS_local_r10.json")
+    )
+    assert len(r10) >= 377
+    missing = sorted(set(r10) - reg)
     assert not missing, missing
 
 

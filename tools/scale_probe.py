@@ -9,6 +9,7 @@ extrapolates. Run: python tools/scale_probe.py
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from pathlib import Path
@@ -256,11 +257,128 @@ QUERIES = [
     "x_ann_index_stats",
 ]
 
+# --sf1 mode (r10 verdict item 5): the ~15 heaviest queries probed one
+# decade HIGHER (sf0.01 → sf1 ≈ 6M lineitem / 50k docs / 20k vectors, a
+# 100x range whose top tier is 10x anything the main table sees), plus
+# the persisted-artifact queries with their build and probe phases timed
+# SEPARATELY (the main table's warm numbers are probe-only by
+# construction — the index is built at warm-up). sf1 is synthesized by
+# tools/gen_sf1.py (disjoint per-copy keys/vocab so work scales linearly
+# by design, not a near-dup explosion).
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1_testdata")
+HEAVY_SF1 = [
+    "x_curate_funnel",
+    "x_curate_corpus",
+    "x_select_pipeline",
+    "x_dedup_corpus_cc",
+    "x_dup_spans",
+    "x_pagerank",
+    "x_knn_graph",
+    "x_contam_13gram",
+    "x_dsir_resample",
+    "x_lm_score",
+    "x_minhash_lsh",
+    "x_bpe_apply",
+    "e_bootstrap_ci",
+    "x_cosine_topk",
+    "x_ann_ivf",
+    "x_ann_ivf_persisted",
+    "x_lsh_persisted",
+    "x_bpe_persisted",
+    "x_lm_persisted",
+]
+
+
+def _indexed_builders():
+    """query name -> ensure_* function whose first call IS the index
+    build; timed separately in --sf1 mode so the table shows the
+    write-time cost and the recurring probe cost as different numbers."""
+    from gmall_flink_230422_spark.plans.r10 import ensure_ivf_index
+    from gmall_flink_230422_spark.plans.r11 import (
+        ensure_bpe_vocab,
+        ensure_lm_model,
+        ensure_lsh_store,
+    )
+
+    return {
+        "x_ann_ivf_persisted": ensure_ivf_index,
+        "x_lsh_persisted": ensure_lsh_store,
+        "x_bpe_persisted": ensure_bpe_vocab,
+        "x_lm_persisted": ensure_lm_model,
+    }
+
 
 def run_once(spec, spark, sf):
     t0 = time.time()
     spec.fn(spark, sf).write.format("noop").mode("overwrite").save()
     return time.time() - t0
+
+
+def main_sf1() -> None:
+    import tempfile
+
+    if not os.path.exists(os.path.join(SF1_DIR, "_GENERATED")):
+        sys.exit(f"{SF1_DIR} missing — run `python tools/gen_sf1.py` first")
+    # fresh warehouse per probe run: the FIRST ensure call per (artifact,
+    # sf) is the measured build; everything after probes the standing copy
+    os.environ["SPARK_GRAFT_INDEX_DIR"] = tempfile.mkdtemp(prefix="sf1probe_wh_")
+    spark = get_spark("scale-probe-sf1")
+    specs = registry()
+    builders = _indexed_builders()
+    sfs = ["/root/testdata/sf0.01", "/root/testdata/sf0.1", SF1_DIR]
+    rows = []
+    for name in HEAVY_SF1:
+        spec = specs[name]
+        times, builds = [], []
+        for sf in sfs:
+            if name in builders:
+                t0 = time.time()
+                builders[name](spark, sf)
+                builds.append(time.time() - t0)
+            run_once(spec, spark, sf)  # warm-up: codegen + listing
+            times.append(min(run_once(spec, spark, sf) for _ in range(2)))
+        rows.append((name, times, builds))
+        print(f"{name}: " + " ".join(f"{t:.2f}" for t in times)
+              + ("  build: " + " ".join(f"{b:.2f}" for b in builds) if builds else ""))
+
+    out = [
+        "# SCALING_SF1 — heavy-tail warm-run time, one decade above SCALING.md",
+        "",
+        "Generated by `python tools/scale_probe.py --sf1` over the",
+        "synthesized sf1 tier (tools/gen_sf1.py: 10x sf0.1 with disjoint",
+        "per-copy keys and vocabulary — 6M lineitem, 50k documents, 20k",
+        "vectors, 1M events). Warm best-of-2 after a codegen warm-up run;",
+        "local[32]. `x(0.01->1)` spans 100x more data; a value far below",
+        "100 means the data-dependent term scales (sub)linearly where it",
+        "matters most — on the heaviest plans in the registry.",
+        "",
+        "| query | sf0.01 s | sf0.1 s | sf1 s | x(0.01->1) | x(0.1->1) |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name, (a, b, c), _ in rows:
+        out.append(
+            f"| {name} | {a:.2f} | {b:.2f} | {c:.2f} | {c / a:.1f}x | {c / b:.1f}x |"
+        )
+    out += [
+        "",
+        "## Persisted artifacts: build vs probe",
+        "",
+        "The build column is the ONE-TIME ensure_* cost per corpus snapshot",
+        "(paid at write time in production); the probe rows above are the",
+        "recurring read-path cost against the standing artifact. A probe",
+        "that scaled like its build would mean the index is not actually",
+        "carrying the work.",
+        "",
+        "| artifact | build sf0.01 s | build sf0.1 s | build sf1 s | build x(0.1->1) |",
+        "|---|---|---|---|---|",
+    ]
+    for name, _, builds in rows:
+        if builds:
+            a, b, c = builds
+            out.append(f"| {name} | {a:.2f} | {b:.2f} | {c:.2f} | {c / b:.1f}x |")
+    out.append("")
+    Path("SCALING_SF1.md").write_text("\n".join(out))
+    print(f"wrote SCALING_SF1.md ({len(rows)} queries)")
 
 
 def main():
@@ -371,4 +489,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--sf1" in sys.argv:
+        main_sf1()
+    else:
+        main()
