@@ -261,6 +261,7 @@ HEADLINE = [
     "s_stream_lsh_persisted",
     "x_bpe_persisted",
     "x_lm_persisted",
+    "x_ann_index_compact",
 ]
 
 # Noise-robust protocol (r9 verdict item 2): a fixed 10-query CANARY set —

@@ -273,7 +273,75 @@ def q_lm_persisted(spark, sf_dir):
     )
 
 
+# -------------------------------------------------------- index compaction
+def q_ann_index_compact(spark, sf_dir):
+    """INDEX COMPACTION — the scheduled maintenance step that completes
+    the incremental-index lifecycle: s_stream_ann_index_upsert lands
+    per-batch deltas next to the base index (its docstring promises "a
+    compactor folds deltas into the list_id partitions on a schedule");
+    this is that compactor. Base ∪ accumulated deltas are rewritten as
+    ONE consolidated list_id-partitioned dataset — merge-on-read becomes
+    read-one-dataset, the delta dirs become garbage. Correctness
+    statement: the census of the COMPACTED dataset equals a from-scratch
+    batch build with the same centroids (the same oracle as the upsert
+    query — compaction must move bytes, never rows).
+
+    Scale shape: the compactor is one partitionBy(list_id) rewrite —
+    a single hash exchange on the partition key, no joins; at 100 TB it
+    runs per-partition-group on a schedule, and probes flip to the
+    compacted dataset atomically (the ensure_dataset staging+rename
+    pattern)."""
+    from ..operators import similarity
+    from .llm import _embs_par
+
+    e = _embs_par(spark, sf_dir)
+    base = e.filter(F.col("vec_id") % 10 != 7)
+    fresh = e.filter(F.col("vec_id") % 10 == 7)
+    tmp = tempfile.mkdtemp(prefix="r11_compact_")
+    cents_p = os.path.join(tmp, "cents")
+    base_p = os.path.join(tmp, "base")
+    delta_p = os.path.join(tmp, "delta")
+    compact_p = os.path.join(tmp, "compacted")
+
+    similarity.ivf_centroids(base, n_centroids=16).write.parquet(cents_p)
+    cents = spark.read.parquet(cents_p)
+    similarity.ivf_assign(base, cents).write.partitionBy("list_id").parquet(base_p)
+    # three accumulated ingest deltas (the upsert query's sink shape)
+    for i in range(3):
+        (
+            similarity.ivf_assign(fresh.filter(F.col("vec_id") % 3 == i), cents)
+            .write.partitionBy("list_id")
+            .parquet(os.path.join(delta_p, f"ingest_batch={i}"))
+        )
+
+    # the compactor: one partition-key rewrite of base ∪ deltas
+    merged = spark.read.parquet(base_p).select(
+        "vec_id", "embedding", "list_id"
+    ).unionByName(
+        spark.read.parquet(delta_p).select("vec_id", "embedding", "list_id")
+    )
+    merged.write.partitionBy("list_id").parquet(compact_p)
+
+    return (
+        spark.read.parquet(compact_p)
+        .groupBy(F.col("list_id").cast("bigint").alias("list_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+        .orderBy("list_id")
+    )
+
+
+def _oracle_index_compact() -> str:
+    from .r10 import ORACLE_STREAM_ANN_INDEX_UPSERT
+
+    return ORACLE_STREAM_ANN_INDEX_UPSERT
+
+
 SPECS += [
+    QuerySpec(
+        "x_ann_index_compact", q_ann_index_compact, _oracle_index_compact(),
+        doc="index compaction: base ∪ accumulated deltas rewritten into one consolidated list_id-partitioned dataset; census equals from-scratch build (same oracle as the upsert twin)",
+        tags=("llm", "similarity", "index"),
+    ),
     QuerySpec(
         "x_lsh_persisted", q_lsh_persisted, ORACLE_STREAM_LSH_INCR,
         doc="near-dup flags from the persisted band-partitioned LSH signature store (build-if-absent, cross-session); same oracle as s_stream_lsh_incremental",
