@@ -41,6 +41,7 @@ EVIDENCE_GLOBS = [
     "CORRECTNESS_r*.json",
     "PLANS.md",
     "SCALING.md",
+    "SCALING_SF1.md",
     "BENCHNOTES.md",
 ]
 

