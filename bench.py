@@ -262,6 +262,7 @@ HEADLINE = [
     "x_bpe_persisted",
     "x_lm_persisted",
     "x_ann_index_compact",
+    "x_lsh_persisted_health",
 ]
 
 # Noise-robust protocol (r9 verdict item 2): a fixed 10-query CANARY set —

@@ -184,6 +184,38 @@ ORACLE_STREAM_LSH_PERSISTED = ORACLE_STREAM_LSH_INCR.replace(
 assert ORACLE_STREAM_LSH_PERSISTED != ORACLE_STREAM_LSH_INCR, "predicate splice failed"
 
 
+def q_lsh_persisted_health(spark, sf_dir):
+    """LSH index health read from the PERSISTED band store: the
+    x_lsh_band_health dashboard (colliding buckets, implied candidate-pair
+    volume, max bucket per band) computed by two hash aggregates over the
+    standing artifact instead of re-running the shingle→minhash→band chain
+    — at 100 TB the health monitor reads the write-time signature table,
+    never the corpus. Same oracle as x_lsh_band_health verbatim: equality
+    is the storage round-trip proof for the whole signature chain."""
+    banded = _read_lsh_store(spark, ensure_lsh_store(spark, sf_dir))
+    buckets = (
+        banded.groupBy("band", "band_sig")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .filter(F.col("sz") > 1)
+    )
+    return (
+        buckets.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum("sz").cast("bigint").alias("n_docs"),
+            F.sum(F.expr("sz * (sz - 1) div 2")).cast("bigint").alias("n_cand_pairs"),
+            F.max("sz").cast("bigint").alias("max_bucket"),
+        )
+        .orderBy("band")
+    )
+
+
+def _oracle_lsh_persisted_health() -> str:
+    from .r8 import ORACLE_LSH_BAND_HEALTH
+
+    return ORACLE_LSH_BAND_HEALTH
+
+
 # ----------------------------------------------------- persisted BPE vocab
 def ensure_bpe_vocab(spark, sf_dir, n_merges: int = 3) -> tuple[str, str]:
     """Build-if-absent persisted BPE tokenizer artifact: the ``merges``
@@ -352,6 +384,12 @@ SPECS += [
         ORACLE_STREAM_LSH_PERSISTED,
         doc="streaming near-dup serving against the shared persisted LSH store (doc_id%3==1 stream)",
         tags=("llm", "dedup", "index", "streaming", "T11"),
+    ),
+    QuerySpec(
+        "x_lsh_persisted_health", q_lsh_persisted_health,
+        _oracle_lsh_persisted_health(),
+        doc="LSH band-health dashboard read from the persisted signature store (two hash aggregates, corpus never touched); same oracle as x_lsh_band_health",
+        tags=("llm", "dedup", "index"),
     ),
     QuerySpec(
         "x_bpe_persisted", q_bpe_persisted, ORACLE_BPE_APPLY,
