@@ -263,6 +263,8 @@ HEADLINE = [
     "x_lm_persisted",
     "x_ann_index_compact",
     "x_lsh_persisted_health",
+    "s_stream_lsh_store_upsert",
+    "x_lsh_store_compact",
 ]
 
 # Noise-robust protocol (r9 verdict item 2): a fixed 10-query CANARY set —

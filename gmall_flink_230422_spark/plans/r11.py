@@ -184,15 +184,13 @@ ORACLE_STREAM_LSH_PERSISTED = ORACLE_STREAM_LSH_INCR.replace(
 assert ORACLE_STREAM_LSH_PERSISTED != ORACLE_STREAM_LSH_INCR, "predicate splice failed"
 
 
-def q_lsh_persisted_health(spark, sf_dir):
-    """LSH index health read from the PERSISTED band store: the
-    x_lsh_band_health dashboard (colliding buckets, implied candidate-pair
-    volume, max bucket per band) computed by two hash aggregates over the
-    standing artifact instead of re-running the shingle→minhash→band chain
-    — at 100 TB the health monitor reads the write-time signature table,
-    never the corpus. Same oracle as x_lsh_band_health verbatim: equality
-    is the storage round-trip proof for the whole signature chain."""
-    banded = _read_lsh_store(spark, ensure_lsh_store(spark, sf_dir))
+def _band_health(banded):
+    """The LSH band-health census (x_lsh_band_health's dashboard shape)
+    over any (doc_id, band, band_sig) signature frame: colliding buckets,
+    implied candidate-pair volume, max bucket per band — two hash
+    aggregates, corpus never touched. Shared by the persisted-store health
+    probe and the incremental-store lifecycle queries, all of which must
+    equal the from-scratch x_lsh_band_health oracle verbatim."""
     buckets = (
         banded.groupBy("band", "band_sig")
         .agg(F.count(F.lit(1)).alias("sz"))
@@ -208,6 +206,123 @@ def q_lsh_persisted_health(spark, sf_dir):
         )
         .orderBy("band")
     )
+
+
+def q_lsh_persisted_health(spark, sf_dir):
+    """LSH index health read from the PERSISTED band store: the
+    x_lsh_band_health dashboard (colliding buckets, implied candidate-pair
+    volume, max bucket per band) computed by two hash aggregates over the
+    standing artifact instead of re-running the shingle→minhash→band chain
+    — at 100 TB the health monitor reads the write-time signature table,
+    never the corpus. Same oracle as x_lsh_band_health verbatim: equality
+    is the storage round-trip proof for the whole signature chain."""
+    return _band_health(_read_lsh_store(spark, ensure_lsh_store(spark, sf_dir)))
+
+
+def q_stream_lsh_store_upsert(spark, sf_dir):
+    """INCREMENTAL LSH-STORE MAINTENANCE — the signature-store mirror of
+    s_stream_ann_index_upsert, completing the lifecycle symmetry between
+    the two standing indexes: the band store is built once over the
+    standing corpus (doc_id % 3 != 1), then NEW documents stream in and
+    each checkpointed micro-batch computes their band signatures (a
+    per-doc map — signatures depend only on the doc, never on corpus
+    membership, which is what makes the store append-only) and lands them
+    as an idempotent per-batch delta (overwrite of delta/ingest_batch=<id>,
+    band-partitioned — the repo's exactly-once file-sink pattern). The
+    live store = base ∪ deltas; at 100 TB a compactor folds deltas into
+    the band partitions on a schedule (x_lsh_store_compact), probes read
+    both sides until then.
+
+    Correctness statement: because signatures are corpus-independent,
+    the band-health census of base ∪ deltas must equal a from-scratch
+    build over the full corpus — the x_lsh_band_health oracle verbatim."""
+    from ..sources import files
+
+    d = _docs_par(spark, sf_dir)
+    base = d.filter(F.col("doc_id") % 3 != 1)
+    fresh = d.filter(F.col("doc_id") % 3 == 1).select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="streamq_lshupsert_")
+    base_p = os.path.join(tmp, "base")
+    delta_p = os.path.join(tmp, "delta")
+    src = os.path.join(tmp, "arrivals")
+    ck = os.path.join(tmp, "ck")
+
+    (
+        dedup.band_signatures(dedup.minhash_signatures(dedup.shingles(base)))
+        .write.partitionBy("band")
+        .parquet(base_p)
+    )
+
+    fresh.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = files.stream_parquet(spark, src, schema, files_per_trigger=1)
+
+    def _ingest(batch, batch_id: int) -> None:
+        sigs = dedup.band_signatures(dedup.minhash_signatures(dedup.shingles(batch)))
+        sigs.write.mode("overwrite").partitionBy("band").parquet(
+            os.path.join(delta_p, f"ingest_batch={batch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    live = _read_lsh_store(spark, base_p).unionByName(
+        _read_lsh_store(spark, delta_p).select("doc_id", "band_sig", "band")
+    )
+    return _band_health(live)
+
+
+def q_lsh_store_compact(spark, sf_dir):
+    """LSH-STORE COMPACTION — the scheduled maintenance step closing the
+    signature-store lifecycle (mirror of x_ann_index_compact): base store
+    ∪ accumulated ingest deltas are rewritten as ONE consolidated
+    band-partitioned dataset — merge-on-read becomes read-one-dataset,
+    the delta dirs become garbage. The compactor is a single
+    partitionBy(band) rewrite: one hash exchange on the partition key, no
+    joins; probes flip to the compacted dataset atomically (the
+    ensure_dataset staging+rename pattern). Correctness statement: the
+    band-health census of the COMPACTED store equals a from-scratch
+    full-corpus build (compaction must move bytes, never rows) — the
+    x_lsh_band_health oracle verbatim."""
+    d = _docs_par(spark, sf_dir)
+    base = d.filter(F.col("doc_id") % 3 != 1)
+    fresh = d.filter(F.col("doc_id") % 3 == 1)
+    tmp = tempfile.mkdtemp(prefix="r11_lshcompact_")
+    base_p = os.path.join(tmp, "base")
+    delta_p = os.path.join(tmp, "delta")
+    compact_p = os.path.join(tmp, "compacted")
+
+    (
+        dedup.band_signatures(dedup.minhash_signatures(dedup.shingles(base)))
+        .write.partitionBy("band")
+        .parquet(base_p)
+    )
+    # three accumulated ingest deltas (the upsert twin's sink shape);
+    # doc_id = 3m+1 here, so (doc_id div 3) % 3 splits fresh 3 ways
+    for i in range(3):
+        (
+            dedup.band_signatures(
+                dedup.minhash_signatures(
+                    dedup.shingles(fresh.filter(F.expr("(doc_id div 3) % 3") == i))
+                )
+            )
+            .write.partitionBy("band")
+            .parquet(os.path.join(delta_p, f"ingest_batch={i}"))
+        )
+
+    merged = _read_lsh_store(spark, base_p).select(
+        "doc_id", "band_sig", "band"
+    ).unionByName(
+        _read_lsh_store(spark, delta_p).select("doc_id", "band_sig", "band")
+    )
+    merged.write.partitionBy("band").parquet(compact_p)
+
+    return _band_health(_read_lsh_store(spark, compact_p))
 
 
 def _oracle_lsh_persisted_health() -> str:
@@ -400,5 +515,17 @@ SPECS += [
         "x_lm_persisted", q_lm_persisted, ORACLE_LM_SCORE,
         doc="bigram-LM surprisal scoring against the persisted model count tables (build-if-absent, cross-session); same oracle as x_lm_score",
         tags=("llm", "text", "index"),
+    ),
+    QuerySpec(
+        "s_stream_lsh_store_upsert", q_stream_lsh_store_upsert,
+        _oracle_lsh_persisted_health(),
+        doc="incremental LSH-store maintenance: streamed docs land idempotent band-partitioned signature deltas; census of base ∪ deltas equals a from-scratch full-corpus build (x_lsh_band_health oracle verbatim)",
+        tags=("llm", "dedup", "index", "streaming", "T11"),
+    ),
+    QuerySpec(
+        "x_lsh_store_compact", q_lsh_store_compact,
+        _oracle_lsh_persisted_health(),
+        doc="LSH-store compaction: base ∪ accumulated ingest deltas rewritten into one consolidated band-partitioned dataset; census equals from-scratch build (x_lsh_band_health oracle verbatim)",
+        tags=("llm", "dedup", "index"),
     ),
 ]
