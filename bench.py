@@ -265,6 +265,8 @@ HEADLINE = [
     "x_lsh_persisted_health",
     "s_stream_lsh_store_upsert",
     "x_lsh_store_compact",
+    "x_ingest_gate",
+    "s_stream_ingest_gate",
 ]
 
 # Noise-robust protocol (r9 verdict item 2): a fixed 10-query CANARY set —

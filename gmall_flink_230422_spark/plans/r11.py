@@ -420,6 +420,236 @@ def q_lm_persisted(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------- ingest admission gate
+_FP_INDEX_VERSION = 1
+_BENCH_GRAMS_VERSION = 1
+
+# The ingest stream carries candidate TRAINING documents: benchmark docs
+# (doc_id % 17 == 0, the repo's held-out stand-in) are not arrivals, they
+# are the protected set the gate screens AGAINST.
+_INCOMING_PRED_SQL = "doc_id % 3 = 1 AND doc_id % 17 != 0"
+
+
+def _incoming(spark, sf_dir):
+    return _docs_par(spark, sf_dir).filter(
+        (F.col("doc_id") % 3 == 1) & (F.col("doc_id") % 17 != 0)
+    ).select("doc_id", "text")
+
+
+def ensure_fp_index(spark, sf_dir) -> str:
+    """Build-if-absent persisted EXACT-dedup fingerprint index: one row per
+    distinct normalized-text md5 with the earliest owning doc_id — the
+    standing admission-control table an ingest gate joins each arrival
+    against (operators/dedup.exact_dedup_groups is the in-session form).
+    At 100 TB this is corpus-cardinality but narrow (two columns), and the
+    probe is a fingerprint-keyed equi join."""
+    from ..io import ensure_dataset
+
+    base = str(_warehouse_root() / f"fp_index_{_sf_tag(sf_dir)}")
+    d = _docs_par(spark, sf_dir)
+
+    def _build(staging: str) -> None:
+        (
+            d.select(dedup.fingerprint(F.col("text")).alias("fp"), "doc_id")
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("first_id"))
+            .write.parquet(staging)
+        )
+
+    return ensure_dataset(
+        base, f"v{_FP_INDEX_VERSION}-" + corpus_token(sf_dir, "documents"), _build
+    )
+
+
+def ensure_bench_grams(spark, sf_dir) -> str:
+    """Build-if-absent persisted BENCHMARK 13-gram set: the distinct
+    13-token grams of the held-out docs (doc_id % 17 == 0) — the
+    decontamination side of the admission gate. Heaps-law small relative
+    to the corpus, so at 100 TB this is the broadcast side of the probe."""
+    from ..io import ensure_dataset
+
+    base = str(_warehouse_root() / f"bench_grams_{_sf_tag(sf_dir)}")
+    d = _docs_par(spark, sf_dir)
+
+    def _build(staging: str) -> None:
+        (
+            dedup.shingles(d.filter(F.col("doc_id") % 17 == 0), k=13)
+            .select("shingle")
+            .distinct()
+            .write.parquet(staging)
+        )
+
+    return ensure_dataset(
+        base,
+        f"v{_BENCH_GRAMS_VERSION}-k13-" + corpus_token(sf_dir, "documents"),
+        _build,
+    )
+
+
+def _gate_verdicts(spark, sf_dir, incoming):
+    """Admission verdicts for an incoming (doc_id, text) frame against the
+    THREE standing artifacts — the whole point of the persisted-artifact
+    contract in one operator:
+
+    - exact dup: arrival's normalized-text md5 hits the persisted
+      fingerprint index with an earlier first_id (fp-keyed equi join);
+    - near dup: arrival's band signatures (computed in-batch — a pure map,
+      signatures are corpus-independent) share a bucket with an EARLIER
+      doc in the persisted LSH band store (partition-pruned by band);
+    - contaminated: any of the arrival's 13-grams is in the persisted
+      benchmark gram set (broadcast-scale semi join).
+
+    Verdict priority: exact > near-dup > contamination > accept (an exact
+    duplicate is rejected before its gram overlap is ever consulted)."""
+    fps = spark.read.parquet(ensure_fp_index(spark, sf_dir))
+    store = _read_lsh_store(spark, ensure_lsh_store(spark, sf_dir)).alias("b")
+    bench = spark.read.parquet(ensure_bench_grams(spark, sf_dir))
+
+    exact = (
+        incoming.select("doc_id", dedup.fingerprint(F.col("text")).alias("fp"))
+        .join(fps, "fp")
+        .filter(F.col("first_id") < F.col("doc_id"))
+        .select("doc_id")
+    )
+    banded = dedup.band_signatures(dedup.minhash_signatures(dedup.shingles(incoming)))
+    near = (
+        banded.alias("a")
+        .join(
+            store,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("b.doc_id") < F.col("a.doc_id")),
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    contam = (
+        dedup.shingles(incoming, k=13)
+        .join(bench, "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        incoming.select("doc_id")
+        .join(exact.withColumn("_e", F.lit(True)), "doc_id", "left")
+        .join(near.withColumn("_n", F.lit(True)), "doc_id", "left")
+        .join(contam.withColumn("_c", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_e"), F.lit(False)).alias("is_exact_dup"),
+            F.coalesce(F.col("_n"), F.lit(False)).alias("is_near_dup"),
+            F.coalesce(F.col("_c"), F.lit(False)).alias("is_contaminated"),
+        )
+        .withColumn(
+            "verdict",
+            F.when(F.col("is_exact_dup"), F.lit("reject_exact"))
+            .when(F.col("is_near_dup"), F.lit("reject_near_dup"))
+            .when(F.col("is_contaminated"), F.lit("quarantine_contam"))
+            .otherwise(F.lit("accept")),
+        )
+    )
+
+
+def q_ingest_gate(spark, sf_dir):
+    """THE INGEST ADMISSION GATE — the capstone the standing-artifact
+    contract exists for: should this candidate training document enter the
+    corpus? Every piece of admission state is a persisted artifact (the
+    exact-dedup fingerprint index, the LSH band store, the benchmark
+    13-gram set — all build-if-absent behind atomic ensure_dataset), so
+    the gate itself is pure maps + keyed joins: no corpus scan, no
+    training, no state owned by the session. Scale shape: fp probe is an
+    equi join on a 128-bit key, the band probe prunes to the arrival's
+    band partitions, the gram probe broadcasts the Heaps-law-small
+    benchmark set."""
+    return _gate_verdicts(spark, sf_dir, _incoming(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_stream_ingest_gate(spark, sf_dir):
+    """Streaming twin of x_ingest_gate: arrivals in checkpointed
+    micro-batches, each batch gated against the SAME three standing
+    artifacts (ensure_* is a no-op after the first build — the artifact
+    outlives the batch, the session, and the JVM), verdicts landed via
+    the replay-safe per-batch-dir overwrite sink. Per-doc verdicts depend
+    only on the doc and the standing artifacts, so results are
+    batch-boundary-invariant and the batch oracle applies verbatim."""
+    from ..sources import files
+
+    tmp = tempfile.mkdtemp(prefix="streamq_ingestgate_")
+    src = os.path.join(tmp, "arrivals")
+    sink = os.path.join(tmp, "verdicts")
+    ck = os.path.join(tmp, "ck")
+    _incoming(spark, sf_dir).repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = files.stream_parquet(spark, src, schema, files_per_trigger=1)
+
+    def _gate(batch, batch_id: int) -> None:
+        out = _gate_verdicts(batch.sparkSession, sf_dir, batch)
+        out.write.mode("overwrite").parquet(
+            os.path.join(sink, f"batch_id={batch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink).drop("batch_id")
+
+
+def _oracle_ingest_gate() -> str:
+    from .llm import _shingles_cte
+    from .r8 import _GRAM13, _TOKS_NORM
+
+    return f"""
+WITH {_shingles_cte()},
+hashed AS (SELECT doc_id, {dedup.minhash_base_sql("shingle")} AS hp FROM sh),
+seeded AS (
+  SELECT doc_id, seed, min({dedup.minhash_value_sql("seed", "hp")}) AS minhash
+  FROM hashed CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+  GROUP BY doc_id, seed
+),
+banded AS (
+  SELECT doc_id, (seed // 4)::INT AS band,
+         string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_sig
+  FROM seeded GROUP BY doc_id, band
+),
+incoming AS (SELECT doc_id FROM documents WHERE {_INCOMING_PRED_SQL}),
+fps AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
+firsts AS (SELECT fp, min(doc_id) AS first_id FROM fps GROUP BY 1),
+exact AS (
+  SELECT f.doc_id FROM fps f JOIN firsts x USING (fp) WHERE x.first_id < f.doc_id
+),
+near AS (
+  SELECT DISTINCT a.doc_id FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND b.doc_id < a.doc_id
+),
+t13 AS (SELECT doc_id, {_TOKS_NORM} AS toks FROM documents),
+g13 AS (
+  SELECT DISTINCT doc_id, {_GRAM13} AS gram
+  FROM t13, unnest(range(1, len(toks) - 11)) AS u(i)
+  WHERE len(toks) >= 13
+),
+bench AS (SELECT DISTINCT gram FROM g13 WHERE doc_id % 17 = 0),
+contam AS (SELECT DISTINCT doc_id FROM g13 JOIN bench USING (gram))
+SELECT i.doc_id,
+       e.doc_id IS NOT NULL AS is_exact_dup,
+       n.doc_id IS NOT NULL AS is_near_dup,
+       c.doc_id IS NOT NULL AS is_contaminated,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'reject_exact'
+            WHEN n.doc_id IS NOT NULL THEN 'reject_near_dup'
+            WHEN c.doc_id IS NOT NULL THEN 'quarantine_contam'
+            ELSE 'accept' END AS verdict
+FROM incoming i
+LEFT JOIN exact e USING (doc_id)
+LEFT JOIN near n USING (doc_id)
+LEFT JOIN contam c USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 # -------------------------------------------------------- index compaction
 def q_ann_index_compact(spark, sf_dir):
     """INDEX COMPACTION — the scheduled maintenance step that completes
@@ -527,5 +757,15 @@ SPECS += [
         _oracle_lsh_persisted_health(),
         doc="LSH-store compaction: base ∪ accumulated ingest deltas rewritten into one consolidated band-partitioned dataset; census equals from-scratch build (x_lsh_band_health oracle verbatim)",
         tags=("llm", "dedup", "index"),
+    ),
+    QuerySpec(
+        "x_ingest_gate", q_ingest_gate, _oracle_ingest_gate(),
+        doc="ingest admission gate capstone: per-arrival exact-dup / near-dup / contamination verdicts computed ENTIRELY from the three persisted standing artifacts (fingerprint index, LSH band store, benchmark 13-gram set)",
+        tags=("llm", "dedup", "index", "capstone"),
+    ),
+    QuerySpec(
+        "s_stream_ingest_gate", q_stream_ingest_gate, _oracle_ingest_gate(),
+        doc="streaming admission gate: checkpointed micro-batches gated against the same three standing artifacts; batch oracle verbatim (verdicts are batch-boundary-invariant)",
+        tags=("llm", "dedup", "index", "streaming", "capstone", "T11"),
     ),
 ]
