@@ -1,12 +1,14 @@
 """Cross-session standing-artifact contract, generalized (r10 verdict
-item 1): the LSH band store, the trained BPE vocabulary, and the bigram-LM
-count tables written by plans/r11's ensure_* functions must outlive the
-JVM that built them, and probes from a different JVM must NOT rebuild them.
+item 1): the LSH band store, the trained BPE vocabulary, the bigram-LM
+count tables, the exact-dedup fingerprint index, and the benchmark
+13-gram set written by plans/r11's ensure_* functions must outlive the
+JVM that built them, and probes from a different JVM must NOT rebuild
+them (the admission-gate probe exercises three artifacts at once).
 
 Same protocol as tests/test_persisted_ann.py: build + probe in one
 subprocess, re-probe from a second subprocess (genuinely separate JVM),
 assert (a) zero file mtime changes anywhere under the warehouse root and
-(b) identical probe results. All three artifacts ride in the same pair of
+(b) identical probe results. All five artifacts ride in the same pair of
 subprocesses to keep the test's JVM count at two."""
 
 from __future__ import annotations
@@ -26,18 +28,22 @@ sys.path.insert(0, {repo!r})
 from gmall_flink_230422_spark.session import get_spark
 from gmall_flink_230422_spark.plans.r11 import (
     ensure_lsh_store, ensure_bpe_vocab, ensure_lm_model,
-    q_lsh_persisted, q_bpe_persisted, q_lm_persisted,
+    ensure_fp_index, ensure_bench_grams,
+    q_lsh_persisted, q_bpe_persisted, q_lm_persisted, q_ingest_gate,
 )
 spark = get_spark("persist-artifacts")
 paths = {{
     "lsh": ensure_lsh_store(spark, {sf!r}),
     "bpe": ensure_bpe_vocab(spark, {sf!r})[1],
     "lm": ensure_lm_model(spark, {sf!r})[0],
+    "fp": ensure_fp_index(spark, {sf!r}),
+    "grams": ensure_bench_grams(spark, {sf!r}),
 }}
 rows = {{
     "lsh": sorted([r["doc_id"], r["is_dup"]] for r in q_lsh_persisted(spark, {sf!r}).collect()),
     "bpe": sorted([r["doc_id"], r["n_tokens"], r["n_sym_enc"]] for r in q_bpe_persisted(spark, {sf!r}).collect()),
     "lm": sorted([r["doc_id"], r["n_bigrams"], r["avg_surprisal"]] for r in q_lm_persisted(spark, {sf!r}).collect()),
+    "gate": sorted([r["doc_id"], r["verdict"]] for r in q_ingest_gate(spark, {sf!r}).collect()),
 }}
 print("RESULT " + json.dumps({{"paths": paths, "rows": rows}}))
 """
@@ -79,8 +85,11 @@ def test_artifacts_outlive_jvm_and_probes_do_not_rebuild(tmp_path):
     # the LSH store is band-partitioned: probes partition-prune on band
     parts = [d for d in os.listdir(built["paths"]["lsh"]) if d.startswith("band=")]
     assert parts, f"LSH store not partitioned by band: {os.listdir(built['paths']['lsh'])}"
-    for kind in ("lsh", "bpe", "lm"):
+    for kind in ("lsh", "bpe", "lm", "gate"):
         assert built["rows"][kind], f"{kind} probe produced no rows"
+    # the admission gate exercises all three of its artifacts in one probe
+    verdicts = {v for _id, v in built["rows"]["gate"]}
+    assert verdicts <= {"accept", "reject_exact", "reject_near_dup", "quarantine_contam"}
 
     before = _tree_mtimes(str(tmp_path))
     probed = _run(env)
