@@ -45,13 +45,42 @@ def _trade_edges(spark, sf_dir):
     return graph.undirected(e0)
 
 
+# r11 optimization (guide §2.3 — narrower shuffle keys): the trade-graph
+# node ids are "c:<custkey>" / "s:<suppkey>" strings; 2k / 2k+1 is an exact
+# BIJECTIVE integer encoding of that domain (no hash, no collision risk),
+# so the three PageRank iterations shuffle/aggregate 8-byte bigints instead
+# of variable-width strings, and the decode projection reproduces the
+# original strings bit-for-bit for the oracle. Measured at sf0.1 together
+# with the edge-side pre-partition in operators/graph.py: warm 1.55 →
+# 1.24 s, identical output checksums.
+_NODE_ENC = (
+    "CASE WHEN substring({c}, 1, 2) = 'c:' "
+    "THEN 2 * CAST(substring({c}, 3) AS BIGINT) "
+    "ELSE 2 * CAST(substring({c}, 3) AS BIGINT) + 1 END"
+)
+_NODE_DEC = (
+    "CASE WHEN {c} % 2 = 0 THEN concat('c:', CAST({c} div 2 AS STRING)) "
+    "ELSE concat('s:', CAST(({c} - 1) div 2 AS STRING)) END"
+)
+
+
+def _encode_nodes(edges):
+    return edges.select(
+        F.expr(_NODE_ENC.format(c="src")).alias("src"),
+        F.expr(_NODE_ENC.format(c="dst")).alias("dst"),
+    )
+
+
 def q_pagerank(spark, sf_dir):
     """3-iteration integer-grid PageRank over the trade graph — the
     link-authority prior for quality-weighted sampling. One hash shuffle
     per iteration; every arithmetic step is BIGINT so the unrolled DuckDB
-    CTE oracle matches bit-for-bit (operators/graph.py)."""
-    edges = _trade_edges(spark, sf_dir).cache()
-    return graph.pagerank(edges, iterations=3)
+    CTE oracle matches bit-for-bit (operators/graph.py). Iterations run
+    on the bijective integer node encoding (_NODE_ENC above) and the
+    result decodes back to the public string ids."""
+    edges = _encode_nodes(_trade_edges(spark, sf_dir)).cache()
+    r = graph.pagerank(edges, iterations=3)
+    return r.select(F.expr(_NODE_DEC.format(c="node")).alias("node"), "rank_micro")
 
 
 ORACLE_PAGERANK = graph.pagerank_oracle_sql(_EDGES_CTE, iterations=3)
@@ -99,13 +128,16 @@ def q_ppr(spark, sf_dir):
     and bit-exact unrolled-CTE oracle as x_pagerank."""
     from ..io import load_table as _lt
 
-    edges = _trade_edges(spark, sf_dir).cache()
+    edges = _encode_nodes(_trade_edges(spark, sf_dir)).cache()
     cust = _lt(spark, sf_dir, "customer")
+    # seeds are customers: the integer encoding of "c:<k>" is 2k directly
     seeds = cust.filter(F.col("c_nationkey") == 1).select(
-        F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias("node")
+        (F.lit(2) * F.col("c_custkey").cast("bigint")).alias("node")
     )
     r = graph.pagerank(edges, iterations=3, seeds=seeds)
-    return r.filter(F.col("rank_micro") > 0)
+    return r.filter(F.col("rank_micro") > 0).select(
+        F.expr(_NODE_DEC.format(c="node")).alias("node"), "rank_micro"
+    )
 
 
 _PPR_CTE = _EDGES_CTE + """,
