@@ -2192,12 +2192,28 @@ def q_lsh_tune(spark, sf_dir):
     d = _docs_par(spark, sf_dir)
     sh = dedup.shingles(d).cache()
     sigs = dedup.minhash_signatures(sh, num_hashes=16).cache()
-    outs = []
-    for bands, rpb in ((2, 8), (4, 4), (8, 2)):
-        cands = dedup.lsh_candidate_pairs(
+    # r11 optimization (guide §1.2): the three configs' candidate sets are
+    # nested for the same 16 hashes (an 8-row band match implies both 4-row
+    # band matches implies all 2-row band matches), so the expensive
+    # shingle-intersection verification runs ONCE over the UNION of the
+    # candidate sets, and each config's verified count is a cheap pair
+    # semi-join against that shared cached frame — 3 verification joins -> 1.
+    # jaccard is a pure function of the pair, so ver ∩ cands_cfg is exactly
+    # the per-config verification result.
+    cands_by_cfg = {
+        (bands, rpb): dedup.lsh_candidate_pairs(
             sigs, bands=bands, rows_per_band=rpb
         ).cache()
-        ver = dedup.jaccard_pairs(sh, threshold=0.5, candidates=cands)
+        for bands, rpb in ((2, 8), (4, 4), (8, 2))
+    }
+    cands_union = None
+    for c in cands_by_cfg.values():
+        cands_union = c if cands_union is None else cands_union.unionByName(c)
+    cands_union = cands_union.distinct()
+    ver_all = dedup.jaccard_pairs(sh, threshold=0.5, candidates=cands_union).cache()
+    outs = []
+    for (bands, rpb), cands in cands_by_cfg.items():
+        ver = ver_all.join(cands, ["doc_a", "doc_b"], "left_semi")
         outs.append(
             cands.agg(F.count(F.lit(1)).alias("n_candidates"))
             .crossJoin(F.broadcast(ver.agg(F.count(F.lit(1)).alias("n_verified"))))
@@ -7533,9 +7549,17 @@ def q_dedup_threshold_curve(spark, sf_dir):
     sh = dedup.shingles(d).cache()
     sigs = dedup.minhash_signatures(sh, num_hashes=16)
     cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4).cache()
+    # r11 optimization (guide §1.2 "don't compute things you throw away"):
+    # the three truth sets differ ONLY in the final threshold filter over
+    # the same floored-1e-4 jaccard column, and thresholds are nested
+    # (jac >= 0.5 ⊆ jac >= 0.3) — so run the expensive shingle-intersection
+    # verification ONCE at the lowest threshold and filter the cached
+    # verified-pair frame per curve point, instead of paying the full
+    # intersection join three times (plan: 3 shingle self-joins -> 1).
+    truth_all = dedup.jaccard_pairs(sh, threshold=0.3).cache()
     out = None
     for thr_e1 in (3, 5, 7):
-        truth = dedup.jaccard_pairs(sh, threshold=thr_e1 / 10.0)
+        truth = truth_all.filter(F.col("jaccard") >= thr_e1 / 10.0)
         flagged = truth.join(
             cands.withColumn("_c", F.lit(1)), ["doc_a", "doc_b"], "left"
         )
