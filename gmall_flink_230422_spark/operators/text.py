@@ -204,33 +204,60 @@ def repetition_features(
     - ``mean_word_len``   — degenerate-token guard
     - ``keep``            — the composite repetition filter verdict
 
-    Shape: two explode→count chains (words, bigrams) that each partial-
-    aggregate map-side before one doc_id Exchange, then a co-partitioned
-    join (both sides already hash-partitioned by doc_id — no extra
-    shuffle). Everything is JVM array/aggregate expressions; nothing
-    leaves codegen.
+    Shape (r11 optimization, guide §2.4 "remove shuffles outright"): every
+    signal is a PER-DOCUMENT statistic, so nothing needs to leave the row —
+    the old explode→count→re-aggregate→join shape (two word/bigram explode
+    chains, four hash aggregates, one doc_id exchange) is replaced by pure
+    array expressions: top-word / top-bigram occurrence counts are a
+    linear ``aggregate`` fold over the SORTED token/bigram array (max run
+    length of a sorted multiset == max frequency), char totals a fold over
+    token lengths. Zero shuffles, zero explode fan-out, whole-stage
+    codegen end-to-end — a map-only pass over the corpus scan at any
+    scale. Docs with no tokens are filtered exactly as the old explode
+    produced no rows for them (and as the oracle's ``unnest`` does).
+    Measured at sf0.1 (interleaved min-of-8, same session): operator warm
+    0.78 → 0.48 s with bit-identical output; the curation capstones
+    consuming the keep-list (curate_funnel/corpus, select_pipeline) drop
+    the whole explode/agg sub-chain from their plans (their end-to-end
+    warm deltas sit inside session noise locally — the win is the removed
+    shuffle/fan-out, which is what matters at scale).
     """
     toks = whitespace_tokens(normalize_text(F.col(text_col)))
-    base = docs.select(F.col(id_col), toks.alias("_toks"))
-
-    words = base.select(id_col, F.explode("_toks").alias("tok"))
-    wc = words.groupBy(id_col, "tok").count()
-    ws = wc.groupBy(id_col).agg(
-        F.sum("count").alias("n_words"),
-        F.max("count").alias("_top_word"),
-        F.count("*").alias("_n_distinct"),
-        F.sum(F.length("tok") * F.col("count")).alias("_chars"),
+    # max frequency over a sorted array = longest equal-run: one linear
+    # codegen fold, no explode/groupBy
+    top_run = (
+        "aggregate(array_sort({arr}), "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L), "
+        "(acc, x) -> named_struct("
+        "'prev', x, "
+        "'run', IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1L, 1L), "
+        "'best', greatest(acc.best, "
+        "IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1L, 1L))), "
+        "acc -> acc.best)"
     )
-
     bigram_arr = F.expr(
         "CASE WHEN size(_toks) >= 2 THEN transform(sequence(1, size(_toks) - 1), "
         "i -> concat_ws(' ', element_at(_toks, i), element_at(_toks, i + 1))) "
         "ELSE array() END"
     )
-    bigrams = base.select(id_col, F.explode(bigram_arr).alias("bg"))
-    bgc = bigrams.groupBy(id_col, "bg").count()
-    bgs = bgc.groupBy(id_col).agg(
-        F.sum("count").alias("_n_bg"), F.max("count").alias("_top_bg")
+    base = (
+        docs.select(F.col(id_col), toks.alias("_toks"))
+        .filter(F.size("_toks") >= 1)
+        .select(
+            F.col(id_col),
+            F.size("_toks").cast("bigint").alias("n_words"),
+            F.size(F.array_distinct("_toks")).cast("bigint").alias("_n_distinct"),
+            F.expr(
+                "aggregate(_toks, 0L, (a, x) -> a + CAST(length(x) AS BIGINT))"
+            ).alias("_chars"),
+            F.expr(top_run.format(arr="_toks")).alias("_top_word"),
+            bigram_arr.alias("_bgs"),
+        )
+        .select(
+            "*",
+            F.size("_bgs").cast("bigint").alias("_n_bg"),
+            F.expr(top_run.format(arr="_bgs")).alias("_top_bg"),
+        )
     )
 
     def trunc4(c: Column) -> Column:
@@ -238,12 +265,13 @@ def repetition_features(
         # floor-truncate per the repo-wide off-grid-ratio rule
         return F.floor(c * 10000) / 10000
 
-    joined = ws.join(bgs, id_col, "left")
     dup_frac = trunc4((F.col("n_words") - F.col("_n_distinct")) / F.col("n_words"))
     top_word = trunc4(F.col("_top_word") / F.col("n_words"))
-    top_bg = F.coalesce(trunc4(F.col("_top_bg") / F.col("_n_bg")), F.lit(0.0))
+    top_bg = F.when(
+        F.col("_n_bg") > 0, trunc4(F.col("_top_bg") / F.col("_n_bg"))
+    ).otherwise(F.lit(0.0))
     mean_len = trunc4(F.col("_chars") / F.col("n_words"))
-    return joined.select(
+    return base.select(
         F.col(id_col),
         F.col("n_words").cast("bigint").alias("n_words"),
         dup_frac.alias("dup_word_frac"),
