@@ -98,6 +98,27 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def quality_logit_milli(toks: Column) -> Column:
+    """The frozen-weight quality-classifier logit (integer milli-grid) as a
+    pure expression over an already-computed token-array column — the
+    single implementation behind :func:`quality_classifier` and the
+    fold-into-one-projection consumers (x_select_pipeline). keep is
+    ``quality_logit_milli(toks) >= 0``."""
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    stop_hits = stopword_hits(toks, _EN_STOP)
+    ttr_milli = F.when(
+        n_tokens > 0, F.floor(F.lit(1000) * n_distinct / n_tokens)
+    ).otherwise(F.lit(0)).cast("bigint")
+    stop_milli = F.when(
+        n_tokens > 0, F.floor(F.lit(1000) * stop_hits / n_tokens)
+    ).otherwise(F.lit(0)).cast("bigint")
+    len_term = (F.lit(10) * F.least(n_tokens, F.lit(100))).cast("bigint")
+    return (F.lit(-1100) + len_term + F.lit(2) * stop_milli + ttr_milli).cast(
+        "bigint"
+    )
+
+
 def quality_classifier(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -189,6 +210,79 @@ def hash_split(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
     return docs.select(F.col(id_col), bucket.alias("bucket"), expr.alias("split"))
+
+
+def _top_run(arr: Column) -> Column:
+    """Max element frequency of an array = longest equal-run over its sorted
+    form: one linear ``aggregate`` fold in codegen (the Column-API twin of
+    the SQL-template fold inside :func:`repetition_features`)."""
+    def merge(acc: Column, x: Column) -> Column:
+        run_new = (
+            F.when(
+                acc["prev"].isNotNull() & (x == acc["prev"]), acc["run"] + 1
+            )
+            .otherwise(F.lit(1))
+            .cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run_new.alias("run"),
+            F.greatest(acc["best"], run_new).alias("best"),
+        )
+
+    return F.aggregate(
+        F.array_sort(arr),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        merge,
+        lambda acc: acc["best"],
+    )
+
+
+def _word_bigrams(toks: Column) -> Column:
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_keep(toks: Column) -> Column:
+    """The composite repetition-filter verdict of :func:`repetition_features`
+    as one pure expression over an already-computed token-array column —
+    for consumers that fold several map-only quality stages into a single
+    corpus projection (x_select_pipeline). Callers must exclude zero-token
+    docs first (``size(toks) >= 1``), matching repetition_features' output
+    domain. Formula identical to repetition_features; both are pinned by
+    the same oracles."""
+    n_words = F.size(toks).cast("bigint")
+    n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
+    chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x).cast("long")
+    )
+    bgs = _word_bigrams(toks)
+    n_bg = F.size(bgs).cast("bigint")
+
+    def trunc4(c: Column) -> Column:
+        return F.floor(c * 10000) / 10000
+
+    dup_frac = trunc4((n_words - n_distinct) / n_words)
+    top_word = trunc4(_top_run(toks) / n_words)
+    top_bg = F.when(n_bg > 0, trunc4(_top_run(bgs) / n_bg)).otherwise(F.lit(0.0))
+    mean_len = trunc4(chars / n_words)
+    return (
+        (dup_frac <= F.lit(0.8))
+        & (top_word <= F.lit(0.12))
+        & (top_bg <= F.lit(0.08))
+        & mean_len.between(F.lit(3.0), F.lit(10.0))
+    )
 
 
 def repetition_features(

@@ -3391,13 +3391,30 @@ def q_select_pipeline(spark, sf_dir):
     cache derived SMALL frames (flags, thresholds), never the corpus."""
     d = _docs_par(spark, sf_dir)
     nt = text.token_count(F.col("text")).cast("bigint")
-    base = d.select("doc_id", nt.alias("nt"))
-    rep = text.repetition_features(d).select("doc_id", F.col("keep").alias("k_rep"))
-    clf = text.quality_classifier(d).select("doc_id", F.col("keep").alias("k_clf"))
+    # r11 optimization (guide §2.4): repetition_features and
+    # quality_classifier are both MAP-ONLY now, so the old
+    # base ⋈ rep ⋈ clf three-scan/two-join cascade folds into ONE corpus
+    # projection (the normalized token array is tokenized once and feeds
+    # both keep expressions via codegen subexpression elimination); the
+    # inner join on the repetition frame used to drop zero-token docs, so
+    # the fold filters them explicitly — identical domain, identical
+    # flags. Only the bigram-LM score still arrives by join (it needs the
+    # corpus-level model aggregates).
+    ntoks = text.whitespace_tokens(text.normalize_text(F.col("text")))
     lm = text.lm_surprisal_score(d).select("doc_id", "avg_surprisal")
     flags = (
-        base.join(rep, "doc_id")
-        .join(clf, "doc_id")
+        d.select(
+            "doc_id",
+            nt.alias("nt"),
+            ntoks.alias("_ntoks"),
+        )
+        .filter(F.size("_ntoks") >= 1)
+        .select(
+            "doc_id",
+            "nt",
+            text.repetition_keep(F.col("_ntoks")).alias("k_rep"),
+            (text.quality_logit_milli(F.col("_ntoks")) >= 0).alias("k_clf"),
+        )
         .join(lm, "doc_id", "left")
         .select(
             "doc_id", "nt", "avg_surprisal",
