@@ -3384,11 +3384,14 @@ def q_select_pipeline(spark, sf_dir):
     is a conditional cumulative window over that same frame, and the funnel
     is a single aggregate unpivoted to stage rows — never a per-stage
     union that re-evaluates uncached subplans (the r2 x_curate_funnel
-    lesson, BENCHNOTES.md). Deliberately NOT cached: A/B at sf0.1 showed
-    caching the doc frame 1.4× SLOWER (2.8 s → 3.9 s warm) — the
-    InMemoryRelation breaks per-stage column pruning and scan fusion,
-    while re-scanning the parquet is cheap; at 100 TB the same logic says
-    cache derived SMALL frames (flags, thresholds), never the corpus."""
+    lesson, BENCHNOTES.md). Caching policy, twice-measured: the RAW doc
+    frame must NOT be cached (r10 A/B: 1.4× SLOWER, 2.8 s → 3.9 s warm —
+    the InMemoryRelation breaks per-stage column pruning and scan
+    fusion), but the NARROW tokenized projection (doc_id, nt, _toks) IS
+    cached (r11 A/B: ~10 % faster, and scan repeat 5 → 1) because four
+    consumers (flags fold + three LM streams) each re-paid the regex
+    tokenize; at 100 TB the rule is: cache derived narrow frames with
+    several consumers, never the raw corpus."""
     d = _docs_par(spark, sf_dir)
     nt = text.token_count(F.col("text")).cast("bigint")
     # r11 optimization (guide §2.4): repetition_features and
@@ -3400,20 +3403,28 @@ def q_select_pipeline(spark, sf_dir):
     # the fold filters them explicitly — identical domain, identical
     # flags. Only the bigram-LM score still arrives by join (it needs the
     # corpus-level model aggregates).
+    #
+    # r11 stage 2 (guide §1.2 don't recompute, §8 lightweight proxy): the
+    # bigram-LM branch used to re-tokenize the corpus three more times
+    # (score pairs, model pairs, model unigrams). The narrow
+    # (doc_id, nt, _toks) projection is now tokenized ONCE into a cached
+    # frame with four consumers — the flags fold below plus all three LM
+    # streams via the lm_* tokenize-once ``_toks`` contract. Scan repeat
+    # 5 → 1; interleaved A/B min-of-8 ×2 runs: 1.99/1.91 → 1.72/1.75 s
+    # (~-10 %), bit-identical output. (This is the tokens-only flip of the
+    # r10 corpus-cache A/B above: caching the RAW doc frame was 1.4×
+    # slower because it broke scan pruning; caching the narrow tokenized
+    # proxy removes 3 regex-tokenize passes and wins.)
     ntoks = text.whitespace_tokens(text.normalize_text(F.col("text")))
-    lm = text.lm_surprisal_score(d).select("doc_id", "avg_surprisal")
+    tk = d.select("doc_id", nt.alias("nt"), ntoks.alias("_toks")).cache()
+    lm = text.lm_surprisal_score(tk).select("doc_id", "avg_surprisal")
     flags = (
-        d.select(
-            "doc_id",
-            nt.alias("nt"),
-            ntoks.alias("_ntoks"),
-        )
-        .filter(F.size("_ntoks") >= 1)
+        tk.filter(F.size("_toks") >= 1)
         .select(
             "doc_id",
             "nt",
-            text.repetition_keep(F.col("_ntoks")).alias("k_rep"),
-            (text.quality_logit_milli(F.col("_ntoks")) >= 0).alias("k_clf"),
+            text.repetition_keep(F.col("_toks")).alias("k_rep"),
+            (text.quality_logit_milli(F.col("_toks")) >= 0).alias("k_clf"),
         )
         .join(lm, "doc_id", "left")
         .select(
