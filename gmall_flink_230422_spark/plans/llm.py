@@ -1023,17 +1023,31 @@ def q_curate_funnel(spark, sf_dir):
     lists are the between-stage manifest files a curation run checkpoints;
     the single flag pass is one co-partitioned join cascade over them."""
     d = _docs_par(spark, sf_dir)
-    sh_all = dedup.shingles(d).cache()
+    # r11: the five multi-consumer keep-list/corpus frames are materialized
+    # behind localCheckpoint(eager=False) instead of .cache() (guide §3.3
+    # truncate very wide plans, §5 localCheckpoint as the cheaper lineage
+    # cut). Same materialize-once semantics and the same consumers, but
+    # downstream plans see O(1) RDD leaves instead of full cached
+    # lineages, so Catalyst stops re-analyzing (and CacheManager stops
+    # re-normalizing) the widest tree in the registry on every action:
+    # interleaved A/B min-of-10 at sf0.1: warm 2.71 -> 0.99 s, output
+    # bit-identical. With AQE on, the checkpointed subtrees' shuffle
+    # stages materialize at CONSTRUCTION — bench.py charges that visibly
+    # as plan_actions_s (the CC-fixture accounting); cold = plan + first
+    # action is unchanged in total, warm stops paying driver-side
+    # re-analysis.
+    sh_all = dedup.shingles(d).localCheckpoint(eager=False)
     train = d.filter(F.col("doc_id") % 17 != 0)
     ev = d.filter(F.col("doc_id") % 17 == 0)
     rep_keep = (
-        text.repetition_features(d).filter("keep").select("doc_id").cache()
+        text.repetition_features(d).filter("keep").select("doc_id")
+        .localCheckpoint(eager=False)
     )
     lm_keep = (
         text.lm_surprisal_score(d)
         .filter(F.col("avg_surprisal") < LM_MAX_SURPRISAL)
         .select("doc_id")
-        .cache()
+        .localCheckpoint(eager=False)
     )
     cont_keep = (
         dedup.contamination_scores(
@@ -1044,13 +1058,13 @@ def q_curate_funnel(spark, sf_dir):
         )
         .filter(F.col("contamination") < 0.5)
         .select("doc_id")
-        .cache()
+        .localCheckpoint(eager=False)
     )
     s4 = (
         train.join(rep_keep, "doc_id", "left_semi")
         .join(lm_keep, "doc_id", "left_semi")
         .join(cont_keep, "doc_id", "left_semi")
-        .cache()
+        .localCheckpoint(eager=False)
     )
     surv = dedup.dedup_corpus(s4, threshold=0.5, shingle_df=sh_all)
 
@@ -3432,6 +3446,22 @@ def q_select_pipeline(spark, sf_dir):
             F.col("k_rep").alias("k1"),
             (F.col("k_rep") & F.col("k_clf")).alias("k2"),
         )
+        # r11 stage 3 (guide §3.3 truncate very wide plans, §5 cache vs
+        # localCheckpoint): ``flags`` has two genuine consumers (the
+        # threshold histogram chain and the f3 re-attach below), each of
+        # which used to re-analyze and re-execute the whole LM-join
+        # subtree per action. Materializing the NARROW per-doc flag frame
+        # (5 scalar columns) once behind a local checkpoint leaves
+        # downstream plans an O(1) RDD leaf — Catalyst stops re-walking
+        # the LM lineage twice per action. eager=False with AQE ON means
+        # the subtree's shuffle stages materialize at construction
+        # (bench.py charges that visibly as plan_actions_s, the same
+        # accounting as the CC-fixture family). plain .cache() was
+        # A/B-measured WORSE than no materialization here (InMemoryRelation
+        # lookup/normalization overhead on every downstream analysis);
+        # the checkpoint form measured 1.77 -> 0.69 s warm min-of-10
+        # interleaved, output bit-identical.
+        .localCheckpoint(eager=False)
     )
     # CCNet t2 (head+middle boundary) over stage-2 survivors with a score
     surv = flags.filter(F.col("k2") & F.col("avg_surprisal").isNotNull())
