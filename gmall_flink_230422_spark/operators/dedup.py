@@ -54,12 +54,26 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k:
     zero shuffles until the distinct, fully inside whole-stage codegen. The
     equivalent DuckDB formulation (lead() over token positions) produces the
     same sets, keeping downstream MinHash oracle-checkable.
+
+    Expression form is k-dependent (r11, guide §1.2 per-task work): the
+    k-ary ``concat_ws(' ', element_at×k)`` chain is fastest for small k
+    (the MinHash k=3 default — measured ~5 % better than the slice form),
+    but for the long decontamination grams the 13-node chain loses to one
+    ``array_join(slice(_toks, i, k), ' ')`` (interleaved A/B min-of-12 at
+    sf0.1: x_contam_13gram 1.54 → 1.38 s, ~−10 %; k=8 measured a tie).
+    Both build the IDENTICAL string (tokens are whitespace-free, so the
+    single-space join is the same bytes), checksum-verified — the oracle
+    formulation is untouched.
     """
     toks = whitespace_tokens(normalize_text(F.col(text_col)))
-    parts = ", ".join(f"element_at(_toks, i + {j})" for j in range(k))
+    if k >= 13:
+        gram = f"array_join(slice(_toks, i, {k}), ' ')"
+    else:
+        parts = ", ".join(f"element_at(_toks, i + {j})" for j in range(k))
+        gram = f"concat_ws(' ', {parts})"
     shingle_arr = F.expr(
         f"CASE WHEN size(_toks) >= {k} THEN "
-        f"transform(sequence(1, size(_toks) - {k - 1}), i -> concat_ws(' ', {parts})) "
+        f"transform(sequence(1, size(_toks) - {k - 1}), i -> {gram}) "
         "ELSE array() END"
     )
     return (
