@@ -876,7 +876,14 @@ def q_curate_corpus(spark, sf_dir):
     this is the shingle table you checkpoint to parquet between stages,
     not a per-stage re-tokenize of the corpus)."""
     d = _docs_par(spark, sf_dir)
-    sh_all = dedup.shingles(d).cache()
+    # r11: the two multi-consumer frames materialize behind
+    # localCheckpoint(eager=False) instead of .cache() — same
+    # materialize-once semantics, but downstream plans see O(1) RDD
+    # leaves, so Catalyst stops re-analyzing the wide curation tree per
+    # action (the x_curate_funnel finding; interleaved A/B min-of-12 at
+    # sf0.1: warm 1.83 -> 1.06 s, bit-identical). Construction-time
+    # shuffle materialization is charged visibly as plan_actions_s.
+    sh_all = dedup.shingles(d).localCheckpoint(eager=False)
     rep_keep = text.repetition_features(d).filter("keep").select("doc_id")
     train = d.filter(F.col("doc_id") % 17 != 0)
     ev = d.filter(F.col("doc_id") % 17 == 0)
@@ -890,14 +897,15 @@ def q_curate_corpus(spark, sf_dir):
         .filter(F.col("contamination") < 0.5)
         .select("doc_id")
     )
-    # the filtered corpus feeds five consumers inside the dedup stage; cache
-    # it (local stand-in for the parquet checkpoint a production pipeline
-    # writes between curation stages — at 100 TB you persist, not recompute
-    # the quality+contamination subplans per consumer)
+    # the filtered corpus feeds five consumers inside the dedup stage;
+    # materialize it (local stand-in for the parquet checkpoint a
+    # production pipeline writes between curation stages — at 100 TB you
+    # persist, not recompute the quality+contamination subplans per
+    # consumer)
     docs_f = (
         train.join(rep_keep, "doc_id", "left_semi")
         .join(cont_keep, "doc_id", "left_semi")
-        .cache()
+        .localCheckpoint(eager=False)
     )
     surv = dedup.dedup_corpus(docs_f, threshold=0.5, shingle_df=sh_all)
     surv_docs = docs_f.join(surv, "doc_id", "left_semi")
