@@ -297,7 +297,14 @@ def canonical_near_pairs(
     it holds) between snapshots; per-query sweeps don't need to — eviction
     handles it (r7 advisor note)."""
     groups = exact_dedup_groups(docs, id_col, text_col)
-    canon_ids = groups.select(F.col("canonical_id").alias(id_col))
+    # r12: the canonical-id list has two consumers (the shingle prune
+    # below — one-time, it feeds the cached sh — and docs_c's semi-join,
+    # which dedup_corpus's final anti-join re-executes per action).
+    # Uncached, every downstream action re-ran the full-text md5
+    # aggregate; the id list is narrow (one row per distinct text), so
+    # it is cached rather than the wide docs_c (r10 rule: cache derived
+    # narrow frames, never the raw corpus).
+    canon_ids = groups.select(F.col("canonical_id").alias(id_col)).cache()
     docs_c = docs.join(canon_ids, id_col, "left_semi")
     if shingle_df is not None:
         sh = shingle_df.join(docs_c.select(id_col), id_col, "left_semi").cache()

@@ -1283,14 +1283,31 @@ def backoff_trigram_score(
             id_col, *[F.col(f"_g.w{i + 1}").alias(f"w{i + 1}") for i in range(n)]
         )
 
+    # r12 (guide §1.2 don't recompute, §5 cache the derived small frame):
+    # c2 and c1 each feed TWO join sides of the backoff chain, so the
+    # uncached form compiled each model aggregate twice — two extra full
+    # corpus explode→aggregate passes per action (scan-repeat 7). The
+    # model COUNT tables (≪ corpus, the right thing to cache at any
+    # scale — they are the LM artifact a production run persists) are
+    # cached instead; n_train = Σ c1 replaces its own corpus scan (the
+    # sum of per-token counts IS the train token total, exactly).
+    # Scan-repeat 7 → 4; the r9 A/B that rejected caching the TOKENIZED
+    # CORPUS frame (corpus-sized memory for a tie) still holds and is a
+    # different trade from caching the model tables.
     c3 = _grams(train, 3).groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
-    c2 = _grams(train, 2).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c2 = (
+        _grams(train, 2)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .cache()
+    )
     c1 = (
         train.select(F.explode("_toks").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c1"))
+        .cache()
     )
-    n_train = train.agg(F.sum(F.size("_toks")).alias("n_train"))
+    n_train = c1.agg(F.sum("c1").alias("n_train"))
 
     ht = _grams(held, 3)
     scored = (

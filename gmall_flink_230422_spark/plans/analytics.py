@@ -2124,10 +2124,16 @@ def q_basket_rules(spark, sf_dir):
         F.slice(F.sort_array(F.collect_list("l_partkey")), 1, _BASKET_CAP).alias("ps")
     ).cache()
     n_orders = baskets.select(F.count(F.lit(1)).alias("n"))
+    # r12: c_item feeds BOTH broadcast sides of the rule join below, so
+    # the uncached form compiled (and ran) the basket explode→aggregate
+    # twice per action (the r11 plan dump shows two identical
+    # Generate→HashAggregate chains over the cached baskets). The
+    # per-item count table is bounded by |parts| — cache it once.
     c_item = (
         baskets.select(F.explode("ps").alias("l_partkey"))
         .groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
     )
     # combinations: for the i-th part, pair with every later part in the
     # sorted basket (2-arg lambda = (element, index) form, 0-based)
